@@ -1,0 +1,55 @@
+#!/usr/bin/env python3
+"""Local pre-validation of SparkEntry.oracleSql vs Verify output.
+
+Mimics the driver's correctness gate: for each query, load the Spark-written
+parquet from the verify outDir, run the oracle SQL in DuckDB against the same
+sfDir tables, sort columns by name, sort rows, and compare values.
+
+Usage: python3 scripts/check_oracle.py /root/testdata/sf0.01 /tmp/verify_out
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+    name = os.path.basename(p)[: -len(".parquet")]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+fail = 0
+for name, sql in sorted(oracle.items()):
+    spark_dir = os.path.join(out_dir, name)
+    if not os.path.isdir(spark_dir):
+        print(f"[MISS ] {name}: no spark output dir")
+        fail += 1
+        continue
+    got = duckdb.sql(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").df()
+    want = con.sql(sql).df()
+
+    def canon(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        for c in df.columns:
+            if df[c].dtype == object:
+                df[c] = df[c].astype(str)
+            elif "float" in str(df[c].dtype):
+                df[c] = df[c].round(6)
+        return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+    g, w = canon(got), canon(want)
+    if list(g.columns) != list(w.columns):
+        print(f"[SCHEMA] {name}: spark={list(g.columns)} oracle={list(w.columns)}")
+        fail += 1
+    elif len(g) != len(w):
+        print(f"[ROWS ] {name}: spark={len(g)} oracle={len(w)}")
+        fail += 1
+    else:
+        try:
+            pd.testing.assert_frame_equal(g, w, check_dtype=False, rtol=1e-6, atol=1e-9)
+            print(f"[OK   ] {name}: {len(g)} rows")
+        except AssertionError as e:
+            print(f"[DIFF ] {name}: {str(e).splitlines()[-1] if str(e) else 'mismatch'}")
+            fail += 1
+print(f"{'FAIL' if fail else 'PASS'}: {len(oracle) - fail}/{len(oracle)} queries match")
+sys.exit(1 if fail else 0)

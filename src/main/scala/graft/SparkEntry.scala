@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.{normalize_text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -34,6 +35,21 @@ object SparkEntry {
           avg("l_quantity").as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Reference title-normalization kernel (dedupe.rs:723-740) applied to the
+    // documents table — narrow, codegen-adjacent scalar expression.
+    "q_normalize_text" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), normalize_text(col("text")).as("norm_text"))
+    }),
+
+    // Exact-dup fast path (SURVEY.md §2.3 DOI analog): group by normalized
+    // content, representative = min doc_id. One shuffle; map-side partial agg.
+    "q_dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(normalize_text(col("text")).as("norm_text"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("representative"))
     })
   )
 
@@ -48,6 +64,31 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_normalize_text" ->
+      s"SELECT doc_id, $NormalizeTextSql AS norm_text FROM documents",
+
+    "q_dedup_exact" ->
+      s"""SELECT $NormalizeTextSql AS norm_text,
+         |  count(*) AS n_docs, min(doc_id) AS representative
+         |FROM documents GROUP BY 1""".stripMargin
   )
+
+  /** ANSI-SQL replica of the reference normalization chain
+    * (trim → lower → 13 ordered replacements → keep alphanumerics), used by
+    * the DuckDB oracles above. The `<U+XXXX>` unescape stage is a no-op in
+    * plain SQL only when the input contains no such escapes (true for the
+    * synthetic documents table); the ScalaTest kernel suite covers it.
+    */
+  private val NormalizeTextSql: String = {
+    val replacements = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "<sup>" -> "", "</sup>" -> "",
+      "<sub>" -> "", "</sub>" -> "", "<inf>" -> "", "</inf>" -> "",
+      "beta" -> "b", "alpha" -> "a", "α" -> "a", "ß" -> "b", "γ" -> "g")
+    val chained = replacements.foldLeft("lower(trim(text))") {
+      case (acc, (from, to)) => s"replace($acc, '$from', '$to')"
+    }
+    s"regexp_replace($chained, '[^a-z0-9]', '', 'g')"
+  }
 }

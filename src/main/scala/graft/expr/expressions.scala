@@ -1,0 +1,241 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.kernel.{Shingling, StrSim, TextNorm}
+
+/** Catalyst expressions for the normalization/signature kernel (SURVEY.md
+  * §2.2, §2.6). Each is a thin, null-safe wrapper over a pure function in
+  * [[graft.kernel]]; `CodegenFallback` keeps them usable inside
+  * whole-stage-codegen plans (the fallback is a direct `eval` call — the
+  * kernels themselves are allocation-lean imperative Scala).
+  *
+  * All are deterministic and null-intolerant: SQL NULL in → SQL NULL out,
+  * which mirrors the reference's `Option` returns (None ⇔ NULL).
+  */
+
+private[graft] trait SimpleCodegen extends CodegenFallback { self: Expression =>
+  override def nullIntolerant: Boolean = true
+}
+
+/** Reference title normalization incl. `<U+XXXX>` unescape
+  * (/root/reference/src/dedupe.rs:566-590,711-740). Empty string → NULL.
+  */
+case class NormalizeText(child: Expression)
+    extends UnaryExpression with SimpleCodegen {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    TextNorm.normalizeTitle(input.asInstanceOf[UTF8String].toString)
+      .map(UTF8String.fromString).orNull
+  override protected def withNewChildInternal(c: Expression): NormalizeText = copy(child = c)
+}
+
+/** `<U+XXXX>` escape → code point (/root/reference/src/dedupe.rs:711-721). */
+case class ConvertUnicode(child: Expression)
+    extends UnaryExpression with SimpleCodegen {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(TextNorm.convertUnicode(input.asInstanceOf[UTF8String].toString))
+  override protected def withNewChildInternal(c: Expression): ConvertUnicode = copy(child = c)
+}
+
+/** Journal-name normalization (/root/reference/src/dedupe.rs:786-797). */
+case class FormatJournal(child: Expression)
+    extends UnaryExpression with SimpleCodegen {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    TextNorm.formatJournalName(input.asInstanceOf[UTF8String].toString)
+      .map(UTF8String.fromString).orNull
+  override protected def withNewChildInternal(c: Expression): FormatJournal = copy(child = c)
+}
+
+/** First digit run (/root/reference/src/dedupe.rs:742-759). */
+case class NormalizeVolume(child: Expression)
+    extends UnaryExpression with SimpleCodegen {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(TextNorm.normalizeVolume(input.asInstanceOf[UTF8String].toString))
+  override protected def withNewChildInternal(c: Expression): NormalizeVolume = copy(child = c)
+}
+
+/** Canonical ISSN or NULL (/root/reference/src/dedupe.rs:799-823). */
+case class FormatIssn(child: Expression)
+    extends UnaryExpression with SimpleCodegen {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    TextNorm.formatIssn(input.asInstanceOf[UTF8String].toString)
+      .map(UTF8String.fromString).orNull
+  override protected def withNewChildInternal(c: Expression): FormatIssn = copy(child = c)
+}
+
+/** Page-range expansion (/root/reference/src/utils.rs:16-84). */
+case class FormatPages(child: Expression)
+    extends UnaryExpression with SimpleCodegen {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(TextNorm.formatPageNumbers(input.asInstanceOf[UTF8String].toString))
+  override protected def withNewChildInternal(c: Expression): FormatPages = copy(child = c)
+}
+
+/** Canonical DOI or NULL (/root/reference/src/utils.rs:91-113). */
+case class FormatDoi(child: Expression)
+    extends UnaryExpression with SimpleCodegen {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    TextNorm.formatDoi(input.asInstanceOf[UTF8String].toString)
+      .map(UTF8String.fromString).orNull
+  override protected def withNewChildInternal(c: Expression): FormatDoi = copy(child = c)
+}
+
+/** Multi-ISSN blob → array (/root/reference/src/utils.rs:120-142). */
+case class SplitIssns(child: Expression)
+    extends UnaryExpression with SimpleCodegen {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val parts = TextNorm.splitIssns(input.asInstanceOf[UTF8String].toString)
+    new GenericArrayData(parts.map(UTF8String.fromString).toArray[Any])
+  }
+  override protected def withNewChildInternal(c: Expression): SplitIssns = copy(child = c)
+}
+
+/** Jaro similarity (threshold spec /root/reference/src/dedupe.rs:141,628). */
+case class JaroSim(left: Expression, right: Expression)
+    extends BinaryExpression with SimpleCodegen {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    StrSim.jaro(l.asInstanceOf[UTF8String].toString, r.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaroSim =
+    copy(left = l, right = r)
+}
+
+/** Jaro-Winkler similarity (/root/reference/src/dedupe.rs:142,641). */
+case class JaroWinklerSim(left: Expression, right: Expression)
+    extends BinaryExpression with SimpleCodegen {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    StrSim.jaroWinkler(l.asInstanceOf[UTF8String].toString, r.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaroWinklerSim =
+    copy(left = l, right = r)
+}
+
+/** Distinct sorted xxhash64 k-word shingles of a text column. */
+case class WordShingleHashes(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression with SimpleCodegen {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      Shingling.wordShingles(input.asInstanceOf[UTF8String].toString, k, seed))
+  override protected def withNewChildInternal(c: Expression): WordShingleHashes = copy(child = c)
+}
+
+/** Distinct sorted xxhash64 k-char shingles of a text column. */
+case class CharShingleHashes(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression with SimpleCodegen {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      Shingling.charShingles(input.asInstanceOf[UTF8String].toString, k, seed))
+  override protected def withNewChildInternal(c: Expression): CharShingleHashes = copy(child = c)
+}
+
+/** MinHash signature over a shingle-hash array. Affine-permutation
+  * coefficients are derived from `seed` once per expression instance.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
+    extends UnaryExpression with SimpleCodegen {
+  @transient private lazy val coeffA: Array[Long] =
+    Array.tabulate(numHashes)(i => Shingling.splitmix64(seed + 2L * i) | 1L)
+  @transient private lazy val coeffB: Array[Long] =
+    Array.tabulate(numHashes)(i => Shingling.splitmix64(seed + 2L * i + 1L))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val shingles = input.asInstanceOf[ArrayData].toLongArray()
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var s = 0
+    while (s < shingles.length) {
+      val x = shingles(s)
+      var i = 0
+      while (i < numHashes) {
+        val v = coeffA(i) * x + coeffB(i)
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
+}
+
+/** 64-bit SimHash over a shingle-hash array. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with SimpleCodegen {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    Shingling.simHash(input.asInstanceOf[ArrayData].toLongArray())
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}
+
+/** LSH band keys from a MinHash signature (bands × rows). */
+case class BandKeys(child: Expression, bands: Int, rows: Int, seed: Long)
+    extends UnaryExpression with SimpleCodegen {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      Shingling.bandKeys(input.asInstanceOf[ArrayData].toLongArray(), bands, rows, seed))
+  override protected def withNewChildInternal(c: Expression): BandKeys = copy(child = c)
+}
+
+/** Exact Jaccard over two sorted distinct long arrays. */
+case class JaccardSorted(left: Expression, right: Expression)
+    extends BinaryExpression with SimpleCodegen {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    Shingling.jaccardSorted(
+      l.asInstanceOf[ArrayData].toLongArray(),
+      r.asInstanceOf[ArrayData].toLongArray())
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSorted =
+    copy(left = l, right = r)
+}
+
+/** Jaccard estimate from two MinHash signatures. */
+case class MinHashJaccard(left: Expression, right: Expression)
+    extends BinaryExpression with SimpleCodegen {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    Shingling.minHashJaccardEstimate(
+      l.asInstanceOf[ArrayData].toLongArray(),
+      r.asInstanceOf[ArrayData].toLongArray())
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MinHashJaccard =
+    copy(left = l, right = r)
+}
+
+/** Hamming distance between two 64-bit fingerprints. */
+case class HammingDist64(left: Expression, right: Expression)
+    extends BinaryExpression with SimpleCodegen {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    Shingling.hamming64(l.asInstanceOf[Long], r.asInstanceOf[Long])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HammingDist64 =
+    copy(left = l, right = r)
+}
+
+/** Longest-common-substring length (suffix-automaton walk; verification-side
+  * structural check per SURVEY.md §2.6).
+  */
+case class LongestCommonSubstring(left: Expression, right: Expression)
+    extends BinaryExpression with SimpleCodegen {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    Shingling.longestCommonSubstring(
+      l.asInstanceOf[UTF8String].toString, r.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): LongestCommonSubstring =
+    copy(left = l, right = r)
+}

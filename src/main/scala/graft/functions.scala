@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graftadapter.ColumnAdapter
+
+import graft.expr._
+import graft.kernel.Shingling
+
+/** Public Column API over the graft expression kernel (SURVEY.md §2.2/§2.6).
+  *
+  * Usage mirrors `org.apache.spark.sql.functions`:
+  * {{{
+  *   import graft.functions._
+  *   df.select(minhash(word_shingles($"text", 5), 128) as "sig")
+  * }}}
+  * `registerAll(spark)` additionally exposes each as a SQL function
+  * (`SELECT graft_normalize_text(title) ...`).
+  */
+object functions {
+
+  private def col(e: Expression): Column = ColumnAdapter.column(e)
+  private def ex(c: Column): Expression = ColumnAdapter.expression(c)
+
+  // ---- normalization kernel (reference parity) ----
+  def normalize_text(c: Column): Column = col(NormalizeText(ex(c)))
+  def convert_unicode(c: Column): Column = col(ConvertUnicode(ex(c)))
+  def format_journal(c: Column): Column = col(FormatJournal(ex(c)))
+  def normalize_volume(c: Column): Column = col(NormalizeVolume(ex(c)))
+  def format_issn(c: Column): Column = col(FormatIssn(ex(c)))
+  def format_pages(c: Column): Column = col(FormatPages(ex(c)))
+  def format_doi(c: Column): Column = col(FormatDoi(ex(c)))
+  def split_issns(c: Column): Column = col(SplitIssns(ex(c)))
+
+  // ---- string similarity ----
+  def jaro(l: Column, r: Column): Column = col(JaroSim(ex(l), ex(r)))
+  def jaro_winkler(l: Column, r: Column): Column = col(JaroWinklerSim(ex(l), ex(r)))
+  def lcs_length(l: Column, r: Column): Column = col(LongestCommonSubstring(ex(l), ex(r)))
+
+  // ---- signatures ----
+  def word_shingles(c: Column, k: Int, seed: Long = Shingling.DefaultSeed): Column =
+    col(WordShingleHashes(ex(c), k, seed))
+  def char_shingles(c: Column, k: Int, seed: Long = Shingling.DefaultSeed): Column =
+    col(CharShingleHashes(ex(c), k, seed))
+  def minhash(c: Column, numHashes: Int, seed: Long = Shingling.DefaultSeed): Column =
+    col(MinHashSignature(ex(c), numHashes, seed))
+  def simhash64(c: Column): Column = col(SimHash64(ex(c)))
+  def band_keys(c: Column, bands: Int, rows: Int, seed: Long = Shingling.DefaultSeed): Column =
+    col(BandKeys(ex(c), bands, rows, seed))
+  def jaccard_sorted(l: Column, r: Column): Column = col(JaccardSorted(ex(l), ex(r)))
+  def minhash_jaccard(l: Column, r: Column): Column = col(MinHashJaccard(ex(l), ex(r)))
+  def hamming64(l: Column, r: Column): Column = col(HammingDist64(ex(l), ex(r)))
+
+  /** Register every kernel function for SQL use (graft_* names). */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def one(name: String, builder: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    def intLit(e: Expression): Int =
+      e.eval(null).asInstanceOf[Number].intValue()
+    def longLit(e: Expression): Long =
+      e.eval(null).asInstanceOf[Number].longValue()
+
+    one("graft_normalize_text", es => NormalizeText(es.head))
+    one("graft_convert_unicode", es => ConvertUnicode(es.head))
+    one("graft_format_journal", es => FormatJournal(es.head))
+    one("graft_normalize_volume", es => NormalizeVolume(es.head))
+    one("graft_format_issn", es => FormatIssn(es.head))
+    one("graft_format_pages", es => FormatPages(es.head))
+    one("graft_format_doi", es => FormatDoi(es.head))
+    one("graft_split_issns", es => SplitIssns(es.head))
+    one("graft_jaro", es => JaroSim(es(0), es(1)))
+    one("graft_jaro_winkler", es => JaroWinklerSim(es(0), es(1)))
+    one("graft_lcs_length", es => LongestCommonSubstring(es(0), es(1)))
+    one("graft_word_shingles", es =>
+      WordShingleHashes(es(0), intLit(es(1)),
+        if (es.length > 2) longLit(es(2)) else Shingling.DefaultSeed))
+    one("graft_char_shingles", es =>
+      CharShingleHashes(es(0), intLit(es(1)),
+        if (es.length > 2) longLit(es(2)) else Shingling.DefaultSeed))
+    one("graft_minhash", es =>
+      MinHashSignature(es(0), intLit(es(1)),
+        if (es.length > 2) longLit(es(2)) else Shingling.DefaultSeed))
+    one("graft_simhash64", es => SimHash64(es.head))
+    one("graft_band_keys", es =>
+      BandKeys(es(0), intLit(es(1)), intLit(es(2)),
+        if (es.length > 3) longLit(es(3)) else Shingling.DefaultSeed))
+    one("graft_jaccard_sorted", es => JaccardSorted(es(0), es(1)))
+    one("graft_minhash_jaccard", es => MinHashJaccard(es(0), es(1)))
+    one("graft_hamming64", es => HammingDist64(es(0), es(1)))
+  }
+}

@@ -1,0 +1,270 @@
+package graft.kernel
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.unsafe.Platform
+
+/** Shingling + MinHash + SimHash + banding kernel.
+  *
+  * The graft analog of the reference's pairwise title matching
+  * (/root/reference/src/dedupe.rs:608-648): instead of Jaro over normalized
+  * titles, web-scale near-dup detection hashes each document's k-shingles
+  * (xxhash64), summarizes them with n MinHash values / one 64-bit SimHash,
+  * and buckets signatures with LSH banding (b bands × r rows). Published
+  * technique: Broder 1997 (MinHash), Charikar 2002 (SimHash), banding per
+  * Leskovec/Rajaraman/Ullman "Mining of Massive Datasets" ch.3.
+  *
+  * All randomness is derived from a caller-supplied seed via SplitMix64
+  * (Steele et al. 2014) so signatures are deterministic across JVMs and
+  * executors.
+  */
+object Shingling {
+
+  final val DefaultSeed = 42L
+
+  /** SplitMix64 mix — deterministic stateless PRNG step. */
+  def splitmix64(x0: Long): Long = {
+    var z = x0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** xxhash64 of a string's UTF-8 bytes (same primitive Spark's `xxhash64`
+    * SQL function uses).
+    */
+  def hashString(s: String, seed: Long): Long = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, seed)
+  }
+
+  private val WordSplit = "[\\s]+".r
+
+  /** Distinct, sorted xxhash64 values of the k-word shingles of `text`.
+    * Shorter-than-k documents hash the whole token sequence as one shingle
+    * (so no document has an empty shingle set unless its text is empty).
+    * Sorted output makes downstream set ops (Jaccard) linear merges.
+    */
+  def wordShingles(text: String, k: Int, seed: Long = DefaultSeed): Array[Long] = {
+    if (text == null) return Array.emptyLongArray
+    val tokens = WordSplit.split(text.trim)
+    if (tokens.length == 0 || (tokens.length == 1 && tokens(0).isEmpty))
+      return Array.emptyLongArray
+    val n = math.max(1, tokens.length - k + 1)
+    val set = new java.util.TreeSet[java.lang.Long]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = i
+      val end = math.min(tokens.length, i + k)
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(tokens(j))
+        j += 1
+      }
+      set.add(hashString(sb.toString, seed))
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = it.next(); p += 1 }
+    out
+  }
+
+  /** Distinct, sorted xxhash64 values of the k-character shingles (over code
+    * points) — finer-grained alternative for short texts.
+    */
+  def charShingles(text: String, k: Int, seed: Long = DefaultSeed): Array[Long] = {
+    if (text == null || text.isEmpty) return Array.emptyLongArray
+    val cps = text.codePoints().toArray
+    val n = math.max(1, cps.length - k + 1)
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) {
+      val end = math.min(cps.length, i + k)
+      val s = new String(cps, i, end - i)
+      set.add(hashString(s, seed))
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = it.next(); p += 1 }
+    out
+  }
+
+  /** MinHash signature: n independent affine permutations h_i(x)=a_i*x+b_i
+    * over the 64-bit shingle-hash space; signature[i] = min over shingles.
+    * Empty shingle set → signature of Long.MaxValue (never collides with a
+    * real signature's bands because band hashing includes the band values).
+    */
+  def minHash(shingleHashes: Array[Long], numHashes: Int,
+              seed: Long = DefaultSeed): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    if (shingleHashes == null || shingleHashes.isEmpty) return sig
+    val a = new Array[Long](numHashes)
+    val b = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      a(i) = splitmix64(seed + 2L * i) | 1L // odd multiplier ⇒ bijection mod 2^64
+      b(i) = splitmix64(seed + 2L * i + 1L)
+      i += 1
+    }
+    var s = 0
+    while (s < shingleHashes.length) {
+      val x = shingleHashes(s)
+      i = 0
+      while (i < numHashes) {
+        val v = a(i) * x + b(i)
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      s += 1
+    }
+    sig
+  }
+
+  /** 64-bit SimHash: per-bit vote over the shingle hashes. */
+  def simHash(shingleHashes: Array[Long]): Long = {
+    if (shingleHashes == null || shingleHashes.isEmpty) return 0L
+    val votes = new Array[Int](64)
+    var s = 0
+    while (s < shingleHashes.length) {
+      val h = shingleHashes(s)
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+        bit += 1
+      }
+      s += 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (votes(bit) > 0) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
+
+  /** LSH band keys: split the signature into `bands` bands of `rows` values
+    * and hash each band (band index folded in so cross-band buckets never
+    * collide). Requires bands*rows == signature length.
+    */
+  def bandKeys(signature: Array[Long], bands: Int, rows: Int,
+               seed: Long = DefaultSeed): Array[Long] = {
+    require(signature.length == bands * rows,
+      s"signature length ${signature.length} != bands*rows ${bands * rows}")
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = XXH64.hashLong(b.toLong, seed)
+      var r = 0
+      while (r < rows) {
+        h = XXH64.hashLong(signature(b * rows + r), h)
+        r += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    out
+  }
+
+  /** Exact Jaccard over two sorted distinct long arrays (linear merge). */
+  def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
+    if (a == null || b == null || (a.isEmpty && b.isEmpty)) return 0.0
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  /** Estimated Jaccard from two equal-length MinHash signatures. */
+  def minHashJaccardEstimate(s1: Array[Long], s2: Array[Long]): Double = {
+    require(s1.length == s2.length && s1.length > 0)
+    var eq = 0
+    var i = 0
+    while (i < s1.length) { if (s1(i) == s2(i)) eq += 1; i += 1 }
+    eq.toDouble / s1.length
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Length of the longest common substring of two strings, linear time via
+    * a suffix automaton of `s1` walked with `s2` (Blumer et al. 1985;
+    * role equivalent to the suffix-array LCS named in SURVEY.md §2.6 —
+    * the verification-side structural check complementing exact Jaccard).
+    */
+  def longestCommonSubstring(s1: String, s2: String): Int = {
+    if (s1 == null || s2 == null || s1.isEmpty || s2.isEmpty) return 0
+    // suffix automaton over chars (UTF-16 units; consistent both sides)
+    val maxStates = 2 * s1.length + 4
+    val len = new Array[Int](maxStates)
+    val link = new Array[Int](maxStates)
+    val trans = new Array[java.util.HashMap[Character, Integer]](maxStates)
+    var size = 1
+    var last = 0
+    link(0) = -1
+    trans(0) = new java.util.HashMap[Character, Integer]()
+    var i = 0
+    while (i < s1.length) {
+      val c = s1.charAt(i)
+      val cur = size
+      size += 1
+      len(cur) = len(last) + 1
+      trans(cur) = new java.util.HashMap[Character, Integer]()
+      var p = last
+      while (p != -1 && !trans(p).containsKey(c)) {
+        trans(p).put(c, cur)
+        p = link(p)
+      }
+      if (p == -1) link(cur) = 0
+      else {
+        val q = trans(p).get(c)
+        if (len(p) + 1 == len(q)) link(cur) = q
+        else {
+          val clone = size
+          size += 1
+          len(clone) = len(p) + 1
+          link(clone) = link(q)
+          trans(clone) = new java.util.HashMap[Character, Integer](trans(q))
+          while (p != -1 && trans(p).get(c) == q) {
+            trans(p).put(c, clone)
+            p = link(p)
+          }
+          link(q) = clone
+          link(cur) = clone
+        }
+      }
+      last = cur
+      i += 1
+    }
+    // walk s2
+    var v = 0
+    var l = 0
+    var best = 0
+    var j = 0
+    while (j < s2.length) {
+      val c = s2.charAt(j)
+      while (v != 0 && !trans(v).containsKey(c)) {
+        v = link(v)
+        l = len(v)
+      }
+      if (trans(v).containsKey(c)) {
+        v = trans(v).get(c)
+        l += 1
+      }
+      if (l > best) best = l
+      j += 1
+    }
+    best
+  }
+}

@@ -1,0 +1,85 @@
+package graft.kernel
+
+/** Jaro / Jaro-Winkler string similarity.
+  *
+  * Standard published algorithms (Jaro 1989; Winkler 1990), implemented over
+  * Unicode code points. The reference consumes these from the public `strsim`
+  * crate (/root/reference/src/dedupe.rs:138-139); thresholds it applies:
+  * jaro ≥ 0.85 (DOI path), jaro_winkler ≥ 0.93 (no-DOI path), 0.99 strict
+  * tiers (/root/reference/src/dedupe.rs:141-142,628-646).
+  */
+object StrSim {
+
+  private def codePoints(s: String): Array[Int] = {
+    val out = new Array[Int](s.codePointCount(0, s.length))
+    var i = 0
+    var j = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      out(j) = cp
+      j += 1
+      i += Character.charCount(cp)
+    }
+    out
+  }
+
+  /** Jaro similarity in [0,1]. Both empty → 1.0; exactly one empty → 0.0. */
+  def jaro(s1: String, s2: String): Double = {
+    val a = codePoints(s1)
+    val b = codePoints(s2)
+    if (a.length == 0 && b.length == 0) return 1.0
+    if (a.length == 0 || b.length == 0) return 0.0
+    val window = math.max(0, math.max(a.length, b.length) / 2 - 1)
+    val aMatched = new Array[Boolean](a.length)
+    val bMatched = new Array[Boolean](b.length)
+    var matches = 0
+    var i = 0
+    while (i < a.length) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(b.length - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!bMatched(j) && a(i) == b(j)) {
+          aMatched(i) = true
+          bMatched(j) = true
+          matches += 1
+          found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    // transpositions: compare matched sequences in order
+    var transpositions = 0
+    var k = 0
+    i = 0
+    while (i < a.length) {
+      if (aMatched(i)) {
+        while (!bMatched(k)) k += 1
+        if (a(i) != b(k)) transpositions += 1
+        k += 1
+      }
+      i += 1
+    }
+    val m = matches.toDouble
+    (m / a.length + m / b.length + (m - transpositions / 2.0) / m) / 3.0
+  }
+
+  /** Jaro-Winkler: Jaro plus common-prefix boost (prefix capped at 4,
+    * scaling 0.1), applied only when jaro > 0.7 — matching the public
+    * strsim semantics the reference depends on.
+    */
+  def jaroWinkler(s1: String, s2: String): Double = {
+    val sim = jaro(s1, s2)
+    if (sim > 0.7) {
+      val a = codePoints(s1)
+      val b = codePoints(s2)
+      var prefix = 0
+      while (prefix < math.min(math.min(a.length, b.length), 4) &&
+             a(prefix) == b(prefix)) prefix += 1
+      sim + 0.1 * prefix * (1.0 - sim)
+    } else sim
+  }
+}

@@ -1,0 +1,201 @@
+package graft.kernel
+
+/** Text-normalization kernel.
+  *
+  * Pure Scala re-expression of the reference's normalization semantics
+  * (behavioral spec at /root/reference/src/dedupe.rs:695-830 and
+  * /root/reference/src/utils.rs:16-142). These run inside Catalyst
+  * expressions (graft.expr) in the hot path; keeping them as pure functions
+  * makes them unit-testable against the reference's golden I/O tables
+  * (FIXTURES.md §A) without a SparkSession.
+  */
+object TextNorm {
+
+  /** Ordered literal replacement table applied to the *lowercased* string.
+    * Order is load-bearing: "beta"→"b" must run before the alphanumeric
+    * filter, and entity unescapes before tag stripping.
+    * Spec: /root/reference/src/dedupe.rs:147-161 (HTML_REPLACEMENTS).
+    */
+  private val HtmlReplacements: Array[(String, String)] = Array(
+    "&lt;" -> "<",
+    "&gt;" -> ">",
+    "<sup>" -> "",
+    "</sup>" -> "",
+    "<sub>" -> "",
+    "</sub>" -> "",
+    "<inf>" -> "",
+    "</inf>" -> "",
+    "beta" -> "b",
+    "alpha" -> "a",
+    "α" -> "a", // α
+    "ß" -> "b", // ß
+    "γ" -> "g"  // γ
+  )
+
+  private val UnicodeEscape = "<U\\+([0-9A-Fa-f]+)>".r
+
+  /** Replace `<U+XXXX>` hex escapes with the code point; invalid escapes are
+    * left verbatim. Spec: /root/reference/src/dedupe.rs:711-721.
+    */
+  def convertUnicode(input: String): String = {
+    if (input == null) return null
+    UnicodeEscape.replaceAllIn(input, m => {
+      val hex = m.group(1)
+      val cp =
+        try Some(java.lang.Long.parseLong(hex, 16))
+        catch { case _: NumberFormatException => None }
+      val repl = cp
+        .filter(c => c >= 0 && c <= 0x10ffff && Character.isValidCodePoint(c.toInt))
+        .map(c => new String(Character.toChars(c.toInt)))
+        .getOrElse(m.matched)
+      java.util.regex.Matcher.quoteReplacement(repl)
+    })
+  }
+
+  /** trim → lowercase → ordered replacements → keep Unicode alphanumerics.
+    * Empty input → None. Spec: /root/reference/src/dedupe.rs:723-740.
+    */
+  def normalizeString(input: String): Option[String] = {
+    if (input == null || input.isEmpty) return None
+    var s = input.trim.toLowerCase(java.util.Locale.ROOT)
+    var i = 0
+    while (i < HtmlReplacements.length) {
+      val (from, to) = HtmlReplacements(i)
+      s = s.replace(from, to)
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder(s.length)
+    var j = 0
+    while (j < s.length) {
+      val cp = s.codePointAt(j)
+      if (Character.isLetterOrDigit(cp)) sb.appendCodePoint(cp)
+      j += Character.charCount(cp)
+    }
+    Some(sb.toString)
+  }
+
+  /** Full title-normalization path used by the dedup predicate:
+    * `<U+XXXX>` unescape then [[normalizeString]].
+    * Spec: /root/reference/src/dedupe.rs:570-575.
+    */
+  def normalizeTitle(input: String): Option[String] =
+    if (input == null) None else normalizeString(convertUnicode(input))
+
+  /** Head before literal ". Conference", trimmed, lowercased, alphanumerics
+    * only. Spec: /root/reference/src/dedupe.rs:786-797.
+    */
+  def formatJournalName(name: String): Option[String] = {
+    if (name == null) return None
+    val head = {
+      val idx = name.indexOf(". Conference")
+      if (idx >= 0) name.substring(0, idx) else name
+    }
+    val s = head.trim.toLowerCase(java.util.Locale.ROOT)
+    val sb = new java.lang.StringBuilder(s.length)
+    var j = 0
+    while (j < s.length) {
+      val cp = s.codePointAt(j)
+      if (Character.isLetterOrDigit(cp)) sb.appendCodePoint(cp)
+      j += Character.charCount(cp)
+    }
+    Some(sb.toString)
+  }
+
+  /** First contiguous ASCII-digit run anywhere in the string; none → "".
+    * Spec: /root/reference/src/dedupe.rs:742-759.
+    */
+  def normalizeVolume(volume: String): String = {
+    if (volume == null || volume.isEmpty) return ""
+    var i = 0
+    while (i < volume.length && !volume.charAt(i).isDigit) i += 1
+    val start = i
+    while (i < volume.length && volume.charAt(i).isDigit) i += 1
+    volume.substring(start, i)
+  }
+
+  /** Canonical `dddd-dddX` ISSN or None.
+    * Spec: /root/reference/src/dedupe.rs:799-823.
+    */
+  def formatIssn(issn: String): Option[String] = {
+    if (issn == null) return None
+    val clean = issn.trim
+      .replace("(Electronic)", "")
+      .replace("(Linking)", "")
+      .replace("(Print)", "")
+      .filter(c => (c >= '0' && c <= '9') || c == '-' || c == 'X')
+      .trim
+    val digits = clean.filter(c => (c >= '0' && c <= '9') || c == 'X')
+    (clean.length, digits.length) match {
+      case (9, 8) if clean.charAt(4) == '-' => Some(clean)
+      case (8, 8) => Some(digits.substring(0, 4) + "-" + digits.substring(4))
+      case _ => None
+    }
+  }
+
+  /** Expand elided end pages ("1234-45"→"1234-1245", "R575-82"→"R575-R582"),
+    * collapse equal ranges ("101-101"→"101"); non-conforming input returned
+    * unchanged. Spec: /root/reference/src/utils.rs:16-84.
+    */
+  def formatPageNumbers(pageRange: String): String = {
+    if (pageRange == null) return null
+    if (!pageRange.contains('-')) return pageRange
+    val parts = pageRange.split("-", -1)
+    if (parts.length != 2) return pageRange
+    val (fromPrefix, fromNum) = splitPrefixAndNumber(parts(0))
+    val (toPrefix, toNum) = splitPrefixAndNumber(parts(1))
+    if (fromPrefix != toPrefix && fromPrefix.nonEmpty && toPrefix.nonEmpty)
+      return pageRange
+    (fromNum, toNum) match {
+      case (Some(f), Some(t)) =>
+        val completedTo =
+          if (t.length < f.length) f.substring(0, f.length - t.length) + t
+          else t
+        if (f == completedTo) fromPrefix + f
+        else s"$fromPrefix$f-$fromPrefix$completedTo"
+      case _ => pageRange
+    }
+  }
+
+  private def splitPrefixAndNumber(input: String): (String, Option[String]) = {
+    val idx = input.indexWhere(c => c >= '0' && c <= '9')
+    if (idx >= 0) (input.substring(0, idx), Some(input.substring(idx)))
+    else (input, None)
+  }
+
+  private val DoiUrlRegex = "^https?://(?:dx\\.)?doi\\.org/(.+)$".r
+
+  /** Canonical lowercase DOI starting at the first "10.", or None.
+    * Spec: /root/reference/src/utils.rs:91-113.
+    */
+  def formatDoi(doiStr: String): Option[String] = {
+    if (doiStr == null || doiStr.isEmpty) return None
+    var d = doiStr.trim
+    while (d.endsWith("[doi]")) d = d.substring(0, d.length - 5)
+    d = d.trim.filterNot(_.isWhitespace).toLowerCase(java.util.Locale.ROOT)
+    val pos = d.indexOf("10.")
+    if (pos < 0) None
+    else {
+      val tail = d.substring(pos)
+      DoiUrlRegex.findFirstMatchIn(tail) match {
+        case Some(m) => Some(m.group(1))
+        case None => Some(tail)
+      }
+    }
+  }
+
+  private val IssnSplitRegex = "\\d{4}-\\d{3}[\\dX](?:\\s*\\([^)]+\\))?".r
+
+  /** Split a multi-ISSN blob (escaped-newline tolerant) into individual
+    * ISSN strings. Spec: /root/reference/src/utils.rs:120-142.
+    */
+  def splitIssns(issns: String): Seq[String] = {
+    if (issns == null) return Nil
+    val normalized = issns
+      .replace("\\r\\n", "\n")
+      .replace("\\r", "\n")
+      .replace("\\n", "\n")
+    normalized.split('\n').toIndexedSeq.filter(_.trim.nonEmpty).flatMap { line =>
+      IssnSplitRegex.findAllIn(line).map(_.trim).toSeq
+    }
+  }
+}

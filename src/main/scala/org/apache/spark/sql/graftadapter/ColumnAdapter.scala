@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graftadapter
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between graft's Catalyst expressions and the public Column API.
+  *
+  * Spark 4 moved Column↔Expression conversion behind `private[sql]`
+  * (`org.apache.spark.sql.classic.ExpressionUtils`); extension libraries
+  * conventionally expose it via a package-nested adapter like this one
+  * (same pattern as Sedona's `sedona_sql` package objects).
+  */
+object ColumnAdapter {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col => c, lit}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions._
+
+/** Spark-side tests for the Catalyst expression layer: null propagation,
+  * Column API, SQL registration, and agreement with the pure kernel.
+  */
+class ExprSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def onceRegistered(): SparkSession = { functions.registerAll(spark); spark }
+
+  test("normalize_text column + null propagation") {
+    val s = onceRegistered()
+    import s.implicits._
+    val df = Seq(
+      Some("Machine Learning! (2<sup>nd</sup> Edition)"),
+      Some("2<U+0391>-amino"), Some(""), None
+    ).toDF("t")
+    val got = df.select(normalize_text($"t")).as[Option[String]].collect().toSeq
+    assert(got === Seq(Some("machinelearning2ndedition"), Some("2aamino"), None, None))
+  }
+
+  test("SQL registration round-trip") {
+    val s = onceRegistered()
+    val row = s.sql(
+      """SELECT graft_format_doi('HTTPS://DOI.ORG/10.1000/TEST') AS doi,
+        |       graft_format_issn('1234-567X (Electronic)') AS issn,
+        |       graft_format_pages('R575-82') AS pages,
+        |       graft_normalize_volume('Part A. 242') AS vol,
+        |       graft_jaro('MARTHA', 'MARHTA') AS j,
+        |       graft_lcs_length('banana', 'ananas') AS lcs
+        |""".stripMargin).collect()(0)
+    assert(row.getString(0) === "10.1000/test")
+    assert(row.getString(1) === "1234-567X")
+    assert(row.getString(2) === "R575-R582")
+    assert(row.getString(3) === "242")
+    assert(math.abs(row.getDouble(4) - 0.944444) < 1e-5)
+    assert(row.getInt(5) === 5)
+  }
+
+  test("signature pipeline: shingles → minhash → bands, exact jaccard") {
+    val s = onceRegistered()
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away"),
+      (2L, "the quick brown fox jumps over the lazy dog and runs far away"), // exact dup
+      (3L, "completely different words entirely unrelated content here now")
+    ).toDF("id", "text")
+    val sigs = docs.select(
+      $"id",
+      word_shingles($"text", 3).as("sh"),
+      minhash(word_shingles($"text", 3), 64).as("sig"),
+      simhash64(word_shingles($"text", 3)).as("sim"))
+    val rows = sigs.collect().sortBy(_.getLong(0))
+    assert(rows(0).getSeq[Long](1) === rows(1).getSeq[Long](1)) // same shingles
+    assert(rows(0).getSeq[Long](2) === rows(1).getSeq[Long](2)) // same minhash
+    assert(rows(0).getLong(3) === rows(1).getLong(3))           // same simhash
+    assert(rows(0).getSeq[Long](1) !== rows(2).getSeq[Long](1))
+
+    val pairs = sigs.as("a").join(sigs.as("b"), $"a.id" < $"b.id")
+      .select($"a.id", $"b.id",
+        jaccard_sorted($"a.sh", $"b.sh").as("jac"),
+        hamming64($"a.sim", $"b.sim").as("ham"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getInt(3)))).toMap
+    assert(pairs((1L, 2L))._1 === 1.0)
+    assert(pairs((1L, 2L))._2 === 0)
+    assert(pairs((1L, 3L))._1 === 0.0)
+  }
+
+  test("band_keys explode produces equi-joinable buckets") {
+    val s = onceRegistered()
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "one two three four five six seven eight nine ten")
+    ).toDF("id", "text")
+    val bands = docs.select($"id",
+      org.apache.spark.sql.functions.posexplode(
+        band_keys(minhash(word_shingles($"text", 3), 64), 16, 4)))
+      .toDF("id", "band", "bucket")
+    val cand = bands.as("a").join(bands.as("b"),
+        c("a.band") === c("b.band") && c("a.bucket") === c("b.bucket") &&
+        c("a.id") < c("b.id"))
+      .select(c("a.id").as("ida"), c("b.id").as("idb")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand === Set((1L, 2L))) // dups collide; unrelated doc does not
+  }
+}

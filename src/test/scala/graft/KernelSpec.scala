@@ -1,0 +1,226 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.prop.TableDrivenPropertyChecks
+
+import graft.kernel.{Shingling, StrSim, TextNorm}
+
+/** Golden-table tests for the normalization kernel, transcribed from the
+  * reference unit suites (FIXTURES.md §A; sources cited per test).
+  */
+class KernelSpec extends AnyFunSuite with TableDrivenPropertyChecks {
+
+  // /root/reference/src/dedupe.rs:972-981
+  test("normalize_string golden table") {
+    assert(TextNorm.normalizeString("Machine Learning! (2<sup>nd</sup> Edition)")
+      === Some("machinelearning2ndedition"))
+    assert(TextNorm.normalizeString("[&lt;sup&gt;11&lt;/sup&gt;C] benzo")
+      === Some("11cbenzo"))
+    assert(TextNorm.normalizeString("") === None)
+    // replacement-order sensitivity: beta→b, alpha→a, greek letters
+    assert(TextNorm.normalizeString("Beta-Alpha γ test") === Some("ba gtest".replace(" ", "")))
+  }
+
+  // /root/reference/src/dedupe.rs:984-1026
+  test("convert_unicode_string golden table") {
+    assert(TextNorm.convertUnicode("2<U+0391>-amino-4<U+0391>") === "2Α-amino-4Α")
+    assert(TextNorm.convertUnicode("Hello <U+03A9>orld <U+03A3>cience") === "Hello Ωorld Σcience")
+    assert(TextNorm.convertUnicode("Normal String") === "Normal String")
+    assert(TextNorm.convertUnicode("") === "")
+    assert(TextNorm.convertUnicode("Mixed <U+0394> Unicode <U+03A9> Test") === "Mixed Δ Unicode Ω Test")
+    assert(TextNorm.convertUnicode("<U+0391><U+0392><U+0393>") === "ΑΒΓ")
+    // invalid escape left verbatim
+    assert(TextNorm.convertUnicode("<U+FFFFFFFFFF>") === "<U+FFFFFFFFFF>")
+  }
+
+  // /root/reference/src/dedupe.rs:1029-1043
+  test("normalize_volume golden table") {
+    val cases = Table(("in", "out"),
+      ("61", "61"), ("61 (Supplement 1)", "61"), ("9 (8) (no pagination)", "9"),
+      ("3)", "3"), ("Part A. 242", "242"), ("55 (10 SUPPL 1)", "55"),
+      ("161A", "161"), ("74 Suppl 1", "74"), ("20 (2)", "20"),
+      ("9 (FEB) (no pagination)", "9"), ("", ""), ("no digits", ""))
+    forAll(cases)((in, out) => assert(TextNorm.normalizeVolume(in) === out))
+  }
+
+  // /root/reference/src/dedupe.rs:1046-1074
+  test("format_journal_name golden table") {
+    assert(TextNorm.formatJournalName(
+      "Heart. Conference: British Atherosclerosis Society BAS/British Society for Cardiovascular Research BSCR Annual Meeting")
+      === Some("heart"))
+    assert(TextNorm.formatJournalName("The FASEB Journal. Conference: Experimental Biology")
+      === Some("thefasebjournal"))
+    assert(TextNorm.formatJournalName(null) === None)
+    assert(TextNorm.formatJournalName("") === Some(""))
+    assert(TextNorm.formatJournalName("Diabetologie und Stoffwechsel. Conference")
+      === Some("diabetologieundstoffwechsel"))
+  }
+
+  // /root/reference/src/dedupe.rs:1110-1138
+  test("format_issn golden table") {
+    val cases = Table(("in", "out"),
+      ("1234-5678", Some("1234-5678")), ("12345678", Some("1234-5678")),
+      ("1234-567X", Some("1234-567X")), ("1234-567X (Electronic)", Some("1234-567X")),
+      ("1234-5678 (Print)", Some("1234-5678")), ("1234-5678 (Linking)", Some("1234-5678")),
+      ("invalid", None), ("1234-56789", None), ("123-45678", None))
+    forAll(cases)((in, out) => assert(TextNorm.formatIssn(in) === out))
+  }
+
+  // /root/reference/src/utils.rs:361-375
+  test("format_page_numbers golden table") {
+    val cases = Table(("in", "out"),
+      ("1234-45", "1234-1245"), ("1234", "1234"), ("123-456", "123-456"),
+      ("e071674", "e071674"), ("R575-82", "R575-R582"), ("12-345", "12-345"),
+      ("5-10", "5-10"), ("A94-A95", "A94-A95"), ("01-Apr", "01-Apr"),
+      ("iii613-iii614", "iii613-iii614"), ("101-101", "101"))
+    forAll(cases)((in, out) => assert(TextNorm.formatPageNumbers(in) === out))
+  }
+
+  // /root/reference/src/utils.rs:378-419 (19-case table)
+  test("format_doi golden table") {
+    val some = Seq(
+      "10.1000/test", "10.1000/test [doi]", "https://doi.org/10.1000/test",
+      "http://dx.doi.org/10.1000/test", " https://doi.org/10.1000/test ",
+      "doi:10.1000/test", "DOI:10.1000/test", "doi: 10.1000/test",
+      "avn 10.1000/test", "dhs\r10.1000/test", "DOI: 10.1000/test",
+      "DOI:10.1000/TEST", "DOI 10.1000/TEST", "DOI10.1000/TEST",
+      "10.1000/TEST", "HTTPS://DOI.ORG/10.1000/TEST",
+      "https://doi.org/10.1000/test [doi]")
+    some.foreach(in => assert(TextNorm.formatDoi(in) === Some("10.1000/test"), in))
+    assert(TextNorm.formatDoi("") === None)
+    assert(TextNorm.formatDoi("invalid") === None)
+  }
+
+  // /root/reference/src/utils.rs:465-512
+  test("split_issns golden table") {
+    assert(TextNorm.splitIssns("1234-5678") === Seq("1234-5678"))
+    assert(TextNorm.splitIssns("1234-5678 (Print)") === Seq("1234-5678 (Print)"))
+    assert(TextNorm.splitIssns("1234-5678 (Print) 5678-1234")
+      === Seq("1234-5678 (Print)", "5678-1234"))
+    assert(TextNorm.splitIssns("1234-5678 (Print) 1234-5678 (Linking)")
+      === Seq("1234-5678 (Print)", "1234-5678 (Linking)"))
+    assert(TextNorm.splitIssns("1234-5678 5678-1234 9876-5432")
+      === Seq("1234-5678", "5678-1234", "9876-5432"))
+    assert(TextNorm.splitIssns("1234-5678\n5678-1234\n9876-5432")
+      === Seq("1234-5678", "5678-1234", "9876-5432"))
+    assert(TextNorm.splitIssns("1234-5678\\n5678-1234\\r\\n9876-5432")
+      === Seq("1234-5678", "5678-1234", "9876-5432"))
+    assert(TextNorm.splitIssns("  1234-5678  \n\n  5678-1234  \n")
+      === Seq("1234-5678", "5678-1234"))
+    assert(TextNorm.splitIssns("1234-5678 (Print)\n5678-1234 (Electronic)")
+      === Seq("1234-5678 (Print)", "5678-1234 (Electronic)"))
+    assert(TextNorm.splitIssns("") === Seq.empty)
+  }
+
+  // ---- string similarity (standard published values) ----
+  test("jaro known values") {
+    assert(StrSim.jaro("", "") === 1.0)
+    assert(StrSim.jaro("a", "") === 0.0)
+    assert(StrSim.jaro("abc", "abc") === 1.0)
+    // canonical textbook pairs
+    assert(math.abs(StrSim.jaro("MARTHA", "MARHTA") - 0.944444) < 1e-5)
+    assert(math.abs(StrSim.jaro("DIXON", "DICKSONX") - 0.766667) < 1e-5)
+    assert(math.abs(StrSim.jaro("JELLYFISH", "SMELLYFISH") - 0.896296) < 1e-5)
+  }
+
+  test("jaro_winkler known values") {
+    assert(math.abs(StrSim.jaroWinkler("MARTHA", "MARHTA") - 0.961111) < 1e-5)
+    assert(math.abs(StrSim.jaroWinkler("DIXON", "DICKSONX") - 0.813333) < 1e-5)
+    assert(StrSim.jaroWinkler("abc", "abc") === 1.0)
+    // no boost below 0.7 jaro (strsim semantics)
+    val lowJaro = StrSim.jaro("abcdef", "xbcdyz")
+    assert(lowJaro <= 0.7 || StrSim.jaroWinkler("abcdef", "xbcdyz") >= lowJaro)
+  }
+
+  test("similarity properties (seeded random strings)") {
+    val rnd = new scala.util.Random(99)
+    (1 to 500).foreach { _ =>
+      val a = (1 to rnd.nextInt(20)).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
+      val b = (1 to rnd.nextInt(20)).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
+      val j = StrSim.jaro(a, b)
+      val jw = StrSim.jaroWinkler(a, b)
+      assert(j >= 0.0 && j <= 1.0)
+      assert(jw >= 0.0 && jw <= 1.0)
+      assert(jw >= j - 1e-12) // winkler boost never decreases
+      assert(StrSim.jaro(a, a) === 1.0)
+      assert(StrSim.jaro(a, b) === StrSim.jaro(b, a)) // symmetry
+    }
+  }
+
+  // ---- shingling / minhash / simhash ----
+  test("word shingles deterministic, sorted, distinct") {
+    val s1 = Shingling.wordShingles("the quick brown fox jumps over the lazy dog", 3)
+    val s2 = Shingling.wordShingles("the quick brown fox jumps over the lazy dog", 3)
+    assert(s1.sameElements(s2))
+    assert(s1.toSeq === s1.sorted.toSeq)
+    assert(s1.distinct.length === s1.length)
+    assert(Shingling.wordShingles("", 3).isEmpty)
+    assert(Shingling.wordShingles("one two", 5).length === 1) // short doc → 1 shingle
+  }
+
+  test("jaccardSorted exact values") {
+    val a = Shingling.wordShingles("a b c d e f", 2)
+    assert(Shingling.jaccardSorted(a, a) === 1.0)
+    val b = Shingling.wordShingles("x y z w v u", 2)
+    assert(Shingling.jaccardSorted(a, b) === 0.0)
+  }
+
+  test("minhash estimates jaccard (concentration)") {
+    val rnd = new scala.util.Random(7)
+    val base = (1 to 400).map(_ => rnd.nextInt(100000).toString).mkString(" ")
+    val words = base.split(" ")
+    // mutate 10% of tokens → expected jaccard well above 0.5
+    val mutated = words.zipWithIndex.map { case (w, i) =>
+      if (i % 10 == 0) w + "X" else w }.mkString(" ")
+    val sa = Shingling.wordShingles(base, 3)
+    val sb = Shingling.wordShingles(mutated, 3)
+    val exact = Shingling.jaccardSorted(sa, sb)
+    val est = Shingling.minHashJaccardEstimate(
+      Shingling.minHash(sa, 256), Shingling.minHash(sb, 256))
+    assert(math.abs(est - exact) < 0.12, s"est=$est exact=$exact")
+  }
+
+  test("simhash hamming small for near-dups, large for unrelated") {
+    val rnd = new scala.util.Random(11)
+    val words = (1 to 500).map(_ => rnd.nextInt(50000).toString)
+    val base = words.mkString(" ")
+    val near = words.updated(3, "zzz").updated(250, "qqq").mkString(" ")
+    val other = (1 to 500).map(_ => rnd.nextInt(50000) + 100000).mkString(" ")
+    val h = Shingling.simHash(Shingling.wordShingles(base, 3))
+    val hNear = Shingling.simHash(Shingling.wordShingles(near, 3))
+    val hOther = Shingling.simHash(Shingling.wordShingles(other, 3))
+    assert(Shingling.hamming64(h, hNear) < Shingling.hamming64(h, hOther))
+    assert(Shingling.hamming64(h, hNear) <= 8)
+    assert(Shingling.hamming64(h, h) === 0)
+  }
+
+  test("band keys: identical signatures share all bands, disjoint share none") {
+    val sig1 = Shingling.minHash(Shingling.wordShingles("a b c d e f g h i j", 2), 128)
+    val sig2 = Shingling.minHash(Shingling.wordShingles("q r s t u v w x y z", 2), 128)
+    val b1 = Shingling.bandKeys(sig1, 16, 8)
+    val b1b = Shingling.bandKeys(sig1, 16, 8)
+    val b2 = Shingling.bandKeys(sig2, 16, 8)
+    assert(b1.sameElements(b1b))
+    assert(b1.intersect(b2).isEmpty)
+    intercept[IllegalArgumentException](Shingling.bandKeys(sig1, 10, 7))
+  }
+
+  test("longest common substring") {
+    assert(Shingling.longestCommonSubstring("", "abc") === 0)
+    assert(Shingling.longestCommonSubstring("abc", "abc") === 3)
+    assert(Shingling.longestCommonSubstring("xabcy", "zabcw") === 3)
+    assert(Shingling.longestCommonSubstring("abcdefgh", "xyz") === 0)
+    assert(Shingling.longestCommonSubstring("banana", "ananas") === 5)
+    // property vs brute force on short random strings
+    val rnd = new scala.util.Random(3)
+    (1 to 200).foreach { _ =>
+      val a = (1 to rnd.nextInt(12)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      val b = (1 to rnd.nextInt(12)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      val brute = (for {
+        i <- 0 to a.length; j <- i to a.length
+        if b.contains(a.substring(i, j))
+      } yield j - i).maxOption.getOrElse(0)
+      assert(Shingling.longestCommonSubstring(a, b) === brute, s"a=$a b=$b")
+    }
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{DedupConfig, DedupPipeline}
+import graft.io.StageStore
+import graft.synth.DeterministicCorpus
+import graft.synth.DeterministicCorpus.CorpusSpec
+
+/** spark-submit entry point for the dedup pipeline (north_rule: "run via
+  * spark-submit ... resumable from checkpoint").
+  *
+  * Usage:
+  *   DedupMain <checkpointDir> [--families N] [--hot N] [--cores N]
+  *             [--input <parquet pages dir>] [--seed N]
+  *
+  * Without --input, a deterministic synthetic corpus of N families is
+  * generated (same generator the tests and bench use). Re-running with the
+  * same checkpointDir resumes: completed stages load from their checkpoint.
+  * Prints per-stage row counts and a final cluster summary as JSON.
+  */
+object DedupMain {
+  def main(args: Array[String]): Unit = {
+    val opts = parseArgs(args)
+    val checkpointDir = opts("checkpoint")
+    val cores = opts.getOrElse("cores", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cores]"))
+      .appName("graft-dedup")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val pages = opts.get("input") match {
+      case Some(dir) => spark.read.parquet(dir).as[graft.schema.Page]
+      case None =>
+        val spec = CorpusSpec(
+          nFamilies = opts.getOrElse("families", "10000").toLong,
+          hotFamilySize = opts.getOrElse("hot", "0").toInt,
+          seed = opts.getOrElse("seed", "42").toLong)
+        DeterministicCorpus.pages(spark, spec)
+    }
+
+    val store = new StageStore(spark, checkpointDir)
+    val pipeline = new DedupPipeline(spark, DedupConfig(), store)
+
+    val t0 = System.nanoTime()
+    val clusters = pipeline.run(pages)
+    val nPages = clusters.count()
+    val nClusters = clusters.select(countDistinct("cluster_id")).as[Long].collect()(0)
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    val stages = Seq("signatures", "exact_edges", "candidate_pairs",
+      "verified_edges", "components", "clusters")
+      .map(st => s""""$st":${store.read(st).count()}""").mkString("{", ",", "}")
+    println(
+      s"""{"pages":$nPages,"clusters":$nClusters,"dup_pages":${nPages - nClusters},
+         |"wall_sec":$wallSec,"docs_per_sec":${nPages / wallSec},
+         |"stage_rows":$stages}""".stripMargin.replace("\n", ""))
+    spark.stop()
+  }
+
+  private def parseArgs(args: Array[String]): Map[String, String] = {
+    require(args.nonEmpty, "usage: DedupMain <checkpointDir> [--key value ...]")
+    val kv = scala.collection.mutable.Map("checkpoint" -> args(0))
+    var i = 1
+    while (i < args.length - 1) {
+      if (args(i).startsWith("--")) { kv(args(i).drop(2)) = args(i + 1); i += 2 }
+      else i += 1
+    }
+    kv.toMap
+  }
+}

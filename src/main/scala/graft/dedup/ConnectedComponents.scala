@@ -1,0 +1,98 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components via alternating large-star / small-star
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14;
+  * cf. BTS ICDE 2024 in PAPERS.md). Replaces the reference's greedy in-memory
+  * star grouping (/root/reference/src/dedupe.rs:592-690) with a
+  * shuffle-bounded fixpoint: O(log n) rounds, each a groupBy + co-partitioned
+  * join — no collect_list, so a hot component (one node with 10^9 neighbors)
+  * never materializes a neighbor array.
+  *
+  * Every accepted pair stays connected (CC ⊇ greedy-star pairs ⇒ dup-pair
+  * recall vs the reference is preserved; see SURVEY.md §2.4 for the
+  * precision-side delta).
+  */
+object ConnectedComponents {
+
+  /** edges: DataFrame(a: long, b: long), undirected, a != b (self-loops ok,
+    * ignored). Returns DataFrame(id: long, component: long) covering every
+    * id present in the edge set; component = min id of the component.
+    */
+  def run(edges: DataFrame, maxIterations: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    var current = edges.select(col("a").cast("long"), col("b").cast("long"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+
+    var converged = false
+    var iter = 0
+    var prevSig = signature(current)
+    while (!converged && iter < maxIterations) {
+      val afterLarge = largeStar(current)
+      val afterSmall = smallStar(afterLarge).localCheckpoint(true)
+      val sig = signature(afterSmall)
+      converged = sig == prevSig
+      prevSig = sig
+      current = afterSmall
+      iter += 1
+    }
+
+    // converged edge set is a forest of stars rooted at component minima:
+    // (a=center, b=member) after canonical orientation center < member.
+    val members = current.select(col("b").as("id"), col("a").as("component"))
+    val roots = current.select(col("a").as("id")).distinct()
+      .withColumn("component", col("id"))
+    members.union(roots)
+      .groupBy("id").agg(min("component").as("component"))
+  }
+
+  /** large-star: for each node u, connect every strictly-larger neighbor to
+    * the minimum of N(u) ∪ {u}. Implemented as groupBy(min) + re-join on the
+    * same key (co-partitioned, no second shuffle under AQE).
+    */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+    val mins = sym.groupBy("a").agg(min(col("b")).as("mb"))
+      .withColumn("m", least(col("a"), col("mb")))
+      .select("a", "m")
+    sym.join(mins, "a")
+      .filter(col("b") > col("a"))
+      .select(col("m").as("a"), col("b")) // m ≤ a < b ⇒ already canonical
+      .filter(col("a") =!= col("b"))
+      .distinct()
+  }
+
+  /** small-star: orient each edge to (big, small); connect all smaller
+    * neighbors (and the node itself) to the minimum.
+    */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val oriented = edges.select(
+      greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+    val mins = oriented.groupBy("u").agg(min(col("v")).as("m"))
+    val relinked = oriented.join(mins, "u")
+      .filter(col("v") =!= col("m"))
+      .select(col("m").as("a"), col("v").as("b"))
+    val selfLinks = mins.select(col("m").as("a"), col("u").as("b"))
+    relinked.union(selfLinks)
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+  }
+
+  /** Cheap fixpoint signature: (edge count, XOR of per-edge hashes) — the
+    * edge set is distinct, so XOR is a valid order-independent set signature
+    * and cannot overflow under ANSI mode. Equal signatures across an
+    * iteration ⇒ the canonical edge set is unchanged.
+    */
+  private def signature(edges: DataFrame): (Long, Long) = {
+    val row = edges.agg(
+      count(lit(1)).as("n"),
+      coalesce(bit_xor(xxhash64(col("a"), col("b"))), lit(0L)).as("h")).collect()(0)
+    (row.getLong(0), row.getLong(1))
+  }
+}

@@ -1,0 +1,191 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.io.StageStore
+import graft.schema.Page
+
+/** Dedup pipeline configuration (the graft analog of `DeduplicatorConfig`,
+  * /root/reference/src/dedupe.rs:190-201).
+  *
+  * Default LSH geometry: 128 MinHash values as 32 bands × 4 rows. Collision
+  * probability at Jaccard s is 1-(1-s⁴)³², i.e. ≈ 1-5e-8 at s=0.8 — the
+  * ≥0.99 pair-recall budget of BASELINE.json is spent almost entirely in the
+  * verify threshold, not in LSH misses.
+  *
+  * `maxBucketAllPairs`: buckets up to this size emit all C(n,2) pairs;
+  * larger buckets emit an id-ordered chain (n-1 pairs). A hot bucket is a
+  * near-clique at verify threshold (its members agree on a full band), so
+  * chaining preserves connectivity through CC while bounding join output —
+  * the explicit skew defense of SURVEY.md §4.2. `hugeBucketCutoff` drops
+  * pathological buckets entirely (with a metrics row): content that sits in
+  * a >10⁶-page bucket is boilerplate whose duplicates the exact-hash path
+  * already links.
+  */
+final case class DedupConfig(
+    shingleK: Int = 5,
+    numHashes: Int = 128,
+    bands: Int = 32,
+    rows: Int = 4,
+    seed: Long = 42L,
+    jaccardThreshold: Double = 0.8,
+    useLcsCheck: Boolean = false,
+    lcsMinFraction: Double = 0.3,
+    maxBucketAllPairs: Int = 64,
+    hugeBucketCutoff: Long = 1000000L,
+    sourcePreferences: Seq[String] = Nil,
+    maxCcIterations: Int = 50) {
+  require(bands * rows == numHashes, "bands*rows must equal numHashes")
+}
+
+/** The end-to-end near-dup detection + clustering pipeline (SURVEY.md §3.3
+  * "Spark graft lifecycle"). Stage graph, each checkpointed via [[StageStore]]:
+  *
+  *   signatures → exact_edges → candidate_pairs → verified_edges
+  *             → components → clusters
+  *
+  * Every stage is a pure function of the previous checkpoint, so a killed
+  * run resumes at the first incomplete stage (`StageStore.getOrCompute`).
+  */
+final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: StageStore) {
+
+  import spark.implicits._
+
+  /** Stage 1 — signatures: extract+normalize text, shingle, MinHash, SimHash,
+    * exact-content hash; assign the stable numeric id. Narrow (no shuffle)
+    * except the id assignment; persisted so ids survive resume.
+    */
+  def signatures(pages: Dataset[Page]): DataFrame =
+    store.getOrCompute("signatures") {
+      val normalized = pages.toDF()
+        .withColumn("norm_text", normalize_tokens(col("text")))
+        .withColumn("shingles", word_shingles(col("norm_text"), config.shingleK, config.seed))
+      normalized.select(
+        monotonically_increasing_id().as("id"),
+        col("url"),
+        col("warc_ts"),
+        col("lang"),
+        col("source"),
+        length(col("text")).as("text_len"),
+        xxhash64(col("norm_text")).as("content_hash"),
+        simhash64(col("shingles")).as("simhash"),
+        size(col("shingles")).as("n_shingles"),
+        col("shingles"),
+        minhash(col("shingles"), config.numHashes, config.seed).as("minhash"))
+    }
+
+  /** Stage 2 — exact-dup fast path (the DOI-equality analog, SURVEY.md §2.3):
+    * identical normalized content ⇒ edge to the group minimum. One shuffle
+    * on content_hash; output is linear in duplicate count.
+    */
+  def exactEdges(sigs: DataFrame): DataFrame =
+    store.getOrCompute("exact_edges") {
+      val w = Window.partitionBy("content_hash")
+      sigs.select(col("id"), col("content_hash"))
+        .withColumn("m", min("id").over(w))
+        .filter(col("id") =!= col("m"))
+        .select(col("m").as("a"), col("id").as("b"))
+    }
+
+  /** Stage 3 — LSH candidate pairs: explode band keys, bucket, emit pairs
+    * (all-pairs for small buckets, id-chain for hot buckets), distinct.
+    * Exact-dup groups are collapsed to their representative BEFORE banding
+    * so a 10⁶-copy boilerplate family costs one row here, not 10⁶.
+    */
+  def candidatePairs(sigs: DataFrame, exact: DataFrame): DataFrame =
+    store.getOrCompute("candidate_pairs") {
+      // exact-dup members (b side) are represented by their group min
+      val represented = sigs.join(exact.select(col("b").as("id")), Seq("id"), "left_anti")
+      val bandRows = represented
+        .filter(col("n_shingles") > 0)
+        .select(col("id"),
+          posexplode(band_keys(col("minhash"), config.bands, config.rows, config.seed))
+            .as(Seq("band", "bucket")))
+
+      val sized = bandRows
+        .withColumn("bucket_size", count(lit(1)).over(Window.partitionBy("band", "bucket")))
+        .filter(col("bucket_size") > 1 && col("bucket_size") <= config.hugeBucketCutoff)
+
+      val small = sized.filter(col("bucket_size") <= config.maxBucketAllPairs)
+        .select("id", "band", "bucket")
+      val smallPairs = small.as("x").join(small.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+        .select(col("x.id").as("a"), col("y.id").as("b"))
+
+      val hot = sized.filter(col("bucket_size") > config.maxBucketAllPairs)
+      val hotPairs = hot
+        .withColumn("prev",
+          lag("id", 1).over(Window.partitionBy("band", "bucket").orderBy("id")))
+        .filter(col("prev").isNotNull)
+        .select(col("prev").as("a"), col("id").as("b"))
+
+      smallPairs.union(hotPairs).distinct()
+    }
+
+  /** Stage 4 — verification: exact Jaccard over the persisted shingle sets
+    * (two co-keyed joins back to the signature table), optional LCS check
+    * on normalized text. Narrow per-pair work after the joins.
+    */
+  def verifiedEdges(sigs: DataFrame, pairs: DataFrame): DataFrame =
+    store.getOrCompute("verified_edges") {
+      val shingleSide = sigs.select(col("id"), col("shingles"))
+      val joined = pairs
+        .join(shingleSide.withColumnsRenamed(Map("id" -> "a", "shingles" -> "sh_a")), "a")
+        .join(shingleSide.withColumnsRenamed(Map("id" -> "b", "shingles" -> "sh_b")), "b")
+        .withColumn("jaccard", jaccard_sorted(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") >= config.jaccardThreshold)
+      joined.select("a", "b", "jaccard")
+    }
+
+  /** Stage 5 — components: union exact + verified edges, run large-star/
+    * small-star to fixpoint.
+    */
+  def components(exact: DataFrame, verified: DataFrame): DataFrame =
+    store.getOrCompute("components") {
+      val edges = exact.select("a", "b").union(verified.select("a", "b"))
+      ConnectedComponents.run(edges, config.maxCcIterations)
+    }
+
+  /** Stage 6 — clusters: every page gets a cluster (singletons = own id);
+    * representative selection mirrors the reference's preference chain
+    * (/root/reference/src/dedupe.rs:507-555): source-preference rank, then
+    * richer content (longer text — the abstract-preference analog), then
+    * earlier warc_ts, then smallest id. `min_by` over a packed priority
+    * struct — one shuffle, no collect_list.
+    */
+  def clusters(sigs: DataFrame, comps: DataFrame): DataFrame =
+    store.getOrCompute("clusters") {
+      val assigned = sigs
+        .join(comps, Seq("id"), "left")
+        .withColumn("cluster_id", coalesce(col("component"), col("id")))
+
+      val prefRank: org.apache.spark.sql.Column =
+        if (config.sourcePreferences.isEmpty) lit(Int.MaxValue)
+        else config.sourcePreferences.zipWithIndex.foldRight(lit(Int.MaxValue): org.apache.spark.sql.Column) {
+          case ((src, rank), acc) => when(col("source") === src, lit(rank)).otherwise(acc)
+        }
+
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("pref_rank").asc, col("text_len").desc,
+          col("warc_ts").asc, col("id").asc)
+      assigned
+        .withColumn("pref_rank", prefRank)
+        .withColumn("rn", row_number().over(w))
+        .select(col("url"), col("cluster_id"), (col("rn") === 1).as("is_representative"),
+          col("id"), col("source"), col("lang"))
+    }
+
+  /** Run everything; returns the clusters DataFrame. */
+  def run(pages: Dataset[Page]): DataFrame = {
+    val sigs = signatures(pages)
+    val exact = exactEdges(sigs)
+    val pairs = candidatePairs(sigs, exact)
+    val verified = verifiedEdges(sigs, pairs)
+    val comps = components(exact, verified)
+    clusters(sigs, comps)
+  }
+}

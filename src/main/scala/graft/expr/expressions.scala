@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.kernel.{Shingling, StrSim, TextNorm}
+import graft.kernel.{HtmlText, Shingling, StrSim, TextNorm}
 
 /** Catalyst expressions for the normalization/signature kernel (SURVEY.md
   * §2.2, §2.6). Each is a thin, null-safe wrapper over a pure function in
@@ -33,6 +33,17 @@ case class NormalizeText(child: Expression)
     TextNorm.normalizeTitle(input.asInstanceOf[UTF8String].toString)
       .map(UTF8String.fromString).orNull
   override protected def withNewChildInternal(c: Expression): NormalizeText = copy(child = c)
+}
+
+/** Token-preserving normalization for shingling (reference chain applied
+  * per whitespace token; see [[graft.kernel.TextNorm.normalizeTokens]]).
+  */
+case class NormalizeTokens(child: Expression)
+    extends UnaryExpression with SimpleCodegen {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(TextNorm.normalizeTokens(input.asInstanceOf[UTF8String].toString))
+  override protected def withNewChildInternal(c: Expression): NormalizeTokens = copy(child = c)
 }
 
 /** `<U+XXXX>` escape → code point (/root/reference/src/dedupe.rs:711-721). */
@@ -225,6 +236,17 @@ case class HammingDist64(left: Expression, right: Expression)
     Shingling.hamming64(l.asInstanceOf[Long], r.asInstanceOf[Long])
   override protected def withNewChildrenInternal(l: Expression, r: Expression): HammingDist64 =
     copy(left = l, right = r)
+}
+
+/** Deterministic HTML→text extraction over a binary column (the graft analog
+  * of the reference's parser stage; rules pinned in [[graft.kernel.HtmlText]]).
+  */
+case class ExtractHtmlText(child: Expression)
+    extends UnaryExpression with SimpleCodegen {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(HtmlText.extract(input.asInstanceOf[Array[Byte]]))
+  override protected def withNewChildInternal(c: Expression): ExtractHtmlText = copy(child = c)
 }
 
 /** Longest-common-substring length (suffix-automaton walk; verification-side

@@ -24,6 +24,7 @@ object functions {
 
   // ---- normalization kernel (reference parity) ----
   def normalize_text(c: Column): Column = col(NormalizeText(ex(c)))
+  def normalize_tokens(c: Column): Column = col(NormalizeTokens(ex(c)))
   def convert_unicode(c: Column): Column = col(ConvertUnicode(ex(c)))
   def format_journal(c: Column): Column = col(FormatJournal(ex(c)))
   def normalize_volume(c: Column): Column = col(NormalizeVolume(ex(c)))
@@ -31,6 +32,7 @@ object functions {
   def format_pages(c: Column): Column = col(FormatPages(ex(c)))
   def format_doi(c: Column): Column = col(FormatDoi(ex(c)))
   def split_issns(c: Column): Column = col(SplitIssns(ex(c)))
+  def extract_html_text(c: Column): Column = col(ExtractHtmlText(ex(c)))
 
   // ---- string similarity ----
   def jaro(l: Column, r: Column): Column = col(JaroSim(ex(l), ex(r)))
@@ -62,6 +64,7 @@ object functions {
       e.eval(null).asInstanceOf[Number].longValue()
 
     one("graft_normalize_text", es => NormalizeText(es.head))
+    one("graft_normalize_tokens", es => NormalizeTokens(es.head))
     one("graft_convert_unicode", es => ConvertUnicode(es.head))
     one("graft_format_journal", es => FormatJournal(es.head))
     one("graft_normalize_volume", es => NormalizeVolume(es.head))
@@ -69,6 +72,7 @@ object functions {
     one("graft_format_pages", es => FormatPages(es.head))
     one("graft_format_doi", es => FormatDoi(es.head))
     one("graft_split_issns", es => SplitIssns(es.head))
+    one("graft_extract_html_text", es => ExtractHtmlText(es.head))
     one("graft_jaro", es => JaroSim(es(0), es(1)))
     one("graft_jaro_winkler", es => JaroWinklerSim(es(0), es(1)))
     one("graft_lcs_length", es => LongestCommonSubstring(es(0), es(1)))

@@ -1,0 +1,97 @@
+package graft.io
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Checkpointed stage storage with per-partition lineage + metrics
+  * (SURVEY.md §7.3; resumability requirement in BASELINE.json.north_rule).
+  *
+  * Sandbox backend: a parquet directory per stage plus an atomically-renamed
+  * `_MANIFEST.json` (write data → write manifest to temp → rename). A stage
+  * is complete iff its manifest exists, so a job killed mid-write never
+  * half-reads a stage. In production this maps 1:1 onto Iceberg tables
+  * (atomic snapshot commit replaces the manifest rename; per-partition
+  * lineage rows live in a `checkpoints` table) — no Iceberg runtime jar
+  * ships in this sandbox (verified, SURVEY.md §7.5), hence the parquet-dir
+  * emulation behind the same interface.
+  *
+  * Lineage: after the data write we read the files back (metadata-only
+  * count per file) and record (stage, file, rows, bytes, wall_ms, status) in
+  * the manifest. `lineage()` exposes them as a DataFrame for the metrics
+  * suite.
+  */
+final class StageStore(spark: SparkSession, root: String) {
+
+  private def stageDir(stage: String): Path = Paths.get(root, stage)
+  private def manifestPath(stage: String): Path = stageDir(stage).resolve("_MANIFEST.json")
+
+  def has(stage: String): Boolean = Files.exists(manifestPath(stage))
+
+  def read(stage: String): DataFrame = {
+    require(has(stage), s"stage '$stage' has no complete checkpoint under $root")
+    spark.read.parquet(stageDir(stage).toString)
+  }
+
+  /** Write `df` as the checkpoint for `stage` and return the re-read (so
+    * downstream plans read the materialized table instead of recomputing
+    * the producing plan — this is also what cuts union-find lineage).
+    */
+  def write(stage: String, df: DataFrame): DataFrame = {
+    val t0 = System.nanoTime()
+    val dir = stageDir(stage)
+    // clean partial output from a previous killed run (no manifest ⇒ junk)
+    if (Files.exists(dir) && !has(stage)) deleteRecursively(dir)
+    df.write.mode("overwrite").parquet(dir.toString)
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    val files = Files.list(dir).toArray.map(_.asInstanceOf[Path])
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+    val back = spark.read.parquet(dir.toString)
+    val perFile = back.groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("rows"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toMap
+    val entries = files.map { f =>
+      val uri = f.toUri.toString
+      val rows = perFile.collectFirst { case (k, v) if k.endsWith(f.getFileName.toString) => v }.getOrElse(0L)
+      s"""{"file":"${f.getFileName}","rows":$rows,"bytes":${Files.size(f)}}"""
+    }
+    val manifest =
+      s"""{"stage":"$stage","status":"complete","wall_ms":$wallMs,
+         |"partitions":[${entries.mkString(",")}]}""".stripMargin
+    val tmp = dir.resolve("_MANIFEST.json.tmp")
+    Files.writeString(tmp, manifest)
+    Files.move(tmp, manifestPath(stage), StandardCopyOption.ATOMIC_MOVE)
+    back
+  }
+
+  /** Compute-or-read: the resume primitive. A completed stage is never
+    * recomputed (`thunk` not invoked).
+    */
+  def getOrCompute(stage: String)(thunk: => DataFrame): DataFrame =
+    if (has(stage)) read(stage) else write(stage, thunk)
+
+  /** Per-partition lineage rows of a completed stage. */
+  def lineage(stage: String): DataFrame = {
+    val json = Files.readString(manifestPath(stage))
+    import spark.implicits._
+    spark.read.json(Seq(json).toDS)
+      .select(col("stage"), col("status"), col("wall_ms"),
+        explode(col("partitions")).as("p"))
+      .select(col("stage"), col("status"), col("wall_ms"),
+        col("p.file"), col("p.rows"), col("p.bytes"))
+  }
+
+  def invalidate(stage: String): Unit = {
+    val dir = stageDir(stage)
+    if (Files.exists(dir)) deleteRecursively(dir)
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).toArray.map(_.asInstanceOf[Path]).foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+}

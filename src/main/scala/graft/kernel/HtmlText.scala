@@ -1,0 +1,137 @@
+package graft.kernel
+
+import java.nio.charset.StandardCharsets
+
+/** Deterministic HTML → text extractor.
+  *
+  * The graft analog of the reference's format parsers (RIS/PubMed/EndNote/CSV
+  * → Citation, /root/reference/src/lib.rs:287-302): a *pure function* of the
+  * raw bytes with pinned charset/entity/whitespace rules, so extracted text
+  * is byte-identical for a given `html` (the per-row invariant in
+  * BASELINE.json.input_hint). Rules, in order:
+  *
+  *  1. decode UTF-8 (malformed sequences → U+FFFD)
+  *  2. drop `<!-- -->` comments and `<script>/<style>/<noscript>` elements
+  *     (case-insensitive) including their content
+  *  3. every other tag → a single space
+  *  4. decode entities: named (`&lt; &gt; &amp; &quot; &apos; &nbsp;`) and
+  *     numeric (`&#123;` / `&#x1F600;`); unknown entities kept verbatim
+  *  5. collapse all whitespace runs to a single space; trim
+  *
+  * Entity decoding runs AFTER tag stripping, so `&lt;p&gt;` in source text
+  * can never create a phantom tag — mirroring how the reference's EndNote
+  * parser keeps entity text data out of markup (/root/reference/src/
+  * endnote_xml/parse.rs:86-112).
+  */
+object HtmlText {
+
+  private val SkipElements = Set("script", "style", "noscript")
+
+  def extract(html: Array[Byte]): String = {
+    if (html == null) return null
+    extractFromString(new String(html, StandardCharsets.UTF_8))
+  }
+
+  def extractFromString(html: String): String = {
+    if (html == null) return null
+    val n = html.length
+    val out = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else {
+          val close = html.indexOf('>', i + 1)
+          if (close < 0) { i = n } // unterminated tag: drop rest (markup)
+          else {
+            val inner = html.substring(i + 1, close)
+            val name = tagName(inner)
+            if (!inner.startsWith("/") && SkipElements.contains(name) &&
+                !inner.endsWith("/")) {
+              val endTag = findCaseInsensitive(html, "</" + name, close + 1)
+              if (endTag < 0) { i = n }
+              else {
+                val endClose = html.indexOf('>', endTag)
+                i = if (endClose < 0) n else endClose + 1
+              }
+            } else {
+              i = close + 1
+            }
+            out.append(' ')
+          }
+        }
+      } else if (c == '&') {
+        val (decoded, next) = decodeEntity(html, i)
+        out.append(decoded)
+        i = next
+      } else {
+        out.append(c)
+        i += 1
+      }
+    }
+    collapseWhitespace(out.toString)
+  }
+
+  private def tagName(inner: String): String = {
+    val s = if (inner.startsWith("/")) inner.substring(1) else inner
+    var e = 0
+    while (e < s.length && Character.isLetterOrDigit(s.charAt(e))) e += 1
+    s.substring(0, e).toLowerCase(java.util.Locale.ROOT)
+  }
+
+  private def findCaseInsensitive(hay: String, needle: String, from: Int): Int = {
+    var i = from
+    val max = hay.length - needle.length
+    while (i <= max) {
+      if (hay.regionMatches(true, i, needle, 0, needle.length)) return i
+      i += 1
+    }
+    -1
+  }
+
+  private val Named = Map(
+    "lt" -> "<", "gt" -> ">", "amp" -> "&", "quot" -> "\"",
+    "apos" -> "'", "nbsp" -> " ")
+
+  /** Decode one entity starting at `i` ('&'); returns (text, nextIndex). */
+  private def decodeEntity(html: String, i: Int): (String, Int) = {
+    val semi = html.indexOf(';', i + 1)
+    if (semi < 0 || semi - i > 10) return ("&", i + 1)
+    val body = html.substring(i + 1, semi)
+    if (body.startsWith("#")) {
+      val (digits, radix) =
+        if (body.length > 1 && (body.charAt(1) == 'x' || body.charAt(1) == 'X'))
+          (body.substring(2), 16)
+        else (body.substring(1), 10)
+      try {
+        val cp = Integer.parseInt(digits, radix)
+        if (Character.isValidCodePoint(cp) && cp > 0)
+          (new String(Character.toChars(cp)), semi + 1)
+        else ("&", i + 1)
+      } catch { case _: NumberFormatException => ("&", i + 1) }
+    } else Named.get(body) match {
+      case Some(repl) => (repl, semi + 1)
+      case None => ("&", i + 1) // unknown entity kept verbatim (continue after &)
+    }
+  }
+
+  private def collapseWhitespace(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    var pendingSpace = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c) || c == ' ') pendingSpace = true
+      else {
+        if (pendingSpace && sb.length > 0) sb.append(' ')
+        pendingSpace = false
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+}

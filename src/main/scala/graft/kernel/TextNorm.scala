@@ -81,6 +81,33 @@ object TextNorm {
   def normalizeTitle(input: String): Option[String] =
     if (input == null) None else normalizeString(convertUnicode(input))
 
+  /** Webtext variant of [[normalizeTitle]] that preserves token boundaries
+    * for shingling: each whitespace-separated token is normalized with the
+    * reference chain (`<U+XXXX>` unescape → trim/lower/replacements →
+    * alphanumerics only); empty results are dropped; tokens re-joined with
+    * single spaces. Applying the reference chain per token keeps its
+    * semantics (the mutation axes of FIXTURES.md §C are all intra-token)
+    * while keeping word k-shingles well-defined.
+    */
+  def normalizeTokens(input: String): String = {
+    if (input == null) return null
+    val tokens = input.split("\\s+")
+    val sb = new java.lang.StringBuilder(input.length)
+    var i = 0
+    while (i < tokens.length) {
+      if (tokens(i).nonEmpty) {
+        normalizeTitle(tokens(i)) match {
+          case Some(t) if t.nonEmpty =>
+            if (sb.length > 0) sb.append(' ')
+            sb.append(t)
+          case _ =>
+        }
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
   /** Head before literal ". Conference", trimmed, lowercased, alphanumerics
     * only. Spec: /root/reference/src/dedupe.rs:786-797.
     */

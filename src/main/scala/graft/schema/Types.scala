@@ -1,0 +1,46 @@
+package graft.schema
+
+import java.sql.Timestamp
+
+/** Typed row models for the webtext dedup pipeline (SURVEY.md §1.3).
+  *
+  * `Page` mirrors `BASELINE.json.input_hint`:
+  * (url, warc_ts, html binary, text, lang) plus a `source` provenance column
+  * (the graft analog of the reference's `sources: &[&str]` side channel,
+  * /root/reference/src/dedupe.rs:403-407).
+  */
+final case class Page(
+    url: String,
+    warc_ts: Timestamp,
+    html: Array[Byte],
+    text: String,
+    lang: String,
+    source: String)
+
+/** Per-page signature row persisted by the signature stage. `id` is the
+  * stable numeric key assigned once and checkpointed (join/CC key; urls map
+  * back via this table).
+  */
+final case class PageSignature(
+    id: Long,
+    url: String,
+    content_hash: Long,
+    simhash: Long,
+    n_shingles: Int,
+    shingles: Array[Long],
+    minhash: Array[Long])
+
+/** Undirected candidate/verified edge between two page ids (a < b). */
+final case class Edge(a: Long, b: Long)
+
+/** Verified edge with its similarity evidence. */
+final case class VerifiedEdge(a: Long, b: Long, jaccard: Double)
+
+/** Final cluster assignment (cluster_id = min page id in the component). */
+final case class ClusterAssignment(
+    url: String,
+    cluster_id: Long,
+    is_representative: Boolean)
+
+/** Ground-truth row emitted by the synthetic corpus generator. */
+final case class TruthRow(url: String, family_id: Long)

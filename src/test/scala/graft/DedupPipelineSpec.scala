@@ -1,0 +1,197 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.{ConnectedComponents, DedupConfig, DedupPipeline}
+import graft.io.StageStore
+import graft.kernel.HtmlText
+import graft.synth.DeterministicCorpus
+import graft.synth.DeterministicCorpus.CorpusSpec
+
+/** End-to-end pipeline tests: corpus invariants, cluster parity vs planted
+  * truth (FIXTURES.md §B scenarios), CC correctness, checkpoint resume.
+  */
+class DedupPipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def freshStore(): StageStore =
+    new StageStore(spark, Files.createTempDirectory("graft-stages-").toString)
+
+  test("corpus: extraction is byte-identical and deterministic") {
+    import spark.implicits._
+    val spec = CorpusSpec(nFamilies = 50, seed = 42)
+    val pages = DeterministicCorpus.pages(spark, spec).collect()
+    assert(pages.length >= 50)
+    pages.foreach { p =>
+      assert(p.text === HtmlText.extract(p.html), s"extract mismatch for ${p.url}")
+      assert(p.text.nonEmpty)
+    }
+    // determinism across invocations and parallelism
+    val again = DeterministicCorpus.pages(spark, spec).collect()
+      .map(p => p.url -> p.text).toMap
+    pages.foreach(p => assert(again(p.url) === p.text))
+  }
+
+  test("connected components: chains, stars, singletons-in-edges") {
+    import spark.implicits._
+    // chain 1-2-3-4, triangle 10-11-12, pair 20-21, self-contained node via
+    // self-loop 30-30 (ignored => absent from output)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L), (30L, 30L)).toDF("a", "b")
+    val comps = ConnectedComponents.run(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(1L) === 1L && comps(2L) === 1L && comps(3L) === 1L && comps(4L) === 1L)
+    assert(comps(10L) === 10L && comps(11L) === 10L && comps(12L) === 10L)
+    assert(comps(20L) === 20L && comps(21L) === 20L)
+    assert(!comps.contains(30L)) // self-loop only ⇒ no real edge
+  }
+
+  test("connected components: long path converges (log-round check)") {
+    import spark.implicits._
+    val n = 200L
+    val edges = spark.range(0, n - 1).select(col("id").as("a"), (col("id") + 1).as("b"))
+    val comps = ConnectedComponents.run(edges)
+    assert(comps.select(countDistinct("component")).as[Long].collect()(0) === 1L)
+    assert(comps.agg(min("component")).as[Long].collect()(0) === 0L)
+    assert(comps.count() === n)
+  }
+
+  /** Pair-level recall/precision of the pipeline's clusters against planted
+    * truth (the BASELINE.json metric shape: dup-pair recall ≥ 0.99).
+    */
+  private def pairMetrics(clusters: DataFrame, truth: DataFrame): (Double, Double, Long) = {
+    val assign = clusters.select(col("url"), col("cluster_id"))
+      .join(truth, "url")
+    // truth pairs: same family (positive family ids with >1 member)
+    val fam = assign.filter(col("family_id") >= 0)
+    val truthPairs = fam.as("x").join(fam.as("y"),
+        col("x.family_id") === col("y.family_id") && col("x.url") < col("y.url"))
+      .select(col("x.url").as("u"), col("y.url").as("v"),
+        (col("x.cluster_id") === col("y.cluster_id")).as("hit"))
+    val agg = truthPairs.agg(count(lit(1)).as("n"), sum(when(col("hit"), 1L).otherwise(0L)).as("h"))
+      .collect()(0)
+    val (nTruth, hits) = (agg.getLong(0), agg.getLong(1))
+    val recall = if (nTruth == 0) 1.0 else hits.toDouble / nTruth
+    // precision: co-clustered pairs that are same-family
+    val cl = assign
+    val coPairs = cl.as("x").join(cl.as("y"),
+        col("x.cluster_id") === col("y.cluster_id") && col("x.url") < col("y.url"))
+      .select((col("x.family_id") === col("y.family_id")).as("same"))
+    val agg2 = coPairs.agg(count(lit(1)).as("n"), sum(when(col("same"), 1L).otherwise(0L)).as("s"))
+      .collect()(0)
+    val precision = if (agg2.getLong(0) == 0) 1.0 else agg2.getLong(1).toDouble / agg2.getLong(0)
+    (recall, precision, nTruth)
+  }
+
+  test("e2e: planted families recovered with pair recall ≥ 0.99, hard negatives kept out") {
+    val spec = CorpusSpec(nFamilies = 300, pDup = 0.3, seed = 42)
+    val corpus = DeterministicCorpus.generate(spark, spec).cache()
+    import spark.implicits._
+    val pages = corpus.map(_._1)
+    val truth = corpus.map(_._2).toDF()
+
+    val pipeline = new DedupPipeline(spark, DedupConfig(), freshStore())
+    val clusters = pipeline.run(pages)
+
+    assert(clusters.count() === pages.count()) // every page assigned
+    assert(clusters.filter(col("is_representative")).count() ===
+      clusters.select(countDistinct("cluster_id")).as[Long].collect()(0))
+
+    val (recall, precision, nTruth) = pairMetrics(clusters, truth)
+    assert(nTruth > 50, s"fixture too small: $nTruth truth pairs")
+    assert(recall >= 0.99, s"pair recall $recall < 0.99 over $nTruth pairs")
+    assert(precision >= 0.99, s"pair precision $precision < 0.99 (hard negatives leaked)")
+    corpus.unpersist()
+  }
+
+  test("e2e scenarios from reference dedup tests (FIXTURES.md §B)") {
+    import spark.implicits._
+    // exact duplicate pair + distinct third (dedupe.rs:873-923)
+    val t0 = "exact duplicate content body with many words to shingle properly over here"
+    val pads = (1 to 60).map(i => s"w$i").mkString(" ")
+    val pages = Seq(
+      mkPage("u1", t0 + " " + pads, "src1"),
+      mkPage("u2", t0 + " " + pads, "src2"), // exact dup of u1
+      mkPage("u3", (1 to 70).map(i => s"z$i").mkString(" "), "src1"), // unrelated
+      // near-dup via normalization-invariant edits (dedupe.rs:41-55 axes)
+      mkPage("u4", "Alpha Study!" + " " + pads, "src1"),
+      mkPage("u5", "alpha study" + " " + pads, "src2")
+    ).toDS()
+    val pipeline = new DedupPipeline(spark,
+      DedupConfig(sourcePreferences = Seq("src2", "src1")), freshStore())
+    val clusters = pipeline.run(pages)
+    val byUrl = clusters.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getBoolean(2))).toMap
+    assert(byUrl("u1")._1 === byUrl("u2")._1, "exact dups must co-cluster")
+    assert(byUrl("u4")._1 === byUrl("u5")._1, "normalization-invariant edits must co-cluster")
+    assert(byUrl("u3")._1 !== byUrl("u1")._1, "unrelated page must stay out")
+    // source preference: representative of {u1,u2} must be src2 (u2);
+    // mirror of dedupe.rs:1186-1228
+    assert(byUrl("u2")._2 === true, "source preference should pick src2 page")
+    assert(byUrl("u1")._2 === false)
+  }
+
+  test("resume: completed stages are not recomputed; killed stage recovers") {
+    import spark.implicits._
+    val spec = CorpusSpec(nFamilies = 80, pDup = 0.3, seed = 7)
+    val pages = DeterministicCorpus.pages(spark, spec)
+    val store = freshStore()
+    val cfg = DedupConfig()
+
+    val p1 = new DedupPipeline(spark, cfg, store)
+    val full = p1.run(pages).orderBy("url").collect()
+
+    // simulate a kill after verified_edges: drop the last two stages
+    store.invalidate("components")
+    store.invalidate("clusters")
+    assert(store.has("signatures") && store.has("verified_edges"))
+    assert(!store.has("components"))
+
+    // resume must (a) produce identical output, (b) reuse the signature
+    // checkpoint (ids must be byte-stable across the resume)
+    val sigsBefore = store.read("signatures").select("id", "url").orderBy("url").collect()
+    val p2 = new DedupPipeline(spark, cfg, store)
+    val resumed = p2.run(pages).orderBy("url").collect()
+    val sigsAfter = store.read("signatures").select("id", "url").orderBy("url").collect()
+    assert(sigsBefore.sameElements(sigsAfter), "resume must not recompute signatures")
+    assert(full.sameElements(resumed), "resumed output must equal full run")
+
+    // lineage rows exist for a completed stage
+    val lin = store.lineage("clusters").collect()
+    assert(lin.nonEmpty)
+    assert(lin.map(_.getAs[Long]("rows")).sum > 0)
+  }
+
+  test("skew: hot near-dup family routed through chain path stays one cluster") {
+    import spark.implicits._
+    val spec = CorpusSpec(nFamilies = 30, pDup = 0.1, hotFamilySize = 500, seed = 13)
+    val corpus = DeterministicCorpus.generate(spark, spec).cache()
+    val pages = corpus.map(_._1)
+    val truth = corpus.map(_._2).toDF()
+    // maxBucketAllPairs=16 forces the hot family (500 near-identical pages)
+    // through the chain path
+    val pipeline = new DedupPipeline(spark, DedupConfig(maxBucketAllPairs = 16), freshStore())
+    val clusters = pipeline.run(pages)
+    val hotClusters = clusters.join(truth, "url")
+      .filter(col("family_id") === -1L)
+      .select(countDistinct("cluster_id")).as[Long].collect()(0)
+    assert(hotClusters === 1L, s"hot family split into $hotClusters clusters")
+    corpus.unpersist()
+  }
+
+  private def mkPage(url: String, text: String, source: String): graft.schema.Page = {
+    val html = DeterministicCorpus.wrapHtml(text, "t " + url)
+    graft.schema.Page(url, new java.sql.Timestamp(1700000000000L), html,
+      HtmlText.extract(html), "en", source)
+  }
+}

@@ -1,0 +1,134 @@
+package graft.cite
+
+/** Author-name and date parsing utilities shared by the citation parsers.
+  *
+  * Behavioral specs: /root/reference/src/utils.rs:145-354 (author splitting,
+  * PubMed/RIS/EndNote/year-only date parsing, month names, newline sniffing).
+  */
+object CiteUtils {
+
+  /** Split an author string into (family, given).
+    * Comma present → split on ','; else whitespace. One part = family only;
+    * three or more parts → rest joined as given.
+    * Spec: /root/reference/src/utils.rs:145-167.
+    */
+  def parseAuthorName(name: String): (String, String) = {
+    val parts: Array[String] =
+      if (name.contains(',')) name.split(",", -1)
+      else name.trim.split("\\s+").filter(_.nonEmpty)
+    parts.length match {
+      case 0 => ("", "")
+      case 1 => (parts(0).trim, "")
+      case 2 => (parts(0).trim, parts(1).trim)
+      case _ => (parts(0).trim, parts.drop(1).mkString(" ").trim)
+    }
+  }
+
+  /** First token = given name, remaining tokens joined = middle name.
+    * Spec: /root/reference/src/utils.rs:174-188.
+    */
+  def splitGivenAndMiddle(fullGiven: String): (Option[String], Option[String]) = {
+    val trimmed = fullGiven.trim
+    if (trimmed.isEmpty) return (None, None)
+    val parts = trimmed.split("\\s+")
+    val first = Some(parts(0))
+    val middle = if (parts.length > 1) Some(parts.drop(1).mkString(" ")) else None
+    (first, middle)
+  }
+
+  /** Build a [[CiteAuthor]] from a raw author string (family/given/middle
+    * split), as every parser does (/root/reference/src/ris/parse.rs:160-168).
+    */
+  def makeAuthor(authorStr: String): CiteAuthor = {
+    val (family, given) = parseAuthorName(authorStr)
+    val (givenOpt, middleOpt) =
+      if (given.isEmpty) (None, None) else splitGivenAndMiddle(given)
+    CiteAuthor(family, givenOpt, middleOpt, Nil)
+  }
+
+  private val MonthNames: Map[String, Int] = Map(
+    "jan" -> 1, "january" -> 1, "feb" -> 2, "february" -> 2,
+    "mar" -> 3, "march" -> 3, "apr" -> 4, "april" -> 4, "may" -> 5,
+    "jun" -> 6, "june" -> 6, "jul" -> 7, "july" -> 7,
+    "aug" -> 8, "august" -> 8, "sep" -> 9, "september" -> 9,
+    "oct" -> 10, "october" -> 10, "nov" -> 11, "november" -> 11,
+    "dec" -> 12, "december" -> 12)
+
+  /** Month name (3-letter or full, case-insensitive) → 1-12.
+    * Spec: /root/reference/src/utils.rs:323-339.
+    */
+  def parseMonthName(monthStr: String): Option[Int] =
+    MonthNames.get(monthStr.toLowerCase(java.util.Locale.ROOT))
+
+  private def parseIntOpt(s: String): Option[Int] =
+    try Some(Integer.parseInt(s)) catch { case _: NumberFormatException => None }
+
+  /** "2020 Jun 9" / "2023 May 30" / "2023" → CiteDate.
+    * Non-numeric year → None; out-of-range month/day dropped.
+    * Spec: /root/reference/src/utils.rs:195-230.
+    */
+  def parsePubmedDate(dateStr: String): Option[CiteDate] = {
+    val s = dateStr.trim
+    if (s.isEmpty) return None
+    val parts = s.split("\\s+")
+    parseIntOpt(parts(0)).map { year =>
+      val month = if (parts.length > 1) parseMonthName(parts(1)) else None
+      val day = if (parts.length > 2)
+        parseIntOpt(parts(2)).filter(d => d >= 1 && d <= 31)
+      else None
+      CiteDate(year, month, day)
+    }
+  }
+
+  /** "1999/12/25/Christmas edition" / "2023/05/30" / "2023" → CiteDate.
+    * Empty month/day parts tolerated; non-numeric year → None.
+    * Spec: /root/reference/src/utils.rs:237-284.
+    */
+  def parseRisDate(dateStr: String): Option[CiteDate] = {
+    val s = dateStr.trim
+    if (s.isEmpty) return None
+    val parts = s.split("/", -1)
+    if (parts(0).isEmpty) return None
+    parseIntOpt(parts(0)).map { year =>
+      val month =
+        if (parts.length > 1 && parts(1).nonEmpty)
+          parseIntOpt(parts(1)).filter(m => m >= 1 && m <= 12)
+        else None
+      val day =
+        if (parts.length > 2 && parts(2).nonEmpty)
+          parseIntOpt(parts(2)).filter(d => d >= 1 && d <= 31)
+        else None
+      CiteDate(year, month, day)
+    }
+  }
+
+  /** Passthrough of optional y/m/d; year required.
+    * Spec: /root/reference/src/utils.rs:293-296.
+    */
+  def parseEndnoteDate(year: Option[Int], month: Option[Int], day: Option[Int]): Option[CiteDate] =
+    year.map(y => CiteDate(y, month, day))
+
+  /** "2023/" → CiteDate(2023); head before '/', parsed as Int.
+    * Spec: /root/reference/src/utils.rs:303-320.
+    */
+  def parseYearOnly(yearStr: String): Option[CiteDate] = {
+    val s = yearStr.trim
+    if (s.isEmpty) return None
+    val head = s.split("/", -1)(0)
+    parseIntOpt(head).map(y => CiteDate(y, None, None))
+  }
+
+  /** CRLF vs LF sniff from the first '\n'.
+    * Spec: /root/reference/src/utils.rs:342-354.
+    */
+  def newlineDelimiterOf(text: String): String = {
+    val i = text.indexOf('\n')
+    if (i > 0 && text.charAt(i - 1) == '\r') "\r\n" else "\n"
+  }
+
+  /** Multi-values joined with " AND " (None when empty).
+    * Spec: /root/reference/src/pubmed/structure.rs:95-101.
+    */
+  def joinIfSome(v: Seq[String]): Option[String] =
+    if (v.isEmpty) None else Some(v.mkString(" AND "))
+}

@@ -1,0 +1,230 @@
+package graft.cite
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Dataset
+
+/** CSV citation parser with delimiter/header sniffing and alias-based header
+  * mapping.
+  *
+  * Behavioral specs:
+  *  - reader config + record loop: /root/reference/src/csv/parse.rs:12-120
+  *  - delimiter sniff (`, ; \t |` over 5 lines, consistency + field count):
+  *    /root/reference/src/csv/parse.rs:123-161
+  *  - header sniff (keyword match, then text-vs-numeric ratio):
+  *    /root/reference/src/csv/parse.rs:164-211
+  *  - alias map (16 default fields): /root/reference/src/csv/config.rs:9-29
+  *  - record assembly (authors/keywords split ';', ISSN via split_issns,
+  *    year/pages/doi normalization, default type "Journal Article",
+  *    unmapped → extra_fields): /root/reference/src/csv/structure.rs:32-253
+  *
+  * Spark note: for a *table* of CSV text this hand parser runs per-row via
+  * `flatMap`; for CSV *files* the idiomatic path is plain
+  * `spark.read.option("delimiter",...).csv(...)` + [[fromDataFrameRow]]-style
+  * column mapping — both feed the same assembly rules.
+  */
+object CsvParser {
+
+  final case class CsvConfig(
+      headerMap: Map[String, Seq[String]] = DefaultHeaders,
+      delimiter: Char = ',',
+      hasHeader: Boolean = true,
+      quote: Char = '"',
+      trim: Boolean = true,
+      flexible: Boolean = false) {
+    lazy val reverseMap: Map[String, String] =
+      for ((field, aliases) <- headerMap; alias <- aliases)
+        yield alias.toLowerCase(java.util.Locale.ROOT) -> field
+    def fieldForHeader(header: String): Option[String] =
+      reverseMap.get(header.toLowerCase(java.util.Locale.ROOT))
+  }
+
+  /** Default alias table (/root/reference/src/csv/config.rs:9-29). */
+  val DefaultHeaders: Map[String, Seq[String]] = Map(
+    "title" -> Seq("title", "article title", "publication title"),
+    "authors" -> Seq("author", "authors", "creator", "creators"),
+    "journal" -> Seq("journal", "journal title", "source title", "publication"),
+    "year" -> Seq("year", "publication year", "pub year"),
+    "volume" -> Seq("volume", "vol"),
+    "issue" -> Seq("issue", "number", "no"),
+    "pages" -> Seq("pages", "page numbers", "page range"),
+    "doi" -> Seq("doi", "digital object identifier"),
+    "abstract" -> Seq("abstract", "summary"),
+    "keywords" -> Seq("keywords", "tags"),
+    "issn" -> Seq("issn"),
+    "language" -> Seq("language", "lang"),
+    "publisher" -> Seq("publisher"),
+    "url" -> Seq("url", "link", "web link"),
+    "label" -> Seq("label"),
+    "duplicate_id" -> Seq("duplicateid", "duplicate_id"))
+
+  private val StandardFields = Set("title", "authors", "journal", "journal_abbr",
+    "year", "volume", "issue", "pages", "doi", "pmid", "pmc_id", "abstract",
+    "keywords", "issn", "language", "publisher", "type", "url")
+
+  /** Quote-aware record reader (RFC-4180-ish: doubled quotes escape, quoted
+    * fields may span lines) — the csv-crate behaviors the reference relies on.
+    */
+  private[graft] def readRecords(text: String, delimiter: Char, quote: Char): Seq[Seq[String]] = {
+    val records = mutable.ArrayBuffer.empty[Seq[String]]
+    val fields = mutable.ArrayBuffer.empty[String]
+    val sb = new java.lang.StringBuilder
+    var inQuotes = false
+    var i = 0
+    val n = text.length
+    def endField(): Unit = { fields += sb.toString; sb.setLength(0) }
+    def endRecord(): Unit = {
+      endField()
+      if (!(fields.length == 1 && fields(0).isEmpty)) records += fields.toSeq
+      fields.clear()
+    }
+    while (i < n) {
+      val c = text.charAt(i)
+      if (inQuotes) {
+        if (c == quote) {
+          if (i + 1 < n && text.charAt(i + 1) == quote) { sb.append(quote); i += 1 }
+          else inQuotes = false
+        } else sb.append(c)
+      } else c match {
+        case `quote` if sb.length() == 0 => inQuotes = true
+        case `delimiter` => endField()
+        case '\r' => if (i + 1 < n && text.charAt(i + 1) == '\n') { endRecord(); i += 1 } else endRecord()
+        case '\n' => endRecord()
+        case other => sb.append(other)
+      }
+      i += 1
+    }
+    if (sb.length() > 0 || fields.nonEmpty) endRecord()
+    records.toSeq
+  }
+
+  /** Delimiter sniffing over the first 5 lines
+    * (/root/reference/src/csv/parse.rs:123-161).
+    */
+  def detectDelimiter(content: String): Char = {
+    val delimiters = Seq(',', ';', '\t', '|')
+    val sample = content.linesIterator.take(5).toSeq
+    if (sample.isEmpty) return ','
+    var best = ','
+    var bestScore = 0
+    for (d <- delimiters) {
+      var score = 0
+      var consistent = true
+      var expected = -1
+      for (line <- sample if consistent) {
+        val count = line.split(java.util.regex.Pattern.quote(d.toString), -1).length
+        if (expected < 0) expected = count
+        else if (count != expected) consistent = false
+        score += count
+      }
+      if (consistent && score > bestScore) { bestScore = score; best = d }
+    }
+    best
+  }
+
+  /** Header sniffing: keyword match, else text-vs-numeric ratio heuristic
+    * (/root/reference/src/csv/parse.rs:164-211).
+    */
+  def detectHeaders(content: String, delimiter: Char): Boolean = {
+    val lines = content.linesIterator.take(3).toSeq
+    if (lines.length < 2) return true
+    val first = lines(0).split(java.util.regex.Pattern.quote(delimiter.toString), -1)
+    val second = lines(1).split(java.util.regex.Pattern.quote(delimiter.toString), -1)
+    val keywords = Seq("title", "author", "year", "journal", "doi", "volume",
+      "issue", "page", "abstract", "keyword")
+    if (first.exists(f => {
+      val fl = f.toLowerCase(java.util.Locale.ROOT)
+      keywords.exists(fl.contains)
+    })) return true
+    def isNumeric(s: String): Boolean =
+      try { java.lang.Double.parseDouble(s); true } catch { case _: NumberFormatException => false }
+    val firstTextRatio = first.count(f => f.trim.nonEmpty && !isNumeric(f) && f.length > 3).toDouble /
+      math.max(first.length, 1)
+    val secondNumericRatio = second.count(f => f.trim.nonEmpty && (isNumeric(f) || f.length <= 3)).toDouble /
+      math.max(second.length, 1)
+    firstTextRatio > 0.5 && secondNumericRatio > 0.3
+  }
+
+  /** Assemble one CSV record (headers already mapped) into a Citation. */
+  private def assemble(headers: Seq[String], record: Seq[String],
+      config: CsvConfig): Option[Citation] = {
+    val fields = mutable.LinkedHashMap.empty[String, String]
+    val authors = mutable.ArrayBuffer.empty[CiteAuthor]
+    val keywords = mutable.ArrayBuffer.empty[String]
+    val urls = mutable.ArrayBuffer.empty[String]
+    val issn = mutable.ArrayBuffer.empty[String]
+
+    for ((rawValue, i) <- record.zipWithIndex if i < headers.length) {
+      val header = headers(i)
+      val value = if (config.trim) rawValue.trim else rawValue
+      if (value.nonEmpty) {
+        config.fieldForHeader(header) match {
+          case Some("authors") =>
+            value.split(';').map(_.trim).filter(_.nonEmpty)
+              .foreach(a => authors += CiteUtils.makeAuthor(a))
+          case Some("keywords") =>
+            keywords ++= value.split(';').map(_.trim).filter(_.nonEmpty)
+          case Some("url") => urls += value
+          case Some("issn") => issn ++= graft.kernel.TextNorm.splitIssns(value)
+          case Some(field) => fields(field) = value
+          case None => fields(header) = value
+        }
+      }
+    }
+    if (fields.isEmpty && authors.isEmpty) return None
+    val title = fields.get("title") match {
+      case Some(t) => t
+      case None => return None
+    }
+    val extraFields = fields.iterator
+      .filter { case (name, _) => !config.fieldForHeader(name).exists(StandardFields.contains) }
+      .map { case (name, v) => name -> Seq(v) }
+      .toMap
+
+    Some(Citation(
+      citation_type = fields.get("type").map(Seq(_)).getOrElse(Seq("Journal Article")),
+      title = title,
+      authors = authors.toSeq,
+      journal = fields.get("journal"),
+      journal_abbr = fields.get("journal_abbr"),
+      date = fields.get("year").flatMap(CiteUtils.parseYearOnly),
+      volume = fields.get("volume"),
+      issue = fields.get("issue"),
+      pages = fields.get("pages").map(graft.kernel.TextNorm.formatPageNumbers),
+      issn = issn.toSeq,
+      doi = fields.get("doi").flatMap(graft.kernel.TextNorm.formatDoi),
+      pmid = fields.get("pmid"),
+      pmc_id = fields.get("pmc_id"),
+      abstract_text = fields.get("abstract"),
+      keywords = keywords.toSeq,
+      urls = urls.toSeq,
+      mesh_terms = Nil,
+      language = fields.get("language"),
+      publisher = fields.get("publisher"),
+      extra_fields = extraFields))
+  }
+
+  /** Parse a CSV blob with an explicit config. */
+  def parseString(content: String, config: CsvConfig): Seq[Citation] = {
+    if (content.trim.isEmpty) return Nil
+    val records = readRecords(content, config.delimiter, config.quote)
+    if (records.isEmpty) return Nil
+    val (headers, dataRecords) =
+      if (config.hasHeader) (records.head.map(h => if (config.trim) h.trim else h), records.tail)
+      else (records.head.indices.map(i => s"Column${i + 1}").toSeq, records)
+    dataRecords.flatMap(r => assemble(headers, r, config))
+  }
+
+  /** Parse with sniffed delimiter + header presence (the auto path). */
+  def parseString(content: String): Seq[Citation] = {
+    val delimiter = detectDelimiter(content)
+    val hasHeader = detectHeaders(content, delimiter)
+    parseString(content, CsvConfig(delimiter = delimiter, hasHeader = hasHeader))
+  }
+
+  /** Distributed parse: one CSV blob per row → citations. Narrow. */
+  def parse(blobs: Dataset[String], config: CsvConfig = CsvConfig()): Dataset[Citation] = {
+    import blobs.sparkSession.implicits._
+    blobs.flatMap(b => parseString(b, config))
+  }
+}

@@ -1,0 +1,218 @@
+package graft.cite
+
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Dataset
+
+/** EndNote XML parser.
+  *
+  * Behavioral spec: /root/reference/src/endnote_xml/parse.rs:86-388 — a
+  * streaming event walk over `<record>` elements; per-element dispatch with
+  * the reference's fallback rules:
+  *  - `secondary-title`: title if no title yet, else journal
+  *  - `alt-title`: 3-way fallback title → journal → journal_abbr
+  *  - `custom2` → pmc_id only when it contains "pmc"/starts with "PMC"
+  *  - `pages` → page-range expansion; `electronic-resource-num` → DOI
+  *  - `url` → DOI fallback when it contains doi.org; always appended to urls
+  *  - `year` via attributes (year/month/day) with text-content fallback;
+  *    nested `dates/year` handled identically
+  *  - `isbn` → ISSN list via split_issns
+  *  - record valid iff it has a title or at least one author
+  *
+  * Implemented with JDK StAX (no external deps); text extraction
+  * concatenates character events until the matching end tag, so EndNote
+  * `<style>` wrappers inside field elements are flattened exactly like the
+  * reference's `extract_text`.
+  */
+object EndNoteXmlParser {
+
+  private val factory: XMLInputFactory = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.IS_COALESCING, java.lang.Boolean.TRUE)
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, java.lang.Boolean.FALSE)
+    f
+  }
+
+  /** Collect all character data until the end of the element the reader is
+    * currently inside (depth-aware, flattens nested style tags), trimmed.
+    */
+  private def extractText(r: XMLStreamReader): String = {
+    val sb = new java.lang.StringBuilder
+    var depth = 1
+    while (depth > 0 && r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT => depth += 1
+        case XMLStreamConstants.END_ELEMENT => depth -= 1
+        case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+          sb.append(r.getText)
+        case _ =>
+      }
+    }
+    sb.toString.trim
+  }
+
+  private def attr(r: XMLStreamReader, name: String): Option[String] = {
+    var i = 0
+    while (i < r.getAttributeCount) {
+      if (r.getAttributeLocalName(i) == name) return Some(r.getAttributeValue(i))
+      i += 1
+    }
+    None
+  }
+
+  private def parseIntOpt(s: String): Option[Int] =
+    try Some(Integer.parseInt(s.trim)) catch { case _: NumberFormatException => None }
+
+  /** `<year>` element: attributes first, text-content year fallback
+    * (/root/reference/src/endnote_xml/parse.rs:153-214).
+    */
+  private def extractDateFromYear(r: XMLStreamReader): (Option[Int], Option[Int], Option[Int]) = {
+    val yearAttr = attr(r, "year").flatMap(parseIntOpt)
+    val month = attr(r, "month").flatMap(parseIntOpt).filter(m => m >= 1 && m <= 12)
+    val day = attr(r, "day").flatMap(parseIntOpt).filter(d => d >= 1 && d <= 31)
+    val text = extractText(r)
+    val year = yearAttr.orElse(parseIntOpt(text))
+    (year, month, day)
+  }
+
+  private final class Builder {
+    var citationType = mutable.ArrayBuffer.empty[String]
+    var title: String = ""
+    val authors = mutable.ArrayBuffer.empty[CiteAuthor]
+    var journal: Option[String] = None
+    var journalAbbr: Option[String] = None
+    var date: Option[CiteDate] = None
+    var volume: Option[String] = None
+    var issue: Option[String] = None
+    var pages: Option[String] = None
+    val issn = mutable.ArrayBuffer.empty[String]
+    var doi: Option[String] = None
+    var pmcId: Option[String] = None
+    var abstractText: Option[String] = None
+    val keywords = mutable.ArrayBuffer.empty[String]
+    val urls = mutable.ArrayBuffer.empty[String]
+    var language: Option[String] = None
+    var publisher: Option[String] = None
+  }
+
+  private def parseRecord(r: XMLStreamReader): Option[Citation] = {
+    val b = new Builder
+    var depth = 1
+    while (depth > 0 && r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "ref-type" =>
+              attr(r, "name").foreach(b.citationType += _)
+              extractText(r) // consume to </ref-type> (keeps depth balanced)
+            case "title" =>
+              b.title = extractText(r)
+            case "author" =>
+              b.authors += CiteUtils.makeAuthor(extractText(r))
+            case "secondary-title" =>
+              val t = extractText(r)
+              if (b.title.isEmpty) b.title = t else b.journal = Some(t)
+            case "alt-title" =>
+              val t = extractText(r)
+              if (b.title.isEmpty && b.journal.isEmpty) b.title = t
+              else if (b.journal.isEmpty) b.journal = Some(t)
+              else b.journalAbbr = Some(t)
+            case "custom2" =>
+              val t = extractText(r)
+              if (t.toLowerCase(java.util.Locale.ROOT).contains("pmc") || t.startsWith("PMC"))
+                b.pmcId = Some(t)
+            case "volume" => b.volume = Some(extractText(r))
+            case "number" => b.issue = Some(extractText(r))
+            case "pages" =>
+              b.pages = Some(graft.kernel.TextNorm.formatPageNumbers(extractText(r)))
+            case "electronic-resource-num" =>
+              b.doi = graft.kernel.TextNorm.formatDoi(extractText(r))
+            case "url" =>
+              val url = extractText(r)
+              if (b.doi.isEmpty && url.contains("doi.org"))
+                b.doi = graft.kernel.TextNorm.formatDoi(url)
+              b.urls += url
+            case "year" =>
+              val (y, m, d) = extractDateFromYear(r)
+              b.date = CiteUtils.parseEndnoteDate(y, m, d)
+            case "dates" =>
+              // walk the dates element looking for a nested <year>
+              var dDepth = 1
+              while (dDepth > 0 && r.hasNext) {
+                r.next() match {
+                  case XMLStreamConstants.START_ELEMENT =>
+                    if (r.getLocalName == "year") {
+                      val (y, m, d) = extractDateFromYear(r)
+                      b.date = CiteUtils.parseEndnoteDate(y, m, d)
+                    } else dDepth += 1
+                  case XMLStreamConstants.END_ELEMENT => dDepth -= 1
+                  case _ =>
+                }
+              }
+            case "abstract" => b.abstractText = Some(extractText(r))
+            case "keyword" => b.keywords += extractText(r)
+            case "language" => b.language = Some(extractText(r))
+            case "publisher" => b.publisher = Some(extractText(r))
+            case "isbn" =>
+              b.issn ++= graft.kernel.TextNorm.splitIssns(extractText(r))
+            case _ =>
+              depth += 1 // unhandled container element — keep walking inside
+          }
+        case XMLStreamConstants.END_ELEMENT =>
+          depth -= 1
+        case _ =>
+      }
+    }
+    if (b.title.isEmpty && b.authors.isEmpty) None
+    else Some(Citation(
+      citation_type = b.citationType.toSeq,
+      title = b.title,
+      authors = b.authors.toSeq,
+      journal = b.journal,
+      journal_abbr = b.journalAbbr,
+      date = b.date,
+      volume = b.volume,
+      issue = b.issue,
+      pages = b.pages,
+      issn = b.issn.toSeq,
+      doi = b.doi,
+      pmid = None,
+      pmc_id = b.pmcId,
+      abstract_text = b.abstractText,
+      keywords = b.keywords.toSeq,
+      urls = b.urls.toSeq,
+      mesh_terms = Nil,
+      language = b.language,
+      publisher = b.publisher,
+      extra_fields = Map.empty))
+  }
+
+  /** Parse one EndNote XML blob into citations. Malformed XML → Nil
+    * (record-level errors drop records, like the other parsers).
+    */
+  def parseString(content: String): Seq[Citation] = {
+    if (content.trim.isEmpty) return Nil
+    val out = mutable.ArrayBuffer.empty[Citation]
+    val reader = factory.createXMLStreamReader(new java.io.StringReader(content))
+    try {
+      while (reader.hasNext) {
+        if (reader.next() == XMLStreamConstants.START_ELEMENT &&
+            reader.getLocalName == "record") {
+          parseRecord(reader).foreach(out += _)
+        }
+      }
+    } catch {
+      case _: javax.xml.stream.XMLStreamException => // truncated/bad XML: keep parsed prefix
+    } finally reader.close()
+    out.toSeq
+  }
+
+  /** Distributed parse: one XML blob per row → citations. Narrow. */
+  def parse(blobs: Dataset[String]): Dataset[Citation] = {
+    import blobs.sparkSession.implicits._
+    blobs.flatMap(parseString _)
+  }
+}

@@ -1,0 +1,44 @@
+package graft.cite
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Content-based citation format detection + dispatch
+  * (/root/reference/src/lib.rs:328-379).
+  */
+object FormatDetect {
+
+  /** Sniff the format of a citation blob:
+    * `<?xml`/`<xml>` → EndNote XML; `TY  -` prefix or inline → RIS;
+    * `PMID-` prefix or inline → PubMed; else unknown (the reference never
+    * auto-detects CSV).
+    */
+  def detect(content: String): String = {
+    val trimmed = content.trim
+    if (trimmed.isEmpty) CitationFormat.Unknown
+    else if (trimmed.startsWith("<?xml") || trimmed.startsWith("<xml>")) CitationFormat.EndNoteXml
+    else if (trimmed.startsWith("TY  -") || trimmed.contains("\nTY  -")) CitationFormat.Ris
+    else if (trimmed.startsWith("PMID-") || trimmed.contains("\nPMID-")) CitationFormat.PubMed
+    else CitationFormat.Unknown
+  }
+
+  /** Detect + parse one blob; unknown format → no citations. */
+  def detectAndParse(content: String): (Seq[Citation], String) =
+    detect(content) match {
+      case f @ CitationFormat.EndNoteXml => (EndNoteXmlParser.parseString(content), f)
+      case f @ CitationFormat.Ris => (RisParser.parseString(content), f)
+      case f @ CitationFormat.PubMed => (PubMedParser.parseString(content), f)
+      case f => (Nil, f)
+    }
+
+  /** Distributed detect + parse over a table of blobs: each row is sniffed
+    * independently (the `when`-chain dispatch of SURVEY.md §2.1), yielding
+    * (format, citation) rows. Narrow — no shuffle.
+    */
+  def parse(spark: SparkSession, blobs: Dataset[String]): Dataset[(String, Citation)] = {
+    import spark.implicits._
+    blobs.flatMap { blob =>
+      val (citations, format) = detectAndParse(blob)
+      citations.map(c => (format, c))
+    }
+  }
+}

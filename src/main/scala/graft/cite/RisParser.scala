@@ -1,0 +1,193 @@
+package graft.cite
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Dataset
+
+/** RIS format parser.
+  *
+  * Behavioral spec: /root/reference/src/ris/parse.rs:14-176 (line lexing,
+  * record boundaries, metadata skip) and
+  * /root/reference/src/ris/structure.rs:106-327 (record assembly: journal
+  * priority JF>T2>JO and JA>J2, title fallback TI→T1, SP/EP page join +
+  * expansion, two-pass DOI, PMID=ID, PMC=C2 filtered on "PMC", leftovers →
+  * extra_fields). Tag dictionary: /root/reference/src/ris/tags.rs:14-176.
+  *
+  * Spark shape: one raw RIS blob per input row → `flatMap(parseString)` —
+  * a narrow stage, no shuffle; record-level work is embarrassingly parallel
+  * across blobs (files), matching how a crawl of .ris files lands in a table.
+  */
+object RisParser {
+
+  private val AuthorTags = Set("AU", "A1", "A2", "A3", "A4")
+  private val JournalPriority = Map("JF" -> 1, "T2" -> 2, "JO" -> 3)
+  private val JournalAbbrPriority = Map("JA" -> 1, "J2" -> 2)
+
+  /** Raw per-record staging multimap (the RawRisData analog). */
+  private final class Raw {
+    val data = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[String]]
+    val authors = mutable.ArrayBuffer.empty[CiteAuthor]
+    val ignored = mutable.ArrayBuffer.empty[(Int, String)]
+    def add(tag: String, value: String): Unit =
+      data.getOrElseUpdate(tag, mutable.ArrayBuffer.empty) += value
+    def hasContent: Boolean = data.nonEmpty || authors.nonEmpty
+    def getFirst(tag: String): Option[String] = data.get(tag).flatMap(_.headOption)
+    def remove(tag: String): Option[Seq[String]] = data.remove(tag).map(_.toSeq)
+    def bestByPriority(prio: Map[String, Int]): Option[String] = {
+      var best: Option[String] = None
+      var bestP = Int.MaxValue
+      for ((tag, values) <- data; p <- prio.get(tag)) {
+        if (p < bestP && values.nonEmpty && values.head.trim.nonEmpty) {
+          bestP = p
+          best = Some(values.head)
+        }
+      }
+      best
+    }
+  }
+
+  private def isMetadataLine(line: String): Boolean =
+    line.startsWith("Record #") || line.startsWith("Provider:") ||
+      line.startsWith("Content:") || line.startsWith("Database:")
+
+  /** Lex one RIS line into (tag, content) — five separator variants:
+    * "XX  - ", "XX  -", "XX- ", "XX-", "XX " (/root/reference/src/ris/parse.rs:86-157).
+    * Returns None for lines that do not lex (collected as ignored).
+    */
+  private[graft] def parseRisLine(line: String): Option[(String, String)] = {
+    if (line.length < 2) return None
+    val tag = line.substring(0, 2)
+    if (!tag.forall(c => (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')))
+      return None
+    val content =
+      if (line.length >= 6 && line.substring(2, 6) == "  - ") Some(line.substring(6).trim)
+      else if (line.length >= 5 && line.substring(2, 5) == "  -") Some(line.substring(5).trim)
+      else if (line.length >= 4 && line.substring(2, 4) == "- ") Some(line.substring(4).trim)
+      else if (line.length >= 3 && line.charAt(2) == '-') Some(line.substring(3).trim)
+      else if (line.length > 2 && (line.charAt(2) == ' ' || line.charAt(2) == '-'))
+        Some(line.substring(2).trim)
+      else None
+    content.map(c => (tag, c))
+  }
+
+  /** Parse a whole RIS blob into staged records. */
+  private def risParse(text: String): Seq[Raw] = {
+    if (text.trim.isEmpty) return Nil
+    val out = mutable.ArrayBuffer.empty[Raw]
+    var current = new Raw
+    var lineNumber = 0
+    for (rawLine <- text.linesIterator) {
+      lineNumber += 1
+      val line = rawLine.trim
+      if (line.nonEmpty && !isMetadataLine(line)) {
+        parseRisLine(line) match {
+          case Some((tag, content)) =>
+            tag match {
+              case "TY" =>
+                if (current.hasContent) { out += current; current = new Raw }
+                current.add(tag, content)
+              case "ER" =>
+                if (current.hasContent) { out += current; current = new Raw }
+              case t if AuthorTags.contains(t) =>
+                current.authors += CiteUtils.makeAuthor(content)
+              case t =>
+                current.add(t, content)
+            }
+          case None =>
+            current.ignored += ((lineNumber, line))
+        }
+      }
+    }
+    if (current.hasContent) out += current
+    out.toSeq
+  }
+
+  /** Assemble a staged record into a Citation; None when the record has no
+    * usable title (the reference's per-record MissingValue error).
+    */
+  private def assemble(raw: Raw): Option[Citation] = {
+    val citationType = raw.remove("TY").getOrElse(Nil)
+    val title = raw.getFirst("TI").filter(_.trim.nonEmpty)
+      .orElse(raw.getFirst("T1").filter(_.trim.nonEmpty))
+    raw.remove("TI"); raw.remove("T1")
+    if (title.isEmpty) return None
+
+    val journal = raw.bestByPriority(JournalPriority)
+    val journalAbbr = raw.bestByPriority(JournalAbbrPriority)
+    Seq("JF", "JO", "JA", "J2", "T2").foreach(raw.remove)
+
+    val date = raw.getFirst("PY").orElse(raw.getFirst("Y1"))
+      .flatMap(CiteUtils.parseRisDate)
+    Seq("PY", "Y1", "Y2").foreach(raw.remove)
+
+    val volume = raw.remove("VL").flatMap(_.headOption)
+    val issue = raw.remove("IS").flatMap(_.headOption)
+    val startPage = raw.remove("SP").flatMap(_.headOption)
+    val endPage = raw.remove("EP").flatMap(_.headOption)
+    val pages = (startPage, endPage) match {
+      case (Some(s), Some(e)) => Some(graft.kernel.TextNorm.formatPageNumbers(s + "-" + e))
+      case (Some(s), None) => Some(graft.kernel.TextNorm.formatPageNumbers(s))
+      case (None, Some(e)) => Some(e)
+      case (None, None) => None
+    }
+
+    // two-pass DOI: DO field first, then doi.org URLs
+    var doi = raw.remove("DO").flatMap(_.headOption)
+      .flatMap(graft.kernel.TextNorm.formatDoi)
+    val urls = mutable.ArrayBuffer.empty[String]
+    for (tag <- Seq("L1", "L2", "L3", "L4", "UR", "LK"); tagUrls <- raw.remove(tag)) {
+      if (doi.isEmpty) {
+        doi = tagUrls.iterator
+          .filter(_.contains("doi.org"))
+          .flatMap(u => graft.kernel.TextNorm.formatDoi(u))
+          .nextOption()
+      }
+      urls ++= tagUrls
+    }
+
+    val pmid = raw.remove("ID").flatMap(_.headOption)
+    val pmcId = raw.remove("C2").flatMap(_.headOption).filter(_.contains("PMC"))
+    val abstractText = raw.getFirst("AB").orElse(raw.getFirst("N2"))
+    raw.remove("AB"); raw.remove("N2")
+    val keywords = raw.remove("KW").getOrElse(Nil)
+    val issn = raw.remove("SN").getOrElse(Nil)
+    val language = raw.remove("LA").flatMap(_.headOption)
+    val publisher = raw.remove("PB").flatMap(_.headOption)
+    raw.remove("ER")
+    val extraFields = raw.data.map { case (tag, vs) => tag -> vs.toSeq }.toMap
+
+    Some(Citation(
+      citation_type = citationType,
+      title = title.get,
+      authors = raw.authors.toSeq,
+      journal = journal,
+      journal_abbr = journalAbbr,
+      date = date,
+      volume = volume,
+      issue = issue,
+      pages = pages,
+      issn = issn,
+      doi = doi,
+      pmid = pmid,
+      pmc_id = pmcId,
+      abstract_text = abstractText,
+      keywords = keywords,
+      urls = urls.toSeq,
+      mesh_terms = Nil,
+      language = language,
+      publisher = publisher,
+      extra_fields = extraFields))
+  }
+
+  /** Parse one RIS blob into citations (records without a title dropped, as
+    * the reference's record-level error).
+    */
+  def parseString(content: String): Seq[Citation] =
+    risParse(content).flatMap(assemble)
+
+  /** Distributed parse: one blob per row → citations. Narrow (no shuffle). */
+  def parse(blobs: Dataset[String]): Dataset[Citation] = {
+    import blobs.sparkSession.implicits._
+    blobs.flatMap(parseString _)
+  }
+}

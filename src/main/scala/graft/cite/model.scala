@@ -1,0 +1,68 @@
+package graft.cite
+
+/** Canonical citation data model — the graft's Spark-typed re-expression of
+  * the reference record types (/root/reference/src/lib.rs:199-284).
+  *
+  * Spark mapping (SURVEY.md §1.2): every `Option[String]` is a nullable
+  * `StringType`, `Seq[String]` is `ArrayType(StringType)`, `Seq[CiteAuthor]`
+  * is an array of structs, `Option[CiteDate]` is a nullable struct (NOT a
+  *  `DateType` — partial civil dates have no day), and `extra_fields` is
+  * `MapType(StringType, ArrayType(StringType))`. Case classes give us
+  * `Dataset[Citation]` with product encoders for free.
+  */
+final case class CiteAuthor(
+    name: String,
+    given_name: Option[String],
+    middle_name: Option[String],
+    affiliations: Seq[String])
+
+/** Partial civil date: year required, month/day optional (1-12 / 1-31).
+  * Spec: /root/reference/src/lib.rs:199-207.
+  */
+final case class CiteDate(year: Int, month: Option[Int], day: Option[Int])
+
+final case class Citation(
+    citation_type: Seq[String],
+    title: String,
+    authors: Seq[CiteAuthor],
+    journal: Option[String],
+    journal_abbr: Option[String],
+    date: Option[CiteDate],
+    volume: Option[String],
+    issue: Option[String],
+    pages: Option[String],
+    issn: Seq[String],
+    doi: Option[String],
+    pmid: Option[String],
+    pmc_id: Option[String],
+    abstract_text: Option[String],
+    keywords: Seq[String],
+    urls: Seq[String],
+    mesh_terms: Seq[String],
+    language: Option[String],
+    publisher: Option[String],
+    extra_fields: Map[String, Seq[String]])
+
+object Citation {
+  /** All-empty template (the analog of `Citation::new()`). */
+  val empty: Citation = Citation(
+    citation_type = Nil, title = "", authors = Nil, journal = None,
+    journal_abbr = None, date = None, volume = None, issue = None,
+    pages = None, issn = Nil, doi = None, pmid = None, pmc_id = None,
+    abstract_text = None, keywords = Nil, urls = Nil, mesh_terms = Nil,
+    language = None, publisher = None, extra_fields = Map.empty)
+}
+
+/** Dedup output group: the retained citation plus its duplicates
+  * (/root/reference/src/lib.rs:278-284).
+  */
+final case class DuplicateGroup(unique: Citation, duplicates: Seq[Citation])
+
+/** Input format of a parsed blob (/root/reference/src/lib.rs:170-177). */
+object CitationFormat {
+  val Ris = "ris"
+  val PubMed = "pubmed"
+  val EndNoteXml = "endnote_xml"
+  val Csv = "csv"
+  val Unknown = "unknown"
+}

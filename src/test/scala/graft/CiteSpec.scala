@@ -1,0 +1,453 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cite._
+
+/** Parser parity tests — fixtures transcribed from the reference test suite
+  * (sources cited per test). Pure Scala, no SparkSession needed: the
+  * parsers' record-level logic is the same function Spark runs per row.
+  */
+class CiteSpec extends AnyFunSuite {
+
+  // ---- RIS (/root/reference/src/ris/mod.rs:83-184) ----
+
+  test("ris: simple record") {
+    val input =
+      """TY  - JOUR
+        |TI  - Test Article Title
+        |AU  - Smith, John
+        |JO  - Test Journal
+        |PY  - 2023/12/25/Christmas edition
+        |VL  - 10
+        |IS  - 2
+        |SP  - 100
+        |EP  - 110
+        |DO  - 10.1000/test
+        |AB  - This is a test abstract.
+        |KW  - Keyword1
+        |KW  - Keyword2
+        |ER  -
+        |""".stripMargin
+    val result = RisParser.parseString(input)
+    assert(result.length === 1)
+    val c = result.head
+    assert(c.citation_type.head === "JOUR")
+    assert(c.title === "Test Article Title")
+    assert(c.authors.length === 1)
+    assert(c.authors.head.name === "Smith")
+    assert(c.authors.head.given_name === Some("John"))
+    assert(c.date === Some(CiteDate(2023, Some(12), Some(25))))
+    assert(c.pages === Some("100-110"))
+    assert(c.journal === Some("Test Journal"))
+    assert(c.doi === Some("10.1000/test"))
+    assert(c.keywords === Seq("Keyword1", "Keyword2"))
+  }
+
+  test("ris: google-scholar format (T1/A1, Y1 with trailing slashes)") {
+    val input =
+      """TY  - JOUR
+        |T1  - Albendazole therapy in children
+        |A1  - Baranwal, Arun K
+        |A1  - Singhi, Pratibha D
+        |JO  - The Pediatric infectious disease journal
+        |VL  - 17
+        |IS  - 8
+        |SP  - 696
+        |EP  - 700
+        |SN  - 0891-3668
+        |Y1  - 1998///
+        |PB  - LWW
+        |ER  -
+        |
+        |TY  - JOUR
+        |T1  - High-dose praziquantel with cimetidine
+        |A1  - Yee, Thomas
+        |JO  - Western journal of medicine
+        |VL  - 170
+        |SP  - 112
+        |Y1  - 1999
+        |PB  - BMJ Publishing Group
+        |ER  -
+        |""".stripMargin
+    val citations = RisParser.parseString(input)
+    assert(citations.length === 2)
+    assert(citations(0).date.get.year === 1998)
+    assert(citations(1).date.get.year === 1999)
+    assert(citations(0).authors.length === 2)
+    assert(citations(0).issn === Seq("0891-3668"))
+    assert(citations(1).pages === Some("112"))
+  }
+
+  test("ris: DOI extracted from doi.org URL (two-pass)") {
+    val input =
+      """TY  - JOUR
+        |TI  - Test Article
+        |UR  - https://doi.org/10.1000/test
+        |L1  - https://example.com/pdf
+        |ER  -""".stripMargin
+    val result = RisParser.parseString(input)
+    assert(result.head.urls.toSet ===
+      Set("https://doi.org/10.1000/test", "https://example.com/pdf"))
+    assert(result.head.doi === Some("10.1000/test"))
+  }
+
+  test("ris: journal priority JF > T2 > JO and JA > J2") {
+    val input =
+      """TY  - JOUR
+        |TI  - T
+        |JO  - Alt Full
+        |JF  - Primary Full
+        |T2  - Secondary
+        |J2  - Abbr Alt
+        |JA  - Abbr Primary
+        |ER  -""".stripMargin
+    val c = RisParser.parseString(input).head
+    assert(c.journal === Some("Primary Full"))
+    assert(c.journal_abbr === Some("Abbr Primary"))
+  }
+
+  test("ris: line-format variants all lex") {
+    // /root/reference/src/ris/parse.rs:183-199 (rstest table)
+    assert(RisParser.parseRisLine("TY  - JOUR") === Some(("TY", "JOUR")))
+    assert(RisParser.parseRisLine("ER  -") === Some(("ER", "")))
+    assert(RisParser.parseRisLine("TY- JOUR") === Some(("TY", "JOUR")))
+    assert(RisParser.parseRisLine("TY-JOUR") === Some(("TY", "JOUR")))
+    assert(RisParser.parseRisLine("TY JOUR") === Some(("TY", "JOUR")))
+    assert(RisParser.parseRisLine("T") === None)
+    assert(RisParser.parseRisLine("##  - bad tag") === None)
+  }
+
+  test("ris: metadata lines skipped, record without title dropped") {
+    val input =
+      """Record #1 of 2
+        |Provider: Some Provider
+        |TY  - JOUR
+        |AB  - no title here
+        |ER  -""".stripMargin
+    assert(RisParser.parseString(input) === Nil)
+  }
+
+  // ---- PubMed (/root/reference/src/pubmed.rs:83-285) ----
+
+  test("pubmed: simple record") {
+    val input =
+      """PMID- 12345678
+        |TI- Test Article Title
+        |FAU- Smith, John
+        |JT- Test Journal
+        |DP- 2023 Jan 23
+        |VI- 10
+        |IP- 2
+        |PG- 100-110
+        |LID- 10.1000/test [doi]
+        |AB- This is a test abstract.
+        |MH- Keyword1
+        |MH- Keyword2
+        |""".stripMargin
+    val result = PubMedParser.parseString(input)
+    assert(result.length === 1)
+    val c = result.head
+    assert(c.pmid === Some("12345678"))
+    assert(c.title === "Test Article Title")
+    assert(c.authors.length === 1)
+    assert(c.authors.head.name === "Smith")
+    assert(c.date === Some(CiteDate(2023, Some(1), Some(23))))
+    assert(c.doi === Some("10.1000/test"))
+    assert(c.mesh_terms === Seq("Keyword1", "Keyword2"))
+  }
+
+  test("pubmed: three records split on blank lines") {
+    val input =
+      """PMID- 123
+        |TI- One
+        |
+        |PMID- 456
+        |TI- Two
+        |
+        |PMID- 789
+        |TI- Three
+        |""".stripMargin
+    val result = PubMedParser.parseString(input)
+    assert(result.map(_.title) === Seq("One", "Two", "Three"))
+    assert(result.map(_.pmid) === Seq(Some("123"), Some("456"), Some("789")))
+  }
+
+  test("pubmed: affiliation continuation attaches to author") {
+    val input =
+      """PMID- 12345678
+        |TI  - Test Article Title
+        |FAU - Smith, John
+        |AD  - Department of Science, Test University
+        |      New York, NY 10021, USA
+        |JT  - Test Journal
+        |""".stripMargin
+    val result = PubMedParser.parseString(input)
+    assert(result.head.authors.head.affiliations ===
+      Seq("Department of Science, Test University New York, NY 10021, USA"))
+  }
+
+  test("pubmed: journal JT/TA and TA-only fallback") {
+    val both = PubMedParser.parseString("PMID- 1\nTI  - T\nJT  - Journal of Testing\nTA  - J Test\n")
+    assert(both.head.journal === Some("Journal of Testing"))
+    assert(both.head.journal_abbr === Some("J Test"))
+    val taOnly = PubMedParser.parseString("PMID- 1\nTI  - T\nTA  - J Test\n")
+    assert(taOnly.head.journal === None)
+    assert(taOnly.head.journal_abbr === Some("J Test"))
+  }
+
+  test("pubmed: multiple ISSN preserved") {
+    val r = PubMedParser.parseString("PMID- 1\nTI  - T\nIS  - 1234-5678\nIS  - 8765-4321\n")
+    assert(r.head.issn === Seq("1234-5678", "8765-4321"))
+  }
+
+  test("pubmed: AU-only authors") {
+    val r = PubMedParser.parseString("PMID- 1\nTI  - T\nAU  - Smith J\nAU  - Jones B\n")
+    assert(r.head.authors.map(_.name) === Seq("Smith", "Jones"))
+    assert(r.head.authors.map(_.given_name) === Seq(Some("J"), Some("B")))
+  }
+
+  test("pubmed: FAU precedence over matching AU") {
+    val input =
+      """PMID- 12345678
+        |TI  - Test Article Title
+        |FAU - Li, Yun
+        |AU  - Li Y
+        |FAU - Zhang, Huajun
+        |AU  - Zhang H
+        |""".stripMargin
+    val r = PubMedParser.parseString(input)
+    assert(r.head.authors.length === 2)
+    assert(r.head.authors(0).name === "Li")
+    assert(r.head.authors(0).given_name === Some("Yun"))
+    assert(r.head.authors(1).name === "Zhang")
+    assert(r.head.authors(1).given_name === Some("Huajun"))
+  }
+
+  test("pubmed: CRLF line endings") {
+    val input = "PMID- 123\r\nTI- Windows\r\nFAU- Gates, Bill\r\nFAU- Cutler, Dave"
+    val r = PubMedParser.parseString(input)
+    assert(r.head.pmid === Some("123"))
+    assert(r.head.title === "Windows")
+    assert(r.head.authors.map(_.name) === Seq("Gates", "Cutler"))
+    assert(r.head.authors.map(_.given_name) === Seq(Some("Bill"), Some("Dave")))
+  }
+
+  test("pubmed: continuation lines joined (space-aware)") {
+    val input =
+      """PMID- 31181385
+        |DP  - 2019 Dec
+        |TI  - Fantastic yeasts and where to find them: the hidden diversity of dimorphic fungal
+        |      pathogens.
+        |AB  - This is a long abstract that spans
+        |      multiple lines for testing purposes.
+        |FAU - Van Dyke, Marley C Caballero
+        |AU  - Van Dyke MCC
+        |""".stripMargin
+    val r = PubMedParser.parseString(input)
+    assert(r.length === 1)
+    assert(r.head.title ===
+      "Fantastic yeasts and where to find them: the hidden diversity of dimorphic fungal pathogens.")
+    assert(r.head.abstract_text ===
+      Some("This is a long abstract that spans multiple lines for testing purposes."))
+    assert(r.head.authors.length === 1) // AU equals previous FAU → merged
+  }
+
+  test("pubmed: empty / whitespace-only input") {
+    assert(PubMedParser.parseString("") === Nil)
+    assert(PubMedParser.parseString("   \n  \t  ") === Nil)
+  }
+
+  // ---- EndNote XML (/root/reference/src/endnote_xml/mod.rs:112-498) ----
+
+  test("endnote: complete two-record file") {
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<xml><records>
+        |  <record>
+        |    <ref-type name="Journal Article">17</ref-type>
+        |    <contributors><authors>
+        |      <author>Smith, John A.</author>
+        |      <author>Doe, Jane B.</author>
+        |      <author>Brown, Robert C.</author>
+        |    </authors></contributors>
+        |    <titles>
+        |      <title>Advanced Methods in Computational Biology</title>
+        |      <secondary-title>Journal of Computational Science</secondary-title>
+        |      <alt-title>J Comput Sci</alt-title>
+        |    </titles>
+        |    <volume>25</volume>
+        |    <number>4</number>
+        |    <pages>123-145</pages>
+        |    <year>2023</year>
+        |    <electronic-resource-num>10.1016/j.jocs.2023.123456</electronic-resource-num>
+        |    <url>https://www.sciencedirect.com/science/article/example</url>
+        |    <abstract>This paper presents novel computational methods.</abstract>
+        |    <keywords>
+        |      <keyword>computational biology</keyword>
+        |      <keyword>algorithms</keyword>
+        |    </keywords>
+        |    <language>English</language>
+        |    <publisher>Elsevier</publisher>
+        |    <isbn>1877-7503</isbn>
+        |    <custom2>PMC9876543</custom2>
+        |  </record>
+        |  <record>
+        |    <contributors><authors><author>Wilson, Emily</author></authors></contributors>
+        |    <titles>
+        |      <title>Machine Learning Applications in Healthcare</title>
+        |      <secondary-title>Nature Medicine</secondary-title>
+        |    </titles>
+        |    <volume>29</volume>
+        |    <pages>78-92</pages>
+        |    <year>2023</year>
+        |    <electronic-resource-num>10.1038/s41591-023-02234-x</electronic-resource-num>
+        |  </record>
+        |</records></xml>""".stripMargin
+    val cs = EndNoteXmlParser.parseString(xml)
+    assert(cs.length === 2)
+    val c1 = cs(0)
+    assert(c1.title === "Advanced Methods in Computational Biology")
+    assert(c1.journal === Some("Journal of Computational Science"))
+    assert(c1.journal_abbr === Some("J Comput Sci"))
+    assert(c1.authors.length === 3)
+    assert(c1.authors.head.name === "Smith")
+    assert(c1.authors.head.given_name === Some("John"))
+    assert(c1.authors.head.middle_name === Some("A."))
+    assert(c1.volume === Some("25"))
+    assert(c1.issue === Some("4"))
+    assert(c1.pages === Some("123-145"))
+    assert(c1.date.get.year === 2023)
+    assert(c1.doi.exists(_.contains("10.1016")))
+    assert(c1.urls === Seq("https://www.sciencedirect.com/science/article/example"))
+    assert(c1.keywords === Seq("computational biology", "algorithms"))
+    assert(c1.language === Some("English"))
+    assert(c1.publisher === Some("Elsevier"))
+    assert(c1.issn === Seq("1877-7503"))
+    assert(c1.pmc_id === Some("PMC9876543"))
+    val c2 = cs(1)
+    assert(c2.journal === Some("Nature Medicine"))
+    assert(c2.doi.exists(_.contains("10.1038")))
+  }
+
+  test("endnote: title fallbacks (alt-title / secondary-title)") {
+    val altOnly =
+      "<xml><records><record><titles><alt-title>Only Alt Title</alt-title></titles></record></records></xml>"
+    assert(EndNoteXmlParser.parseString(altOnly).head.title === "Only Alt Title")
+    val secAlt =
+      """<xml><records><record><titles>
+        |<secondary-title>Secondary as Title</secondary-title>
+        |<alt-title>Alt as Journal</alt-title>
+        |</titles></record></records></xml>""".stripMargin
+    val c = EndNoteXmlParser.parseString(secAlt).head
+    assert(c.title === "Secondary as Title")
+    assert(c.journal === Some("Alt as Journal"))
+  }
+
+  test("endnote: record without title or author dropped; dates/year nesting") {
+    val noTitle = "<xml><records><record><volume>1</volume></record></records></xml>"
+    assert(EndNoteXmlParser.parseString(noTitle) === Nil)
+    val nested =
+      """<xml><records><record>
+        |<titles><title>T</title></titles>
+        |<dates><year>1999</year></dates>
+        |</record></records></xml>""".stripMargin
+    assert(EndNoteXmlParser.parseString(nested).head.date === Some(CiteDate(1999, None, None)))
+    val attrs =
+      """<xml><records><record>
+        |<titles><title>T</title></titles>
+        |<year year="2001" month="6" day="15"></year>
+        |</record></records></xml>""".stripMargin
+    assert(EndNoteXmlParser.parseString(attrs).head.date === Some(CiteDate(2001, Some(6), Some(15))))
+  }
+
+  // ---- CSV (/root/reference/src/csv/mod.rs:210-438, csv/parse.rs:294-312) ----
+
+  test("csv: basic parse with default alias mapping") {
+    val input =
+      """Title,Authors,Journal,Year,Volume,Issue,Pages,DOI
+        |Test Article,"Smith, J.; Doe, J.",Test Journal,2023,10,2,100-110,10.1000/test
+        |""".stripMargin
+    val cs = CsvParser.parseString(input, CsvParser.CsvConfig())
+    assert(cs.length === 1)
+    val c = cs.head
+    assert(c.title === "Test Article")
+    assert(c.authors.length === 2)
+    assert(c.authors.head.name === "Smith")
+    assert(c.journal === Some("Test Journal"))
+    assert(c.date === Some(CiteDate(2023, None, None)))
+    assert(c.volume === Some("10"))
+    assert(c.pages === Some("100-110"))
+    assert(c.doi === Some("10.1000/test"))
+    assert(c.citation_type === Seq("Journal Article"))
+  }
+
+  test("csv: delimiter sniffing") {
+    assert(CsvParser.detectDelimiter("a,b,c\n1,2,3") === ',')
+    assert(CsvParser.detectDelimiter("a;b;c\n1;2;3") === ';')
+    assert(CsvParser.detectDelimiter("a\tb\tc\n1\t2\t3") === '\t')
+    assert(CsvParser.detectDelimiter("a|b|c\n1|2|3") === '|')
+    assert(CsvParser.detectDelimiter("") === ',')
+  }
+
+  test("csv: header sniffing") {
+    assert(CsvParser.detectHeaders("title,author,year\nFoo,Bar,2020", ','))
+    assert(!CsvParser.detectHeaders("Foo Article Name,Bar,2020\nBaz Thing,Qux,2021", ','))
+    assert(CsvParser.detectHeaders("only one line", ','))
+  }
+
+  test("csv: quoted fields, escaped quotes, multi-line values") {
+    val input = "title,abstract\n\"A, with comma\",\"line1\nline2 \"\"quoted\"\"\"\n"
+    val cs = CsvParser.parseString(input, CsvParser.CsvConfig())
+    assert(cs.head.title === "A, with comma")
+    assert(cs.head.abstract_text === Some("line1\nline2 \"quoted\""))
+  }
+
+  test("csv: headerless input gets ColumnN names → extra_fields, no title → dropped") {
+    val cs = CsvParser.parseString("1,2,3\n4,5,6",
+      CsvParser.CsvConfig(hasHeader = false))
+    assert(cs === Nil) // no title column ⇒ records dropped
+  }
+
+  test("csv: unmapped columns land in extra_fields") {
+    val cs = CsvParser.parseString("title,weird_col\nT,weird value\n", CsvParser.CsvConfig())
+    assert(cs.head.extra_fields === Map("weird_col" -> Seq("weird value")))
+  }
+
+  // ---- format detection (/root/reference/src/lib.rs:328-379,381-450) ----
+
+  test("format detection") {
+    assert(FormatDetect.detect("<?xml version=\"1.0\"?><xml/>") === CitationFormat.EndNoteXml)
+    assert(FormatDetect.detect("TY  - JOUR\nER  -") === CitationFormat.Ris)
+    assert(FormatDetect.detect("some header\nTY  - JOUR") === CitationFormat.Ris)
+    assert(FormatDetect.detect("PMID- 123\nTI- x") === CitationFormat.PubMed)
+    assert(FormatDetect.detect("random text") === CitationFormat.Unknown)
+    assert(FormatDetect.detect("") === CitationFormat.Unknown)
+  }
+
+  // ---- date/author utils (/root/reference/src/utils.rs:145-339) ----
+
+  test("author name parsing") {
+    assert(CiteUtils.parseAuthorName("Smith, John") === (("Smith", "John")))
+    assert(CiteUtils.parseAuthorName("Smith John") === (("Smith", "John")))
+    assert(CiteUtils.parseAuthorName("Smith") === (("Smith", "")))
+    assert(CiteUtils.parseAuthorName("Smith, John Q Public") === (("Smith", "John Q Public")))
+    assert(CiteUtils.splitGivenAndMiddle("John Q Public") === ((Some("John"), Some("Q Public"))))
+    assert(CiteUtils.splitGivenAndMiddle("John") === ((Some("John"), None)))
+    assert(CiteUtils.splitGivenAndMiddle("") === ((None, None)))
+  }
+
+  test("date parsing tables") {
+    assert(CiteUtils.parsePubmedDate("2020 Jun 9") === Some(CiteDate(2020, Some(6), Some(9))))
+    assert(CiteUtils.parsePubmedDate("2023") === Some(CiteDate(2023, None, None)))
+    assert(CiteUtils.parsePubmedDate("not-a-year") === None)
+    assert(CiteUtils.parseRisDate("1999/12/25/Christmas edition") ===
+      Some(CiteDate(1999, Some(12), Some(25))))
+    assert(CiteUtils.parseRisDate("2023//") === Some(CiteDate(2023, None, None)))
+    assert(CiteUtils.parseRisDate("abcd") === None)
+    assert(CiteUtils.parseYearOnly("2023/") === Some(CiteDate(2023, None, None)))
+    assert(CiteUtils.parseYearOnly("") === None)
+    assert(CiteUtils.newlineDelimiterOf("a\r\nb") === "\r\n")
+    assert(CiteUtils.newlineDelimiterOf("a\nb") === "\n")
+  }
+}

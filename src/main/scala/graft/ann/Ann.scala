@@ -1,0 +1,121 @@
+package graft.ann
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{cosine_sim, rhp_signature}
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (graft-added training-data op).
+  *
+  * Three tiers, same result schema `(query_id, id, cos, rank)`:
+  *  - [[bruteForceTopK]] — exact baseline: broadcast the (small) query set
+  *    against the corpus; one narrow pass over the corpus + a top-k shuffle
+  *    on query_id. Cost O(|Q|·|C|) — the correctness oracle.
+  *  - [[rhpTopK]] — sign-LSH (random hyperplane, Charikar 2002) banding:
+  *    corpus bucketed once by signature bands; only colliding buckets are
+  *    scanned, then exact rerank. The 100-TB path: candidate generation is
+  *    an equi-join on (band, key), identical shuffle shape to the MinHash
+  *    dedup pipeline, so hot-bucket salting applies unchanged.
+  *  - [[ivfTopK]] — IVF: corpus partitioned into `nlist` cells by nearest
+  *    deterministic centroid; queries probe `nprobe` cells. Equi-join on
+  *    cell id; recall/cost dial = nprobe/nlist.
+  */
+object Ann {
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * `corpus`: (id, vec); `queries`: (query_id, qvec). Self-matches
+    * (id === query_id) excluded when `excludeSelf`.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(if (excludeSelf) col("id") =!= col("query_id") else lit(true))
+      .withColumn("cos", round(cosine_sim(col("vec"), col("qvec")), 6))
+    topK(scored, k)
+  }
+
+  /** Sign-LSH candidate generation + exact rerank. Signature = `bands`
+    * bands of `rowsPerBand` bits from a single ≤64-bit RHP signature; two
+    * vectors are candidates when any band matches. `seed` pins the planes.
+    */
+  def rhpTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      bands: Int = 8, rowsPerBand: Int = 4, seed: Long = 42L,
+      excludeSelf: Boolean = true): DataFrame = {
+    val bits = bands * rowsPerBand
+    require(bits <= 64, "bands*rowsPerBand must be <= 64")
+    def banded(df: DataFrame, vecCol: String, keep: Seq[String]): DataFrame = {
+      val sig = df.withColumn("sig", rhp_signature(col(vecCol), bits, seed))
+      val bandCols = (0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * rowsPerBand)
+            .bitwiseAND(lit((1L << rowsPerBand) - 1)).as("key")))
+      sig.select(keep.map(col) :+ explode(array(bandCols: _*)).as("bk"): _*)
+        .select(keep.map(col) :+ col("bk.band") :+ col("bk.key"): _*)
+    }
+    val corpusBands = banded(corpus, "vec", Seq("id"))
+    val queryBands = banded(queries, "qvec", Seq("query_id"))
+    val candidates = corpusBands.join(queryBands, Seq("band", "key"))
+      .select("id", "query_id").distinct()
+      .filter(if (excludeSelf) col("id") =!= col("query_id") else lit(true))
+    val scored = candidates
+      .join(corpus, "id")
+      .join(broadcast(queries), "query_id")
+      .withColumn("cos", round(cosine_sim(col("vec"), col("qvec")), 6))
+    topK(scored, k)
+  }
+
+  /** IVF: `nlist` deterministic centroids (an id-stratified sample of the
+    * corpus — kmeans init without the iterations; cells stay balanced on
+    * near-uniform data), assignment by max cosine, queries probe the
+    * `nprobe` nearest cells.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
+    // deterministic pseudo-random sample: nlist rows by hashed id — no
+    // count() pass, stable across runs and parallelism
+    val centroids = broadcast(
+      corpus.orderBy(xxhash64(col("id")))
+        .limit(nlist)
+        .select(col("id").as("cell"), col("vec").as("cvec")))
+
+    def assign(df: DataFrame, vecCol: String, keyCol: String, probes: Int): DataFrame = {
+      val w = Window.partitionBy(keyCol).orderBy(col("ccos").desc, col("cell"))
+      df.crossJoin(centroids)
+        .withColumn("ccos", cosine_sim(col(vecCol), col("cvec")))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= probes)
+        .drop("ccos", "crn", "cvec")
+    }
+    val corpusCells = assign(corpus, "vec", "id", 1)
+    val queryCells = assign(queries, "qvec", "query_id", nprobe)
+    val scored = corpusCells.join(queryCells, "cell")
+      .filter(if (excludeSelf) col("id") =!= col("query_id") else lit(true))
+      .withColumn("cos", round(cosine_sim(col("vec"), col("qvec")), 6))
+      .select("query_id", "id", "cos").distinct()
+    topK(scored, k)
+  }
+
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "id", "cos", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all (a < b) pairs with cosine ≥
+    * `threshold`. Exact variant (self-join) for oracle scale; the LSH path
+    * reuses [[rhpTopK]] banding for candidates at corpus scale.
+    */
+  def nearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    val a = corpus.select(col("id").as("a"), col("vec").as("va"))
+    val b = corpus.select(col("id").as("b"), col("vec").as("vb"))
+    a.crossJoin(b).filter(col("a") < col("b"))
+      .withColumn("cos", round(cosine_sim(col("va"), col("vb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("a", "b", "cos")
+  }
+}

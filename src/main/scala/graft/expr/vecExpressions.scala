@@ -1,0 +1,96 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+import graft.kernel.{Fingerprint, VecMath}
+
+/** Catalyst expressions for embedding similarity + document fingerprinting
+  * (graft-added training-data ops; SURVEY.md §2.6 extension scope).
+  */
+
+private[expr] object VecConv {
+  /** ArrayData of FloatType/DoubleType → Array[Float]. */
+  def toFloats(ad: ArrayData, elem: DataType): Array[Float] = elem match {
+    case FloatType => ad.toFloatArray()
+    case DoubleType =>
+      val ds = ad.toDoubleArray()
+      val out = new Array[Float](ds.length)
+      var i = 0
+      while (i < ds.length) { out(i) = ds(i).toFloat; i += 1 }
+      out
+    case other => throw new IllegalArgumentException(s"unsupported vector element type: $other")
+  }
+
+  def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+}
+
+/** Cosine similarity of two float vectors (0.0 on zero norm). */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with SimpleCodegen {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    VecMath.cosine(
+      VecConv.toFloats(l.asInstanceOf[ArrayData], VecConv.elemType(left)),
+      VecConv.toFloats(r.asInstanceOf[ArrayData], VecConv.elemType(right)))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+/** Dot product of two float vectors. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with SimpleCodegen {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    VecMath.dot(
+      VecConv.toFloats(l.asInstanceOf[ArrayData], VecConv.elemType(left)),
+      VecConv.toFloats(r.asInstanceOf[ArrayData], VecConv.elemType(right)))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
+/** L2 norm of a float vector. */
+case class VecNorm(child: Expression) extends UnaryExpression with SimpleCodegen {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any =
+    VecMath.norm(VecConv.toFloats(input.asInstanceOf[ArrayData], VecConv.elemType(child)))
+  override protected def withNewChildInternal(c: Expression): VecNorm = copy(child = c)
+}
+
+/** Sign-LSH (random hyperplane) signature of a float vector: `bits` ≤ 64
+  * deterministic hyperplanes drawn from `seed` (Charikar 2002).
+  */
+case class RhpSignature(child: Expression, bits: Int, seed: Long)
+    extends UnaryExpression with SimpleCodegen {
+  require(bits >= 1 && bits <= 64, "bits must be in [1, 64]")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    VecMath.rhpSignature(
+      VecConv.toFloats(input.asInstanceOf[ArrayData], VecConv.elemType(child)), bits, seed)
+  override protected def withNewChildInternal(c: Expression): RhpSignature = copy(child = c)
+}
+
+/** Winnowing fingerprint set of a string (SIGMOD 2003): sorted distinct
+  * window-minimum rolling k-gram hashes.
+  */
+case class FingerprintSet(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with SimpleCodegen {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    new GenericArrayData(
+      Fingerprint.winnow(Fingerprint.rollingHashes(s, k), w).map(java.lang.Long.valueOf).toArray[Any])
+  }
+  override protected def withNewChildInternal(c: Expression): FingerprintSet = copy(child = c)
+}
+
+/** 64-bit winnowing digest of a string. */
+case class Fingerprint64(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with SimpleCodegen {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    Fingerprint.digest(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString, k, w)
+  override protected def withNewChildInternal(c: Expression): Fingerprint64 = copy(child = c)
+}

@@ -53,6 +53,17 @@ object functions {
   def minhash_jaccard(l: Column, r: Column): Column = col(MinHashJaccard(ex(l), ex(r)))
   def hamming64(l: Column, r: Column): Column = col(HammingDist64(ex(l), ex(r)))
 
+  // ---- embedding similarity + fingerprinting ----
+  def cosine_sim(l: Column, r: Column): Column = col(CosineSim(ex(l), ex(r)))
+  def dot_product(l: Column, r: Column): Column = col(DotProduct(ex(l), ex(r)))
+  def vec_norm(c: Column): Column = col(VecNorm(ex(c)))
+  def rhp_signature(c: Column, bits: Int, seed: Long = Shingling.DefaultSeed): Column =
+    col(RhpSignature(ex(c), bits, seed))
+  def fingerprint_set(c: Column, k: Int = 8, w: Int = 4): Column =
+    col(FingerprintSet(ex(c), k, w))
+  def fingerprint64(c: Column, k: Int = 8, w: Int = 4): Column =
+    col(Fingerprint64(ex(c), k, w))
+
   /** Register every kernel function for SQL use (graft_* names). */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -92,5 +103,15 @@ object functions {
     one("graft_jaccard_sorted", es => JaccardSorted(es(0), es(1)))
     one("graft_minhash_jaccard", es => MinHashJaccard(es(0), es(1)))
     one("graft_hamming64", es => HammingDist64(es(0), es(1)))
+    one("graft_cosine_sim", es => CosineSim(es(0), es(1)))
+    one("graft_dot_product", es => DotProduct(es(0), es(1)))
+    one("graft_vec_norm", es => VecNorm(es.head))
+    one("graft_rhp_signature", es =>
+      RhpSignature(es(0), intLit(es(1)),
+        if (es.length > 2) longLit(es(2)) else Shingling.DefaultSeed))
+    one("graft_fingerprint64", es =>
+      Fingerprint64(es(0),
+        if (es.length > 1) intLit(es(1)) else 8,
+        if (es.length > 2) intLit(es(2)) else 4))
   }
 }

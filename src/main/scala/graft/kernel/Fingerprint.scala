@@ -1,0 +1,80 @@
+package graft.kernel
+
+/** Document fingerprinting via winnowing over a rolling polynomial hash
+  * (Schleimer/Wilkerson/Aiken, "Winnowing: Local Algorithms for Document
+  * Fingerprinting", SIGMOD 2003). Graft-added training-data op.
+  */
+object Fingerprint {
+
+  final val Base = 1000003L
+
+  /** Rolling k-gram hashes over the code points of `s` (polynomial rolling
+    * hash, base 1000003, 64-bit wraparound). |s| < k → single whole-string
+    * hash; empty → empty.
+    */
+  def rollingHashes(s: String, k: Int): Array[Long] = {
+    if (s == null || s.isEmpty) return Array.emptyLongArray
+    val cps = s.codePoints().toArray
+    if (cps.length <= k) {
+      var h = 0L
+      var i = 0
+      while (i < cps.length) { h = h * Base + cps(i); i += 1 }
+      return Array(h)
+    }
+    val n = cps.length - k + 1
+    val out = new Array[Long](n)
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= Base; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * Base + cps(i); i += 1 }
+    out(0) = h
+    i = 1
+    while (i < n) {
+      h = (h - cps(i - 1) * pow) * Base + cps(i + k - 1)
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+
+  /** Winnowing: the minimum hash of each sliding window of `w` consecutive
+    * k-gram hashes, deduplicated-by-position per the paper (rightmost min),
+    * returned sorted distinct — a compact, position-robust fingerprint set.
+    */
+  def winnow(hashes: Array[Long], w: Int): Array[Long] = {
+    if (hashes.isEmpty) return Array.emptyLongArray
+    if (hashes.length <= w) return Array(hashes.min)
+    val picked = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    val nWindows = hashes.length - w + 1
+    while (i < nWindows) {
+      var minIdx = i
+      var j = i + 1
+      while (j < i + w) {
+        if (hashes(j) <= hashes(minIdx)) minIdx = j // rightmost minimum
+        j += 1
+      }
+      picked.add(hashes(minIdx))
+      i += 1
+    }
+    val out = new Array[Long](picked.size)
+    val it = picked.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = it.next(); p += 1 }
+    out
+  }
+
+  /** One 64-bit digest of the winnowed fingerprint set (order-independent
+    * XOR of per-element mixes) — a compact doc identity robust to small,
+    * local edits.
+    */
+  def digest(s: String, k: Int = 8, w: Int = 4): Long = {
+    val picked = winnow(rollingHashes(s, k), w)
+    var acc = 0L
+    var i = 0
+    while (i < picked.length) { acc ^= Shingling.splitmix64(picked(i)); i += 1 }
+    acc
+  }
+}

@@ -1,0 +1,57 @@
+package graft.kernel
+
+/** Float-vector math for the embedding similarity operators (graft-added
+  * training-data ops; no reference analog — cited to BASELINE.json north_rule
+  * scope "operations a large-scale training-data pipeline would need").
+  */
+object VecMath {
+
+  def dot(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  def norm(a: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i).toDouble * a(i).toDouble; i += 1 }
+    math.sqrt(s)
+  }
+
+  /** Cosine similarity; 0.0 when either vector has zero norm. */
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    val na = norm(a)
+    val nb = norm(b)
+    if (na == 0.0 || nb == 0.0) 0.0 else dot(a, b) / (na * nb)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for plane `p`,
+    * dimension `d` — uniform in [-1, 1) from SplitMix64 (seeded, JVM- and
+    * executor-stable). Good enough for sign-LSH (Charikar 2002 uses
+    * gaussians; any symmetric distribution preserves the angle property).
+    */
+  def planeComponent(seed: Long, p: Int, d: Int): Double = {
+    val h = Shingling.splitmix64(seed ^ (p.toLong << 32) ^ d.toLong)
+    (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+  }
+
+  /** Random-hyperplane (sign) LSH signature: bit i = [dot(v, plane_i) >= 0].
+    * `bits` ≤ 64. Collision prob between two vectors at angle θ per bit is
+    * 1 - θ/π (Charikar 2002), so bucket-equal prefixes are ANN candidates.
+    */
+  def rhpSignature(v: Array[Float], bits: Int, seed: Long): Long = {
+    var sig = 0L
+    var p = 0
+    while (p < bits) {
+      var s = 0.0
+      var d = 0
+      while (d < v.length) { s += v(d).toDouble * planeComponent(seed, p, d); d += 1 }
+      if (s >= 0.0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+}

@@ -1,0 +1,148 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing for training-data
+  * pipelines: opaque `binary` payloads + typed metadata, with decode /
+  * feature-extract / resize / frame-sample stages.
+  *
+  * The Spark-side shape is the real deliverable here: schema, batched
+  * per-partition processing (the Scala analog of `mapInPandas` — one
+  * iterator pass per partition, amortizing decoder setup), deterministic
+  * partitioning, and typed feature output. The codec step itself is a STUB
+  * (no image/audio libraries exist in this container): [[StubDecoder]]
+  * derives deterministic fake samples from the payload bytes. Swapping in a
+  * real decoder is a one-class change behind [[MediaDecoder]].
+  */
+object Multimodal {
+
+  /** Typed metadata carried alongside the opaque payload. */
+  final case class MediaMeta(
+      kind: String, // "image" | "audio" | "video"
+      width: Int,
+      height: Int,
+      durationMs: Long,
+      sampleRate: Int,
+      codec: String)
+
+  final case class MediaAsset(asset_id: Long, payload: Array[Byte], meta: MediaMeta)
+
+  final case class MediaFeatures(
+      asset_id: Long,
+      kind: String,
+      n_bytes: Int,
+      feature: Array[Float])
+
+  /** Decoder contract: payload bytes → raw samples. Real implementations
+    * wrap an image/audio codec; per-partition construction amortizes
+    * native-lib setup exactly like a Pandas-UDF batch would.
+    */
+  trait MediaDecoder extends Serializable {
+    def decode(payload: Array[Byte], meta: MediaMeta): Array[Float]
+  }
+
+  /** STUB decoder — deterministic fake "samples" from payload bytes.
+    * Placeholder for a real codec (none available in this container); the
+    * output is a pure, seedless function of the payload so tests and
+    * parallelism levels agree byte-for-byte.
+    */
+  object StubDecoder extends MediaDecoder {
+    override def decode(payload: Array[Byte], meta: MediaMeta): Array[Float] = {
+      val n = math.min(payload.length, 4096)
+      val out = new Array[Float](n)
+      var i = 0
+      while (i < n) {
+        out(i) = ((payload(i) & 0xff) - 128) / 128.0f
+        i += 1
+      }
+      out
+    }
+  }
+
+  final val FeatureDim = 16
+
+  /** Feature extraction over decoded samples: a 16-bin histogram,
+    * L1-normalized — a stand-in embedding with the real batch plumbing.
+    */
+  def extractFeature(samples: Array[Float]): Array[Float] = {
+    val hist = new Array[Float](FeatureDim)
+    if (samples.isEmpty) return hist
+    var i = 0
+    while (i < samples.length) {
+      val bin = math.min(FeatureDim - 1,
+        ((samples(i) + 1.0f) / 2.0f * FeatureDim).toInt.max(0))
+      hist(bin) += 1.0f
+      i += 1
+    }
+    i = 0
+    while (i < FeatureDim) { hist(i) /= samples.length; i += 1 }
+    hist
+  }
+
+  /** Decode + featurize a partitioned asset table. Batched per partition
+    * (decoder constructed once per partition, not per row) — the Scala
+    * equivalent of `mapInPandas` batch shape. Narrow: no shuffle.
+    */
+  def decodeFeatures(assets: Dataset[MediaAsset],
+      decoder: MediaDecoder = StubDecoder): Dataset[MediaFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      // per-partition decoder setup would go here (native lib init, etc.)
+      val d = decoder
+      it.map { a =>
+        val samples = d.decode(a.payload, a.meta)
+        MediaFeatures(a.asset_id, a.meta.kind, a.payload.length,
+          extractFeature(samples))
+      }
+    }
+  }
+
+  /** Resize stage (STUB semantics, real plumbing): nearest-neighbor
+    * downsample of decoded samples to `targetLen` — for images this is the
+    * resize hook; the index arithmetic is the real part.
+    */
+  def resample(samples: Array[Float], targetLen: Int): Array[Float] = {
+    if (samples.isEmpty || targetLen <= 0) return Array.emptyFloatArray
+    val out = new Array[Float](targetLen)
+    var i = 0
+    while (i < targetLen) {
+      out(i) = samples((i.toLong * samples.length / targetLen).toInt)
+      i += 1
+    }
+    out
+  }
+
+  /** Frame sampling for video-kind assets: split the decoded stream into
+    * `frameLen`-sized frames and keep every `stride`-th frame. Emits
+    * (asset_id, frame_idx, frame) rows — the explode-shaped stage a video
+    * pipeline needs before per-frame featurization.
+    */
+  def sampleFrames(assets: Dataset[MediaAsset], frameLen: Int, stride: Int,
+      decoder: MediaDecoder = StubDecoder): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.flatMap { a =>
+      val samples = decoder.decode(a.payload, a.meta)
+      val nFrames = samples.length / frameLen
+      (0 until nFrames by stride).map { f =>
+        (a.asset_id, f, samples.slice(f * frameLen, (f + 1) * frameLen))
+      }
+    }.toDF("asset_id", "frame_idx", "frame")
+  }
+
+  /** Deterministic synthetic asset table derived from a text corpus (no
+    * media files in the sandbox): payload = UTF-8 bytes, kind assigned
+    * round-robin. Used by tests and SparkEntry queries.
+    */
+  def syntheticAssets(spark: SparkSession, docs: DataFrame): Dataset[MediaAsset] = {
+    import spark.implicits._
+    val kinds = Array("image", "audio", "video")
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val kind = kinds((id % 3).toInt)
+      MediaAsset(id, payload,
+        MediaMeta(kind, width = 64, height = 64, durationMs = payload.length.toLong,
+          sampleRate = 16000, codec = "stub"))
+    }
+  }
+}

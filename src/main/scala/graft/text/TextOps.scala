@@ -1,0 +1,106 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language ID, quality
+  * scoring, token counting (graft-added ops per the builder brief; no
+  * reference analog).
+  *
+  * Everything here is composed from built-in, codegen'd Spark functions (no
+  * UDFs), and each op has an exactly-equivalent ANSI/DuckDB SQL form emitted
+  * by the `*Sql` methods — the DuckDB oracle runs the SAME formula, so the
+  * driver's hash compare pins Spark behavior to an independent engine.
+  */
+object TextOps {
+
+  /** Tiny per-language stopword lists for the n-gram/stopword-hit language
+    * heuristic. Deliberately small + deterministic: language ID at corpus
+    * scale is a narrow per-row op; precision comes from the margin between
+    * languages, not list size.
+    */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "was", "for"),
+    "de" -> Seq("der", "die", "das", "und", "nicht", "mit", "ist", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "est", "une", "dans"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una", "por", "con"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我"))
+
+  private def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** Distinct stopword hits for one language. */
+  def stopwordHits(text: Column, lang: String): Column = {
+    val words = Stopwords.toMap.apply(lang)
+    size(array_intersect(tokens(text), array(words.map(lit): _*)))
+  }
+
+  /** Language ID: argmax of stopword hits with first-listed-language
+    * tie-break; no hits at all → "und".
+    */
+  def langId(text: Column): Column = {
+    val scores = Stopwords.map { case (lang, _) => lang -> stopwordHits(text, lang) }
+    val best = greatest(scores.map(_._2): _*)
+    val pick = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best, lit(lang)).otherwise(acc)
+    }
+    when(best === 0, lit("und")).otherwise(pick)
+  }
+
+  /** DuckDB SQL replica of [[langId]] over a column named `c`. */
+  def langIdSql(c: String): String = {
+    def hits(lang: String): String = {
+      val words = Stopwords.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
+      s"len(list_intersect(string_split(lower($c), ' '), [$words]))"
+    }
+    val names = Stopwords.map(_._1)
+    val bestExpr = s"greatest(${names.map(hits).mkString(", ")})"
+    val cases = names.map(l => s"WHEN ${hits(l)} = $bestExpr THEN '${l}'").mkString(" ")
+    s"(CASE WHEN $bestExpr = 0 THEN 'und' $cases ELSE 'und' END)"
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def tokenCountSql(c: String): String =
+    s"len(string_split(lower($c), ' '))"
+
+  /** BPE-ish subword count: runs of letters, runs of digits, and individual
+    * other non-space characters (the shape of a byte-pair-encoded stream's
+    * pre-tokenization).
+    */
+  val BpeTokenPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(BpeTokenPattern), lit(0)))
+
+  def bpeTokenCountSql(c: String): String =
+    s"len(regexp_extract_all(lower($c), '$BpeTokenPattern'))"
+
+  /** Quality score in [0,1]: weighted blend of
+    *  - alpha ratio (letters+spaces over all chars; boilerplate/markup ↓)
+    *  - stopword ratio capped at 0.5 then rescaled (natural language ↑)
+    *  - length score: min(1, tokens/64) (tiny fragments ↓)
+    * All components are engine-portable built-ins.
+    */
+  def qualityScore(text: Column): Column = {
+    val n = length(text).cast("double")
+    val alphaRatio = when(n === 0, lit(0.0)).otherwise(
+      length(regexp_replace(lower(text), "[^a-z ]", "")).cast("double") / n)
+    val toks = tokenCount(text).cast("double")
+    val stopRatio = stopwordHits(text, "en").cast("double") * 8.0 / greatest(toks, lit(1.0))
+    val stopScore = least(stopRatio, lit(1.0))
+    val lengthScore = least(toks / 64.0, lit(1.0))
+    round(alphaRatio * 0.5 + stopScore * 0.2 + lengthScore * 0.3, 6)
+  }
+
+  /** DuckDB SQL replica of [[qualityScore]]. */
+  def qualityScoreSql(c: String): String = {
+    val words = Stopwords.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+    val n = s"cast(len($c) AS double)"
+    val alpha = s"(CASE WHEN $n = 0 THEN 0.0 ELSE cast(len(regexp_replace(lower($c), '[^a-z ]', '', 'g')) AS double) / $n END)"
+    val toks = s"cast(len(string_split(lower($c), ' ')) AS double)"
+    val stop = s"least(cast(len(list_intersect(string_split(lower($c), ' '), [$words])) AS double) * 8.0 / greatest($toks, 1.0), 1.0)"
+    val len = s"least($toks / 64.0, 1.0)"
+    s"round($alpha * 0.5 + $stop * 0.2 + $len * 0.3, 6)"
+  }
+}

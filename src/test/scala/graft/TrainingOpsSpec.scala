@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ann.Ann
+import graft.kernel.{Fingerprint, VecMath}
+import graft.multimodal.Multimodal
+import graft.text.TextOps
+
+/** Training-data operator tests: text analysis, ANN search, fingerprinting,
+  * multimodal plumbing.
+  */
+class TrainingOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // ---- VecMath kernel ----
+
+  test("cosine: identical, orthogonal, opposite, zero vectors") {
+    val a = Array(1.0f, 0.0f, 2.0f)
+    assert(math.abs(VecMath.cosine(a, a) - 1.0) < 1e-12)
+    assert(VecMath.cosine(Array(1f, 0f), Array(0f, 1f)) === 0.0)
+    assert(math.abs(VecMath.cosine(Array(1f, 2f), Array(-1f, -2f)) + 1.0) < 1e-12)
+    assert(VecMath.cosine(Array(0f, 0f), a.take(2)) === 0.0)
+  }
+
+  test("rhp signature: deterministic, close vectors share more bits") {
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val closeVec = base.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+    val far = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val s1 = VecMath.rhpSignature(base, 64, 42L)
+    val s2 = VecMath.rhpSignature(closeVec, 64, 42L)
+    val s3 = VecMath.rhpSignature(far, 64, 42L)
+    assert(s1 === VecMath.rhpSignature(base, 64, 42L))
+    val closeHam = java.lang.Long.bitCount(s1 ^ s2)
+    val farHam = java.lang.Long.bitCount(s1 ^ s3)
+    assert(closeHam < farHam, s"close=$closeHam far=$farHam")
+    assert(closeHam <= 8)
+  }
+
+  // ---- Fingerprint kernel ----
+
+  test("winnowing fingerprint: deterministic, robust to local edit, distinct docs differ") {
+    val doc = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    val edited = doc.replace("keeps", "kept")
+    val other = "completely different content with nothing shared at all whatsoever here"
+    val f1 = Fingerprint.winnow(Fingerprint.rollingHashes(doc, 8), 4).toSet
+    val f2 = Fingerprint.winnow(Fingerprint.rollingHashes(edited, 8), 4).toSet
+    val f3 = Fingerprint.winnow(Fingerprint.rollingHashes(other, 8), 4).toSet
+    val overlapEdit = f1.intersect(f2).size.toDouble / f1.size
+    val overlapOther = f1.intersect(f3).size.toDouble / f1.size
+    assert(overlapEdit > 0.5, s"edit overlap $overlapEdit")
+    assert(overlapOther < 0.1, s"unrelated overlap $overlapOther")
+    assert(Fingerprint.digest(doc) === Fingerprint.digest(doc))
+    assert(Fingerprint.digest(doc) !== Fingerprint.digest(other))
+  }
+
+  // ---- TextOps ----
+
+  test("language id picks the stopword-dominant language; und for no hits") {
+    import spark.implicits._
+    val df = Seq(
+      ("the cat is in the house and it was good", "en"),
+      ("der hund ist nicht mit der katze und das haus", "de"),
+      ("le chat est dans les maisons et des jardins", "fr"),
+      ("el perro y los gatos es una casa por con", "es"),
+      ("qwerty zxcvb asdfgh", "und")).toDF("text", "expected")
+    val got = df.withColumn("lang", TextOps.langId(col("text"))).collect()
+    got.foreach(r => assert(r.getString(2) === r.getString(1), r.getString(0)))
+  }
+
+  test("token counts and quality score sane + deterministic") {
+    import spark.implicits._
+    val df = Seq("the quick brown fox, jumps! over 42 lazy dogs").toDF("text")
+    val row = df.select(
+      TextOps.tokenCount(col("text")).as("toks"),
+      TextOps.bpeTokenCount(col("text")).as("bpe"),
+      TextOps.qualityScore(col("text")).as("q")).collect()(0)
+    assert(row.getInt(0) === 9)
+    assert(row.getInt(1) === 11) // 8 letter-runs + "42" + two punct marks
+    val q = row.getDouble(2)
+    assert(q > 0.0 && q <= 1.0)
+  }
+
+  // ---- ANN ----
+
+  private def embeddings(n: Int, dim: Int, seed: Long): DataFrame = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      val rnd = new scala.util.Random(seed + i)
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat))
+    }.toDF("id", "vec")
+  }
+
+  test("brute-force top-k: exact, self-excluded, correctly ranked") {
+    val corpus = embeddings(200, 16, 11L)
+    val queries = corpus.limit(5).select(col("id").as("query_id"), col("vec").as("qvec"))
+    val topk = Ann.bruteForceTopK(corpus, queries, 3).collect()
+    assert(topk.length === 15)
+    val byQuery = topk.groupBy(_.getLong(0))
+    byQuery.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq === Seq(1, 2, 3))
+      assert(sorted.sliding(2).forall(p => p(0).getDouble(2) >= p(1).getDouble(2)))
+      rows.foreach(r => assert(r.getLong(1) !== r.getLong(0)))
+    }
+  }
+
+  test("rhp LSH top-k recall vs brute force") {
+    val corpus = embeddings(300, 16, 23L)
+    val queries = corpus.limit(10).select(col("id").as("query_id"), col("vec").as("qvec"))
+    val exact = Ann.bruteForceTopK(corpus, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ann.rhpTopK(corpus, queries, 5, bands = 16, rowsPerBand = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall $recall") // random gaussians = hardest case
+  }
+
+  test("ivf top-k returns k ranked results per query") {
+    val corpus = embeddings(300, 16, 31L)
+    val queries = corpus.limit(4).select(col("id").as("query_id"), col("vec").as("qvec"))
+    val res = Ann.ivfTopK(corpus, queries, 3, nlist = 8, nprobe = 8).collect()
+    // nprobe = nlist ⇒ exhaustive ⇒ must agree with brute force
+    val exact = Ann.bruteForceTopK(corpus, queries, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(res.map(r => (r.getLong(0), r.getLong(1))).toSet === exact)
+  }
+
+  // ---- multimodal ----
+
+  test("multimodal: decode + featurize is deterministic, batched, schema-stable") {
+    import spark.implicits._
+    val docs = Seq((1L, "hello world this is binary payload text"),
+      (2L, "another asset with different bytes"),
+      (3L, "third one")).toDF("doc_id", "text")
+    val assets = Multimodal.syntheticAssets(spark, docs)
+    val feats = Multimodal.decodeFeatures(assets).collect().sortBy(_.asset_id)
+    assert(feats.length === 3)
+    feats.foreach { f =>
+      assert(f.feature.length === Multimodal.FeatureDim)
+      assert(math.abs(f.feature.sum - 1.0f) < 1e-4) // L1-normalized histogram
+      assert(f.n_bytes > 0)
+    }
+    assert(feats.map(_.kind).toSeq === Seq("audio", "video", "image"))
+    val again = Multimodal.decodeFeatures(assets).collect().sortBy(_.asset_id)
+    assert(feats.map(_.feature.toSeq) === again.map(_.feature.toSeq))
+  }
+
+  test("multimodal: frame sampling shapes") {
+    import spark.implicits._
+    val docs = Seq((7L, "x" * 100)).toDF("doc_id", "text")
+    val assets = Multimodal.syntheticAssets(spark, docs)
+    val frames = Multimodal.sampleFrames(assets, frameLen = 10, stride = 2).collect()
+    assert(frames.length === 5) // 10 frames, every 2nd
+    assert(frames.map(_.getInt(1)).toSeq.sorted === Seq(0, 2, 4, 6, 8))
+    frames.foreach(r => assert(r.getSeq[Float](2).length === 10))
+  }
+
+  test("multimodal: resample index arithmetic") {
+    val s = Array.tabulate(100)(_.toFloat)
+    val r = Multimodal.resample(s, 10)
+    assert(r.toSeq === Seq(0f, 10f, 20f, 30f, 40f, 50f, 60f, 70f, 80f, 90f))
+    assert(Multimodal.resample(Array.emptyFloatArray, 4).isEmpty)
+  }
+}

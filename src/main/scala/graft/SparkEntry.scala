@@ -1,17 +1,27 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.{normalize_text}
+
+import graft.ann.Ann
+import graft.cite.RisParser
+import graft.functions._
+import graft.multimodal.Multimodal
+import graft.text.TextOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Each key in [[queries]] is one operator/capability from SURVEY.md §2 (or a
   * graft-added training-data op), expressed over the driver-provided parquet
   * tables in `sfDir`. [[oracleSql]] carries a DuckDB-runnable equivalent for
-  * every SQL-expressible query; non-SQL-expressible ops (hash-based LSH,
-  * iterative union-find internals) are present in `queries` only and get the
-  * driver's rows-only check plus our own ScalaTest parity suites.
+  * every SQL-expressible query; hash-based ops (MinHash/SimHash/LSH,
+  * fingerprints) are present in `queries` only (driver rows-only check) and
+  * are pinned by their own ScalaTest parity suites instead.
+  *
+  * Column names and types are aligned on both sides (the driver sorts
+  * columns by name and hashes values); floating-point outputs are rounded
+  * on both sides.
   */
 object SparkEntry {
 
@@ -22,7 +32,18 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
+  // embeddings corpus/queries used by the ANN entries
+  private def annInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val corpus = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = corpus.filter(col("id") < 10)
+      .select(col("id").as("query_id"), col("vec").as("qvec"))
+    (corpus, queries)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------- relational core (scan/filter/agg/join/window/sort/set/json) ----------
+
     // TPC-H Q1-style scan+aggregate: partial (map-side) agg + single shuffle.
     "q1_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -37,21 +58,246 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
-    // Reference title-normalization kernel (dedupe.rs:723-740) applied to the
-    // documents table — narrow, codegen-adjacent scalar expression.
+    // TPC-H Q3-style 3-way join; the small filtered customer side is
+    // explicitly broadcast (no shuffle for the first join).
+    "q3_join" -> ((s, dir) => {
+      val customer = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val orders = t(s, dir, "orders")
+      val lineitem = t(s, dir, "lineitem")
+      broadcast(customer.select("c_custkey"))
+        .join(orders, col("c_custkey") === col("o_custkey"))
+        .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
+    // Window functions over the events stream: ranking + running aggregate +
+    // lag, one shuffle on user_id.
+    "q_window_events" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      t(s, dir, "events").select(
+        col("event_id"), col("user_id"), col("event_type"),
+        row_number().over(w).cast("long").as("rn"),
+        round(sum(col("value")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 6)
+          .as("running_value"),
+        lag(col("event_type"), 1).over(w).as("prev_type"))
+    }),
+
+    // Top-k with deterministic tie-break: global sort + limit (Spark runs
+    // this as TakeOrderedAndProject — no full sort at scale).
+    "q_topk_orders" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+    }),
+
+    // Set operators: INTERSECT / UNION (distinct) / EXCEPT.
+    "q_set_ops" -> ((s, dir) => {
+      val customer = t(s, dir, "customer")
+      val orders = t(s, dir, "orders")
+      val a = customer.filter(col("c_nationkey") < 10).select(col("c_custkey").as("custkey"))
+      val b = orders.select(col("o_custkey").as("custkey"))
+      val c = customer.filter(col("c_nationkey") === 20).select(col("c_custkey").as("custkey"))
+      val d = orders.filter(col("o_totalprice") > 100000).select(col("o_custkey").as("custkey"))
+      a.intersect(b).union(c).distinct().except(d)
+    }),
+
+    // JSON extraction from the events props column + aggregate.
+    "q_json_events" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+          count(lit(1)).as("n"))
+    }),
+
+    // Distinct aggregate (exact; the approx_count_distinct variant is
+    // bench-only since DuckDB's sketch differs).
+    "q_agg_distinct" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+    }),
+
+    // ---------- normalization kernel parity (SURVEY.md §2.2) ----------
+
+    // Reference title-normalization chain over the documents table.
     "q_normalize_text" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), normalize_text(col("text")).as("norm_text"))
     }),
 
-    // Exact-dup fast path (SURVEY.md §2.3 DOI analog): group by normalized
-    // content, representative = min doc_id. One shuffle; map-side partial agg.
+    // format_doi (utils.rs:91-113): constructed noisy DOIs → canonical form.
+    "q_format_doi" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        format_doi(concat(lit(" HTTPS://DOI.ORG/10."), col("doc_id").cast("string"),
+          lit("/Test [doi]"))).as("doi"))
+    }),
+
+    // format_page_numbers (utils.rs:16-84): elided end pages expanded.
+    "q_format_pages" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        format_pages(concat((lit(1000) + col("doc_id") % 9000).cast("string"), lit("-"),
+          (lit(10) + col("doc_id") % 90).cast("string"))).as("pages"))
+    }),
+
+    // normalize_volume (dedupe.rs:742-759): first digit run.
+    "q_normalize_volume" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        normalize_volume(concat(lit("Part A. "), (col("doc_id") % 500).cast("string"),
+          lit("B"))).as("volume"))
+    }),
+
+    // format_issn (dedupe.rs:799-823): 8 bare digits → hyphenated.
+    "q_format_issn" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        format_issn(lpad((lit(12340000) + col("doc_id")).cast("string"), 8, "0")).as("issn"))
+    }),
+
+    // ---------- deduplication ops ----------
+
+    // Exact dedup fast path: group by normalized content, representative =
+    // min doc_id. One shuffle; map-side partial agg.
     "q_dedup_exact" -> ((s, dir) => {
       t(s, dir, "documents")
         .groupBy(normalize_text(col("text")).as("norm_text"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("representative"))
-    })
-  )
+    }),
+
+    // Exact token-set Jaccard near-dup pairs (bounded self-join) — the
+    // verification predicate of the LSH pipeline, oracle-checkable.
+    "q_dedup_jaccard_pairs" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), array_distinct(split(lower(col("text")), " ")).as("toks"))
+      toks.as("x").join(toks.as("y"), col("x.doc_id") < col("y.doc_id"))
+        .select(
+          col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          round(size(array_intersect(col("x.toks"), col("y.toks"))).cast("double") /
+            size(array_union(col("x.toks"), col("y.toks"))), 6).as("jac"))
+        .filter(col("jac") >= 0.5)
+    }),
+
+    // MinHash+LSH near-dup clustering over documents (shingle → minhash →
+    // band → bucket-join → verify → connected components). Hash-based ⇒
+    // rows-only driver check; semantics pinned by DedupPipelineSpec.
+    "q_dedup_minhash_clusters" -> ((s, dir) => {
+      val sigs = t(s, dir, "documents").select(
+        col("doc_id"),
+        word_shingles(normalize_tokens(col("text")), 3).as("shingles"))
+        .withColumn("mh", minhash(col("shingles"), 64))
+      val bandRows = sigs.select(col("doc_id"),
+        posexplode(band_keys(col("mh"), 16, 4)).as(Seq("band", "bucket")))
+      val pairs = bandRows.as("x").join(bandRows.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+      val sh = sigs.select(col("doc_id"), col("shingles"))
+      val verified = pairs
+        .join(sh.withColumnsRenamed(Map("doc_id" -> "a", "shingles" -> "sh_a")), "a")
+        .join(sh.withColumnsRenamed(Map("doc_id" -> "b", "shingles" -> "sh_b")), "b")
+        .filter(jaccard_sorted(col("sh_a"), col("sh_b")) >= 0.8)
+        .select("a", "b")
+      val comps = graft.dedup.ConnectedComponents.run(verified)
+      sigs.select(col("doc_id"))
+        .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("cluster_id"))
+    }),
+
+    // SimHash fingerprints (rows-only: hash-based).
+    "q_dedup_simhash" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        simhash64(word_shingles(normalize_tokens(col("text")), 3)).as("simhash"))
+    }),
+
+    // Winnowing document fingerprints (rows-only: hash-based).
+    "q_dedup_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"), fingerprint64(col("text")).as("fingerprint"))
+    }),
+
+    // ---------- similarity search over embeddings ----------
+
+    // Brute-force cosine top-3 for the first 10 vectors (exact baseline).
+    "q_ann_cosine_topk" -> ((s, dir) => {
+      val (corpus, queries) = annInputs(s, dir)
+      Ann.bruteForceTopK(corpus, queries, 3)
+        .select(col("query_id"), col("id").as("neighbor_id"), col("cos"),
+          col("rank").cast("long").as("rank"))
+    }),
+
+    // Sign-LSH banded ANN (rows-only: hash-based buckets; recall pinned by
+    // TrainingOpsSpec against the brute-force baseline).
+    "q_ann_lsh_topk" -> ((s, dir) => {
+      val (corpus, queries) = annInputs(s, dir)
+      Ann.rhpTopK(corpus, queries, 3, bands = 16, rowsPerBand = 4)
+        .select(col("query_id"), col("id").as("neighbor_id"), col("cos"),
+          col("rank").cast("long").as("rank"))
+    }),
+
+    // Vector norms (scalar kernel parity).
+    "q_embed_norms" -> ((s, dir) => {
+      t(s, dir, "embeddings").select(
+        col("vec_id"), round(vec_norm(col("embedding")), 6).as("norm"))
+    }),
+
+    // ---------- text analysis ----------
+
+    // Stopword-heuristic language ID.
+    "q_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+    }),
+
+    // Token counts + quality score.
+    "q_text_stats" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextOps.bpeTokenCount(col("text")).cast("long").as("n_bpe"),
+        TextOps.qualityScore(col("text")).as("quality"))
+    }),
+
+    // ---------- multimodal ----------
+
+    // Binary-asset metadata path: text → payload bytes → typed meta.
+    "q_multimodal_meta" -> ((s, dir) => {
+      Multimodal.decodeFeatures(Multimodal.syntheticAssets(s, t(s, dir, "documents")))
+        .toDF()
+        .select(col("asset_id"), col("kind"), col("n_bytes").cast("long").as("n_bytes"))
+    }),
+
+    // Full decode→featurize path (rows-only: histogram features are not
+    // SQL-expressible; determinism pinned by TrainingOpsSpec).
+    "q_multimodal_features" -> ((s, dir) => {
+      Multimodal.decodeFeatures(Multimodal.syntheticAssets(s, t(s, dir, "documents")))
+        .toDF()
+        .select(col("asset_id"), col("kind"), col("feature"))
+    }),
+
+    // ---------- citation parsing (reference API surface) ----------
+
+    // RIS round-trip: build a RIS blob per document row, parse it back with
+    // the distributed parser, verify the extracted fields against string ops.
+    "q_cite_ris" -> ((s, dir) => {
+      import s.implicits._
+      val blobs = t(s, dir, "documents").select(
+        concat(
+          lit("TY  - JOUR\nID  - "), col("doc_id").cast("string"),
+          lit("\nTI  - "), substring(col("text"), 1, 40),
+          lit("\nVL  - "), (col("doc_id") % 50).cast("string"),
+          lit("\nSP  - 10\nEP  - 25\nER  -")).as("blob")).as[String]
+      RisParser.parse(blobs).toDF()
+        .select(col("pmid").cast("long").as("doc_id"), col("title"),
+          col("volume"), col("pages"))
+    }))
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -66,14 +312,129 @@ object SparkEntry {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
+    "q3_join" ->
+      """SELECT o_orderkey,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey
+        |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q_window_events" ->
+      """SELECT event_id, user_id, event_type,
+        |  row_number() OVER w AS rn,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING), 6) AS running_value,
+        |  lag(event_type, 1) OVER w AS prev_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+
+    "q_set_ops" ->
+      """SELECT * FROM (
+        |  SELECT * FROM (
+        |    (SELECT c_custkey AS custkey FROM customer WHERE c_nationkey < 10)
+        |    INTERSECT
+        |    (SELECT o_custkey FROM orders))
+        |  UNION
+        |  (SELECT c_custkey FROM customer WHERE c_nationkey = 20))
+        |EXCEPT
+        |(SELECT o_custkey FROM orders WHERE o_totalprice > 100000)""".stripMargin,
+
+    "q_json_events" ->
+      """SELECT event_type,
+        |  sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_agg_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  count(*) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
+
     "q_normalize_text" ->
       s"SELECT doc_id, $NormalizeTextSql AS norm_text FROM documents",
+
+    "q_format_doi" ->
+      "SELECT doc_id, '10.' || doc_id || '/test' AS doi FROM documents",
+
+    "q_format_pages" ->
+      """SELECT doc_id,
+        |  CASE WHEN s = substr(s, 1, 2) || e THEN s
+        |       ELSE s || '-' || substr(s, 1, 2) || e END AS pages
+        |FROM (SELECT doc_id,
+        |        CAST(1000 + doc_id % 9000 AS VARCHAR) AS s,
+        |        CAST(10 + doc_id % 90 AS VARCHAR) AS e
+        |      FROM documents)""".stripMargin,
+
+    "q_normalize_volume" ->
+      "SELECT doc_id, regexp_extract('Part A. ' || (doc_id % 500) || 'B', '[0-9]+') AS volume FROM documents",
+
+    "q_format_issn" ->
+      """SELECT doc_id, substr(s, 1, 4) || '-' || substr(s, 5, 4) AS issn
+        |FROM (SELECT doc_id, lpad(CAST(12340000 + doc_id AS VARCHAR), 8, '0') AS s
+        |      FROM documents)""".stripMargin,
 
     "q_dedup_exact" ->
       s"""SELECT $NormalizeTextSql AS norm_text,
          |  count(*) AS n_docs, min(doc_id) AS representative
-         |FROM documents GROUP BY 1""".stripMargin
-  )
+         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_dedup_jaccard_pairs" ->
+      """SELECT x.doc_id AS a, y.doc_id AS b,
+        |  round(CAST(len(list_intersect(x.toks, y.toks)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(x.toks, y.toks))), 6) AS jac
+        |FROM (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+        |      FROM documents WHERE doc_id < 100) x
+        |JOIN (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+        |      FROM documents WHERE doc_id < 100) y
+        |  ON x.doc_id < y.doc_id
+        |WHERE round(CAST(len(list_intersect(x.toks, y.toks)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(x.toks, y.toks))), 6) >= 0.5""".stripMargin,
+
+    "q_ann_cosine_topk" ->
+      """SELECT query_id, neighbor_id, cos, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |          CAST(q.embedding AS DOUBLE[])), 6) AS cos,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                CAST(q.embedding AS DOUBLE[])), 6) DESC, c.vec_id ASC) AS rank
+        |  FROM embeddings c CROSS JOIN embeddings q
+        |  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id)
+        |WHERE rank <= 3""".stripMargin,
+
+    "q_embed_norms" ->
+      """SELECT vec_id,
+        |  round(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+        |        CAST(embedding AS DOUBLE[]))), 6) AS norm
+        |FROM embeddings""".stripMargin,
+
+    "q_lang_id" ->
+      s"SELECT doc_id, ${TextOps.langIdSql("text")} AS lang_pred FROM documents",
+
+    "q_text_stats" ->
+      s"""SELECT doc_id,
+         |  ${TextOps.tokenCountSql("text")} AS n_tokens,
+         |  ${TextOps.bpeTokenCountSql("text")} AS n_bpe,
+         |  ${TextOps.qualityScoreSql("text")} AS quality
+         |FROM documents""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS asset_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |       ELSE 'video' END AS kind,
+        |  strlen(text) AS n_bytes
+        |FROM documents""".stripMargin,
+
+    "q_cite_ris" ->
+      """SELECT doc_id, trim(substr(text, 1, 40)) AS title,
+        |  CAST(doc_id % 50 AS VARCHAR) AS volume, '10-25' AS pages
+        |FROM documents""".stripMargin)
 
   /** ANSI-SQL replica of the reference normalization chain
     * (trim → lower → 13 ordered replacements → keep alphanumerics), used by

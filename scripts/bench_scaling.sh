@@ -1,0 +1,29 @@
+#!/usr/bin/env bash
+# Two-cluster-size scaling evidence (BASELINE.md protocol): run the SAME
+# dedup job on the SAME materialized corpus at local[8] (N) and local[32]
+# (4N), report docs/sec at both + efficiency = (T8/T32)/4.
+#
+# Usage: scripts/bench_scaling.sh [families] [corpusDir]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+FAMILIES="${1:-700000}"
+CORPUS="${2:-/tmp/graft_scaling_corpus}"
+OUT=/tmp/graft_scaling
+
+if [ ! -f "$CORPUS/_SUCCESS" ]; then
+  echo "== generating corpus ($FAMILIES families) =="
+  sbt -batch "runMain graft.GenCorpus $CORPUS $FAMILIES" 2>/dev/null | grep '"corpus"'
+fi
+
+run() {
+  local cores=$1
+  rm -rf "$OUT-$cores"
+  echo "== local[$cores] =="
+  SPARK_GRAFT_MASTER="local[$cores]" sbt -batch \
+    "runMain graft.DedupMain $OUT-$cores --cores $cores --input $CORPUS" 2>/dev/null \
+    | grep '"pages"'
+}
+
+run 8
+run 32
+echo "== done; compute efficiency = (docs_per_sec_32/docs_per_sec_8)/4 =="

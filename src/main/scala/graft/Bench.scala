@@ -1,24 +1,70 @@
 package graft
+
+import java.nio.file.Files
+
 import org.apache.spark.sql.SparkSession
+
+import graft.dedup.{DedupConfig, DedupPipeline}
+import graft.io.StageStore
+import graft.synth.DeterministicCorpus
+import graft.synth.DeterministicCorpus.CorpusSpec
+
+/** Benchmark main (driver contract): runs every SparkEntry query on
+  * `SPARK_GRAFT_SF_DIR` plus the end-to-end near-dup pipeline on a
+  * deterministic synthetic corpus, and prints ONE JSON line.
+  *
+  * Env knobs:
+  *   SPARK_GRAFT_SF_DIR    table dir (default /root/testdata/sf0.1)
+  *   SPARK_GRAFT_CPUS      local[N] cores + shuffle partitions (default 32)
+  *   SPARK_GRAFT_FAMILIES  dedup-bench corpus families (default 50000,
+  *                         ≈1.3 pages/family ⇒ ~65k pages; scaling bench
+  *                         uses a larger value via scripts/bench_scaling.sh)
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val families = sys.env.getOrElse("SPARK_GRAFT_FAMILIES", "50000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def time(thunk: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      thunk
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // JVM/codegen warmup so the first measured query is not paying JIT cost
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      results(name) = time {
+        try { fn(spark, sfDir).count(); () } catch { case _: Throwable => results(name) = -1.0 }
+      }
+    }
+
+    // end-to-end near-dup pipeline (the BASELINE.json headline metric)
+    val pages = DeterministicCorpus.pages(spark, CorpusSpec(nFamilies = families))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPages = pages.count() // corpus generation outside the timed window
+    val store = new StageStore(spark, Files.createTempDirectory("graft-bench-").toString)
+    val dedupSec = time {
+      new DedupPipeline(spark, DedupConfig(), store).run(pages).count(); ()
+    }
+    results("dedup_e2e") = dedupSec
+    val docsPerSec = nPages / dedupSec
+
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","dedup_pages":$nPages,"dedup_docs_per_sec":$docsPerSec%.1f,"cores":$cpus}""")
     spark.stop()
   }
 }

@@ -48,14 +48,17 @@ final class StageStore(spark: SparkSession, root: String) {
     val files = Files.list(dir).toArray.map(_.asInstanceOf[Path])
       .filter(_.getFileName.toString.endsWith(".parquet"))
     val back = spark.read.parquet(dir.toString)
-    val perFile = back.groupBy(input_file_name().as("file"))
-      .agg(count(lit(1)).as("rows"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-      .toMap
+    // per-file row counts from the parquet footers — metadata only, no
+    // second scan of the stage data
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
     val entries = files.map { f =>
-      val uri = f.toUri.toString
-      val rows = perFile.collectFirst { case (k, v) if k.endsWith(f.getFileName.toString) => v }.getOrElse(0L)
+      val rows =
+        try {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.toUri), hadoopConf)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try reader.getRecordCount finally reader.close()
+        } catch { case _: Throwable => -1L }
       s"""{"file":"${f.getFileName}","rows":$rows,"bytes":${Files.size(f)}}"""
     }
     val manifest =

@@ -44,14 +44,27 @@ object Shingling {
     * (so no document has an empty shingle set unless its text is empty).
     * Sorted output makes downstream set ops (Jaccard) linear merges.
     */
+  /** Sort ascending in place, return the deduplicated prefix copy. */
+  private def sortedDistinct(a: Array[Long], n: Int): Array[Long] = {
+    if (n == 0) return Array.emptyLongArray
+    java.util.Arrays.sort(a, 0, n)
+    var w = 1
+    var i = 1
+    while (i < n) {
+      if (a(i) != a(w - 1)) { a(w) = a(i); w += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOfRange(a, 0, w)
+  }
+
   def wordShingles(text: String, k: Int, seed: Long = DefaultSeed): Array[Long] = {
     if (text == null) return Array.emptyLongArray
     val tokens = WordSplit.split(text.trim)
     if (tokens.length == 0 || (tokens.length == 1 && tokens(0).isEmpty))
       return Array.emptyLongArray
     val n = math.max(1, tokens.length - k + 1)
-    val set = new java.util.TreeSet[java.lang.Long]()
-    val sb = new java.lang.StringBuilder()
+    val hashes = new Array[Long](n)
+    val sb = new java.lang.StringBuilder(64)
     var i = 0
     while (i < n) {
       sb.setLength(0)
@@ -62,14 +75,10 @@ object Shingling {
         sb.append(tokens(j))
         j += 1
       }
-      set.add(hashString(sb.toString, seed))
+      hashes(i) = hashString(sb.toString, seed)
       i += 1
     }
-    val out = new Array[Long](set.size)
-    val it = set.iterator()
-    var p = 0
-    while (it.hasNext) { out(p) = it.next(); p += 1 }
-    out
+    sortedDistinct(hashes, n)
   }
 
   /** Distinct, sorted xxhash64 values of the k-character shingles (over code
@@ -79,19 +88,14 @@ object Shingling {
     if (text == null || text.isEmpty) return Array.emptyLongArray
     val cps = text.codePoints().toArray
     val n = math.max(1, cps.length - k + 1)
-    val set = new java.util.TreeSet[java.lang.Long]()
+    val hashes = new Array[Long](n)
     var i = 0
     while (i < n) {
       val end = math.min(cps.length, i + k)
-      val s = new String(cps, i, end - i)
-      set.add(hashString(s, seed))
+      hashes(i) = hashString(new String(cps, i, end - i), seed)
       i += 1
     }
-    val out = new Array[Long](set.size)
-    val it = set.iterator()
-    var p = 0
-    while (it.hasNext) { out(p) = it.next(); p += 1 }
-    out
+    sortedDistinct(hashes, n)
   }
 
   /** MinHash signature: n independent affine permutations h_i(x)=a_i*x+b_i
@@ -99,18 +103,33 @@ object Shingling {
     * Empty shingle set → signature of Long.MaxValue (never collides with a
     * real signature's bands because band hashing includes the band values).
     */
+  /** Per-(numHashes, seed) affine coefficients, computed once per JVM —
+    * regenerating them per row was the dominant fixed cost of the signature
+    * stage at 10⁵ rows/executor.
+    */
+  private val coeffCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long), (Array[Long], Array[Long])]()
+
+  private def coefficients(numHashes: Int, seed: Long): (Array[Long], Array[Long]) =
+    coeffCache.computeIfAbsent((numHashes, seed), { key =>
+      val (n, s) = key
+      val a = new Array[Long](n)
+      val b = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        a(i) = splitmix64(s + 2L * i) | 1L // odd multiplier ⇒ bijection mod 2^64
+        b(i) = splitmix64(s + 2L * i + 1L)
+        i += 1
+      }
+      (a, b)
+    })
+
   def minHash(shingleHashes: Array[Long], numHashes: Int,
               seed: Long = DefaultSeed): Array[Long] = {
     val sig = Array.fill(numHashes)(Long.MaxValue)
     if (shingleHashes == null || shingleHashes.isEmpty) return sig
-    val a = new Array[Long](numHashes)
-    val b = new Array[Long](numHashes)
+    val (a, b) = coefficients(numHashes, seed)
     var i = 0
-    while (i < numHashes) {
-      a(i) = splitmix64(seed + 2L * i) | 1L // odd multiplier ⇒ bijection mod 2^64
-      b(i) = splitmix64(seed + 2L * i + 1L)
-      i += 1
-    }
     var s = 0
     while (s < shingleHashes.length) {
       val x = shingleHashes(s)

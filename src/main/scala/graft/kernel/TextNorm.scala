@@ -39,6 +39,8 @@ object TextNorm {
     */
   def convertUnicode(input: String): String = {
     if (input == null) return null
+    // fast path: regex machinery only when an escape can be present
+    if (input.indexOf("<U+") < 0) return input
     UnicodeEscape.replaceAllIn(input, m => {
       val hex = m.group(1)
       val cp =
@@ -91,22 +93,62 @@ object TextNorm {
     */
   def normalizeTokens(input: String): String = {
     if (input == null) return null
-    val tokens = input.split("\\s+")
     val sb = new java.lang.StringBuilder(input.length)
-    var i = 0
-    while (i < tokens.length) {
-      if (tokens(i).nonEmpty) {
-        normalizeTitle(tokens(i)) match {
-          case Some(t) if t.nonEmpty =>
-            if (sb.length > 0) sb.append(' ')
-            sb.append(t)
-          case _ =>
-        }
+    var start = 0
+    val n = input.length
+    while (start < n) {
+      while (start < n && Character.isWhitespace(input.charAt(start))) start += 1
+      var end = start
+      while (end < n && !Character.isWhitespace(input.charAt(end))) end += 1
+      if (end > start) {
+        val mark = sb.length
+        normalizeTokenInto(input, start, end, sb, mark)
+        if (sb.length > mark && mark > 0) sb.insert(mark, ' ')
       }
-      i += 1
+      start = end
     }
     sb.toString
   }
+
+  /** Append the normalized form of input[start,end) to `sb`; ASCII tokens
+    * without escapes/entities take a single tight pass (the 100-TB hot
+    * path: lower + alnum filter, zero allocation); anything else falls back
+    * to the exact reference chain.
+    */
+  private def normalizeTokenInto(input: String, start: Int, end: Int,
+      sb: java.lang.StringBuilder, mark: Int): Unit = {
+    // fast-path eligibility: plain ASCII with no '&', '<' (entities/tags/
+    // escapes) and no "beta"/"alpha" literal (replacement table hits)
+    var ascii = true
+    var special = false
+    var i = start
+    while (i < end && ascii && !special) {
+      val c = input.charAt(i)
+      if (c >= 128) ascii = false
+      else if (c == '&' || c == '<') special = true
+      else i += 1
+    }
+    if (ascii && !special) {
+      val token = input.substring(start, end)
+      val lower = token.toLowerCase(java.util.Locale.ROOT)
+      if (lower.contains("beta") || lower.contains("alpha")) {
+        appendSlow(token, sb)
+      } else {
+        var j = 0
+        while (j < lower.length) {
+          val c = lower.charAt(j)
+          if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
+          j += 1
+        }
+      }
+    } else appendSlow(input.substring(start, end), sb)
+  }
+
+  private def appendSlow(token: String, sb: java.lang.StringBuilder): Unit =
+    normalizeTitle(token) match {
+      case Some(t) if t.nonEmpty => sb.append(t)
+      case _ =>
+    }
 
   /** Head before literal ". Conference", trimmed, lowercased, alphanumerics
     * only. Spec: /root/reference/src/dedupe.rs:786-797.

@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Throughput-oriented GC: the signature kernel allocates arrays per row
+  // across 32 executor threads; ParallelGC sustains a higher allocation
+  // rate than G1 for this batch profile (measured via SigProbe).
+  "-XX:+UseParallelGC",
 )

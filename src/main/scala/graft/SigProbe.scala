@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** Temporary diagnostic: where does the signatures stage spend time —
+  * expression compute vs parquet write — and how does each scale with cores?
+  */
+object SigProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(thunk: => Unit): Double = {
+      val t0 = System.nanoTime(); thunk; (System.nanoTime() - t0) / 1e9
+    }
+    val pages = spark.read.parquet("/tmp/graft_scaling_corpus")
+
+    val tRead = time { pages.agg(sum(length(col("text")))).collect() }
+
+    def sigs = pages
+      .withColumn("norm_text", normalize_tokens(col("text")))
+      .withColumn("shingles", word_shingles(col("norm_text"), 5, 42L))
+      .select(
+        monotonically_increasing_id().as("id"),
+        col("url"), col("warc_ts"), col("lang"), col("source"),
+        length(col("text")).as("text_len"),
+        xxhash64(col("norm_text")).as("content_hash"),
+        simhash64(col("shingles")).as("simhash"),
+        size(col("shingles")).as("n_shingles"),
+        col("shingles"),
+        band_keys(minhash(col("shingles"), 128, 42L), 32, 4, 42L).as("bands"))
+
+    val plan = sigs.queryExecution.executedPlan.toString
+    println("PLANCOUNT wordshingle=" + "wordshinglehashes".r.findAllIn(plan.toLowerCase).length +
+      " normtok=" + "normalizetokens".r.findAllIn(plan.toLowerCase).length +
+      " minhash=" + "minhashsignature".r.findAllIn(plan.toLowerCase).length)
+
+    val tCompute = time {
+      sigs.agg(sum(col("n_shingles")), max(element_at(col("bands"), 1)),
+        max(col("simhash")), max(col("content_hash"))).collect()
+    }
+    val tWrite = time {
+      sigs.write.mode("overwrite").parquet(s"/tmp/sigprobe_out_$cpus")
+    }
+    println(f"SIGPROBE cores=$cpus read=$tRead%.1f compute=$tCompute%.1f write=$tWrite%.1f")
+    spark.stop()
+  }
+}

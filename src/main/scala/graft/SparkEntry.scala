@@ -5,7 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ann.Ann
-import graft.cite.RisParser
+import graft.cite.{CitationDedup, CsvParser, EndNoteXmlParser, FormatDetect, PubMedParser, RisParser}
+import graft.dedup.ConnectedComponents
 import graft.functions._
 import graft.multimodal.Multimodal
 import graft.text.TextOps
@@ -122,6 +123,23 @@ object SparkEntry {
         .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
     }),
 
+    // ROLLUP hierarchy aggregate (Catalyst Expand — one shuffle).
+    "q_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+    }),
+
+    // Left-semi + left-anti joins (EXISTS / NOT EXISTS duals).
+    "q_semi_anti" -> ((s, dir) => {
+      val customer = t(s, dir, "customer").select(col("c_custkey").as("custkey"))
+      val orders = t(s, dir, "orders").select(col("o_custkey").as("custkey"))
+      customer.join(orders, Seq("custkey"), "left_semi")
+        .withColumn("status", lit("has_orders"))
+        .union(customer.join(orders, Seq("custkey"), "left_anti")
+          .withColumn("status", lit("no_orders")))
+    }),
+
     // ---------- normalization kernel parity (SURVEY.md §2.2) ----------
 
     // Reference title-normalization chain over the documents table.
@@ -161,7 +179,76 @@ object SparkEntry {
         format_issn(lpad((lit(12340000) + col("doc_id")).cast("string"), 8, "0")).as("issn"))
     }),
 
+    // Jaro + Jaro-Winkler string similarity (the reference's title-match
+    // predicate kernel, dedupe.rs:138-139). Our kernel replicates the strsim
+    // crate's variant (on-line transposition count); DuckDB implements the
+    // textbook algorithm — the two provably coincide on prefix-truncation
+    // pairs (monotone matches, zero transpositions), which is what this
+    // query uses. The strsim-divergent cases are pinned in KernelSpec.
+    "q_jaro_sim" -> ((s, dir) => {
+      val s1 = substring(col("text"), 1, 30)
+      val s2 = expr("substring(text, 1, cast(15 + doc_id % 14 AS INT))")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        round(jaro(s1, s2), 4).as("jaro"),
+        round(jaro_winkler(s1, s2), 4).as("jw"))
+    }),
+
+    // Longest-common-substring verification kernel: the second operand is a
+    // contiguous slice of the first, so LCS length has a closed form.
+    "q_lcs_substr" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        lcs_length(col("text"), substring(col("text"), 11, 40)).cast("long").as("lcs"))
+    }),
+
+    // 64-bit Hamming distance (SimHash comparison kernel) over arithmetic
+    // longs — oracle is bit_count(xor(...)).
+    "q_hamming" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        hamming64(col("doc_id").cast("long") * 1000003L + 7L,
+          col("doc_id").cast("long") * 999983L).cast("long").as("hd"))
+    }),
+
+    // HTML → text extraction (the input_hint extractor; byte-identical
+    // round-trip: wrapping clean text in markup and extracting recovers it).
+    "q_html_extract" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><script>var x = 1;</script><style>.a{b:c}</style></head><body> <h1></h1><p>"),
+        col("text"),
+        lit("</p><!-- hidden --></body></html>"))
+      t(s, dir, "documents").select(
+        col("doc_id"), extract_html_text(html.cast("binary")).as("extracted"))
+    }),
+
     // ---------- deduplication ops ----------
+
+    // Distributed union-find (large-star/small-star connected components)
+    // over an arithmetic chain graph: nodes i—i+1 within each block of 10,
+    // so components have the closed form doc_id - doc_id % 10. A 10-chain
+    // forces multiple fixpoint iterations — this oracle-checks convergence.
+    "q_connected_components" -> ((s, dir) => {
+      val edges = t(s, dir, "documents")
+        .filter(col("doc_id") % 10 =!= 9)
+        .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+      ConnectedComponents.run(edges)
+        .select(col("id").cast("long").as("doc_id"), col("component").cast("long"))
+    }),
+
+    // Representative selection (dedupe.rs:507-530 analog): per synthetic
+    // cluster pick the row with the richest content (longest text; the
+    // has-abstract preference analog), ties broken by smallest doc_id.
+    "q_rep_select" -> ((s, dir) => {
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(length(col("text")).desc, col("doc_id").asc)
+      t(s, dir, "documents")
+        .withColumn("cluster_id", (col("doc_id") - col("doc_id") % 10).cast("long"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").cast("long").as("rep_id"))
+    }),
+
 
     // Exact dedup fast path: group by normalized content, representative =
     // min doc_id. One shuffle; map-side partial agg.
@@ -297,6 +384,106 @@ object SparkEntry {
       RisParser.parse(blobs).toDF()
         .select(col("pmid").cast("long").as("doc_id"), col("title"),
           col("volume"), col("pages"))
+    }),
+
+    // PubMed .nbib round-trip: blob per document, parsed distributed;
+    // exercises tag split, DP date parse, and record assembly.
+    "q_cite_pubmed" -> ((s, dir) => {
+      import s.implicits._
+      val blobs = t(s, dir, "documents").select(
+        concat(
+          lit("PMID- "), col("doc_id").cast("string"),
+          lit("\nTI  - "), trim(substring(col("text"), 1, 40)),
+          lit("\nVI  - "), (col("doc_id") % 50).cast("string"),
+          lit("\nPG  - 10-25\nDP  - "), (lit(1900) + col("doc_id") % 120).cast("string")
+        ).as("blob")).as[String]
+      PubMedParser.parse(blobs).toDF()
+        .select(col("pmid").cast("long").as("doc_id"), col("title"),
+          col("volume"), col("pages"), col("date.year").as("year"))
+    }),
+
+    // EndNote XML round-trip: streaming StAX parse; exercises title/journal
+    // element dispatch, author name algebra, page-number expansion
+    // (100-9 → 100-109), and the nested dates/year walk.
+    "q_cite_endnote" -> ((s, dir) => {
+      import s.implicits._
+      val blobs = t(s, dir, "documents").select(
+        concat(
+          lit("<?xml version=\"1.0\"?><records><record><titles><title>"),
+          trim(substring(col("text"), 1, 40)),
+          lit("</title><secondary-title>Journal of Graft</secondary-title></titles>"),
+          lit("<contributors><authors><author>Smith, John</author></authors></contributors><volume>"),
+          (col("doc_id") % 50).cast("string"),
+          lit("</volume><pages>100-9</pages><dates><year>"),
+          (lit(1900) + col("doc_id") % 120).cast("string"),
+          lit("</year></dates></record></records>")).as("blob")).as[String]
+      EndNoteXmlParser.parse(blobs).toDF()
+        .select(col("title"), col("journal"), col("volume"), col("pages"),
+          col("date.year").as("year"), col("authors")(0)("name").as("family"),
+          col("authors")(0)("given_name").as("given"))
+    }),
+
+    // CSV round-trip: header mapping, quoted fields, page expansion,
+    // year-only date parse.
+    "q_cite_csv" -> ((s, dir) => {
+      import s.implicits._
+      val blobs = t(s, dir, "documents").select(
+        concat(
+          lit("title,volume,pages,year\n\""),
+          col("doc_id").cast("string"), lit(" "), trim(substring(col("text"), 1, 30)),
+          lit("\","), (col("doc_id") % 50).cast("string"),
+          lit(",100-9,"), (lit(1900) + col("doc_id") % 120).cast("string")
+        ).as("blob")).as[String]
+      CsvParser.parse(blobs).toDF()
+        .select(col("title"), col("volume"), col("pages"), col("date.year").as("year"))
+    }),
+
+    // Content-based format auto-detect + dispatch (lib.rs:328-379): one
+    // blob per doc cycling RIS / PubMed / EndNote XML.
+    "q_cite_detect" -> ((s, dir) => {
+      import s.implicits._
+      val blobs = t(s, dir, "documents").select(
+        when(col("doc_id") % 3 === 0,
+          concat(lit("TY  - JOUR\nID  - "), col("doc_id").cast("string"),
+            lit("\nTI  - t\nER  -")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("PMID- "), col("doc_id").cast("string"), lit("\nTI  - t")))
+        .otherwise(
+          concat(lit("<?xml version=\"1.0\"?><records><record><titles><title>"),
+            col("doc_id").cast("string"), lit("</title></titles></record></records>")))
+        .as("blob")).as[String]
+      FormatDetect.parse(s, blobs).toDF("format", "citation")
+        .select(
+          coalesce(col("citation.pmid"), col("citation.title")).cast("long").as("doc_id"),
+          col("format"))
+    }),
+
+    // Reference-predicate citation dedup end-to-end (dedupe.rs:608-690):
+    // two planted copies per document (identical title/journal/volume/pages/
+    // year, distinct row_idx) → year blocking → fuzzy self-join → connected
+    // components → representative selection. Closed-form truth: rows 2i and
+    // 2i+1 form group 2i with the lower row as unique.
+    "q_cite_dedup" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(
+        col("doc_id").cast("long").as("doc_id"),
+        concat(col("doc_id").cast("string"), lit(" "),
+          trim(substring(col("text"), 1, 40))).as("title"),
+        concat(lit("journal "), (col("doc_id") % 7).cast("string")).as("journal"),
+        (col("doc_id") % 50).cast("string").as("volume"),
+        lit("10-25").as("pages"),
+        (lit(1900) + col("doc_id") % 120).cast("int").as("yr"))
+      def side(off: Int) = base.select(
+        (col("doc_id") * 2 + off).as("row_idx"), lit("").as("source"),
+        col("title"), col("journal"), lit(null).cast("string").as("journal_abbr"),
+        col("volume"), col("pages"), array().cast("array<string>").as("issn"),
+        lit(null).cast("string").as("doi"),
+        struct(col("yr").as("year"), lit(null).cast("int").as("month"),
+          lit(null).cast("int").as("day")).as("date"),
+        lit(null).cast("string").as("abstract_text"))
+      val citations = side(0).union(side(1))
+      val opts = CitationDedup.DedupOptions(groupByYear = true)
+      CitationDedup.assignGroups(CitationDedup.preprocess(citations, opts), opts)
+        .select(col("row_idx"), col("group_id"), col("is_unique"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -434,6 +621,89 @@ object SparkEntry {
     "q_cite_ris" ->
       """SELECT doc_id, trim(substr(text, 1, 40)) AS title,
         |  CAST(doc_id % 50 AS VARCHAR) AS volume, '10-25' AS pages
+        |FROM documents""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_semi_anti" ->
+      """SELECT c_custkey AS custkey, 'has_orders' AS status FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |UNION ALL
+        |SELECT c_custkey AS custkey, 'no_orders' AS status FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+
+    "q_jaro_sim" ->
+      """SELECT doc_id,
+        |  round(jaro_similarity(substr(text, 1, 30),
+        |    substr(text, 1, CAST(15 + doc_id % 14 AS INT))), 4) AS jaro,
+        |  round(jaro_winkler_similarity(substr(text, 1, 30),
+        |    substr(text, 1, CAST(15 + doc_id % 14 AS INT))), 4) AS jw
+        |FROM documents""".stripMargin,
+
+    "q_lcs_substr" ->
+      """SELECT doc_id,
+        |  CAST(least(greatest(strlen(text) - 10, 0), 40) AS BIGINT) AS lcs
+        |FROM documents""".stripMargin,
+
+    "q_hamming" ->
+      """SELECT doc_id,
+        |  CAST(bit_count(xor(CAST(doc_id AS BIGINT) * 1000003 + 7,
+        |    CAST(doc_id AS BIGINT) * 999983)) AS BIGINT) AS hd
+        |FROM documents""".stripMargin,
+
+    "q_html_extract" ->
+      "SELECT doc_id, text AS extracted FROM documents",
+
+    "q_connected_components" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(doc_id - doc_id % 10 AS BIGINT) AS component
+        |FROM documents""".stripMargin,
+
+    "q_rep_select" ->
+      """SELECT cluster_id, rep_id FROM (
+        |  SELECT CAST(doc_id - doc_id % 10 AS BIGINT) AS cluster_id,
+        |    CAST(doc_id AS BIGINT) AS rep_id,
+        |    row_number() OVER (PARTITION BY doc_id - doc_id % 10
+        |      ORDER BY strlen(text) DESC, doc_id ASC) AS rn
+        |  FROM documents)
+        |WHERE rn = 1""".stripMargin,
+
+    "q_cite_pubmed" ->
+      """SELECT doc_id, trim(substr(text, 1, 40)) AS title,
+        |  CAST(doc_id % 50 AS VARCHAR) AS volume, '10-25' AS pages,
+        |  CAST(1900 + doc_id % 120 AS INT) AS year
+        |FROM documents""".stripMargin,
+
+    "q_cite_endnote" ->
+      """SELECT trim(substr(text, 1, 40)) AS title,
+        |  'Journal of Graft' AS journal,
+        |  CAST(doc_id % 50 AS VARCHAR) AS volume, '100-109' AS pages,
+        |  CAST(1900 + doc_id % 120 AS INT) AS year,
+        |  'Smith' AS family, 'John' AS given
+        |FROM documents""".stripMargin,
+
+    "q_cite_csv" ->
+      """SELECT doc_id || ' ' || trim(substr(text, 1, 30)) AS title,
+        |  CAST(doc_id % 50 AS VARCHAR) AS volume, '100-109' AS pages,
+        |  CAST(1900 + doc_id % 120 AS INT) AS year
+        |FROM documents""".stripMargin,
+
+    "q_cite_detect" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'ris' WHEN 1 THEN 'pubmed'
+        |       ELSE 'endnote_xml' END AS format
+        |FROM documents""".stripMargin,
+
+    "q_cite_dedup" ->
+      """SELECT CAST(2 * doc_id AS BIGINT) AS row_idx,
+        |  CAST(2 * doc_id AS BIGINT) AS group_id, true AS is_unique
+        |FROM documents
+        |UNION ALL
+        |SELECT CAST(2 * doc_id + 1 AS BIGINT) AS row_idx,
+        |  CAST(2 * doc_id AS BIGINT) AS group_id, false AS is_unique
         |FROM documents""".stripMargin)
 
   /** ANSI-SQL replica of the reference normalization chain

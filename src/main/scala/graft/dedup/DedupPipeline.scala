@@ -54,9 +54,14 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
 
   import spark.implicits._
 
-  /** Stage 1 — signatures: extract+normalize text, shingle, MinHash, SimHash,
-    * exact-content hash; assign the stable numeric id. Narrow (no shuffle)
-    * except the id assignment; persisted so ids survive resume.
+  /** Stage 1 — signatures: extract+normalize text, shingle, MinHash→LSH
+    * band keys, SimHash, exact-content hash; assign the stable numeric id.
+    * Narrow (no shuffle); persisted so ids survive resume.
+    *
+    * The checkpoint stores the `bands` band keys (b longs), NOT the full
+    * n-value MinHash signature — bands are the only thing the candidate
+    * stage consumes, and at n=128/b=32 this cuts the stage's write volume
+    * (the dominant cost at 10⁵ rows/executor-thread) by ~4×.
     */
   def signatures(pages: Dataset[Page]): DataFrame =
     store.getOrCompute("signatures") {
@@ -74,7 +79,8 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
         simhash64(col("shingles")).as("simhash"),
         size(col("shingles")).as("n_shingles"),
         col("shingles"),
-        minhash(col("shingles"), config.numHashes, config.seed).as("minhash"))
+        band_keys(minhash(col("shingles"), config.numHashes, config.seed),
+          config.bands, config.rows, config.seed).as("bands"))
     }
 
   /** Stage 2 — exact-dup fast path (the DOI-equality analog, SURVEY.md §2.3):
@@ -90,40 +96,41 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
         .select(col("m").as("a"), col("id").as("b"))
     }
 
-  /** Stage 3 — LSH candidate pairs: explode band keys, bucket, emit pairs
-    * (all-pairs for small buckets, id-chain for hot buckets), distinct.
+  /** Stage 3 — LSH candidate pairs: explode band keys, drop pathological
+    * buckets, group each (band, bucket) and emit pairs in one aggregation
+    * (all-pairs for small buckets, id-chain for hot buckets via
+    * [[graft.expr.BucketPairs]]), distinct across bands.
+    *
     * Exact-dup groups are collapsed to their representative BEFORE banding
     * so a 10⁶-copy boilerplate family costs one row here, not 10⁶.
+    *
+    * Shuffle budget: one partial-aggregated count pass to find huge buckets
+    * (tiny — counts combine map-side), one groupBy to assemble buckets, one
+    * distinct over emitted pairs. The previous formulation cost two window
+    * sorts over the exploded rows plus a bucket self-join; at 10⁶+ pages the
+    * sorts dominated and did not scale with cores.
     */
   def candidatePairs(sigs: DataFrame, exact: DataFrame): DataFrame =
     store.getOrCompute("candidate_pairs") {
       // exact-dup members (b side) are represented by their group min
       val represented = sigs.join(exact.select(col("b").as("id")), Seq("id"), "left_anti")
-      val bandRows = represented
+      def bandRows = represented
         .filter(col("n_shingles") > 0)
-        .select(col("id"),
-          posexplode(band_keys(col("minhash"), config.bands, config.rows, config.seed))
-            .as(Seq("band", "bucket")))
+        .select(col("id"), posexplode(col("bands")).as(Seq("band", "bucket")))
 
-      val sized = bandRows
-        .withColumn("bucket_size", count(lit(1)).over(Window.partitionBy("band", "bucket")))
-        .filter(col("bucket_size") > 1 && col("bucket_size") <= config.hugeBucketCutoff)
+      // content in a >hugeBucketCutoff bucket is boilerplate whose dups the
+      // exact-hash path already links; its pair blow-up is dropped outright
+      val huge = bandRows.groupBy("band", "bucket").count()
+        .filter(col("count") > config.hugeBucketCutoff)
+        .select("band", "bucket")
 
-      val small = sized.filter(col("bucket_size") <= config.maxBucketAllPairs)
-        .select("id", "band", "bucket")
-      val smallPairs = small.as("x").join(small.as("y"),
-          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.id") < col("y.id"))
-        .select(col("x.id").as("a"), col("y.id").as("b"))
-
-      val hot = sized.filter(col("bucket_size") > config.maxBucketAllPairs)
-      val hotPairs = hot
-        .withColumn("prev",
-          lag("id", 1).over(Window.partitionBy("band", "bucket").orderBy("id")))
-        .filter(col("prev").isNotNull)
-        .select(col("prev").as("a"), col("id").as("b"))
-
-      smallPairs.union(hotPairs).distinct()
+      bandRows.join(broadcast(huge), Seq("band", "bucket"), "left_anti")
+        .groupBy("band", "bucket")
+        .agg(sort_array(collect_list(col("id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(bucket_pairs(col("ids"), config.maxBucketAllPairs)).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .distinct()
     }
 
   /** Stage 4 — verification: exact Jaccard over the persisted shingle sets

@@ -1,5 +1,6 @@
 package graft.expr
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -136,13 +137,15 @@ case class JaroWinklerSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** Distinct sorted xxhash64 k-word shingles of a text column. */
+/** Distinct sorted xxhash64 k-word shingles of a text column (tokenized and
+  * hashed directly over the UTF-8 bytes — no per-shingle allocation).
+  */
 case class WordShingleHashes(child: Expression, k: Int, seed: Long)
     extends UnaryExpression with SimpleCodegen {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     new GenericArrayData(
-      Shingling.wordShingles(input.asInstanceOf[UTF8String].toString, k, seed))
+      Shingling.wordShingles(input.asInstanceOf[UTF8String], k, seed))
   override protected def withNewChildInternal(c: Expression): WordShingleHashes = copy(child = c)
 }
 
@@ -236,6 +239,51 @@ case class HammingDist64(left: Expression, right: Expression)
     Shingling.hamming64(l.asInstanceOf[Long], r.asInstanceOf[Long])
   override protected def withNewChildrenInternal(l: Expression, r: Expression): HammingDist64 =
     copy(left = l, right = r)
+}
+
+/** Emit the duplicate-candidate pairs of one LSH bucket: all C(n,2) pairs
+  * for buckets up to `maxAllPairs` members; an id-ordered chain (n-1 pairs)
+  * for hot buckets — chaining preserves connectivity through connected
+  * components while bounding join output quadratic blow-up (the explicit
+  * skew defense of SURVEY.md §4.2). Input must be a sorted array of ids, so
+  * every emitted pair satisfies a < b.
+  */
+case class BucketPairs(child: Expression, maxAllPairs: Int)
+    extends UnaryExpression with SimpleCodegen {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val ids = input.asInstanceOf[ArrayData].toLongArray()
+    val n = ids.length
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    if (n <= maxAllPairs) {
+      val out = new Array[Any](n * (n - 1) / 2)
+      var w = 0
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          out(w) = InternalRow(ids(i), ids(j))
+          w += 1
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      val out = new Array[Any](n - 1)
+      var i = 0
+      while (i < n - 1) {
+        out(i) = InternalRow(ids(i), ids(i + 1))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): BucketPairs = copy(child = c)
 }
 
 /** Deterministic HTML→text extraction over a binary column (the graft analog

@@ -2,6 +2,7 @@ package graft.kernel
 
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Shingling + MinHash + SimHash + banding kernel.
   *
@@ -37,13 +38,6 @@ object Shingling {
     XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, seed)
   }
 
-  private val WordSplit = "[\\s]+".r
-
-  /** Distinct, sorted xxhash64 values of the k-word shingles of `text`.
-    * Shorter-than-k documents hash the whole token sequence as one shingle
-    * (so no document has an empty shingle set unless its text is empty).
-    * Sorted output makes downstream set ops (Jaccard) linear merges.
-    */
   /** Sort ascending in place, return the deduplicated prefix copy. */
   private def sortedDistinct(a: Array[Long], n: Int): Array[Long] = {
     if (n == 0) return Array.emptyLongArray
@@ -57,29 +51,66 @@ object Shingling {
     java.util.Arrays.copyOfRange(a, 0, w)
   }
 
-  def wordShingles(text: String, k: Int, seed: Long = DefaultSeed): Array[Long] = {
+  /** Distinct, sorted shingle hashes of the k-word shingles of `text`.
+    * Shorter-than-k documents hash the whole token sequence as one shingle
+    * (so no document has an empty shingle set unless its text is empty).
+    * Sorted output makes downstream set ops (Jaccard) linear merges.
+    *
+    * Allocation-free hot path: tokens are split on the single byte 0x20
+    * directly over the UTF-8 bytes (the upstream [[TextNorm.normalizeTokens]]
+    * emits single-space-separated tokens; multi-byte UTF-8 code units never
+    * contain 0x20), each token is xxhash64'd in place, and a shingle hash is
+    * an xxhash64 chain over its k token hashes — no per-shingle string is
+    * ever materialized. This was the dominant allocation source of the
+    * signature stage (GC-bound at 32 executor threads).
+    */
+  def wordShingles(text: UTF8String, k: Int, seed: Long): Array[Long] = {
     if (text == null) return Array.emptyLongArray
-    val tokens = WordSplit.split(text.trim)
-    if (tokens.length == 0 || (tokens.length == 1 && tokens(0).isEmpty))
-      return Array.emptyLongArray
-    val n = math.max(1, tokens.length - k + 1)
-    val hashes = new Array[Long](n)
-    val sb = new java.lang.StringBuilder(64)
+    val nb = text.numBytes
+    if (nb == 0) return Array.emptyLongArray
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    // pass 1: count tokens (maximal runs of non-space bytes)
+    var t = 0
+    var inTok = false
     var i = 0
-    while (i < n) {
-      sb.setLength(0)
-      var j = i
-      val end = math.min(tokens.length, i + k)
-      while (j < end) {
-        if (j > i) sb.append(' ')
-        sb.append(tokens(j))
-        j += 1
-      }
-      hashes(i) = hashString(sb.toString, seed)
+    while (i < nb) {
+      if (Platform.getByte(base, off + i) == 0x20) inTok = false
+      else if (!inTok) { inTok = true; t += 1 }
       i += 1
     }
-    sortedDistinct(hashes, n)
+    if (t == 0) return Array.emptyLongArray
+    // pass 2: hash each token in place
+    val tok = new Array[Long](t)
+    var ti = 0
+    i = 0
+    while (i < nb) {
+      if (Platform.getByte(base, off + i) != 0x20) {
+        var j = i + 1
+        while (j < nb && Platform.getByte(base, off + j) != 0x20) j += 1
+        tok(ti) = XXH64.hashUnsafeBytes(base, off + i, j - i, seed)
+        ti += 1
+        i = j
+      } else i += 1
+    }
+    // sliding windows of k token hashes, chained with xxhash64
+    val m = math.max(1, t - k + 1)
+    val hashes = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var h = seed
+      var j = i
+      val end = math.min(t, i + k)
+      while (j < end) { h = XXH64.hashLong(tok(j), h); j += 1 }
+      hashes(i) = h
+      i += 1
+    }
+    sortedDistinct(hashes, m)
   }
+
+  def wordShingles(text: String, k: Int, seed: Long = DefaultSeed): Array[Long] =
+    if (text == null) Array.emptyLongArray
+    else wordShingles(UTF8String.fromString(text), k, seed)
 
   /** Distinct, sorted xxhash64 values of the k-character shingles (over code
     * points) — finer-grained alternative for short texts.

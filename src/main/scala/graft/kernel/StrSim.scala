@@ -23,48 +23,51 @@ object StrSim {
     out
   }
 
-  /** Jaro similarity in [0,1]. Both empty → 1.0; exactly one empty → 0.0. */
+  /** Jaro similarity in [0,1], replicating the `strsim` 0.11 crate's
+    * `generic_jaro` EXACTLY — the reference's thresholds (0.85/0.93/0.99,
+    * /root/reference/src/dedupe.rs:141-142) are calibrated against strsim's
+    * values, which deviate from the textbook algorithm in one way: a
+    * "transposition" is counted whenever a match lands at a smaller b-index
+    * than the previous match (an on-line descent count), and the similarity
+    * term is (m - t) / m rather than the textbook (m - t_pairs/2) / m.
+    * Validated against strsim's own test vectors (dwayne/duane = 0.822,
+    * "Friedrich Nietzsche"/"Jean-Paul Sartre" = 0.392, dixon/dicksonx =
+    * 0.767, a/ab = 0.833). Both empty → 1.0; exactly one empty → 0.0.
+    */
   def jaro(s1: String, s2: String): Double = {
     val a = codePoints(s1)
     val b = codePoints(s2)
     if (a.length == 0 && b.length == 0) return 1.0
     if (a.length == 0 || b.length == 0) return 0.0
-    val window = math.max(0, math.max(a.length, b.length) / 2 - 1)
-    val aMatched = new Array[Boolean](a.length)
-    val bMatched = new Array[Boolean](b.length)
+    if (a.length == 1 && b.length == 1) return if (a(0) == b(0)) 1.0 else 0.0
+    val searchRange = math.max(a.length, b.length) / 2 - 1
+    val bConsumed = new Array[Boolean](b.length)
     var matches = 0
+    var transpositions = 0
+    var bMatchIndex = 0
     var i = 0
     while (i < a.length) {
-      val lo = math.max(0, i - window)
-      val hi = math.min(b.length - 1, i + window)
-      var j = lo
-      var found = false
-      while (j <= hi && !found) {
-        if (!bMatched(j) && a(i) == b(j)) {
-          aMatched(i) = true
-          bMatched(j) = true
-          matches += 1
-          found = true
+      val minBound = if (i > searchRange) i - searchRange else 0
+      val maxBound = math.min(b.length - 1, i + searchRange)
+      if (minBound <= maxBound) {
+        var j = minBound
+        var found = false
+        while (j <= maxBound && !found) {
+          if (a(i) == b(j) && !bConsumed(j)) {
+            bConsumed(j) = true
+            matches += 1
+            if (j < bMatchIndex) transpositions += 1
+            bMatchIndex = j
+            found = true
+          }
+          j += 1
         }
-        j += 1
       }
       i += 1
     }
     if (matches == 0) return 0.0
-    // transpositions: compare matched sequences in order
-    var transpositions = 0
-    var k = 0
-    i = 0
-    while (i < a.length) {
-      if (aMatched(i)) {
-        while (!bMatched(k)) k += 1
-        if (a(i) != b(k)) transpositions += 1
-        k += 1
-      }
-      i += 1
-    }
     val m = matches.toDouble
-    (m / a.length + m / b.length + (m - transpositions / 2.0) / m) / 3.0
+    (m / a.length + m / b.length + (m - transpositions) / m) / 3.0
   }
 
   /** Jaro-Winkler: Jaro plus common-prefix boost (prefix capped at 4,

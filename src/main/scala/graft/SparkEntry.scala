@@ -179,6 +179,35 @@ object SparkEntry {
         format_issn(lpad((lit(12340000) + col("doc_id")).cast("string"), 8, "0")).as("issn"))
     }),
 
+    // format_journal_name (dedupe.rs:786-797): conference-suffix strip +
+    // lowercase + alphanumerics only.
+    "q_format_journal" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        format_journal(concat(lit("Journal of Test-"), (col("doc_id") % 9).cast("string"),
+          lit(". Conference Proceedings"))).as("journal"))
+    }),
+
+    // split_issns (utils.rs:120-142): regex-find all ISSNs in a blob with
+    // literal escaped newlines (joined to one string for the oracle compare).
+    "q_split_issns" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        array_join(split_issns(concat(
+          lit("1111-"),
+          lpad((col("doc_id") % 8999).cast("string"), 4, "0"),
+          lit(" (Print)\\r\\n2345-678X (Electronic)"))), "|").as("issns"))
+    }),
+
+    // convert_unicode_string (dedupe.rs:711-721): <U+XXXX> escape → code
+    // point; invalid escapes left as-is.
+    "q_convert_unicode" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        convert_unicode(concat(lit("pre <U+0041><U+0062> mid <U+ZZZZ> "),
+          substring(col("text"), 1, 20))).as("converted"))
+    }),
+
     // Jaro + Jaro-Winkler string similarity (the reference's title-match
     // predicate kernel, dedupe.rs:138-139). Our kernel replicates the strsim
     // crate's variant (on-line transposition count); DuckDB implements the
@@ -395,11 +424,13 @@ object SparkEntry {
           lit("PMID- "), col("doc_id").cast("string"),
           lit("\nTI  - "), trim(substring(col("text"), 1, 40)),
           lit("\nVI  - "), (col("doc_id") % 50).cast("string"),
-          lit("\nPG  - 10-25\nDP  - "), (lit(1900) + col("doc_id") % 120).cast("string")
+          lit("\nPG  - 10-25\nDP  - "), (lit(1900) + col("doc_id") % 120).cast("string"),
+          lit(" Jun 9")
         ).as("blob")).as[String]
       PubMedParser.parse(blobs).toDF()
         .select(col("pmid").cast("long").as("doc_id"), col("title"),
-          col("volume"), col("pages"), col("date.year").as("year"))
+          col("volume"), col("pages"), col("date.year").as("year"),
+          col("date.month").as("month"), col("date.day").as("day"))
     }),
 
     // EndNote XML round-trip: streaming StAX parse; exercises title/journal
@@ -566,6 +597,18 @@ object SparkEntry {
         |FROM (SELECT doc_id, lpad(CAST(12340000 + doc_id AS VARCHAR), 8, '0') AS s
         |      FROM documents)""".stripMargin,
 
+    "q_format_journal" ->
+      "SELECT doc_id, 'journaloftest' || (doc_id % 9) AS journal FROM documents",
+
+    "q_split_issns" ->
+      """SELECT doc_id, '1111-' || lpad(CAST(doc_id % 8999 AS VARCHAR), 4, '0')
+        |  || ' (Print)|2345-678X (Electronic)' AS issns
+        |FROM documents""".stripMargin,
+
+    "q_convert_unicode" ->
+      """SELECT doc_id, 'pre Ab mid <U+ZZZZ> ' || substr(text, 1, 20) AS converted
+        |FROM documents""".stripMargin,
+
     "q_dedup_exact" ->
       s"""SELECT $NormalizeTextSql AS norm_text,
          |  count(*) AS n_docs, min(doc_id) AS representative
@@ -674,7 +717,8 @@ object SparkEntry {
     "q_cite_pubmed" ->
       """SELECT doc_id, trim(substr(text, 1, 40)) AS title,
         |  CAST(doc_id % 50 AS VARCHAR) AS volume, '10-25' AS pages,
-        |  CAST(1900 + doc_id % 120 AS INT) AS year
+        |  CAST(1900 + doc_id % 120 AS INT) AS year,
+        |  CAST(6 AS INT) AS month, CAST(9 AS INT) AS day
         |FROM documents""".stripMargin,
 
     "q_cite_endnote" ->

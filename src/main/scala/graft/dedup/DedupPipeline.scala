@@ -78,7 +78,9 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
         xxhash64(col("norm_text")).as("content_hash"),
         simhash64(col("shingles")).as("simhash"),
         size(col("shingles")).as("n_shingles"),
-        col("shingles"),
+        // stored/verified representation: low 32 bits (half the bytes;
+        // MinHash/SimHash above mix from the full 64-bit hashes)
+        truncate_hashes32(col("shingles")).as("shingles"),
         band_keys(minhash(col("shingles"), config.numHashes, config.seed),
           config.bands, config.rows, config.seed).as("bands"))
     }
@@ -96,41 +98,97 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
         .select(col("m").as("a"), col("id").as("b"))
     }
 
-  /** Stage 3 — LSH candidate pairs: explode band keys, drop pathological
-    * buckets, group each (band, bucket) and emit pairs in one aggregation
-    * (all-pairs for small buckets, id-chain for hot buckets via
-    * [[graft.expr.BucketPairs]]), distinct across bands.
+  /** Stage 3 — LSH candidate pairs: explode band keys, co-locate each
+    * (band, bucket), and emit pairs with a single streaming pass over
+    * bucket-sorted rows: all C(n,2) pairs for buckets up to
+    * `maxBucketAllPairs`, an id-ordered chain for hot buckets (connectivity
+    * preserved through connected components — the explicit skew defense),
+    * nothing for buckets past `hugeBucketCutoff` (boilerplate whose dups
+    * the exact-hash path already links).
     *
     * Exact-dup groups are collapsed to their representative BEFORE banding
     * so a 10⁶-copy boilerplate family costs one row here, not 10⁶.
     *
-    * Shuffle budget: one partial-aggregated count pass to find huge buckets
-    * (tiny — counts combine map-side), one groupBy to assemble buckets, one
-    * distinct over emitted pairs. The previous formulation cost two window
-    * sorts over the exploded rows plus a bucket self-join; at 10⁶+ pages the
-    * sorts dominated and did not scale with cores.
+    * Physical shape: ONE shuffle (repartition by bucket key) + in-partition
+    * sort + `mapPartitions` run detection, then a distinct on the emitted
+    * pairs. Buffered state is one bucket's ids, capped at hugeBucketCutoff
+    * (8 MB at the default) — no hash-aggregate state. Earlier formulations
+    * (window counts + bucket self-join; groupBy + collect_list) both
+    * anti-scaled with cores: at n pages × b bands the bucket key space is
+    * ~n·b mostly-singleton groups, and a 10⁷-key hash aggregate per task
+    * thrashes memory, while this pass is a pure sequential scan.
     */
   def candidatePairs(sigs: DataFrame, exact: DataFrame): DataFrame =
     store.getOrCompute("candidate_pairs") {
-      // exact-dup members (b side) are represented by their group min
-      val represented = sigs.join(exact.select(col("b").as("id")), Seq("id"), "left_anti")
-      def bandRows = represented
+      import spark.implicits._
+      // exact-dup members (b side) are represented by their group min.
+      // Explicit slim projection BEFORE the anti join: the join shuffles its
+      // left side, and shuffling (id, n_shingles, bands) instead of the full
+      // signature row (shingle arrays, url, …) is ~3× less volume.
+      val slim = sigs.select("id", "n_shingles", "bands")
+      val represented = slim.join(exact.select(col("b").as("id")), Seq("id"), "left_anti")
+      val bandRows = represented
         .filter(col("n_shingles") > 0)
         .select(col("id"), posexplode(col("bands")).as(Seq("band", "bucket")))
 
-      // content in a >hugeBucketCutoff bucket is boilerplate whose dups the
-      // exact-hash path already links; its pair blow-up is dropped outright
-      val huge = bandRows.groupBy("band", "bucket").count()
-        .filter(col("count") > config.hugeBucketCutoff)
-        .select("band", "bucket")
+      val maxAll = config.maxBucketAllPairs
+      val hugeCutoff = config.hugeBucketCutoff
+      val pairs = bandRows
+        .repartition(col("band"), col("bucket"))
+        .sortWithinPartitions("band", "bucket", "id")
+        .select(col("band").cast("long"), col("bucket"), col("id"))
+        .as[(Long, Long, Long)]
+        .mapPartitions { it =>
+          new Iterator[(Long, Long)] {
+            private val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+            private var curBand = Long.MinValue
+            private var curBucket = Long.MinValue
+            private var out: Iterator[(Long, Long)] = Iterator.empty
+            private var done = false
 
-      bandRows.join(broadcast(huge), Seq("band", "bucket"), "left_anti")
-        .groupBy("band", "bucket")
-        .agg(sort_array(collect_list(col("id"))).as("ids"))
-        .filter(size(col("ids")) > 1)
-        .select(explode(bucket_pairs(col("ids"), config.maxBucketAllPairs)).as("p"))
-        .select(col("p.a").as("a"), col("p.b").as("b"))
-        .distinct()
+            private def flush(): Iterator[(Long, Long)] = {
+              val n = buf.length
+              val res =
+                if (n < 2 || n > hugeCutoff) Iterator.empty
+                else if (n <= maxAll) {
+                  val ids = buf.toArray
+                  for {
+                    i <- Iterator.range(0, n)
+                    j <- Iterator.range(i + 1, n)
+                  } yield (ids(i), ids(j))
+                } else {
+                  val ids = buf.toArray
+                  Iterator.range(0, n - 1).map(i => (ids(i), ids(i + 1)))
+                }
+              buf.clear()
+              res
+            }
+
+            @annotation.tailrec
+            private def advance(): Unit =
+              if (!out.hasNext && !done) {
+                if (it.hasNext) {
+                  val (band, bucket, id) = it.next()
+                  if (band != curBand || bucket != curBucket) {
+                    out = flush()
+                    curBand = band
+                    curBucket = bucket
+                  }
+                  if (buf.length <= hugeCutoff) buf += id
+                  advance()
+                } else {
+                  done = true
+                  out = flush()
+                }
+              }
+
+            override def hasNext: Boolean = { advance(); out.hasNext }
+            override def next(): (Long, Long) = { advance(); out.next() }
+          }
+        }
+        .toDF("a", "b")
+
+      pairs.distinct()
     }
 
   /** Stage 4 — verification: exact Jaccard over the persisted shingle sets

@@ -207,14 +207,38 @@ case class BandKeys(child: Expression, bands: Int, rows: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): BandKeys = copy(child = c)
 }
 
-/** Exact Jaccard over two sorted distinct long arrays. */
+/** Truncate a sorted 64-bit shingle-hash array to sorted distinct 32-bit
+  * hashes — the storage/compare representation (half the bytes, negligible
+  * collision mass; see [[Shingling.truncate32]]).
+  */
+case class TruncateHashes32(child: Expression)
+    extends UnaryExpression with SimpleCodegen {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      Shingling.truncate32(input.asInstanceOf[ArrayData].toLongArray()))
+  override protected def withNewChildInternal(c: Expression): TruncateHashes32 = copy(child = c)
+}
+
+/** Exact Jaccard over two sorted distinct hash arrays (64-bit long or
+  * 32-bit int element type, resolved from the input schema).
+  */
 case class JaccardSorted(left: Expression, right: Expression)
     extends BinaryExpression with SimpleCodegen {
   override def dataType: DataType = DoubleType
+  private lazy val intElements: Boolean = left.dataType match {
+    case ArrayType(IntegerType, _) => true
+    case _ => false
+  }
   override def nullSafeEval(l: Any, r: Any): Any =
-    Shingling.jaccardSorted(
-      l.asInstanceOf[ArrayData].toLongArray(),
-      r.asInstanceOf[ArrayData].toLongArray())
+    if (intElements)
+      Shingling.jaccardSortedInt(
+        l.asInstanceOf[ArrayData].toIntArray(),
+        r.asInstanceOf[ArrayData].toIntArray())
+    else
+      Shingling.jaccardSorted(
+        l.asInstanceOf[ArrayData].toLongArray(),
+        r.asInstanceOf[ArrayData].toLongArray())
   override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSorted =
     copy(left = l, right = r)
 }

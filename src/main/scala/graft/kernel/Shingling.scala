@@ -51,6 +51,48 @@ object Shingling {
     java.util.Arrays.copyOfRange(a, 0, w)
   }
 
+  private def sortedDistinctInt(a: Array[Int], n: Int): Array[Int] = {
+    if (n == 0) return Array.emptyIntArray
+    java.util.Arrays.sort(a, 0, n)
+    var w = 1
+    var i = 1
+    while (i < n) {
+      if (a(i) != a(w - 1)) { a(w) = a(i); w += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOfRange(a, 0, w)
+  }
+
+  /** Truncate 64-bit shingle hashes to their low 32 bits (sorted distinct).
+    * Jaccard over 32-bit hashes is indistinguishable from 64-bit at document
+    * scale (cross-collision probability per ~50-shingle pair ≈ 50²/2³² ≈
+    * 6·10⁻⁷) and HALVES the dominant column of the signature checkpoint and
+    * the verification-join shuffles. MinHash/SimHash still mix from the full
+    * 64-bit hashes upstream.
+    */
+  def truncate32(h64: Array[Long]): Array[Int] = {
+    if (h64 == null || h64.isEmpty) return Array.emptyIntArray
+    val out = new Array[Int](h64.length)
+    var i = 0
+    while (i < h64.length) { out(i) = h64(i).toInt; i += 1 }
+    sortedDistinctInt(out, out.length)
+  }
+
+  /** Exact Jaccard over two sorted distinct int arrays (linear merge). */
+  def jaccardSortedInt(a: Array[Int], b: Array[Int]): Double = {
+    if (a == null || b == null || (a.isEmpty && b.isEmpty)) return 0.0
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
   /** Distinct, sorted shingle hashes of the k-word shingles of `text`.
     * Shorter-than-k documents hash the whole token sequence as one shingle
     * (so no document has an empty shingle set unless its text is empty).

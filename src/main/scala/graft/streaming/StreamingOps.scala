@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions._
+
+/** Structured Streaming surface of the dedup engine.
+  *
+  * The reference is strictly batch (`find_duplicates` takes a complete
+  * slice, /root/reference/src/dedupe.rs:356-361), and so is the main
+  * [[graft.dedup.DedupPipeline]]. These operators are the incremental-
+  * ingestion path SURVEY.md §2.7 sketches: the signature stage is
+  * embarrassingly per-row (stateless — identical code runs on a batch or
+  * streaming DataFrame), exact-dedup becomes watermarked duplicate
+  * suppression, and LSH candidate generation becomes a
+  * `flatMapGroupsWithState` keyed by band bucket, whose state is the
+  * bucket's member ids (bounded by the same hot-bucket cap as the batch
+  * pipeline — the skew defense carries over to state size).
+  */
+object StreamingOps {
+
+  /** Stateless signature projection — valid on batch and streaming frames
+    * alike (no shuffle, no state). Columns match the batch pipeline's
+    * signature stage minus the monotonic id (streams key by content_hash).
+    */
+  def signatures(pages: DataFrame, shingleK: Int = 5, numHashes: Int = 128,
+      bands: Int = 32, rows: Int = 4, seed: Long = 42L): DataFrame = {
+    val normalized = pages
+      .withColumn("norm_text", normalize_tokens(col("text")))
+      .withColumn("shingles", word_shingles(col("norm_text"), shingleK, seed))
+    normalized.select(
+      col("url"), col("warc_ts"), col("lang"),
+      xxhash64(col("norm_text")).as("content_hash"),
+      simhash64(col("shingles")).as("simhash"),
+      size(col("shingles")).as("n_shingles"),
+      band_keys(minhash(col("shingles"), numHashes, seed), bands, rows, seed)
+        .as("bands"))
+  }
+
+  /** Streaming exact-dedup: keep the first page seen per content hash,
+    * with state expired by the event-time watermark (late duplicates beyond
+    * `watermarkDelay` may re-emit — the documented watermark contract).
+    */
+  def firstSeenByContent(pages: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
+    pages
+      .withColumn("content_hash", xxhash64(normalize_tokens(col("text"))))
+      .withWatermark("warc_ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Watermarked sliding-window ingest metrics (pages and distinct
+    * languages per window) — the streaming analog of the batch pipeline's
+    * per-stage metrics table.
+    */
+  def pagesPerWindow(pages: DataFrame, windowLen: String = "10 minutes",
+      slide: String = "5 minutes", watermarkDelay: String = "10 minutes"): DataFrame =
+    pages
+      .withWatermark("warc_ts", watermarkDelay)
+      .groupBy(window(col("warc_ts"), windowLen, slide), col("lang"))
+      .agg(count(lit(1)).as("n_pages"),
+        approx_count_distinct(col("url")).as("n_urls"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("lang"), col("n_pages"), col("n_urls"))
+
+  /** One LSH band-bucket occupancy: (band, bucket) → member ids seen so far. */
+  final case class BucketState(ids: Seq[Long])
+
+  /** A doc's row in one band bucket. */
+  final case class BandRow(id: Long, band: Int, bucket: Long)
+
+  /** An emitted candidate pair (a < b). */
+  final case class CandidatePair(a: Long, b: Long)
+
+  /** Streaming LSH candidate generation: stateful per-bucket membership.
+    * Each micro-batch, a bucket's new arrivals pair with its existing
+    * members and with each other — so near-dups arriving in DIFFERENT
+    * micro-batches are still paired (the cross-batch property batch LSH
+    * gets for free). Bucket state is capped at `maxPerBucket` ids: arrivals
+    * beyond the cap pair only with the most recent retained member (the id-chain
+    * degradation of the batch pipeline's hot-bucket path — connectivity is
+    * preserved through connected components, state stays bounded).
+    */
+  def streamingCandidates(bandRows: Dataset[BandRow],
+      maxPerBucket: Int = 64): Dataset[CandidatePair] = {
+    import bandRows.sparkSession.implicits._
+    bandRows
+      .groupByKey(r => (r.band, r.bucket))
+      .flatMapGroupsWithState[BucketState, CandidatePair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[BucketState]) =>
+          val prev = state.getOption.map(_.ids).getOrElse(Seq.empty)
+          val prevSet = prev.toSet
+          val fresh = rows.map(_.id).toSeq.distinct.filterNot(prevSet.contains).sorted
+          val pairs = scala.collection.mutable.ArrayBuffer.empty[CandidatePair]
+          var members = prev
+          for (id <- fresh) {
+            if (members.length < maxPerBucket) {
+              // pair with every current member, then join the bucket
+              members.foreach { m =>
+                pairs += CandidatePair(math.min(m, id), math.max(m, id))
+              }
+              members = members :+ id
+            } else {
+              // hot bucket: chain to the most recent retained member only
+              members.lastOption.foreach { m =>
+                pairs += CandidatePair(math.min(m, id), math.max(m, id))
+              }
+              members = members.dropRight(1) :+ id
+            }
+          }
+          state.update(BucketState(members))
+          pairs.iterator
+      }
+  }
+}

@@ -1,0 +1,151 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{BandRow, CandidatePair}
+
+case class StreamPage(url: String, warc_ts: Timestamp, text: String, lang: String)
+
+/** Structured Streaming surface (SURVEY.md §2.7): stateless signature
+  * transform, watermarked windowed aggregation, watermarked exact-dedup,
+  * and stateful cross-batch LSH candidate generation.
+  */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("streaming-spec")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("signatures transform is streaming-valid and matches batch values") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = Seq(
+      StreamPage("u1", ts(0), "the quick brown fox jumps over the lazy dog today", "en"),
+      StreamPage("u2", ts(1), "the quick brown fox jumps over the lazy dog today", "en"),
+      StreamPage("u3", ts(2), "a completely different document body with other words", "en"))
+
+    val stream = MemoryStream[StreamPage]
+    stream.addData(rows: _*)
+    val q = StreamingOps.signatures(stream.toDF())
+      .writeStream.format("memory").queryName("sig_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val streamed = spark.table("sig_stream")
+      .select("url", "content_hash", "simhash").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val batch = StreamingOps.signatures(rows.toDF())
+      .select("url", "content_hash", "simhash").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    assert(streamed === batch)
+    assert(streamed("u1")._1 === streamed("u2")._1) // exact dups share hash
+    assert(streamed("u1")._1 !== streamed("u3")._1)
+  }
+
+  test("firstSeenByContent suppresses exact duplicates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[StreamPage]
+    // default micro-batch trigger: AvailableNow would stop after batch 1
+    // and never see the second addData
+    val q = StreamingOps.firstSeenByContent(stream.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("first_seen")
+      .outputMode("append").start()
+
+    stream.addData(
+      StreamPage("u1", ts(0), "identical page content body", "en"),
+      StreamPage("u2", ts(1), "identical page content body", "en"), // dup, same batch
+      StreamPage("u3", ts(2), "some other page entirely", "en"))
+    q.processAllAvailable()
+    stream.addData(
+      StreamPage("u4", ts(3), "identical page content body", "en"), // dup, later batch
+      StreamPage("u5", ts(4), "a third distinct page", "en"))
+    q.processAllAvailable()
+    q.stop()
+
+    val urls = spark.table("first_seen").select("url").as[String].collect().toSet
+    assert(urls.contains("u3") && urls.contains("u5"))
+    // exactly one of the three identical pages survives, and it is the first
+    assert(urls.intersect(Set("u1", "u2", "u4")) === Set("u1"))
+  }
+
+  test("pagesPerWindow watermarked sliding-window counts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[StreamPage]
+    stream.addData(
+      StreamPage("u1", ts(0), "t", "en"),
+      StreamPage("u2", ts(1), "t", "en"),
+      StreamPage("u3", ts(7), "t", "de"))
+    // streaming run (append mode holds windows open until the watermark
+    // passes, so only plan validity is asserted here)…
+    val q = StreamingOps.pagesPerWindow(stream.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // …and the same transform over a batch frame pins the window math
+    val batch = StreamingOps.pagesPerWindow(
+      Seq(
+        StreamPage("u1", ts(0), "t", "en"),
+        StreamPage("u2", ts(1), "t", "en"),
+        StreamPage("u3", ts(7), "t", "de")).toDF(),
+      "10 minutes", "5 minutes")
+    val rows = batch.collect()
+    // u1,u2 fall in windows [9:55,10:05) and [10:00,10:10); u3 in
+    // [10:00,10:10) and [10:05,10:15)
+    val en0005 = rows.find(r => r.getString(2) == "en" &&
+      r.getTimestamp(0) == Timestamp.valueOf("2026-01-01 10:00:00")).get
+    assert(en0005.getLong(3) === 2L)
+    val de0005 = rows.find(r => r.getString(2) == "de" &&
+      r.getTimestamp(0) == Timestamp.valueOf("2026-01-01 10:05:00")).get
+    assert(de0005.getLong(3) === 1L)
+  }
+
+  test("streamingCandidates pairs near-dups across micro-batches with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[BandRow]
+    val q = StreamingOps.streamingCandidates(stream.toDS(), maxPerBucket = 3)
+      .writeStream.format("memory").queryName("stream_cands")
+      .outputMode("append").start()
+
+    // batch 1: ids 1,2 share bucket (0, 100); id 9 alone in (1, 200)
+    stream.addData(BandRow(1, 0, 100), BandRow(2, 0, 100), BandRow(9, 1, 200))
+    q.processAllAvailable()
+    // batch 2: id 3 joins bucket (0,100) → pairs with 1 and 2 (cross-batch);
+    // ids 4,5 overflow the cap → chain
+    stream.addData(BandRow(3, 0, 100), BandRow(4, 0, 100), BandRow(5, 0, 100))
+    q.processAllAvailable()
+    q.stop()
+
+    val pairs = spark.table("stream_cands").as[CandidatePair].collect().toSet
+    assert(pairs.contains(CandidatePair(1, 2))) // same batch
+    assert(pairs.contains(CandidatePair(1, 3)) && pairs.contains(CandidatePair(2, 3))) // cross batch
+    // chain connectivity for overflow arrivals
+    assert(pairs.contains(CandidatePair(3, 4)) && pairs.contains(CandidatePair(4, 5)))
+    // no pair for the lone member of bucket (1,200)
+    assert(!pairs.exists(p => p.a == 9 || p.b == 9))
+  }
+}

@@ -29,7 +29,10 @@ object DedupMain {
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cores]"))
       .appName("graft-dedup")
-      .config("spark.sql.shuffle.partitions", cores)
+      // 4 tasks per core: the candidate stage's big repartition+sort then
+      // works on data-sized chunks (no low-core spill) and stragglers
+      // load-balance; AQE coalesces where fewer partitions suffice
+      .config("spark.sql.shuffle.partitions", cores.toInt * 4)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -52,12 +55,19 @@ object DedupMain {
 
     val t0 = System.nanoTime()
     val clusters = pipeline.run(pages)
-    val nPages = clusters.count()
-    val nClusters = clusters.select(countDistinct("cluster_id")).as[Long].collect()(0)
+    // one job: total rows + distinct clusters off the final (small) table
+    val summary = clusters.agg(count(lit(1)), countDistinct("cluster_id"))
+      .as[(Long, Long)].collect()(0)
+    val (nPages, nClusters) = summary
     val wallSec = (System.nanoTime() - t0) / 1e9
+    // stage row counts come from the checkpoint manifests (parquet footer
+    // metadata recorded at write time) — no re-scan of stage tables
     val stages = Seq("signatures", "exact_edges", "candidate_pairs",
       "verified_edges", "components", "clusters")
-      .map(st => s""""$st":${store.read(st).count()}""").mkString("{", ",", "}")
+      .map { st =>
+        val rows = store.lineage(st).agg(sum("rows")).as[Long].collect()(0)
+        s""""$st":$rows"""
+      }.mkString("{", ",", "}")
     println(
       s"""{"pages":$nPages,"clusters":$nClusters,"dup_pages":${nPages - nClusters},
          |"wall_sec":$wallSec,"docs_per_sec":${nPages / wallSec},

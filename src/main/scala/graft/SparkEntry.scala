@@ -326,6 +326,28 @@ object SparkEntry {
         .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("cluster_id"))
     }),
 
+    // Embedding-cosine near-dup pairs: bounded self-join over vectors,
+    // keep pairs above a cosine threshold (the embedding analog of the
+    // fuzzy-title predicate).
+    "q_dedup_embed_cosine" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings").filter(col("vec_id") < 200)
+        .select(col("vec_id"), col("embedding"))
+      vecs.as("x").join(vecs.as("y"), col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+          round(cosine_sim(col("x.embedding"), col("y.embedding")), 6).as("cos"))
+        .filter(col("cos") >= 0.2)
+    }),
+
+    // Character-set Jaccard (char shingles at k=1 — DuckDB's jaccard()
+    // uses the same character-set semantics).
+    "q_dedup_char_jaccard" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        round(jaccard_sorted(
+          char_shingles(col("text"), 1),
+          char_shingles(substring(col("text"), 1, 50), 1)), 6).as("jac"))
+    }),
+
     // SimHash fingerprints (rows-only: hash-based).
     "q_dedup_simhash" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -354,6 +376,15 @@ object SparkEntry {
     "q_ann_lsh_topk" -> ((s, dir) => {
       val (corpus, queries) = annInputs(s, dir)
       Ann.rhpTopK(corpus, queries, 3, bands = 16, rowsPerBand = 4)
+        .select(col("query_id"), col("id").as("neighbor_id"), col("cos"),
+          col("rank").cast("long").as("rank"))
+    }),
+
+    // IVF ANN (rows-only: centroid cells are data-order-dependent; recall
+    // pinned by TrainingOpsSpec against brute force).
+    "q_ann_ivf_topk" -> ((s, dir) => {
+      val (corpus, queries) = annInputs(s, dir)
+      Ann.ivfTopK(corpus, queries, 3, nlist = 16, nprobe = 4)
         .select(col("query_id"), col("id").as("neighbor_id"), col("cos"),
           col("rank").cast("long").as("rank"))
     }),
@@ -625,6 +656,18 @@ object SparkEntry {
         |  ON x.doc_id < y.doc_id
         |WHERE round(CAST(len(list_intersect(x.toks, y.toks)) AS DOUBLE) /
         |      len(list_distinct(list_concat(x.toks, y.toks))), 6) >= 0.5""".stripMargin,
+
+    "q_dedup_embed_cosine" ->
+      """SELECT x.vec_id AS a, y.vec_id AS b,
+        |  round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+        |        CAST(y.embedding AS DOUBLE[])), 6) AS cos
+        |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+        |WHERE x.vec_id < 200 AND y.vec_id < 200
+        |  AND round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+        |      CAST(y.embedding AS DOUBLE[])), 6) >= 0.2""".stripMargin,
+
+    "q_dedup_char_jaccard" ->
+      "SELECT doc_id, round(jaccard(text, substr(text, 1, 50)), 6) AS jac FROM documents",
 
     "q_ann_cosine_topk" ->
       """SELECT query_id, neighbor_id, cos, rank FROM (

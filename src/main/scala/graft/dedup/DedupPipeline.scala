@@ -11,10 +11,13 @@ import graft.schema.Page
 /** Dedup pipeline configuration (the graft analog of `DeduplicatorConfig`,
   * /root/reference/src/dedupe.rs:190-201).
   *
-  * Default LSH geometry: 128 MinHash values as 32 bands × 4 rows. Collision
-  * probability at Jaccard s is 1-(1-s⁴)³², i.e. ≈ 1-5e-8 at s=0.8 — the
-  * ≥0.99 pair-recall budget of BASELINE.json is spent almost entirely in the
-  * verify threshold, not in LSH misses.
+  * Default LSH geometry: 120 MinHash values as 24 bands × 5 rows. Collision
+  * probability at Jaccard s is 1-(1-s⁵)²⁴ ≈ 0.9999 at s=0.8 — the ≥0.99
+  * pair-recall budget of BASELINE.json is spent almost entirely in the
+  * verify threshold, not in LSH misses. (The earlier 32×4 geometry bought
+  * 1-5e-8 collision at s=0.8 — recall headroom nobody needs — at the price
+  * of 33% more exploded band rows in the candidate stage, which is the
+  * pipeline's largest shuffle.)
   *
   * `maxBucketAllPairs`: buckets up to this size emit all C(n,2) pairs;
   * larger buckets emit an id-ordered chain (n-1 pairs). A hot bucket is a
@@ -27,9 +30,9 @@ import graft.schema.Page
   */
 final case class DedupConfig(
     shingleK: Int = 5,
-    numHashes: Int = 128,
-    bands: Int = 32,
-    rows: Int = 4,
+    numHashes: Int = 120,
+    bands: Int = 24,
+    rows: Int = 5,
     seed: Long = 42L,
     jaccardThreshold: Double = 0.8,
     useLcsCheck: Boolean = false,

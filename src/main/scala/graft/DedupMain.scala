@@ -34,6 +34,12 @@ object DedupMain {
       // load-balance; AQE coalesces where fewer partitions suffice
       .config("spark.sql.shuffle.partitions", cores.toInt * 4)
       .config("spark.sql.adaptive.enabled", "true")
+      // verify/anti-join small sides (pair lists, exact-dup ids) fit well
+      // under 64 MB at sandbox scale → broadcast joins keep the big
+      // signature table un-shuffled; at 10^12 docs AQE's runtime stats
+      // exceed the threshold and the same plan degrades to sort-merge —
+      // the setting is scale-adaptive, not a hard-coded choice
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Physical-plan audit: asserts the plan properties the engine is designed
+  * around — filter pushdown into the parquet scan, column pruning, broadcast
+  * joins for small sides, whole-stage codegen coverage, absence of cartesian
+  * products where an equi-join is intended. Prints one PASS/FAIL line per
+  * check; exits nonzero on failure so it can gate commits.
+  *
+  * Usage: runMain graft.PlanAudit [sfDir]
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    var failures = 0
+    def check(name: String, cond: Boolean, detail: => String = ""): Unit = {
+      val status = if (cond) "PASS" else { failures += 1; "FAIL" }
+      println(f"[$status] $name${if (cond) "" else " :: " + detail}")
+    }
+    def plan(q: String): String = {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.collect() // materialize THIS plan so AQE finalizes it
+      df.queryExecution.executedPlan.toString
+    }
+
+    // q1: filter on l_shipdate must reach the parquet scan; scan must not
+    // read all 16 lineitem columns for a 7-column aggregate
+    val p1 = plan("q1_agg")
+    check("q1_agg: shipdate filter pushed to scan",
+      p1.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p1)
+    check("q1_agg: column pruning (no l_comment in ReadSchema)",
+      !p1.contains("l_comment"), p1)
+    // WSCG prints as "WholeStageCodegen" in formatted mode or "*(n)" in tree mode
+    check("q1_agg: whole-stage codegen",
+      p1.contains("WholeStageCodegen") || p1.contains("*("), p1)
+    check("q1_agg: partial aggregation (map-side combine)",
+      p1.contains("partial_sum") || p1.contains("HashAggregate"), p1)
+
+    // q3: the filtered customer side is explicitly broadcast
+    val p3 = plan("q3_join")
+    check("q3_join: broadcast hash join for customer side",
+      p3.contains("BroadcastHashJoin"), p3)
+    check("q3_join: mktsegment filter pushed",
+      p3.contains("EqualTo(c_mktsegment,BUILDING)"), p3)
+    check("q3_join: top-k as TakeOrderedAndProject (no global sort)",
+      p3.contains("TakeOrderedAndProject"), p3)
+
+    // top-k must not be a full global sort
+    val pt = plan("q_topk_orders")
+    check("q_topk_orders: TakeOrderedAndProject", pt.contains("TakeOrderedAndProject"), pt)
+
+    // semi/anti joins stay joins (no cartesian anywhere)
+    val ps = plan("q_semi_anti")
+    check("q_semi_anti: semi+anti joins, no cartesian",
+      (ps.contains("LeftSemi") && ps.contains("LeftAnti")) &&
+        !ps.contains("CartesianProduct"), ps)
+
+    // signature kernel: single evaluation of the expensive expressions
+    val sig = graft.streaming.StreamingOps.signatures(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .selectExpr("cast(doc_id as string) as url",
+          "current_timestamp() as warc_ts", "text", "'en' as lang"))
+      .queryExecution.executedPlan.toString
+    check("signatures: wordshinglehashes evaluated once",
+      "wordshinglehashes".r.findAllIn(sig.toLowerCase).length == 1, sig)
+    check("signatures: normalizetokens evaluated once",
+      "normalizetokens".r.findAllIn(sig.toLowerCase).length == 1, sig)
+
+    // dedup_exact at sf: aggregate not windowed
+    val pd = plan("q_dedup_exact")
+    check("q_dedup_exact: hash aggregate", pd.contains("HashAggregate"), pd)
+
+    println(s"PlanAudit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
+    spark.stop()
+    if (failures > 0) sys.exit(1)
+  }
+}

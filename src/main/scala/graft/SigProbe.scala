@@ -20,7 +20,8 @@ object SigProbe {
     def time(thunk: => Unit): Double = {
       val t0 = System.nanoTime(); thunk; (System.nanoTime() - t0) / 1e9
     }
-    val pages = spark.read.parquet("/tmp/graft_scaling_corpus")
+    val pages = spark.read.parquet(
+      sys.env.getOrElse("SPARK_GRAFT_CORPUS", "/tmp/graft_corpus_xl"))
 
     val tRead = time { pages.agg(sum(length(col("text")))).collect() }
 
@@ -34,8 +35,8 @@ object SigProbe {
         xxhash64(col("norm_text")).as("content_hash"),
         simhash64(col("shingles")).as("simhash"),
         size(col("shingles")).as("n_shingles"),
-        col("shingles"),
-        band_keys(minhash(col("shingles"), 128, 42L), 32, 4, 42L).as("bands"))
+        truncate_hashes32(col("shingles")).as("shingles"),
+        band_keys(minhash(col("shingles"), 120, 42L), 24, 5, 42L).as("bands"))
 
     val plan = sigs.queryExecution.executedPlan.toString
     println("PLANCOUNT wordshingle=" + "wordshinglehashes".r.findAllIn(plan.toLowerCase).length +

@@ -11,13 +11,15 @@ import graft.schema.Page
 /** Dedup pipeline configuration (the graft analog of `DeduplicatorConfig`,
   * /root/reference/src/dedupe.rs:190-201).
   *
-  * Default LSH geometry: 120 MinHash values as 24 bands × 5 rows. Collision
-  * probability at Jaccard s is 1-(1-s⁵)²⁴ ≈ 0.9999 at s=0.8 — the ≥0.99
-  * pair-recall budget of BASELINE.json is spent almost entirely in the
-  * verify threshold, not in LSH misses. (The earlier 32×4 geometry bought
-  * 1-5e-8 collision at s=0.8 — recall headroom nobody needs — at the price
-  * of 33% more exploded band rows in the candidate stage, which is the
-  * pipeline's largest shuffle.)
+  * Default LSH geometry: 80 MinHash values as 16 bands × 5 rows. Collision
+  * probability at Jaccard s is 1-(1-s⁵)¹⁶ ≈ 0.998 at s=0.8 (0.9999 at
+  * s=0.85) — comfortably inside the ≥0.99 pair-recall budget of
+  * BASELINE.json, which is spent almost entirely in the verify threshold,
+  * not in LSH misses. (The original 32×4 geometry bought 1-5e-8 collision
+  * at s=0.8 — recall headroom nobody needs — at the price of 2× the MinHash
+  * compute and 2× the exploded band rows in the candidate stage, the
+  * pipeline's largest shuffle. Keeping r=5 rather than widening to r=4
+  * holds the low-similarity false-candidate rate flat.)
   *
   * `maxBucketAllPairs`: buckets up to this size emit all C(n,2) pairs;
   * larger buckets emit an id-ordered chain (n-1 pairs). A hot bucket is a
@@ -30,8 +32,8 @@ import graft.schema.Page
   */
 final case class DedupConfig(
     shingleK: Int = 5,
-    numHashes: Int = 120,
-    bands: Int = 24,
+    numHashes: Int = 80,
+    bands: Int = 16,
     rows: Int = 5,
     seed: Long = 42L,
     jaccardThreshold: Double = 0.8,
@@ -84,8 +86,8 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
         // stored/verified representation: low 32 bits (half the bytes;
         // MinHash/SimHash above mix from the full 64-bit hashes)
         truncate_hashes32(col("shingles")).as("shingles"),
-        band_keys(minhash(col("shingles"), config.numHashes, config.seed),
-          config.bands, config.rows, config.seed).as("bands"))
+        minhash_bands(col("shingles"), config.bands, config.rows, config.seed)
+          .as("bands"))
     }
 
   /** Stage 2 — exact-dup fast path (the DOI-equality analog, SURVEY.md §2.3):
@@ -200,9 +202,15 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
     */
   def verifiedEdges(sigs: DataFrame, pairs: DataFrame): DataFrame =
     store.getOrCompute("verified_edges") {
+      // Explicit shuffled-hash joins: both joins co-partition on the doc id
+      // (a shuffle that is needed regardless), build the hash table on the
+      // pair side, and never sort. Left unhinted, the optimizer may instead
+      // broadcast the intermediate result of join #1 — which drags the sh_a
+      // shingle arrays through a driver collect — or sort-merge both sides.
       val shingleSide = sigs.select(col("id"), col("shingles"))
-      val joined = pairs
+      val joined = pairs.hint("shuffle_hash")
         .join(shingleSide.withColumnsRenamed(Map("id" -> "a", "shingles" -> "sh_a")), "a")
+        .hint("shuffle_hash")
         .join(shingleSide.withColumnsRenamed(Map("id" -> "b", "shingles" -> "sh_b")), "b")
         .withColumn("jaccard", jaccard_sorted(col("sh_a"), col("sh_b")))
         .filter(col("jaccard") >= config.jaccardThreshold)

@@ -207,6 +207,39 @@ case class BandKeys(child: Expression, bands: Int, rows: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): BandKeys = copy(child = c)
 }
 
+/** Fused MinHash → LSH band keys: computes the bands×rows MinHash signature
+  * into a scratch array and hashes each band in one pass — the hot path of
+  * the signature stage, saving one ArrayData materialization + copy per row
+  * vs composing [[MinHashSignature]] and [[BandKeys]].
+  */
+case class MinHashBands(child: Expression, bands: Int, rows: Int, seed: Long)
+    extends UnaryExpression with SimpleCodegen {
+  private val numHashes = bands * rows
+  @transient private lazy val coeffA: Array[Long] =
+    Array.tabulate(numHashes)(i => Shingling.splitmix64(seed + 2L * i) | 1L)
+  @transient private lazy val coeffB: Array[Long] =
+    Array.tabulate(numHashes)(i => Shingling.splitmix64(seed + 2L * i + 1L))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val shingles = input.asInstanceOf[ArrayData].toLongArray()
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var s = 0
+    while (s < shingles.length) {
+      val x = shingles(s)
+      var i = 0
+      while (i < numHashes) {
+        val v = coeffA(i) * x + coeffB(i)
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(Shingling.bandKeys(sig, bands, rows, seed))
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashBands = copy(child = c)
+}
+
 /** Truncate a sorted 64-bit shingle-hash array to sorted distinct 32-bit
   * hashes — the storage/compare representation (half the bytes, negligible
   * collision mass; see [[Shingling.truncate32]]).

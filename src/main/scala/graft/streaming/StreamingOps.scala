@@ -25,8 +25,8 @@ object StreamingOps {
     * alike (no shuffle, no state). Columns match the batch pipeline's
     * signature stage minus the monotonic id (streams key by content_hash).
     */
-  def signatures(pages: DataFrame, shingleK: Int = 5, numHashes: Int = 128,
-      bands: Int = 32, rows: Int = 4, seed: Long = 42L): DataFrame = {
+  def signatures(pages: DataFrame, shingleK: Int = 5,
+      bands: Int = 16, rows: Int = 5, seed: Long = 42L): DataFrame = {
     val normalized = pages
       .withColumn("norm_text", normalize_tokens(col("text")))
       .withColumn("shingles", word_shingles(col("norm_text"), shingleK, seed))
@@ -35,8 +35,7 @@ object StreamingOps {
       xxhash64(col("norm_text")).as("content_hash"),
       simhash64(col("shingles")).as("simhash"),
       size(col("shingles")).as("n_shingles"),
-      band_keys(minhash(col("shingles"), numHashes, seed), bands, rows, seed)
-        .as("bands"))
+      minhash_bands(col("shingles"), bands, rows, seed).as("bands"))
   }
 
   /** Streaming exact-dedup: keep the first page seen per content hash,

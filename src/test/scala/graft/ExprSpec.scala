@@ -79,6 +79,47 @@ class ExprSpec extends AnyFunSuite {
     assert(pairs((1L, 3L))._1 === 0.0)
   }
 
+  test("bucket_pairs: all-pairs below cap, id chain above, empty below 2") {
+    val s = onceRegistered()
+    import s.implicits._
+    val df = Seq(
+      (1, Seq(10L, 20L, 30L)),            // 3 ≤ cap → C(3,2) pairs
+      (2, Seq(1L, 2L, 3L, 4L, 5L)),       // 5 > cap(3) → chain of 4
+      (3, Seq(7L)),                        // singleton → nothing
+      (4, Seq.empty[Long])
+    ).toDF("g", "ids")
+    val got = df.select($"g",
+        org.apache.spark.sql.functions.explode(bucket_pairs($"ids", 3)).as("p"))
+      .select($"g", $"p.a", $"p.b").collect()
+      .groupBy(_.getInt(0))
+      .map { case (g, rs) => g -> rs.map(r => (r.getLong(1), r.getLong(2))).toSet }
+    assert(got(1) === Set((10L, 20L), (10L, 30L), (20L, 30L)))
+    assert(got(2) === Set((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    assert(!got.contains(3) && !got.contains(4))
+  }
+
+  test("truncate_hashes32: sorted distinct low bits; jaccard_sorted handles int arrays") {
+    val s = onceRegistered()
+    import s.implicits._
+    // two longs sharing low 32 bits collapse to one int; output sorted
+    val in = Seq((1, Seq(0x100000002L, 0x200000002L, 0x1L, -1L))).toDF("id", "h")
+    val got = in.select(truncate_hashes32($"h")).as[Seq[Int]].collect()(0)
+    assert(got === got.sorted && got.distinct === got)
+    assert(got.toSet === Set(2, 1, -1))
+
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away"),
+      (2L, "the quick brown fox jumps over the lazy dog and runs far away"),
+      (3L, "completely different words entirely unrelated content here now")
+    ).toDF("id", "text")
+    val sh32 = docs.select($"id", truncate_hashes32(word_shingles($"text", 3)).as("sh"))
+    val pairs = sh32.as("a").join(sh32.as("b"), $"a.id" < $"b.id")
+      .select($"a.id", $"b.id", jaccard_sorted($"a.sh", $"b.sh").as("jac"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) === 1.0)
+    assert(pairs((1L, 3L)) === 0.0)
+  }
+
   test("band_keys explode produces equi-joinable buckets") {
     val s = onceRegistered()
     import s.implicits._

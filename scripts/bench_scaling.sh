@@ -1,13 +1,18 @@
 #!/usr/bin/env bash
 # Two-cluster-size scaling evidence (BASELINE.md protocol): run the SAME
-# dedup job on the SAME materialized corpus at local[8] (N) and local[32]
-# (4N), report docs/sec at both + efficiency = (T8/T32)/4.
+# dedup job on the SAME materialized corpus at local[2] (N) and local[8]
+# (4N), report docs/sec at both + efficiency = (docs_per_sec_8/docs_per_sec_2)/4.
+#
+# N=2 / 4N=8 — NOT 8/32 — because the sandbox VM only scales linearly to
+# ~8 concurrent workers (hypervisor steal beyond that; see BASELINE.md's
+# burn-test evidence). The corpus must be large enough that ~50s of fixed
+# per-job cost is amortized: default 5.6M families ≈ 8.95M pages.
 #
 # Usage: scripts/bench_scaling.sh [families] [corpusDir]
 set -euo pipefail
 cd "$(dirname "$0")/.."
-FAMILIES="${1:-700000}"
-CORPUS="${2:-/tmp/graft_scaling_corpus}"
+FAMILIES="${1:-5600000}"
+CORPUS="${2:-/tmp/graft_corpus_xxl}"
 OUT=/tmp/graft_scaling
 
 if [ ! -f "$CORPUS/_SUCCESS" ]; then
@@ -24,6 +29,6 @@ run() {
     | grep '"pages"'
 }
 
+run 2
 run 8
-run 32
-echo "== done; compute efficiency = (docs_per_sec_32/docs_per_sec_8)/4 =="
+echo "== done; efficiency = (docs_per_sec_8/docs_per_sec_2)/4, pass iff >= 0.8 =="

@@ -16,15 +16,17 @@ import graft.synth.DeterministicCorpus.CorpusSpec
   * Env knobs:
   *   SPARK_GRAFT_SF_DIR    table dir (default /root/testdata/sf0.1)
   *   SPARK_GRAFT_CPUS      local[N] cores + shuffle partitions (default 32)
-  *   SPARK_GRAFT_FAMILIES  dedup-bench corpus families (default 50000,
-  *                         ≈1.3 pages/family ⇒ ~65k pages; scaling bench
-  *                         uses a larger value via scripts/bench_scaling.sh)
+  *   SPARK_GRAFT_FAMILIES  dedup-bench corpus families (default 400000,
+  *                         ≈1.6 pages/family ⇒ ~640k pages — big enough
+  *                         that per-job constants don't dominate the
+  *                         docs/sec figure; the scaling evidence runs use
+  *                         a larger corpus via scripts/bench_scaling.sh)
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val families = sys.env.getOrElse("SPARK_GRAFT_FAMILIES", "50000").toLong
+    val families = sys.env.getOrElse("SPARK_GRAFT_FAMILIES", "400000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -68,12 +68,17 @@ object DedupMain {
     val wallSec = (System.nanoTime() - t0) / 1e9
     // stage row counts come from the checkpoint manifests (parquet footer
     // metadata recorded at write time) — no re-scan of stage tables
-    val stages = Seq("signatures", "exact_edges", "candidate_pairs",
-      "verified_edges", "components", "clusters")
-      .map { st =>
-        val rows = store.lineage(st).agg(sum("rows")).as[Long].collect()(0)
-        s""""$st":$rows"""
-      }.mkString("{", ",", "}")
+    val cfg = DedupConfig()
+    val sigStages =
+      if (cfg.resumeChunks == 1) Seq("signatures")
+      else (0 until cfg.resumeChunks).map(i => s"signatures_chunk$i")
+    def rowsOf(sts: Seq[String]): Long =
+      sts.map(st => store.lineage(st).agg(sum("rows")).as[Long].collect()(0)).sum
+    val stages = (Seq("signatures" -> sigStages) ++
+      Seq("exact_edges", "candidate_pairs", "verified_edges", "components",
+        "clusters").map(st => st -> Seq(st)))
+      .map { case (name, sts) => s""""$name":${rowsOf(sts)}""" }
+      .mkString("{", ",", "}")
     println(
       s"""{"pages":$nPages,"clusters":$nClusters,"dup_pages":${nPages - nClusters},
          |"wall_sec":$wallSec,"docs_per_sec":${nPages / wallSec},

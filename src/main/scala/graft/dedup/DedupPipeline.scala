@@ -38,12 +38,15 @@ final case class DedupConfig(
     seed: Long = 42L,
     jaccardThreshold: Double = 0.8,
     useLcsCheck: Boolean = false,
-    lcsMinFraction: Double = 0.3,
+    lcsMinFraction: Double = 0.5,
+    lcsLowJaccard: Double = 0.4,
     maxBucketAllPairs: Int = 64,
     hugeBucketCutoff: Long = 1000000L,
     sourcePreferences: Seq[String] = Nil,
-    maxCcIterations: Int = 50) {
+    maxCcIterations: Int = 50,
+    resumeChunks: Int = 4) {
   require(bands * rows == numHashes, "bands*rows must equal numHashes")
+  require(resumeChunks >= 1, "resumeChunks must be >= 1")
 }
 
 /** The end-to-end near-dup detection + clustering pipeline (SURVEY.md §3.3
@@ -61,20 +64,33 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
 
   /** Stage 1 — signatures: extract+normalize text, shingle, MinHash→LSH
     * band keys, SimHash, exact-content hash; assign the stable numeric id.
-    * Narrow (no shuffle); persisted so ids survive resume.
+    * Narrow (no shuffle).
+    *
+    * The doc id is `xxhash64(url)` — a pure function of the row, so ids are
+    * identical across resume runs, partitionings, and cluster sizes (a
+    * monotonic id would not be). Collision math: ~n²/2⁶⁵ expected pairs
+    * (≈2·10⁻⁶ at 10⁷ docs); at true 10¹²-doc scale swap in a 128-bit hash
+    * (two-long id) behind the same column.
+    *
+    * Partition-level resume (north_star: "a killed job resumes mid-pipeline
+    * without recomputing completed partitions"): the stage is written as
+    * `resumeChunks` independent checkpoints, chunked by `pmod(id, C)`. A
+    * kill between chunk commits loses only the in-flight chunk; completed
+    * chunks load from their manifests. The chunk key is a pure function of
+    * the row, so chunk contents are stable across runs.
     *
     * The checkpoint stores the `bands` band keys (b longs), NOT the full
     * n-value MinHash signature — bands are the only thing the candidate
-    * stage consumes, and at n=128/b=32 this cuts the stage's write volume
-    * (the dominant cost at 10⁵ rows/executor-thread) by ~4×.
+    * stage consumes, which cuts the stage's write volume (the dominant cost
+    * at 10⁵ rows/executor-thread) by ~4×.
     */
-  def signatures(pages: Dataset[Page]): DataFrame =
-    store.getOrCompute("signatures") {
-      val normalized = pages.toDF()
+  def signatures(pages: Dataset[Page]): DataFrame = {
+    def chunk(df: DataFrame): DataFrame = {
+      val normalized = df
         .withColumn("norm_text", normalize_tokens(col("text")))
         .withColumn("shingles", word_shingles(col("norm_text"), config.shingleK, config.seed))
       normalized.select(
-        monotonically_increasing_id().as("id"),
+        xxhash64(col("url")).as("id"),
         col("url"),
         col("warc_ts"),
         col("lang"),
@@ -89,6 +105,31 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
         minhash_bands(col("shingles"), config.bands, config.rows, config.seed)
           .as("bands"))
     }
+    val c = config.resumeChunks
+    if (c == 1) store.getOrCompute("signatures")(chunk(pages.toDF()))
+    else {
+      // one input scan for all chunk computations: cache the pages only if
+      // some chunk actually needs computing (on clean resume: zero reads).
+      // In production the chunk key is the Iceberg ingest partition and
+      // each chunk's scan prunes to its own files — no cache needed.
+      val missing = (0 until c).filterNot(i => store.has(s"signatures_chunk$i"))
+      // the signature projection never touches the raw html payload — keep
+      // it out of the cache (it is the corpus's largest column)
+      val slimPages = pages.toDF().drop("html")
+      val cached =
+        if (missing.size > 1)
+          Some(slimPages.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        else None
+      val input = cached.getOrElse(slimPages)
+      val parts = (0 until c).map { i =>
+        store.getOrCompute(s"signatures_chunk$i") {
+          chunk(input.filter(pmod(xxhash64(col("url")), lit(c)) === i))
+        }
+      }
+      cached.foreach(_.unpersist(blocking = false))
+      parts.reduce(_ union _)
+    }
+  }
 
   /** Stage 2 — exact-dup fast path (the DOI-equality analog, SURVEY.md §2.3):
     * identical normalized content ⇒ edge to the group minimum. One shuffle
@@ -197,10 +238,20 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
     }
 
   /** Stage 4 — verification: exact Jaccard over the persisted shingle sets
-    * (two co-keyed joins back to the signature table), optional LCS check
-    * on normalized text. Narrow per-pair work after the joins.
+    * (two co-keyed joins back to the signature table); optionally a
+    * longest-common-substring second chance for borderline pairs.
+    *
+    * The LCS check (north_star: "exact Jaccard plus suffix-array
+    * longest-common-substring checks") rescues pairs whose shingle Jaccard
+    * falls in [lcsLowJaccard, jaccardThreshold) but that share a verbatim
+    * run covering ≥ lcsMinFraction of the shorter normalized text — the
+    * "quoted-in-full inside extra boilerplate" shape that set-similarity
+    * underrates. Borderline pairs are few, so the text join (back to the
+    * input pages by url) is a small broadcast-side join; texts are never
+    * carried through the main verify shuffle.
     */
-  def verifiedEdges(sigs: DataFrame, pairs: DataFrame): DataFrame =
+  def verifiedEdges(sigs: DataFrame, pairs: DataFrame,
+      pages: Option[Dataset[Page]] = None): DataFrame =
     store.getOrCompute("verified_edges") {
       // Explicit shuffled-hash joins: both joins co-partition on the doc id
       // (a shuffle that is needed regardless), build the hash table on the
@@ -208,13 +259,34 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
       // broadcast the intermediate result of join #1 — which drags the sh_a
       // shingle arrays through a driver collect — or sort-merge both sides.
       val shingleSide = sigs.select(col("id"), col("shingles"))
-      val joined = pairs.hint("shuffle_hash")
+      val scored = pairs.hint("shuffle_hash")
         .join(shingleSide.withColumnsRenamed(Map("id" -> "a", "shingles" -> "sh_a")), "a")
         .hint("shuffle_hash")
         .join(shingleSide.withColumnsRenamed(Map("id" -> "b", "shingles" -> "sh_b")), "b")
         .withColumn("jaccard", jaccard_sorted(col("sh_a"), col("sh_b")))
-        .filter(col("jaccard") >= config.jaccardThreshold)
-      joined.select("a", "b", "jaccard")
+      val direct = scored.filter(col("jaccard") >= config.jaccardThreshold)
+        .select("a", "b", "jaccard")
+
+      (config.useLcsCheck, pages) match {
+        case (true, Some(p)) =>
+          val borderline = scored
+            .filter(col("jaccard") >= config.lcsLowJaccard &&
+              col("jaccard") < config.jaccardThreshold)
+            .select("a", "b", "jaccard")
+          val urls = sigs.select(col("id"), col("url"))
+          val texts = p.toDF().select(col("url"),
+            normalize_tokens(col("text")).as("nt"))
+          val rescued = borderline
+            .join(urls.withColumnsRenamed(Map("id" -> "a", "url" -> "url_a")), "a")
+            .join(urls.withColumnsRenamed(Map("id" -> "b", "url" -> "url_b")), "b")
+            .join(texts.withColumnsRenamed(Map("url" -> "url_a", "nt" -> "nt_a")), "url_a")
+            .join(texts.withColumnsRenamed(Map("url" -> "url_b", "nt" -> "nt_b")), "url_b")
+            .filter(lcs_length(col("nt_a"), col("nt_b")) >=
+              least(length(col("nt_a")), length(col("nt_b"))) * config.lcsMinFraction)
+            .select("a", "b", "jaccard")
+          direct.union(rescued)
+        case _ => direct
+      }
     }
 
   /** Stage 5 — components: union exact + verified edges, run large-star/
@@ -260,7 +332,7 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
     val sigs = signatures(pages)
     val exact = exactEdges(sigs)
     val pairs = candidatePairs(sigs, exact)
-    val verified = verifiedEdges(sigs, pairs)
+    val verified = verifiedEdges(sigs, pairs, Some(pages))
     val comps = components(exact, verified)
     clusters(sigs, comps)
   }

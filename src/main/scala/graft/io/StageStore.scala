@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   * the manifest. `lineage()` exposes them as a DataFrame for the metrics
   * suite.
   */
-final class StageStore(spark: SparkSession, root: String) {
+final class StageStore(spark: SparkSession, val root: String) {
 
   private def stageDir(stage: String): Path = Paths.get(root, stage)
   private def manifestPath(stage: String): Path = stageDir(stage).resolve("_MANIFEST.json")

@@ -141,35 +141,73 @@ class DedupPipelineSpec extends AnyFunSuite {
     assert(byUrl("u1")._2 === false)
   }
 
-  test("resume: completed stages are not recomputed; killed stage recovers") {
+  test("resume: completed stages/chunks are not recomputed; killed stage recovers") {
     import spark.implicits._
     val spec = CorpusSpec(nFamilies = 80, pDup = 0.3, seed = 7)
     val pages = DeterministicCorpus.pages(spark, spec)
     val store = freshStore()
-    val cfg = DedupConfig()
+    val cfg = DedupConfig() // resumeChunks = 4 by default
 
     val p1 = new DedupPipeline(spark, cfg, store)
     val full = p1.run(pages).orderBy("url").collect()
 
-    // simulate a kill after verified_edges: drop the last two stages
-    store.invalidate("components")
-    store.invalidate("clusters")
-    assert(store.has("signatures") && store.has("verified_edges"))
-    assert(!store.has("components"))
+    // simulate a kill mid-signature-stage on a later run: drop ONE chunk
+    // plus everything downstream; the other three chunks must survive
+    store.invalidate("signatures_chunk2")
+    Seq("exact_edges", "candidate_pairs", "verified_edges", "components",
+      "clusters").foreach(store.invalidate)
+    assert(store.has("signatures_chunk0") && store.has("signatures_chunk1") &&
+      store.has("signatures_chunk3") && !store.has("signatures_chunk2"))
 
-    // resume must (a) produce identical output, (b) reuse the signature
-    // checkpoint (ids must be byte-stable across the resume)
-    val sigsBefore = store.read("signatures").select("id", "url").orderBy("url").collect()
+    val sigsBefore = store.read("signatures_chunk0")
+      .select("id", "url").orderBy("url").collect()
+    val mtimeBefore = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(store.root, "signatures_chunk0", "_MANIFEST.json"))
+
     val p2 = new DedupPipeline(spark, cfg, store)
     val resumed = p2.run(pages).orderBy("url").collect()
-    val sigsAfter = store.read("signatures").select("id", "url").orderBy("url").collect()
-    assert(sigsBefore.sameElements(sigsAfter), "resume must not recompute signatures")
+
+    // untouched chunk: same manifest file (not rewritten), same rows/ids
+    val mtimeAfter = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(store.root, "signatures_chunk0", "_MANIFEST.json"))
+    assert(mtimeBefore === mtimeAfter, "completed chunk must not be recomputed")
+    val sigsAfter = store.read("signatures_chunk0")
+      .select("id", "url").orderBy("url").collect()
+    assert(sigsBefore.sameElements(sigsAfter), "chunk ids must be byte-stable")
+    assert(store.has("signatures_chunk2"), "killed chunk must be recomputed")
     assert(full.sameElements(resumed), "resumed output must equal full run")
 
     // lineage rows exist for a completed stage
     val lin = store.lineage("clusters").collect()
     assert(lin.nonEmpty)
     assert(lin.map(_.getAs[Long]("rows")).sum > 0)
+  }
+
+  test("lcs second chance: long verbatim quote rescues a borderline pair") {
+    import spark.implicits._
+    // shared: a long verbatim run; doc B wraps it in enough extra unique
+    // words that shingle Jaccard falls below 0.8 but above lcsLowJaccard
+    val core = (1 to 40).map(i => s"core$i").mkString(" ")
+    val extra = (1 to 12).map(i => s"extra$i").mkString(" ")
+    val pages = Seq(
+      mkPage("l1", core, "s"),
+      mkPage("l2", s"$extra $core", "s"),
+      mkPage("l3", (1 to 50).map(i => s"other$i").mkString(" "), "s")).toDS()
+
+    def clustersOf(cfg: DedupConfig): Map[String, Long] =
+      new DedupPipeline(spark, cfg, freshStore()).run(pages)
+        .select("url", "cluster_id").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // shingle jaccard(l1, l2) = 36/48 = 0.75: inside [lcsLowJaccard, 0.8)
+    // → an LSH candidate (band-collision prob ≈ 0.99 at s=0.75) that fails
+    // plain verification
+    val without = clustersOf(DedupConfig(useLcsCheck = false))
+    assert(without("l1") !== without("l2"), "expected borderline pair apart without LCS")
+    // with LCS: the shared 40-token run covers all of l1 → rescued
+    val withLcs = clustersOf(DedupConfig(useLcsCheck = true))
+    assert(withLcs("l1") === withLcs("l2"), "LCS check should rescue the quoted pair")
+    assert(withLcs("l3") !== withLcs("l1"))
   }
 
   test("skew: hot near-dup family routed through chain path stays one cluster") {

@@ -31,7 +31,10 @@ object CitationDedup {
 
   final case class DedupOptions(
       groupByYear: Boolean = true,
-      sourcePreferences: Seq[String] = Nil)
+      sourcePreferences: Seq[String] = Nil,
+      saltFactor: Int = 4) {
+    require(saltFactor >= 1, "saltFactor must be >= 1")
+  }
 
   /** Match thresholds (/root/reference/src/dedupe.rs:141-142). */
   val DoiTitleSimilarityThreshold = 0.85
@@ -86,14 +89,29 @@ object CitationDedup {
   }
 
   /** Duplicate pairs (a < b by row_idx): equi-join on the block key with the
-    * fuzzy predicate as residual. One shuffle on `block`.
+    * fuzzy predicate as residual.
+    *
+    * Explicit salted repartition (the skew defense the webtext pipeline's
+    * north rule names): a block is one publication year, and real corpora
+    * concentrate — a hot year with m citations costs O(m²) pairwise work
+    * that would otherwise land on ONE task. The left side gets a salt
+    * `pmod(xxhash64(row_idx), S)`; the right side is replicated to every
+    * salt value; the join key becomes (block, salt), splitting each hot
+    * block's pair space S ways at the price of S× right-side shuffle
+    * volume. Every pair (i, j) meets exactly once — at i's salt. S=1
+    * degenerates to the unsalted join.
     */
-  def duplicatePairs(pre: DataFrame): DataFrame = {
-    val a = pre.select(col("row_idx"), col("block"), col("norm_title"),
-      col("norm_journal"), col("norm_jabbr"), col("norm_volume"),
-      col("norm_issns"), col("pages"), col("year"), col("doi"), col("doi_ok"))
-    a.as("a").join(a.as("b"),
-        col("a.block") === col("b.block") && col("a.row_idx") < col("b.row_idx"))
+  def duplicatePairs(pre: DataFrame, saltFactor: Int = 4): DataFrame = {
+    val cols = Seq("row_idx", "block", "norm_title", "norm_journal",
+      "norm_jabbr", "norm_volume", "norm_issns", "pages", "year", "doi",
+      "doi_ok").map(col)
+    val base = pre.select(cols: _*)
+    val left = base.withColumn("salt", pmod(xxhash64(col("row_idx")), lit(saltFactor)))
+    val right = base.withColumn("salt",
+      explode(array((0 until saltFactor).map(s => lit(s.toLong)): _*)))
+    left.as("a").join(right.as("b"),
+        col("a.block") === col("b.block") && col("a.salt") === col("b.salt") &&
+        col("a.row_idx") < col("b.row_idx"))
       .filter(isDuplicate("a", "b"))
       .select(col("a.row_idx").as("a"), col("b.row_idx").as("b"))
   }
@@ -106,7 +124,7 @@ object CitationDedup {
     *  3. else: first citation by input order.
     */
   def assignGroups(pre: DataFrame, opts: DedupOptions): DataFrame = {
-    val pairs = duplicatePairs(pre)
+    val pairs = duplicatePairs(pre, opts.saltFactor)
     val comps = ConnectedComponents.run(pairs)
     val assigned = pre
       .join(comps.withColumnRenamed("id", "row_idx"), Seq("row_idx"), "left")

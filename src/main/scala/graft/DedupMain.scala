@@ -79,6 +79,14 @@ object DedupMain {
         "clusters").map(st => st -> Seq(st)))
       .map { case (name, sts) => s""""$name":${rowsOf(sts)}""" }
       .mkString("{", ",", "}")
+
+    // consolidated per-partition lineage + metrics table (north_rule:
+    // "writes per-partition lineage and metrics to Iceberg checkpoint
+    // tables"; Iceberg → parquet-dir emulation, see StageStore)
+    val allStages = sigStages ++ Seq("exact_edges", "candidate_pairs",
+      "verified_edges", "components", "clusters")
+    allStages.map(store.lineage).reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$checkpointDir/_metrics")
     println(
       s"""{"pages":$nPages,"clusters":$nClusters,"dup_pages":${nPages - nClusters},
          |"wall_sec":$wallSec,"docs_per_sec":${nPages / wallSec},

@@ -355,6 +355,17 @@ object SparkEntry {
         simhash64(word_shingles(normalize_tokens(col("text")), 3)).as("simhash"))
     }),
 
+    // SimHash-Hamming near-dup pairs (Manku WWW'07 banding; rows-only:
+    // hash-based). Input doubled with shifted ids so exact-dup pairs exist.
+    "q_dedup_simhash_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val doubled = docs.select(col("doc_id").as("id"), col("text"))
+        .union(docs.select((col("doc_id") + 1000000).as("id"), col("text")))
+      val sigs = doubled.select(col("id"),
+        simhash64(word_shingles(normalize_tokens(col("text")), 3)).as("simhash"))
+      graft.dedup.SimHashDedup.nearDupPairs(sigs, maxHamming = 3)
+    }),
+
     // Winnowing document fingerprints (rows-only: hash-based).
     "q_dedup_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents").select(

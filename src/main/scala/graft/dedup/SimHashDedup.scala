@@ -1,0 +1,50 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.hamming64
+
+/** SimHash near-duplicate detection (Charikar 2002 fingerprints; candidate
+  * generation per Manku/Jain/Sarma, "Detecting Near-Duplicates for Web
+  * Crawling", WWW 2007): two 64-bit SimHashes within Hamming distance k
+  * must agree exactly on at least one of k+1 disjoint bit-bands
+  * (pigeonhole), so candidates are found with k+1 equi-joins on band
+  * values — no pairwise scan.
+  *
+  * Complements the MinHash/Jaccard path in [[DedupPipeline]]: SimHash
+  * weights repeated shingles and catches "same content, small edits" at a
+  * fixed 64-bit cost per doc; this operator reuses the `simhash` column the
+  * signature stage already persists.
+  */
+object SimHashDedup {
+
+  /** Candidate + verified pairs (a < b) with hamming(simhash_a, simhash_b)
+    * ≤ maxHamming, from a signature frame with (id: long, simhash: long).
+    * Uses maxHamming+1 16-bit-aligned bands when possible (≤3), else
+    * maxHamming+1 equal slices of the 64 bits.
+    */
+  def nearDupPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 16, "maxHamming in [0, 16)")
+    val nBands = maxHamming + 1
+    val width = 64 / nBands
+    val bandCols = (0 until nBands).map { b =>
+      val lo = b * width
+      val w = if (b == nBands - 1) 64 - lo else width // last band takes the remainder
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), lo)
+          .bitwiseAND(lit(if (w == 64) -1L else (1L << w) - 1L)).as("key"))
+    }
+    val banded = sigs
+      .select(col("id"), col("simhash"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        hamming64(col("x.simhash"), col("y.simhash")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

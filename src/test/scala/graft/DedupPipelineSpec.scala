@@ -183,6 +183,24 @@ class DedupPipelineSpec extends AnyFunSuite {
     assert(lin.map(_.getAs[Long]("rows")).sum > 0)
   }
 
+  test("simhash pigeonhole banding: finds hamming<=3, excludes spread-out diffs") {
+    import spark.implicits._
+    val v = 0x0123456789abcdefL
+    val in3OneBand = v ^ 0x7L                  // 3 bits, all in band 0
+    val in4Spread = v ^ ((1L << 1) | (1L << 17) | (1L << 33) | (1L << 49)) // 1 bit/band
+    val in4TwoBands = v ^ (0x3L | (0x3L << 16)) // 2+2 bits in two bands
+    val sigs = Seq((1L, v), (2L, in3OneBand), (3L, in4Spread), (4L, in4TwoBands))
+      .toDF("id", "simhash")
+    val pairs = graft.dedup.SimHashDedup.nearDupPairs(sigs, maxHamming = 3)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "3-bit diff in one band must be found")
+    assert(!pairs.contains((1L, 3L)), "4 bits spread over all bands: no shared band")
+    assert(!pairs.contains((1L, 4L)), "candidate via shared bands but hamming 4 > 3")
+    // 2 vs 4: hamming(in3OneBand, in4TwoBands) = popcount(0x7 ^ 0x3 ^ 0x3<<16)
+    //        = popcount(0x4 | 0x30000) = 3 → a legitimate near-dup pair
+    assert(pairs.contains((2L, 4L)))
+  }
+
   test("lcs second chance: long verbatim quote rescues a borderline pair") {
     import spark.implicits._
     // shared: a long verbatim run; doc B wraps it in enough extra unique

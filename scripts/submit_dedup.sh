@@ -1,0 +1,20 @@
+#!/usr/bin/env bash
+# Run the dedup pipeline via spark-submit (north_rule: "runs via
+# spark-submit ... on a multi-executor cluster"). In this sandbox the
+# master is local[N]; on a real cluster replace --master with the cluster
+# manager URL and size --num-executors/--executor-cores as usual — the
+# pipeline code is identical (DedupMain reads SPARK_GRAFT_MASTER or
+# --cores only to build its fallback local session, which spark-submit
+# overrides).
+#
+# Usage: scripts/submit_dedup.sh <checkpointDir> [DedupMain args...]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+sbt -batch package > /dev/null
+exec /opt/spark/bin/spark-submit \
+  --class graft.DedupMain \
+  --master "${SPARK_GRAFT_MASTER:-local[8]}" \
+  --conf spark.ui.enabled=false \
+  --conf spark.sql.session.timeZone=UTC \
+  target/scala-2.13/biblibspark_2.13-0.1.0.jar \
+  "$@"

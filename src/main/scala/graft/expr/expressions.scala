@@ -307,6 +307,8 @@ case class HammingDist64(left: Expression, right: Expression)
   */
 case class BucketPairs(child: Expression, maxAllPairs: Int)
     extends UnaryExpression with SimpleCodegen {
+  require(maxAllPairs >= 2 && maxAllPairs <= 65536,
+    "maxAllPairs out of range: all-pairs output is quadratic in bucket size")
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("a", LongType, nullable = false),

@@ -423,6 +423,19 @@ object SparkEntry {
         TextOps.qualityScore(col("text")).as("quality"))
     }),
 
+    // Composed corpus-cleaning pipeline: quality gate + language gate +
+    // exact-dedup keep-first — the canonical pretraining filter chain, as
+    // one declarative plan (filters fused into the scan, one shuffle for
+    // the dedup).
+    "q_corpus_filter" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(TextOps.qualityScore(col("text")) >= 0.5)
+        .filter(TextOps.langId(col("text")) === "en")
+        .groupBy(normalize_text(col("text")).as("norm_text"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), col("n_copies"))
+    }),
+
     // ---------- multimodal ----------
 
     // Binary-asset metadata path: text → payload bytes → typed meta.
@@ -707,6 +720,13 @@ object SparkEntry {
          |  ${TextOps.bpeTokenCountSql("text")} AS n_bpe,
          |  ${TextOps.qualityScoreSql("text")} AS quality
          |FROM documents""".stripMargin,
+
+    "q_corpus_filter" ->
+      s"""SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+         |FROM documents
+         |WHERE ${TextOps.qualityScoreSql("text")} >= 0.5
+         |  AND ${TextOps.langIdSql("text")} = 'en'
+         |GROUP BY $NormalizeTextSql""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id AS asset_id,

@@ -57,7 +57,8 @@ object DedupMain {
     }
 
     val store = new StageStore(spark, checkpointDir)
-    val pipeline = new DedupPipeline(spark, DedupConfig(), store)
+    val cfg = DedupConfig()
+    val pipeline = new DedupPipeline(spark, cfg, store)
 
     val t0 = System.nanoTime()
     val clusters = pipeline.run(pages)
@@ -68,7 +69,6 @@ object DedupMain {
     val wallSec = (System.nanoTime() - t0) / 1e9
     // stage row counts come from the checkpoint manifests (parquet footer
     // metadata recorded at write time) — no re-scan of stage tables
-    val cfg = DedupConfig()
     val sigStages =
       if (cfg.resumeChunks == 1) Seq("signatures")
       else (0 until cfg.resumeChunks).map(i => s"signatures_chunk$i")

@@ -43,7 +43,7 @@ object PlanAudit {
     check("q1_agg: whole-stage codegen",
       p1.contains("WholeStageCodegen") || p1.contains("*("), p1)
     check("q1_agg: partial aggregation (map-side combine)",
-      p1.contains("partial_sum") || p1.contains("HashAggregate"), p1)
+      p1.contains("partial_sum"), p1)
 
     // q3: the filtered customer side is explicitly broadcast
     val p3 = plan("q3_join")

@@ -36,12 +36,12 @@ object SigProbe {
         simhash64(col("shingles")).as("simhash"),
         size(col("shingles")).as("n_shingles"),
         truncate_hashes32(col("shingles")).as("shingles"),
-        band_keys(minhash(col("shingles"), 120, 42L), 24, 5, 42L).as("bands"))
+        minhash_bands(col("shingles"), 16, 5, 42L).as("bands"))
 
     val plan = sigs.queryExecution.executedPlan.toString
     println("PLANCOUNT wordshingle=" + "wordshinglehashes".r.findAllIn(plan.toLowerCase).length +
       " normtok=" + "normalizetokens".r.findAllIn(plan.toLowerCase).length +
-      " minhash=" + "minhashsignature".r.findAllIn(plan.toLowerCase).length)
+      " minhashbands=" + "minhashbands".r.findAllIn(plan.toLowerCase).length)
 
     val tCompute = time {
       sigs.agg(sum(col("n_shingles")), max(element_at(col("bands"), 1)),

@@ -35,16 +35,14 @@ object ConnectedComponents {
     while (!converged && iter < maxIterations) {
       val afterLarge = largeStar(current)
       val afterSmall = smallStar(afterLarge).localCheckpoint(true)
+      // probe convergence every round: the probe is one count/xor agg job,
+      // far cheaper than the extra star round (two shuffles + an eager
+      // checkpoint) that a skipped probe would let run
+      val sig = signature(afterSmall)
+      converged = sig == prevSig
+      prevSig = sig
       current = afterSmall
       iter += 1
-      // fixpoint check costs a full agg job; star rounds converge in
-      // O(log n), so probing every other round (and the first) halves the
-      // driver-side job count at the cost of ≤1 extra cheap round
-      if (iter % 2 == 1 || iter >= maxIterations) {
-        val sig = signature(afterSmall)
-        converged = sig == prevSig
-        prevSig = sig
-      }
     }
 
     // converged edge set is a forest of stars rooted at component minima:

@@ -66,11 +66,12 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
     * band keys, SimHash, exact-content hash; assign the stable numeric id.
     * Narrow (no shuffle).
     *
-    * The doc id is `xxhash64(url)` — a pure function of the row, so ids are
-    * identical across resume runs, partitionings, and cluster sizes (a
-    * monotonic id would not be). Collision math: ~n²/2⁶⁵ expected pairs
-    * (≈2·10⁻⁶ at 10⁷ docs); at true 10¹²-doc scale swap in a 128-bit hash
-    * (two-long id) behind the same column.
+    * The doc id is `xxhash64(url, warc_ts)` — a pure function of the row's
+    * natural key (a crawl can contain the same url at several capture
+    * timestamps), so ids are identical across resume runs, partitionings,
+    * and cluster sizes (a monotonic id would not be). Random-collision
+    * math: ~n²/2⁶⁵ expected pairs (≈2·10⁻⁶ at 10⁷ docs); at true 10¹²-doc
+    * scale swap in a 128-bit hash (two-long id) behind the same column.
     *
     * Partition-level resume (north_star: "a killed job resumes mid-pipeline
     * without recomputing completed partitions"): the stage is written as
@@ -90,7 +91,7 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
         .withColumn("norm_text", normalize_tokens(col("text")))
         .withColumn("shingles", word_shingles(col("norm_text"), config.shingleK, config.seed))
       normalized.select(
-        xxhash64(col("url")).as("id"),
+        xxhash64(col("url"), col("warc_ts")).as("id"),
         col("url"),
         col("warc_ts"),
         col("lang"),
@@ -123,7 +124,8 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
       val input = cached.getOrElse(slimPages)
       val parts = (0 until c).map { i =>
         store.getOrCompute(s"signatures_chunk$i") {
-          chunk(input.filter(pmod(xxhash64(col("url")), lit(c)) === i))
+          chunk(input.filter(
+            pmod(xxhash64(col("url"), col("warc_ts")), lit(c)) === i))
         }
       }
       cached.foreach(_.unpersist(blocking = false))
@@ -274,11 +276,21 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
               col("jaccard") < config.jaccardThreshold)
             .select("a", "b", "jaccard")
           val urls = sigs.select(col("id"), col("url"))
-          val texts = p.toDF().select(col("url"),
-            normalize_tokens(col("text")).as("nt"))
-          val rescued = borderline
+          val withUrls = borderline
             .join(urls.withColumnsRenamed(Map("id" -> "a", "url" -> "url_a")), "a")
             .join(urls.withColumnsRenamed(Map("id" -> "b", "url" -> "url_b")), "b")
+            .localCheckpoint(true) // small; reused below and as a semi filter
+          // normalize ONLY the texts the borderline pairs touch: semi-join
+          // pages down to the needed urls first (broadcast — the borderline
+          // set is small), then materialize the normalized texts once so
+          // the two pair-side joins don't each re-scan the corpus
+          val neededUrls = withUrls.select(col("url_a").as("url"))
+            .union(withUrls.select(col("url_b").as("url"))).distinct()
+          val texts = p.toDF()
+            .join(broadcast(neededUrls), Seq("url"), "left_semi")
+            .select(col("url"), normalize_tokens(col("text")).as("nt"))
+            .localCheckpoint(true)
+          val rescued = withUrls
             .join(texts.withColumnsRenamed(Map("url" -> "url_a", "nt" -> "nt_a")), "url_a")
             .join(texts.withColumnsRenamed(Map("url" -> "url_b", "nt" -> "nt_b")), "url_b")
             .filter(lcs_length(col("nt_a"), col("nt_b")) >=
@@ -329,11 +341,35 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
 
   /** Run everything; returns the clusters DataFrame. */
   def run(pages: Dataset[Page]): DataFrame = {
+    assertCheckpointConfig()
     val sigs = signatures(pages)
     val exact = exactEdges(sigs)
     val pairs = candidatePairs(sigs, exact)
     val verified = verifiedEdges(sigs, pairs, Some(pages))
     val comps = components(exact, verified)
     clusters(sigs, comps)
+  }
+
+  /** Guard against resuming a checkpoint dir written under a different
+    * pipeline configuration: stage contents are pure functions of (input,
+    * config), so mixing configs across a resume silently corrupts results
+    * (e.g. chunk membership under a different `resumeChunks`, or edges
+    * from a different LSH geometry). First run records the config
+    * fingerprint; later runs must match or use a fresh directory.
+    */
+  private def assertCheckpointConfig(): Unit = {
+    import java.nio.file.{Files, Paths}
+    val path = Paths.get(store.root, "_PIPELINE_CONFIG.json")
+    val fingerprint = config.toString
+    if (Files.exists(path)) {
+      val stored = Files.readString(path)
+      require(stored == fingerprint,
+        s"checkpoint dir ${store.root} was written with a different pipeline " +
+          s"config:\n  stored:  $stored\n  current: $fingerprint\n" +
+          "Resume with the original config or use a fresh checkpoint dir.")
+    } else {
+      Files.createDirectories(path.getParent)
+      Files.writeString(path, fingerprint)
+    }
   }
 }

@@ -23,8 +23,17 @@ object SimHashDedup {
     * ≤ maxHamming, from a signature frame with (id: long, simhash: long).
     * Uses maxHamming+1 16-bit-aligned bands when possible (≤3), else
     * maxHamming+1 equal slices of the 64 bits.
+    *
+    * Skew guard: a band bucket of m members emits O(m²) join rows, and
+    * identical fingerprints (empty/boilerplate docs) pile into one bucket.
+    * Buckets larger than `maxBucketSize` are dropped from the self-join
+    * (cheap pre-aggregated count + broadcast anti-join) — at that density
+    * the members are near-certainly exact duplicates, which the content-
+    * hash fast path of [[DedupPipeline]] links linearly; alternatively
+    * route them through the chain emission of `candidatePairs`.
     */
-  def nearDupPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def nearDupPairs(sigs: DataFrame, maxHamming: Int = 3,
+      maxBucketSize: Long = 10000L): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 16, "maxHamming in [0, 16)")
     val nBands = maxHamming + 1
     val width = 64 / nBands
@@ -39,12 +48,16 @@ object SimHashDedup {
       .select(col("id"), col("simhash"),
         explode(array(bandCols: _*)).as("bk"))
       .select(col("id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
-    banded.as("x").join(banded.as("y"),
+    val huge = banded.groupBy("band", "key").count()
+      .filter(col("count") > maxBucketSize)
+      .select("band", "key")
+    val bounded = banded.join(broadcast(huge), Seq("band", "key"), "left_anti")
+    bounded.as("x").join(bounded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
         col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         hamming64(col("x.simhash"), col("y.simhash")).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

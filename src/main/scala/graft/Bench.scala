@@ -47,9 +47,12 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      results(name) = time {
-        try { fn(spark, sfDir).count(); () } catch { case _: Throwable => results(name) = -1.0 }
-      }
+      // record INSIDE the try: a crashed query must stay -1, not be
+      // overwritten by the elapsed time of its own failure
+      val t0 = System.nanoTime()
+      results(name) =
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
     }
 
     // end-to-end near-dup pipeline (the BASELINE.json headline metric)

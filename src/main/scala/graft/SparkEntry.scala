@@ -33,6 +33,22 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
+  /** Per-doc token salting for the closed-form dedup oracles: every token
+    * of `text` is prefixed with "d<doc_id>x" — an injective (doc_id, token)
+    * encoding (doc_id is all digits, 'x' terminates it) that survives
+    * [[graft.functions.normalize_tokens]] (lowercase alphanumerics) — plus
+    * three always-present pad tokens so every doc yields ≥3 tokens and a
+    * non-empty 3-shingle set. Result: shingle sets are DISJOINT across
+    * distinct docs (cross-doc Jaccard = 0, cross-doc SimHash independent)
+    * while two rows built from the same (doc_id, text) share them exactly.
+    */
+  private def saltedTokens: Column = concat_ws(" ",
+    concat(lit("d"), col("doc_id"), lit("xpad0")),
+    concat(lit("d"), col("doc_id"), lit("xpad1")),
+    concat(lit("d"), col("doc_id"), lit("xpad2")),
+    transform(split(col("text"), "\\s+"),
+      tok => concat(lit("d"), col("doc_id"), lit("x"), tok)))
+
   // embeddings corpus/queries used by the ANN entries
   private def annInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val corpus = t(s, dir, "embeddings")
@@ -300,30 +316,50 @@ object SparkEntry {
         .filter(col("jac") >= 0.5)
     }),
 
-    // MinHash+LSH near-dup clustering over documents (shingle → minhash →
-    // band → bucket-join → verify → connected components). Hash-based ⇒
-    // rows-only driver check; semantics pinned by DedupPipelineSpec.
+    // MinHash+LSH near-dup clustering end-to-end (shingle → minhash → band
+    // → skew-safe candidate emission → exact-Jaccard verify → connected
+    // components), with a CLOSED-FORM oracle: the corpus is doubled
+    // (planted twin at doc_id + 10⁶ with identical text) and every doc's
+    // tokens are prefixed with "d<doc_id>x" — an injective (doc_id, token)
+    // encoding that survives normalization — so shingle sets are DISJOINT
+    // across distinct docs (cross-doc Jaccard = 0; any accidental band
+    // collision dies at verification) while each twin pair shares identical
+    // shingles (Jaccard 1 ⇒ identical MinHash ⇒ guaranteed candidate).
+    // Clusters therefore have the closed form {i, i+10⁶} → cluster i.
+    // Candidates go through the shared PairEmission chain policy — the same
+    // skew-safe path as DedupPipeline.candidatePairs, not a quadratic
+    // bucket self-join.
     "q_dedup_minhash_clusters" -> ((s, dir) => {
-      val sigs = t(s, dir, "documents").select(
-        col("doc_id"),
-        word_shingles(normalize_tokens(col("text")), 3).as("shingles"))
-        .withColumn("mh", minhash(col("shingles"), 64))
-      val bandRows = sigs.select(col("doc_id"),
-        posexplode(band_keys(col("mh"), 16, 4)).as(Seq("band", "bucket")))
-      val pairs = bandRows.as("x").join(bandRows.as("y"),
-          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-      val sh = sigs.select(col("doc_id"), col("shingles"))
+      import s.implicits._
+      val base = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"), saltedTokens.as("stext"))
+      val doubled = base.union(
+        base.select((col("id") + 1000000L).as("id"), col("stext")))
+      val sigs = doubled.select(col("id"),
+        word_shingles(normalize_tokens(col("stext")), 3).as("shingles"))
+        .withColumn("bands", minhash_bands(col("shingles"), 16, 4))
+      val bandRows = sigs.filter(size(col("shingles")) > 0)
+        .select(col("id"), posexplode(col("bands")).as(Seq("band", "bucket")))
+      val pairs = bandRows
+        .repartition(col("band"), col("bucket"))
+        .sortWithinPartitions("band", "bucket", "id")
+        .select(col("band").cast("long"), col("bucket"), col("id"))
+        .as[(Long, Long, Long)]
+        .mapPartitions(it => graft.dedup.PairEmission.emit[Long](
+          it.map { case (b, k, id) => ((b, k), id) },
+          maxAllPairs = 64, chainHuge = true))
+        .toDF("a", "b").distinct()
+      val sh = sigs.select(col("id"), col("shingles"))
       val verified = pairs
-        .join(sh.withColumnsRenamed(Map("doc_id" -> "a", "shingles" -> "sh_a")), "a")
-        .join(sh.withColumnsRenamed(Map("doc_id" -> "b", "shingles" -> "sh_b")), "b")
+        .join(sh.withColumnsRenamed(Map("id" -> "a", "shingles" -> "sh_a")), "a")
+        .join(sh.withColumnsRenamed(Map("id" -> "b", "shingles" -> "sh_b")), "b")
         .filter(jaccard_sorted(col("sh_a"), col("sh_b")) >= 0.8)
         .select("a", "b")
       val comps = graft.dedup.ConnectedComponents.run(verified)
-      sigs.select(col("doc_id"))
-        .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      doubled.select(col("id"))
+        .join(comps, Seq("id"), "left")
+        .select(col("id").as("doc_id"),
+          coalesce(col("component"), col("id")).as("cluster_id"))
     }),
 
     // Embedding-cosine near-dup pairs: bounded self-join over vectors,
@@ -355,15 +391,21 @@ object SparkEntry {
         simhash64(word_shingles(normalize_tokens(col("text")), 3)).as("simhash"))
     }),
 
-    // SimHash-Hamming near-dup pairs (Manku WWW'07 banding; rows-only:
-    // hash-based). Input doubled with shifted ids so exact-dup pairs exist.
+    // SimHash-Hamming near-dup pairs (Manku WWW'07 block-permuted tables)
+    // with a CLOSED-FORM oracle: doubled corpus + per-doc token salting
+    // (see saltedTokens) makes cross-doc fingerprints independent 64-bit
+    // values (within-Hamming-3 collision odds ≈ 2.4·10⁻¹⁵ per pair — and
+    // deterministic), while each twin pair shares an identical fingerprint.
+    // The exact pair set is therefore {(i, i+10⁶, hamming 0)}.
     "q_dedup_simhash_pairs" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val doubled = docs.select(col("doc_id").as("id"), col("text"))
-        .union(docs.select((col("doc_id") + 1000000).as("id"), col("text")))
+      val base = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"), saltedTokens.as("stext"))
+      val doubled = base.union(
+        base.select((col("id") + 1000000L).as("id"), col("stext")))
       val sigs = doubled.select(col("id"),
-        simhash64(word_shingles(normalize_tokens(col("text")), 3)).as("simhash"))
+        simhash64(word_shingles(normalize_tokens(col("stext")), 3)).as("simhash"))
       graft.dedup.SimHashDedup.nearDupPairs(sigs, maxHamming = 3)
+        .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
     }),
 
     // Winnowing document fingerprints (rows-only: hash-based).
@@ -445,12 +487,19 @@ object SparkEntry {
         .select(col("asset_id"), col("kind"), col("n_bytes").cast("long").as("n_bytes"))
     }),
 
-    // Full decode→featurize path (rows-only: histogram features are not
-    // SQL-expressible; determinism pinned by TrainingOpsSpec).
+    // Full decode→featurize path, exploded to (asset_id, bin, n_in_bin)
+    // rows: the L1-normalized float32 histogram is de-normalized back to
+    // integer bin counts (round(v·n) — exact for n ≤ 4096 given float32's
+    // ~1e-7 relative error), which sorts and hashes stably in the driver
+    // and is closed-form in DuckDB (StubDecoder maps byte b to bin b÷16).
     "q_multimodal_features" -> ((s, dir) => {
       Multimodal.decodeFeatures(Multimodal.syntheticAssets(s, t(s, dir, "documents")))
         .toDF()
-        .select(col("asset_id"), col("kind"), col("feature"))
+        .select(col("asset_id"), col("n_bytes"),
+          posexplode(col("feature")).as(Seq("bin", "v")))
+        .select(col("asset_id"), col("bin").cast("long").as("bin"),
+          round(col("v").cast("double") * least(col("n_bytes"), lit(4096)))
+            .cast("long").as("n_in_bin"))
     }),
 
     // ---------- citation parsing (reference API surface) ----------
@@ -618,9 +667,12 @@ object SparkEntry {
         |EXCEPT
         |(SELECT o_custkey FROM orders WHERE o_totalprice > 100000)""".stripMargin,
 
+    // outer BIGINT cast: DuckDB sum(BIGINT) returns HUGEINT, which lands in
+    // the driver's pandas hash path as float64 and hash-mismatches Spark's
+    // int64 even when the values are identical
     "q_json_events" ->
       """SELECT event_type,
-        |  sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+        |  CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
         |  count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
 
@@ -693,6 +745,21 @@ object SparkEntry {
     "q_dedup_char_jaccard" ->
       "SELECT doc_id, round(jaccard(text, substr(text, 1, 50)), 6) AS jac FROM documents",
 
+    // closed form of the doubled + token-salted corpus: every doc clusters
+    // with exactly its planted twin (see the query's construction comment)
+    "q_dedup_minhash_clusters" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(doc_id AS BIGINT) AS cluster_id FROM documents
+        |UNION ALL
+        |SELECT CAST(doc_id + 1000000 AS BIGINT) AS doc_id,
+        |  CAST(doc_id AS BIGINT) AS cluster_id FROM documents""".stripMargin,
+
+    "q_dedup_simhash_pairs" ->
+      """SELECT CAST(doc_id AS BIGINT) AS a,
+        |  CAST(doc_id + 1000000 AS BIGINT) AS b,
+        |  CAST(0 AS BIGINT) AS hamming
+        |FROM documents""".stripMargin,
+
     "q_ann_cosine_topk" ->
       """SELECT query_id, neighbor_id, cos, rank FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -727,6 +794,24 @@ object SparkEntry {
          |WHERE ${TextOps.qualityScoreSql("text")} >= 0.5
          |  AND ${TextOps.langIdSql("text")} = 'en'
          |GROUP BY $NormalizeTextSql""".stripMargin,
+
+    // StubDecoder: sample = ((byte & 0xff) − 128)/128, bin = ((s+1)/2·16)
+    // clamped to [0,15] — algebraically bin = byte ÷ 16. Texts are ASCII
+    // (ascii(substr) = byte) and < 4096 bytes; the 16-bin grid zero-fills
+    // bins with no members (Spark explodes all 16 array slots).
+    "q_multimodal_features" ->
+      """WITH counts AS (
+        |  SELECT doc_id, CAST(ascii(substr(text, CAST(t.i AS INT), 1)) // 16 AS BIGINT) AS bin,
+        |    count(*) AS c
+        |  FROM documents, unnest(range(1, least(strlen(text), 4096) + 1)) AS t(i)
+        |  GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT d.doc_id, g.bin FROM documents d,
+        |    (SELECT CAST(unnest(range(16)) AS BIGINT) AS bin) g)
+        |SELECT grid.doc_id AS asset_id, grid.bin AS bin,
+        |  CAST(coalesce(counts.c, 0) AS BIGINT) AS n_in_bin
+        |FROM grid LEFT JOIN counts
+        |  ON grid.doc_id = counts.doc_id AND grid.bin = counts.bin""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id AS asset_id,

@@ -79,13 +79,18 @@ object CitationDedup {
     val jaroSim = jaro(ac("norm_title"), bc("norm_title"))
     val jwSim = jaro_winkler(ac("norm_title"), bc("norm_title"))
 
+    // Guard order: Catalyst `And` short-circuits left-to-right, so the cheap
+    // field-equality guards run BEFORE the O(|title|²) similarity kernels —
+    // most candidate pairs in a year block fail a field guard and never pay
+    // for jaro/jaro_winkler. Same boolean value as the reference predicate
+    // (conjunction is commutative), only the evaluation order changes.
     when(bothDois,
-      (doiEq && jaroSim >= DoiTitleSimilarityThreshold && journalOrIssn) ||
-      (doiEq && jaroSim >= lit(0.99) && volOrPages) ||
-      (jaroSim >= lit(0.99) && yearsMatch && volOrPages && journalOrIssn))
+      (doiEq && journalOrIssn && jaroSim >= DoiTitleSimilarityThreshold) ||
+      (doiEq && volOrPages && jaroSim >= lit(0.99)) ||
+      (yearsMatch && volOrPages && journalOrIssn && jaroSim >= lit(0.99)))
     .otherwise(
-      (jwSim >= NoDoiTitleSimilarityThreshold && volOrPages && journalOrIssn) ||
-      (jwSim >= lit(0.99) && yearsMatch && volumesMatch && pagesMatch))
+      (volOrPages && journalOrIssn && jwSim >= NoDoiTitleSimilarityThreshold) ||
+      (yearsMatch && volumesMatch && pagesMatch && jwSim >= lit(0.99)))
   }
 
   /** Duplicate pairs (a < b by row_idx): equi-join on the block key with the

@@ -44,7 +44,8 @@ final case class DedupConfig(
     hugeBucketCutoff: Long = 1000000L,
     sourcePreferences: Seq[String] = Nil,
     maxCcIterations: Int = 50,
-    resumeChunks: Int = 4) {
+    resumeChunks: Int = 4,
+    verifyIdUniqueness: Boolean = true) {
   require(bands * rows == numHashes, "bands*rows must equal numHashes")
   require(resumeChunks >= 1, "resumeChunks must be >= 1")
 }
@@ -107,7 +108,7 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
           .as("bands"))
     }
     val c = config.resumeChunks
-    if (c == 1) store.getOrCompute("signatures")(chunk(pages.toDF()))
+    val out = if (c == 1) store.getOrCompute("signatures")(chunk(pages.toDF()))
     else {
       // one input scan for all chunk computations: cache the pages only if
       // some chunk actually needs computing (on clean resume: zero reads).
@@ -131,6 +132,20 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
       cached.foreach(_.unpersist(blocking = false))
       parts.reduce(_ union _)
     }
+    // Doc ids are xxhash64(url, warc_ts): duplicate natural keys (and the
+    // all-null-key case, where xxhash64 skips null inputs and every such row
+    // shares one id) silently merge distinct documents. Assert uniqueness
+    // with one column-pruned agg over the checkpointed stage — cheap next to
+    // the stage write; disable via config for throughput-only benchmarks.
+    if (config.verifyIdUniqueness) {
+      val row = out.agg(count(lit(1)).as("n"), count_distinct(col("id")).as("d"))
+        .collect()(0)
+      require(row.getLong(0) == row.getLong(1),
+        s"doc ids are not unique: ${row.getLong(0)} rows but ${row.getLong(1)} " +
+          "distinct xxhash64(url, warc_ts) ids — dedupe the input on " +
+          "(url, warc_ts) or switch to a 128-bit id")
+    }
+    out
   }
 
   /** Stage 2 — exact-dup fast path (the DOI-equality analog, SURVEY.md §2.3):
@@ -146,13 +161,22 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
         .select(col("m").as("a"), col("id").as("b"))
     }
 
+  /** Skew-policy observability (SURVEY.md §4.2 "no silent caps"): buckets
+    * that fell back to chain emission, and buckets/rows dropped past
+    * `hugeBucketCutoff`. Populated by the candidate stage's job.
+    */
+  val hotBuckets = spark.sparkContext.longAccumulator("graft.dedup.hotBuckets")
+  val droppedBuckets = spark.sparkContext.longAccumulator("graft.dedup.droppedBuckets")
+  val droppedBucketRows = spark.sparkContext.longAccumulator("graft.dedup.droppedBucketRows")
+
   /** Stage 3 — LSH candidate pairs: explode band keys, co-locate each
     * (band, bucket), and emit pairs with a single streaming pass over
-    * bucket-sorted rows: all C(n,2) pairs for buckets up to
-    * `maxBucketAllPairs`, an id-ordered chain for hot buckets (connectivity
-    * preserved through connected components — the explicit skew defense),
-    * nothing for buckets past `hugeBucketCutoff` (boilerplate whose dups
-    * the exact-hash path already links).
+    * bucket-sorted rows via the shared [[PairEmission]] policy: all C(n,2)
+    * pairs for buckets up to `maxBucketAllPairs`, an id-ordered chain for
+    * hot buckets (connectivity preserved through connected components — the
+    * explicit skew defense), nothing for buckets past `hugeBucketCutoff`
+    * (boilerplate whose dups the exact-hash path already links; counted in
+    * [[droppedBuckets]]/[[droppedBucketRows]], never silent).
     *
     * Exact-dup groups are collapsed to their representative BEFORE banding
     * so a 10⁶-copy boilerplate family costs one row here, not 10⁶.
@@ -181,58 +205,20 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
 
       val maxAll = config.maxBucketAllPairs
       val hugeCutoff = config.hugeBucketCutoff
+      val (hot, droppedB, droppedR) = (hotBuckets, droppedBuckets, droppedBucketRows)
       val pairs = bandRows
         .repartition(col("band"), col("bucket"))
         .sortWithinPartitions("band", "bucket", "id")
         .select(col("band").cast("long"), col("bucket"), col("id"))
         .as[(Long, Long, Long)]
         .mapPartitions { it =>
-          new Iterator[(Long, Long)] {
-            private val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
-            private var curBand = Long.MinValue
-            private var curBucket = Long.MinValue
-            private var out: Iterator[(Long, Long)] = Iterator.empty
-            private var done = false
-
-            private def flush(): Iterator[(Long, Long)] = {
-              val n = buf.length
-              val res =
-                if (n < 2 || n > hugeCutoff) Iterator.empty
-                else if (n <= maxAll) {
-                  val ids = buf.toArray
-                  for {
-                    i <- Iterator.range(0, n)
-                    j <- Iterator.range(i + 1, n)
-                  } yield (ids(i), ids(j))
-                } else {
-                  val ids = buf.toArray
-                  Iterator.range(0, n - 1).map(i => (ids(i), ids(i + 1)))
-                }
-              buf.clear()
-              res
-            }
-
-            @annotation.tailrec
-            private def advance(): Unit =
-              if (!out.hasNext && !done) {
-                if (it.hasNext) {
-                  val (band, bucket, id) = it.next()
-                  if (band != curBand || bucket != curBucket) {
-                    out = flush()
-                    curBand = band
-                    curBucket = bucket
-                  }
-                  if (buf.length <= hugeCutoff) buf += id
-                  advance()
-                } else {
-                  done = true
-                  out = flush()
-                }
-              }
-
-            override def hasNext: Boolean = { advance(); out.hasNext }
-            override def next(): (Long, Long) = { advance(); out.next() }
-          }
+          PairEmission.emit[Long](
+            it.map { case (band, bucket, id) => ((band, bucket), id) },
+            maxAllPairs = maxAll,
+            hugeCutoff = hugeCutoff,
+            chainHuge = false,
+            onHot = () => hot.add(1L),
+            onDropped = n => { droppedB.add(1L); droppedR.add(n) })
         }
         .toDF("a", "b")
 
@@ -275,27 +261,26 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
             .filter(col("jaccard") >= config.lcsLowJaccard &&
               col("jaccard") < config.jaccardThreshold)
             .select("a", "b", "jaccard")
-          val urls = sigs.select(col("id"), col("url"))
-          val withUrls = borderline
-            .join(urls.withColumnsRenamed(Map("id" -> "a", "url" -> "url_a")), "a")
-            .join(urls.withColumnsRenamed(Map("id" -> "b", "url" -> "url_b")), "b")
             .localCheckpoint(true) // small; reused below and as a semi filter
-          // normalize ONLY the texts the borderline pairs touch: semi-join
-          // pages down to the needed urls first (broadcast — the borderline
-          // set is small), then materialize the normalized texts once so
-          // the two pair-side joins don't each re-scan the corpus
-          val neededUrls = withUrls.select(col("url_a").as("url"))
-            .union(withUrls.select(col("url_b").as("url"))).distinct()
+          // normalize ONLY the texts the borderline pairs touch. The text
+          // lookup is keyed by the DOC ID (xxhash64(url, warc_ts)), not the
+          // url: a crawl can hold the same url at several capture
+          // timestamps, and a url-keyed join would fan borderline pairs out
+          // across captures and LCS-verify against the wrong capture's text.
+          val neededIds = borderline.select(col("a").as("id"))
+            .union(borderline.select(col("b").as("id"))).distinct()
           val texts = p.toDF()
-            .join(broadcast(neededUrls), Seq("url"), "left_semi")
-            .select(col("url"), normalize_tokens(col("text")).as("nt"))
+            .withColumn("id", xxhash64(col("url"), col("warc_ts")))
+            .join(broadcast(neededIds), Seq("id"), "left_semi")
+            .select(col("id"), normalize_tokens(col("text")).as("nt"))
             .localCheckpoint(true)
-          val rescued = withUrls
-            .join(texts.withColumnsRenamed(Map("url" -> "url_a", "nt" -> "nt_a")), "url_a")
-            .join(texts.withColumnsRenamed(Map("url" -> "url_b", "nt" -> "nt_b")), "url_b")
+          val rescued = borderline
+            .join(texts.withColumnsRenamed(Map("id" -> "a", "nt" -> "nt_a")), "a")
+            .join(texts.withColumnsRenamed(Map("id" -> "b", "nt" -> "nt_b")), "b")
             .filter(lcs_length(col("nt_a"), col("nt_b")) >=
               least(length(col("nt_a")), length(col("nt_b"))) * config.lcsMinFraction)
             .select("a", "b", "jaccard")
+            .distinct()
           direct.union(rescued)
         case _ => direct
       }
@@ -368,7 +353,19 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
           s"config:\n  stored:  $stored\n  current: $fingerprint\n" +
           "Resume with the original config or use a fresh checkpoint dir.")
     } else {
-      Files.createDirectories(path.getParent)
+      // A dir holding stage manifests but no config fingerprint predates the
+      // fingerprint guard (or lost it): its stages may have been computed
+      // under ANY config, so stamping it now and resuming would silently mix
+      // configs. Refuse instead of adopting it.
+      val root = Paths.get(store.root)
+      val hasStages = Files.exists(root) &&
+        Files.list(root).toArray.map(_.asInstanceOf[java.nio.file.Path]).exists(p =>
+          Files.isDirectory(p) && Files.exists(p.resolve("_MANIFEST.json")))
+      require(!hasStages,
+        s"checkpoint dir ${store.root} holds stage checkpoints but no " +
+          "_PIPELINE_CONFIG.json — cannot verify they match the current " +
+          "config; use a fresh checkpoint dir.")
+      Files.createDirectories(root)
       Files.writeString(path, fingerprint)
     }
   }

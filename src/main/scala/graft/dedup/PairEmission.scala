@@ -1,0 +1,130 @@
+package graft.dedup
+
+/** The single hot-bucket pair-emission policy, shared by the batch LSH
+  * pipeline ([[DedupPipeline.candidatePairs]]), the SimHash operator
+  * ([[SimHashDedup.nearDupPairs]]), and the query-level MinHash clustering
+  * formulation (SparkEntry `q_dedup_minhash_clusters`) — one implementation
+  * so the skew policy cannot drift between call sites.
+  *
+  * Contract: `rows` is a partition iterator of ((k1, k2), value) already
+  * SORTED by bucket key (and by whatever within-bucket order adjacency
+  * should follow — id order for MinHash buckets, (fingerprint, id) order
+  * for SimHash buckets). For each bucket of n values:
+  *   - n < 2                      → nothing;
+  *   - n ≤ maxAllPairs            → all C(n,2) pairs;
+  *   - n > maxAllPairs, chainHuge → the adjacent chain (n-1 pairs),
+  *     emitted INCREMENTALLY: only the previous element is retained, so a
+  *     10⁸-member bucket costs O(1) memory. A hot bucket is a near-clique
+  *     at verify threshold, so chaining preserves connectivity through
+  *     connected components while bounding output at O(n) — the explicit
+  *     skew defense of SURVEY.md §4.2;
+  *   - n in (maxAllPairs, hugeCutoff], !chainHuge → the adjacent chain
+  *     (buffered — bounded by hugeCutoff, 8 MB at the pipeline default);
+  *   - n > hugeCutoff, !chainHuge → nothing (boilerplate whose duplicates
+  *     the exact-hash fast path already links).
+  * Pairs come out in within-bucket sort order (earlier value first).
+  *
+  * `onHot` fires once per chain-emitted bucket; `onDropped` fires once per
+  * fully-dropped bucket with its size — call sites feed Spark accumulators
+  * so skew-policy activations are observable (no silent drops).
+  */
+object PairEmission {
+
+  def emit[T](
+      rows: Iterator[((Long, Long), T)],
+      maxAllPairs: Int,
+      hugeCutoff: Long = Long.MaxValue,
+      chainHuge: Boolean = false,
+      onHot: () => Unit = () => (),
+      onDropped: Long => Unit = _ => ())(implicit ct: scala.reflect.ClassTag[T]): Iterator[(T, T)] =
+    new Iterator[(T, T)] {
+      private val buf = scala.collection.mutable.ArrayBuffer.empty[T]
+      private var curK1 = Long.MinValue
+      private var curK2 = Long.MinValue
+      private var started = false
+      private var chaining = false // this bucket switched to incremental chain
+      private var bucketN = 0L     // true member count of the current bucket
+      private var prev: T = _
+      private var out: Iterator[(T, T)] = Iterator.empty
+      private var done = false
+
+      /** Pairs owed for `v` joining the current bucket. */
+      private def push(v: T): Iterator[(T, T)] = {
+        bucketN += 1
+        if (chaining) {
+          val p = (prev, v)
+          prev = v
+          Iterator.single(p)
+        } else if (bucketN <= maxAllPairs) {
+          buf += v
+          Iterator.empty
+        } else if (chainHuge) {
+          // first element past the all-pairs cap: this bucket is hot — emit
+          // the chain over the buffered prefix now, then stream
+          onHot()
+          chaining = true
+          buf += v
+          val vs = buf.toArray
+          buf.clear()
+          prev = v
+          Iterator.range(0, vs.length - 1).map(i => (vs(i), vs(i + 1)))
+        } else {
+          // drop-mode caller: the all-pairs/chain/drop decision needs the
+          // final size, so buffer (capped at hugeCutoff+1 — a bucket past
+          // the cutoff is dropped whole, no need to hold more)
+          if (buf.length <= hugeCutoff) buf += v
+          Iterator.empty
+        }
+      }
+
+      /** Pairs owed when the current bucket ends. */
+      private def endBucket(): Iterator[(T, T)] = {
+        val res =
+          if (chaining || bucketN < 2) Iterator.empty // chain already streamed
+          else if (bucketN <= maxAllPairs) {
+            val n = buf.length
+            val vs = buf.toArray
+            for {
+              i <- Iterator.range(0, n)
+              j <- Iterator.range(i + 1, n)
+            } yield (vs(i), vs(j))
+          } else if (bucketN <= hugeCutoff) {
+            onHot()
+            val n = buf.length
+            val vs = buf.toArray
+            Iterator.range(0, n - 1).map(i => (vs(i), vs(i + 1)))
+          } else {
+            onDropped(bucketN)
+            Iterator.empty
+          }
+        buf.clear()
+        chaining = false
+        bucketN = 0L
+        res
+      }
+
+      @annotation.tailrec
+      private def advance(): Unit =
+        if (!out.hasNext && !done) {
+          if (rows.hasNext) {
+            val ((k1, k2), v) = rows.next()
+            if (!started || k1 != curK1 || k2 != curK2) {
+              out = endBucket()
+              curK1 = k1
+              curK2 = k2
+              started = true
+              out = out ++ push(v)
+            } else {
+              out = push(v)
+            }
+            advance()
+          } else {
+            done = true
+            out = endBucket()
+          }
+        }
+
+      override def hasNext: Boolean = { advance(); out.hasNext }
+      override def next(): (T, T) = { advance(); out.next() }
+    }
+}

@@ -1,16 +1,33 @@
 package graft.dedup
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
 
 import graft.functions.hamming64
 
-/** SimHash near-duplicate detection (Charikar 2002 fingerprints; candidate
-  * generation per Manku/Jain/Sarma, "Detecting Near-Duplicates for Web
-  * Crawling", WWW 2007): two 64-bit SimHashes within Hamming distance k
-  * must agree exactly on at least one of k+1 disjoint bit-bands
-  * (pigeonhole), so candidates are found with k+1 equi-joins on band
-  * values — no pairwise scan.
+/** SimHash near-duplicate detection (Charikar, STOC 2002 fingerprints;
+  * candidate generation per Manku/Jain/Sarma, "Detecting Near-Duplicates
+  * for Web Crawling", WWW 2007 §3 — block-permuted tables).
+  *
+  * Scale design. The naive pigeonhole banding (k+1 disjoint bands of
+  * 64/(k+1) bits) keys on only 16 bits at k=3 — 65,536 buckets per band, so
+  * at ≥10⁹ docs EVERY bucket is hot and the operator degenerates. Manku's
+  * construction instead splits the fingerprint into B = k+3 blocks and
+  * builds one table per 3-block combination (C(k+3,3) tables; 20 at k=3),
+  * keying each table on the ~32 concatenated bits of its 3 blocks:
+  * fingerprints within Hamming distance k differ in at most k blocks, so at
+  * least 3 blocks are clean and some table keys them identically
+  * (candidate generation stays EXACT), while the 2³²-key space keeps
+  * expected bucket size ≤ n/2³² — sub-1 until ~10¹⁰ docs per table.
+  *
+  * Hot buckets (identical-key floods from boilerplate/planted families) go
+  * through the shared [[PairEmission]] chain policy — sorted by
+  * (simhash, id) so chains run inside identical-fingerprint runs, whose
+  * pairs survive the Hamming filter: a >maxBucketSize family stays ONE
+  * connected component at O(n) emitted pairs, never a silent drop. The only
+  * degradation: pairs BETWEEN two distinct fingerprints that share a hot
+  * bucket are only probed at run boundaries (counted via `hotBucketAcc`).
   *
   * Complements the MinHash/Jaccard path in [[DedupPipeline]]: SimHash
   * weights repeated shingles and catches "same content, small edits" at a
@@ -19,45 +36,81 @@ import graft.functions.hamming64
   */
 object SimHashDedup {
 
+  /** The C(B,3) block-combination tables for 64-bit fingerprints split into
+    * B = maxHamming+3 blocks. Returns (tableId, key Column) pairs; the key
+    * concatenates the 3 chosen blocks' bits (≥30 bits for maxHamming ≤ 4).
+    */
+  private def tableKeys(simhash: Column, maxHamming: Int): Seq[(Int, Column)] = {
+    val nBlocks = maxHamming + 3
+    val base = 64 / nBlocks
+    val widths = Array.tabulate(nBlocks)(i => if (i < 64 % nBlocks) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _).take(nBlocks)
+    def block(i: Int): Column = {
+      val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1L
+      shiftrightunsigned(simhash, offsets(i)).bitwiseAND(lit(mask))
+    }
+    val combos = (0 until nBlocks).combinations(3).toSeq
+    combos.zipWithIndex.map { case (Seq(i, j, l), t) =>
+      val key = shiftleft(block(i), widths(j) + widths(l))
+        .bitwiseOR(shiftleft(block(j), widths(l)))
+        .bitwiseOR(block(l))
+      (t, key)
+    }
+  }
+
   /** Candidate + verified pairs (a < b) with hamming(simhash_a, simhash_b)
     * ≤ maxHamming, from a signature frame with (id: long, simhash: long).
-    * Uses maxHamming+1 16-bit-aligned bands when possible (≤3), else
-    * maxHamming+1 equal slices of the 64 bits.
     *
-    * Skew guard: a band bucket of m members emits O(m²) join rows, and
-    * identical fingerprints (empty/boilerplate docs) pile into one bucket.
-    * Buckets larger than `maxBucketSize` are dropped from the self-join
-    * (cheap pre-aggregated count + broadcast anti-join) — at that density
-    * the members are near-certainly exact duplicates, which the content-
-    * hash fast path of [[DedupPipeline]] links linearly; alternatively
-    * route them through the chain emission of `candidatePairs`.
+    * Physical shape mirrors the main pipeline's candidate stage: explode
+    * C(maxHamming+3, 3) (table, key) rows per doc, ONE shuffle
+    * (repartition by table+key) + in-partition sort + streaming
+    * [[PairEmission]] pass (all pairs ≤ maxBucketSize, incremental chain
+    * above — O(1) memory per hot bucket), then Hamming-verify and distinct.
+    *
+    * `hotBucketAcc`: optional accumulator counting buckets that fell back
+    * to chain emission (the skew-policy activation metric).
     */
   def nearDupPairs(sigs: DataFrame, maxHamming: Int = 3,
-      maxBucketSize: Long = 10000L): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 16, "maxHamming in [0, 16)")
-    val nBands = maxHamming + 1
-    val width = 64 / nBands
-    val bandCols = (0 until nBands).map { b =>
-      val lo = b * width
-      val w = if (b == nBands - 1) 64 - lo else width // last band takes the remainder
-      struct(lit(b).as("band"),
-        shiftright(col("simhash"), lo)
-          .bitwiseAND(lit(if (w == 64) -1L else (1L << w) - 1L)).as("key"))
+      maxBucketSize: Int = 10000,
+      hotBucketAcc: Option[LongAccumulator] = None): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 4,
+      "maxHamming in [0, 4] (table count C(maxHamming+3, 3) grows fast)")
+    val spark = sigs.sparkSession
+    import spark.implicits._
+
+    val keyCols = tableKeys(col("simhash"), maxHamming).map { case (t, key) =>
+      struct(lit(t.toLong).as("table"), key.as("key"))
     }
     val banded = sigs
-      .select(col("id"), col("simhash"),
-        explode(array(bandCols: _*)).as("bk"))
-      .select(col("id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val huge = banded.groupBy("band", "key").count()
-      .filter(col("count") > maxBucketSize)
-      .select("band", "key")
-    val bounded = banded.join(broadcast(huge), Seq("band", "key"), "left_anti")
-    bounded.as("x").join(bounded.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-        col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"),
-        hamming64(col("x.simhash"), col("y.simhash")).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+      .select(col("id"), col("simhash"), explode(array(keyCols: _*)).as("tk"))
+      .select(col("tk.table").as("table"), col("tk.key").as("key"),
+        col("simhash"), col("id"))
+
+    val maxAll = maxBucketSize
+    val hot = hotBucketAcc
+    val pairs = banded
+      .repartition(col("table"), col("key"))
+      // sort by (simhash, id) within the bucket: chain adjacency then runs
+      // inside identical-fingerprint families, whose pairs pass the
+      // Hamming filter — connectivity of a hot family is preserved
+      .sortWithinPartitions("table", "key", "simhash", "id")
+      .as[(Long, Long, Long, Long)]
+      .mapPartitions { it =>
+        PairEmission.emit[(Long, Long)](
+          it.map { case (t, k, sim, id) => ((t, k), (id, sim)) },
+          maxAllPairs = maxAll,
+          chainHuge = true,
+          onHot = () => hot.foreach(_.add(1L)))
+      }
+      .map { case ((idX, simX), (idY, simY)) => (idX, simX, idY, simY) }
+      .toDF("id_x", "sim_x", "id_y", "sim_y")
+
+    pairs
+      .filter(hamming64(col("sim_x"), col("sim_y")) <= maxHamming)
+      .select(
+        least(col("id_x"), col("id_y")).as("a"),
+        greatest(col("id_x"), col("id_y")).as("b"),
+        hamming64(col("sim_x"), col("sim_y")).as("hamming"))
       .distinct()
   }
 }

@@ -298,53 +298,6 @@ case class HammingDist64(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** Emit the duplicate-candidate pairs of one LSH bucket: all C(n,2) pairs
-  * for buckets up to `maxAllPairs` members; an id-ordered chain (n-1 pairs)
-  * for hot buckets — chaining preserves connectivity through connected
-  * components while bounding join output quadratic blow-up (the explicit
-  * skew defense of SURVEY.md §4.2). Input must be a sorted array of ids, so
-  * every emitted pair satisfies a < b.
-  */
-case class BucketPairs(child: Expression, maxAllPairs: Int)
-    extends UnaryExpression with SimpleCodegen {
-  require(maxAllPairs >= 2 && maxAllPairs <= 65536,
-    "maxAllPairs out of range: all-pairs output is quadratic in bucket size")
-  override def dataType: DataType = ArrayType(
-    StructType(Seq(
-      StructField("a", LongType, nullable = false),
-      StructField("b", LongType, nullable = false))),
-    containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val ids = input.asInstanceOf[ArrayData].toLongArray()
-    val n = ids.length
-    if (n < 2) return new GenericArrayData(Array.empty[Any])
-    if (n <= maxAllPairs) {
-      val out = new Array[Any](n * (n - 1) / 2)
-      var w = 0
-      var i = 0
-      while (i < n) {
-        var j = i + 1
-        while (j < n) {
-          out(w) = InternalRow(ids(i), ids(j))
-          w += 1
-          j += 1
-        }
-        i += 1
-      }
-      new GenericArrayData(out)
-    } else {
-      val out = new Array[Any](n - 1)
-      var i = 0
-      while (i < n - 1) {
-        out(i) = InternalRow(ids(i), ids(i + 1))
-        i += 1
-      }
-      new GenericArrayData(out)
-    }
-  }
-  override protected def withNewChildInternal(c: Expression): BucketPairs = copy(child = c)
-}
-
 /** Deterministic HTML→text extraction over a binary column (the graft analog
   * of the reference's parser stage; rules pinned in [[graft.kernel.HtmlText]]).
   */

@@ -51,7 +51,6 @@ object functions {
     col(BandKeys(ex(c), bands, rows, seed))
   def minhash_bands(c: Column, bands: Int, rows: Int, seed: Long = Shingling.DefaultSeed): Column =
     col(MinHashBands(ex(c), bands, rows, seed))
-  def bucket_pairs(c: Column, maxAllPairs: Int): Column = col(BucketPairs(ex(c), maxAllPairs))
   def truncate_hashes32(c: Column): Column = col(TruncateHashes32(ex(c)))
   def jaccard_sorted(l: Column, r: Column): Column = col(JaccardSorted(ex(l), ex(r)))
   def minhash_jaccard(l: Column, r: Column): Column = col(MinHashJaccard(ex(l), ex(r)))

@@ -183,22 +183,44 @@ class DedupPipelineSpec extends AnyFunSuite {
     assert(lin.map(_.getAs[Long]("rows")).sum > 0)
   }
 
-  test("simhash pigeonhole banding: finds hamming<=3, excludes spread-out diffs") {
+  test("simhash block-permuted tables: finds hamming<=3, excludes hamming>3") {
     import spark.implicits._
     val v = 0x0123456789abcdefL
-    val in3OneBand = v ^ 0x7L                  // 3 bits, all in band 0
-    val in4Spread = v ^ ((1L << 1) | (1L << 17) | (1L << 33) | (1L << 49)) // 1 bit/band
-    val in4TwoBands = v ^ (0x3L | (0x3L << 16)) // 2+2 bits in two bands
-    val sigs = Seq((1L, v), (2L, in3OneBand), (3L, in4Spread), (4L, in4TwoBands))
+    val in3Close = v ^ 0x7L                    // 3 bits, one block dirty
+    val in4Spread = v ^ ((1L << 1) | (1L << 17) | (1L << 33) | (1L << 49))
+    val in4TwoBlocks = v ^ (0x3L | (0x3L << 16))
+    val sigs = Seq((1L, v), (2L, in3Close), (3L, in4Spread), (4L, in4TwoBlocks))
       .toDF("id", "simhash")
     val pairs = graft.dedup.SimHashDedup.nearDupPairs(sigs, maxHamming = 3)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs.contains((1L, 2L)), "3-bit diff in one band must be found")
-    assert(!pairs.contains((1L, 3L)), "4 bits spread over all bands: no shared band")
-    assert(!pairs.contains((1L, 4L)), "candidate via shared bands but hamming 4 > 3")
-    // 2 vs 4: hamming(in3OneBand, in4TwoBands) = popcount(0x7 ^ 0x3 ^ 0x3<<16)
-    //        = popcount(0x4 | 0x30000) = 3 → a legitimate near-dup pair
+    assert(pairs.contains((1L, 2L)), "3-bit diff must be found")
+    assert(!pairs.contains((1L, 3L)), "hamming 4 must be excluded")
+    assert(!pairs.contains((1L, 4L)), "hamming 4 must be excluded")
+    // 2 vs 4: hamming = popcount(0x7 ^ 0x3 ^ 0x3<<16) = popcount(0x4|0x30000)
+    //       = 3 → a legitimate near-dup pair (exactness of the 20-table
+    //       C(6,3) construction: ≤3 dirty blocks always leave 3 clean ones)
     assert(pairs.contains((2L, 4L)))
+  }
+
+  test("simhash hot bucket: >maxBucketSize identical-fingerprint family " +
+      "chains to one connected component, never silently dropped") {
+    import spark.implicits._
+    val family = (1L to 50L).map(i => (i, 0x5a5a5a5a5a5a5a5aL))
+    val outsider = Seq((1000L, 0xa5a5a5a5a5a5a5a5L))
+    val sigs = (family ++ outsider).toDF("id", "simhash")
+    val acc = spark.sparkContext.longAccumulator("hotBuckets")
+    val pairs = graft.dedup.SimHashDedup.nearDupPairs(
+      sigs, maxHamming = 3, maxBucketSize = 10, hotBucketAcc = Some(acc))
+    val edges = pairs.select(col("a"), col("b"))
+    val comps = graft.dedup.ConnectedComponents.run(edges)
+      .filter(col("id") <= 50L)
+      .select(countDistinct("component")).as[Long].collect()(0)
+    assert(comps === 1L, "hot identical-fingerprint family must stay one component")
+    assert(acc.value > 0, "chain fallback must be observable via the accumulator")
+    // all emitted family pairs are hamming 0 (chain runs inside the
+    // identical-fingerprint run) and the outsider never pairs in
+    assert(pairs.filter(col("hamming") =!= 0).count() === 0L)
+    assert(pairs.filter(col("a") === 1000L || col("b") === 1000L).count() === 0L)
   }
 
   test("lcs second chance: long verbatim quote rescues a borderline pair") {

@@ -79,23 +79,79 @@ class ExprSpec extends AnyFunSuite {
     assert(pairs((1L, 3L))._1 === 0.0)
   }
 
-  test("bucket_pairs: all-pairs below cap, id chain above, empty below 2") {
+  test("PairEmission: all-pairs below cap, chain above, drop/chain past huge cutoff") {
+    import graft.dedup.PairEmission
+    def rows(buckets: (Long, Seq[Long])*): Iterator[((Long, Long), Long)] =
+      buckets.iterator.flatMap { case (k, ids) => ids.map(id => ((0L, k), id)) }
+
+    // all-pairs ≤ cap; chain above; <2 members → nothing
+    val basic = PairEmission.emit[Long](
+      rows(1L -> Seq(10L, 20L, 30L), 2L -> Seq(1L, 2L, 3L, 4L, 5L),
+        3L -> Seq(7L), 4L -> Seq.empty),
+      maxAllPairs = 3, hugeCutoff = 100L).toVector
+    assert(basic.filter(_._1 >= 10L).toSet ===
+      Set((10L, 20L), (10L, 30L), (20L, 30L)))
+    assert(basic.filterNot(_._1 >= 10L).toSet ===
+      Set((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+
+    // drop-mode: bucket past hugeCutoff emits nothing, onDropped sees size
+    var dropped = List.empty[Long]
+    val droppedOut = PairEmission.emit[Long](
+      rows(1L -> (1L to 10L), 2L -> Seq(100L, 101L)),
+      maxAllPairs = 2, hugeCutoff = 5L, chainHuge = false,
+      onDropped = n => dropped ::= n).toVector
+    assert(droppedOut === Vector((100L, 101L)))
+    assert(dropped === List(10L))
+
+    // chainHuge: same bucket chains incrementally instead, onHot fires once
+    var hot = 0
+    val chained = PairEmission.emit[Long](
+      rows(1L -> (1L to 10L)),
+      maxAllPairs = 2, hugeCutoff = 5L, chainHuge = true,
+      onHot = () => hot += 1).toVector
+    assert(chained === (1L to 9L).map(i => (i, i + 1)).toVector)
+    assert(hot === 1)
+  }
+
+  test("minhash_jaccard: exact on identical sets, tracks true jaccard on overlap") {
     val s = onceRegistered()
     import s.implicits._
-    val df = Seq(
-      (1, Seq(10L, 20L, 30L)),            // 3 ≤ cap → C(3,2) pairs
-      (2, Seq(1L, 2L, 3L, 4L, 5L)),       // 5 > cap(3) → chain of 4
-      (3, Seq(7L)),                        // singleton → nothing
-      (4, Seq.empty[Long])
-    ).toDF("g", "ids")
-    val got = df.select($"g",
-        org.apache.spark.sql.functions.explode(bucket_pairs($"ids", 3)).as("p"))
-      .select($"g", $"p.a", $"p.b").collect()
-      .groupBy(_.getInt(0))
-      .map { case (g, rs) => g -> rs.map(r => (r.getLong(1), r.getLong(2))).toSet }
-    assert(got(1) === Set((10L, 20L), (10L, 30L), (20L, 30L)))
-    assert(got(2) === Set((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
-    assert(!got.contains(3) && !got.contains(4))
+    val a = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val b = (31 to 90).map(i => s"tok$i").mkString(" ") // true J = 30/90 = 1/3
+    val z = (100 to 160).map(i => s"zzz$i").mkString(" ")
+    val df = Seq((a, a, z)).toDF("a", "b", "z")
+    def sig(col: String) = minhash(word_shingles(c(col), 1), 128)
+    val row = df.select(
+      minhash_jaccard(sig("a"), sig("b")).as("same"),
+      minhash_jaccard(sig("a"), minhash(word_shingles(lit(b), 1), 128)).as("third"),
+      minhash_jaccard(sig("a"), sig("z")).as("disjoint")).collect()(0)
+    assert(row.getDouble(0) === 1.0)
+    assert(math.abs(row.getDouble(1) - 1.0 / 3.0) < 0.15) // 128-hash estimator
+    assert(row.getDouble(2) < 0.1)
+  }
+
+  test("fingerprint_set: winnowing robust to local edits; fingerprint64 digest") {
+    val s = onceRegistered()
+    import s.implicits._
+    val base = ("the quick brown fox jumps over the lazy dog " * 8).trim
+    val edited = base.replace("lazy dog", "lazy cat") // one local edit
+    val df = Seq((base, base, edited)).toDF("x", "y", "e")
+    val row = df.select(
+      fingerprint_set(c("x")).as("fx"),
+      fingerprint_set(c("y")).as("fy"),
+      fingerprint_set(c("e")).as("fe"),
+      fingerprint64(c("x")).as("dx"),
+      fingerprint64(c("y")).as("dy"),
+      fingerprint64(c("e")).as("de")).collect()(0)
+    val fx = row.getSeq[Long](0)
+    val fe = row.getSeq[Long](2)
+    assert(fx === row.getSeq[Long](1), "identical text → identical fingerprint set")
+    assert(fx === fx.sorted && fx.distinct === fx, "sorted distinct set")
+    val inter = fx.toSet.intersect(fe.toSet).size.toDouble
+    val union = fx.toSet.union(fe.toSet).size.toDouble
+    assert(inter / union > 0.5, "local edit must preserve most fingerprints")
+    assert(row.getLong(3) === row.getLong(4))
+    assert(row.getLong(3) !== row.getLong(5))
   }
 
   test("truncate_hashes32: sorted distinct low bits; jaccard_sorted handles int arrays") {

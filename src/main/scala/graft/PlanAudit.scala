@@ -79,6 +79,17 @@ object PlanAudit {
     val pd = plan("q_dedup_exact")
     check("q_dedup_exact: hash aggregate", pd.contains("HashAggregate"), pd)
 
+    // IVF corpus→cell assignment must be narrow: per-row argmax over the
+    // in-plan centroid array — no Exchange (shuffle), no Window. (An earlier
+    // formulation shuffled n·nlist rows through a per-id window.)
+    val ivfCorpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id as id", "embedding as vec")
+    val cents = graft.ann.Ann.centroids(ivfCorpus, 16)
+    val pAssign = graft.ann.Ann.withNearestCells(ivfCorpus, "vec", 1, cents)
+      .queryExecution.executedPlan.toString
+    check("ivf corpus assignment: narrow (no Exchange, no Window)",
+      !pAssign.contains("Exchange") && !pAssign.contains("Window"), pAssign)
+
     println(s"PlanAudit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()
     if (failures > 0) sys.exit(1)

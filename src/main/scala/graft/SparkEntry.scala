@@ -593,6 +593,27 @@ object SparkEntry {
           col("format"))
     }),
 
+    // Parse-error surface (error.rs:35-129 parity): RIS blobs with planted
+    // malformed records at known positions — per doc, record 1 carries an
+    // unlexable line (line 7 of the blob) and no title, so the issue rows
+    // have closed form: one ignored_line at (1, 7) and one missing_value
+    // for TI at record 1.
+    "q_cite_errors" -> ((s, dir) => {
+      import s.implicits._
+      val blobs = t(s, dir, "documents").select(
+        col("doc_id").cast("long").as("doc_id"),
+        concat(
+          lit("TY  - JOUR\nID  - "), col("doc_id"),
+          lit("\nTI  - t"), col("doc_id"),
+          lit("\nER  -\nTY  - JOUR\nID  - x"), col("doc_id"),
+          lit("\n!! bad "), col("doc_id"),
+          lit("\nER  -")).as("blob")).as[(Long, String)]
+      blobs.flatMap { case (id, blob) =>
+        RisParser.parseAccounted(blob)._2.map(i =>
+          (id, i.record_idx.toLong, i.line.toLong, i.kind, i.key, i.value))
+      }.toDF("doc_id", "record_idx", "line", "kind", "tag", "content")
+    }),
+
     // Reference-predicate citation dedup end-to-end (dedupe.rs:608-690):
     // two planted copies per document (identical title/journal/volume/pages/
     // year, distinct row_idx) → year blocking → fuzzy self-join → connected
@@ -898,6 +919,15 @@ object SparkEntry {
       """SELECT doc_id,
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'ris' WHEN 1 THEN 'pubmed'
         |       ELSE 'endnote_xml' END AS format
+        |FROM documents""".stripMargin,
+
+    "q_cite_errors" ->
+      """SELECT doc_id, CAST(1 AS BIGINT) AS record_idx, CAST(7 AS BIGINT) AS line,
+        |  'ignored_line' AS kind, '' AS tag, '!! bad ' || doc_id AS content
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS BIGINT), CAST(-1 AS BIGINT),
+        |  'missing_value', 'TI', ''
         |FROM documents""".stripMargin,
 
     "q_cite_dedup" ->

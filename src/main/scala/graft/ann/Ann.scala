@@ -66,31 +66,64 @@ object Ann {
     topK(scored, k)
   }
 
-  /** IVF: `nlist` deterministic centroids (an id-stratified sample of the
-    * corpus — kmeans init without the iterations; cells stay balanced on
-    * near-uniform data), assignment by max cosine, queries probe the
-    * `nprobe` nearest cells.
+  /** Deterministic IVF centroids: `nlist` corpus rows picked by hashed id
+    * (kmeans init without the iterations; cells stay balanced on
+    * near-uniform data). nlist rows collected to the driver — the same
+    * driver-resident footprint any kmeans codebook has; at 10-TB corpus
+    * scale nlist is ~2¹⁶ vectors, still a few MB.
+    */
+  def centroids(corpus: DataFrame, nlist: Int): Seq[(Long, Seq[Float])] =
+    corpus.orderBy(xxhash64(col("id"))).limit(nlist)
+      .select(col("id").cast("long"), col("vec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+
+  /** Adds `cell` — the id(s) of the `probes` nearest centroids — as a
+    * NARROW per-row computation over the in-plan centroid array (no
+    * crossJoin, no window, no shuffle: an earlier formulation shuffled
+    * n·nlist rows through a per-id window, a 16× data amplification with
+    * nearly-all-singleton groups — the canonical anti-scaling shape).
+    * probes == 1 is a running argmax (`aggregate`, O(nlist)); probes > 1
+    * sorts the scored array (O(nlist log nlist)) and explodes the top
+    * slice. Ties break toward the smaller cell id.
+    */
+  def withNearestCells(df: DataFrame, vecCol: String, probes: Int,
+      cents: Seq[(Long, Seq[Float])]): DataFrame = {
+    val centArr = typedLit(cents)
+    val v = col(vecCol)
+    val cellCol =
+      if (probes == 1) {
+        array(aggregate(centArr,
+          struct(lit(Double.MinValue).as("ccos"), lit(-1L).as("cell")),
+          (acc, c) => {
+            val cc = cosine_sim(c.getField("_2"), v)
+            when(cc > acc.getField("ccos") ||
+                (cc === acc.getField("ccos") && c.getField("_1") < acc.getField("cell")),
+              struct(cc.as("ccos"), c.getField("_1").cast("long").as("cell")))
+              .otherwise(acc)
+          },
+          acc => acc.getField("cell")))
+      } else {
+        // struct ordering is field-wise: (-cos, cell) ascending = cos
+        // descending, cell ascending — same tie-break as the argmax
+        slice(transform(array_sort(transform(centArr, c =>
+          struct((-cosine_sim(c.getField("_2"), v)).as("negcos"),
+            c.getField("_1").cast("long").as("cell")))),
+          s => s.getField("cell")), 1, probes)
+      }
+    df.withColumn("cell", explode(cellCol))
+  }
+
+  /** IVF: corpus partitioned into `nlist` cells by nearest deterministic
+    * centroid (narrow argmax — see [[withNearestCells]]), queries probe the
+    * `nprobe` nearest cells, equi-join on cell id + exact rerank.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4,
       excludeSelf: Boolean = true): DataFrame = {
-    // deterministic pseudo-random sample: nlist rows by hashed id — no
-    // count() pass, stable across runs and parallelism
-    val centroids = broadcast(
-      corpus.orderBy(xxhash64(col("id")))
-        .limit(nlist)
-        .select(col("id").as("cell"), col("vec").as("cvec")))
-
-    def assign(df: DataFrame, vecCol: String, keyCol: String, probes: Int): DataFrame = {
-      val w = Window.partitionBy(keyCol).orderBy(col("ccos").desc, col("cell"))
-      df.crossJoin(centroids)
-        .withColumn("ccos", cosine_sim(col(vecCol), col("cvec")))
-        .withColumn("crn", row_number().over(w))
-        .filter(col("crn") <= probes)
-        .drop("ccos", "crn", "cvec")
-    }
-    val corpusCells = assign(corpus, "vec", "id", 1)
-    val queryCells = assign(queries, "qvec", "query_id", nprobe)
+    val cents = centroids(corpus, nlist)
+    val corpusCells = withNearestCells(corpus, "vec", 1, cents)
+    val queryCells = withNearestCells(queries, "qvec", nprobe, cents)
     val scored = corpusCells.join(queryCells, "cell")
       .filter(if (excludeSelf) col("id") =!= col("query_id") else lit(true))
       .withColumn("cos", round(cosine_sim(col("vec"), col("qvec")), 6))

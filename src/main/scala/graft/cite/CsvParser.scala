@@ -204,16 +204,34 @@ object CsvParser {
       extra_fields = extraFields))
   }
 
-  /** Parse a CSV blob with an explicit config. */
-  def parseString(content: String, config: CsvConfig): Seq[Citation] = {
-    if (content.trim.isEmpty) return Nil
+  /** Parse a CSV blob with an explicit config, keeping issue rows for
+    * records dropped at assembly (no mapped title / all-empty record).
+    * `line` is -1: quoted fields span physical lines, so records are
+    * addressed by `record_idx` (0-based data-record index).
+    */
+  def parseAccounted(content: String,
+      config: CsvConfig = CsvConfig()): (Seq[Citation], Seq[ParseIssue]) = {
+    if (content.trim.isEmpty) return (Nil, Nil)
     val records = readRecords(content, config.delimiter, config.quote)
-    if (records.isEmpty) return Nil
+    if (records.isEmpty) return (Nil, Nil)
     val (headers, dataRecords) =
       if (config.hasHeader) (records.head.map(h => if (config.trim) h.trim else h), records.tail)
       else (records.head.indices.map(i => s"Column${i + 1}").toSeq, records)
-    dataRecords.flatMap(r => assemble(headers, r, config))
+    val cits = mutable.ArrayBuffer.empty[Citation]
+    val issues = mutable.ArrayBuffer.empty[ParseIssue]
+    dataRecords.zipWithIndex.foreach { case (r, idx) =>
+      assemble(headers, r, config) match {
+        case Some(c) => cits += c
+        case None =>
+          issues += ParseIssue("csv", idx, -1, "missing_value", "title", "")
+      }
+    }
+    (cits.toSeq, issues.toSeq)
   }
+
+  /** Parse a CSV blob with an explicit config. */
+  def parseString(content: String, config: CsvConfig): Seq[Citation] =
+    parseAccounted(content, config)._1
 
   /** Parse with sniffed delimiter + header presence (the auto path). */
   def parseString(content: String): Seq[Citation] = {
@@ -226,5 +244,12 @@ object CsvParser {
   def parse(blobs: Dataset[String], config: CsvConfig = CsvConfig()): Dataset[Citation] = {
     import blobs.sparkSession.implicits._
     blobs.flatMap(b => parseString(b, config))
+  }
+
+  /** Distributed error surface: one blob per row → issue rows. Narrow. */
+  def parseErrors(blobs: Dataset[String],
+      config: CsvConfig = CsvConfig()): Dataset[ParseIssue] = {
+    import blobs.sparkSession.implicits._
+    blobs.flatMap(b => parseAccounted(b, config)._2)
   }
 }

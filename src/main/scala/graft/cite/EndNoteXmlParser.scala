@@ -190,29 +190,55 @@ object EndNoteXmlParser {
       extra_fields = Map.empty))
   }
 
-  /** Parse one EndNote XML blob into citations. Malformed XML → Nil
-    * (record-level errors drop records, like the other parsers).
+  /** Parse one EndNote XML blob into citations AND parse issues: records
+    * failing the title-or-author validation → `missing_value`; truncated /
+    * malformed XML → a `syntax` issue with the StAX location's line (the
+    * parsed prefix of records is kept, as before).
     */
-  def parseString(content: String): Seq[Citation] = {
-    if (content.trim.isEmpty) return Nil
+  def parseAccounted(content: String): (Seq[Citation], Seq[ParseIssue]) = {
+    if (content.trim.isEmpty) return (Nil, Nil)
     val out = mutable.ArrayBuffer.empty[Citation]
+    val issues = mutable.ArrayBuffer.empty[ParseIssue]
+    var recordIdx = -1
     val reader = factory.createXMLStreamReader(new java.io.StringReader(content))
     try {
       while (reader.hasNext) {
         if (reader.next() == XMLStreamConstants.START_ELEMENT &&
             reader.getLocalName == "record") {
-          parseRecord(reader).foreach(out += _)
+          recordIdx += 1
+          parseRecord(reader) match {
+            case Some(c) => out += c
+            case None =>
+              issues += ParseIssue("endnote_xml", recordIdx, -1,
+                "missing_value", "title", "")
+          }
         }
       }
     } catch {
-      case _: javax.xml.stream.XMLStreamException => // truncated/bad XML: keep parsed prefix
+      case e: javax.xml.stream.XMLStreamException =>
+        // truncated/bad XML: keep the parsed prefix, surface the fault
+        val line = Option(e.getLocation).map(_.getLineNumber).getOrElse(-1)
+        issues += ParseIssue("endnote_xml", recordIdx, line, "syntax", "",
+          Option(e.getMessage).getOrElse(""))
     } finally reader.close()
-    out.toSeq
+    (out.toSeq, issues.toSeq)
   }
+
+  /** Parse one EndNote XML blob into citations. Malformed XML → parsed
+    * prefix (record-level errors drop records, like the other parsers; use
+    * [[parseAccounted]] to keep the error rows).
+    */
+  def parseString(content: String): Seq[Citation] = parseAccounted(content)._1
 
   /** Distributed parse: one XML blob per row → citations. Narrow. */
   def parse(blobs: Dataset[String]): Dataset[Citation] = {
     import blobs.sparkSession.implicits._
     blobs.flatMap(parseString _)
+  }
+
+  /** Distributed error surface: one blob per row → issue rows. Narrow. */
+  def parseErrors(blobs: Dataset[String]): Dataset[ParseIssue] = {
+    import blobs.sparkSession.implicits._
+    blobs.flatMap(b => parseAccounted(b)._2)
   }
 }

@@ -113,29 +113,39 @@ object PubMedParser {
   // ---- line plumbing ----
 
   /** Split into records on blank lines (a chunk = consecutive non-blank
-    * lines). /root/reference/src/pubmed/split.rs.
+    * lines), keeping each line's 1-based number for the error surface.
+    * /root/reference/src/pubmed/split.rs.
     */
-  private[graft] def blankLineSplit(text: String, lineBreak: String): Seq[String] =
+  private[graft] def blankLineSplitIdx(text: String,
+      lineBreak: String): Seq[Seq[(Int, String)]] =
     text.split(java.util.regex.Pattern.quote(lineBreak), -1)
-      .foldLeft(List(mutable.ArrayBuffer.empty[String])) { (acc, line) =>
+      .zipWithIndex
+      .foldLeft(List(mutable.ArrayBuffer.empty[(Int, String)])) { (acc, li) =>
+        val (line, idx) = li
         if (line.isEmpty) {
-          if (acc.head.nonEmpty) mutable.ArrayBuffer.empty[String] :: acc else acc
-        } else { acc.head += line; acc }
+          if (acc.head.nonEmpty) mutable.ArrayBuffer.empty[(Int, String)] :: acc else acc
+        } else { acc.head += ((idx + 1, line)); acc }
       }
       .reverse
       .filter(_.nonEmpty)
-      .map(_.mkString("\n"))
+      .map(_.toSeq)
+
+  private[graft] def blankLineSplit(text: String, lineBreak: String): Seq[String] =
+    blankLineSplitIdx(text, lineBreak).map(_.map(_._2).mkString("\n"))
 
   /** Join continuation lines (leading space) into whole key-value lines;
     * pieces joined with a space except after a trailing hyphen
-    * (/root/reference/src/pubmed/whole_lines.rs:23-80).
+    * (/root/reference/src/pubmed/whole_lines.rs:23-80). Each joined line
+    * carries the 1-based number of its FIRST physical line.
     */
-  private[graft] def wholeLines(lines: Seq[String]): Seq[String] = {
-    val out = mutable.ArrayBuffer.empty[String]
+  private[graft] def wholeLinesIdx(lines: Seq[(Int, String)]): Seq[(Int, String)] = {
+    val out = mutable.ArrayBuffer.empty[(Int, String)]
     val sb = new java.lang.StringBuilder
-    def flush(): Unit = { if (sb.length > 0) { out += sb.toString; sb.setLength(0) } }
+    var startLine = -1
+    def flush(): Unit =
+      if (sb.length > 0) { out += ((startLine, sb.toString)); sb.setLength(0) }
     var started = false
-    for (line <- lines) {
+    for ((ln, line) <- lines) {
       if (started && line.startsWith(" ")) {
         val piece = line.replaceFirst("^\\s+", "")
         if (!(sb.length == 0 || sb.charAt(sb.length - 1) == '-' || sb.charAt(sb.length - 1) == ' '))
@@ -143,6 +153,7 @@ object PubMedParser {
         sb.append(piece)
       } else {
         flush()
+        startLine = ln
         sb.append(line)
         started = true
       }
@@ -150,6 +161,9 @@ object PubMedParser {
     flush()
     out.toSeq
   }
+
+  private[graft] def wholeLines(lines: Seq[String]): Seq[String] =
+    wholeLinesIdx(lines.zipWithIndex.map { case (l, i) => (i + 1, l) }).map(_._2)
 
   /** Split on first '-', trimming around it; tag must be known. */
   private[graft] def parseEntry(line: String): Option[(String, String)] = {
@@ -162,9 +176,31 @@ object PubMedParser {
 
   private val ConsecutiveTags = Set("AU", "FAU", "AD")
 
-  private def parseRecord(chunk: String): Option[Citation] = {
-    val entries = wholeLines(chunk.split("\n", -1).toSeq.filter(_.nonEmpty))
-      .flatMap(parseEntry)
+  /** Accounted assembly of one blank-line-delimited record (numbered lines):
+    * unknown-tag / unlexable joined lines → `ignored_line` issues; a bad DP
+    * date or missing TI → a record-level `bad_value`/`missing_value` issue
+    * and a dropped record (reference parity: error.rs + pubmed/structure.rs).
+    */
+  private def parseRecordAccounted(chunk: Seq[(Int, String)],
+      recordIdx: Int): (Option[Citation], Seq[ParseIssue]) = {
+    val issues = mutable.ArrayBuffer.empty[ParseIssue]
+    val entries = mutable.ArrayBuffer.empty[(String, String)]
+    var dpLine = -1
+    for ((ln, line) <- wholeLinesIdx(chunk.filter(_._2.nonEmpty))) {
+      parseEntry(line) match {
+        case Some(e @ (k, _)) =>
+          if (k == "DP" && dpLine < 0) dpLine = ln
+          entries += e
+        case None =>
+          issues += ParseIssue("pubmed", recordIdx, ln, "ignored_line", "", line)
+      }
+    }
+    val cit = assembleEntries(entries.toSeq, recordIdx, dpLine, issues)
+    (cit, issues.toSeq)
+  }
+
+  private def assembleEntries(entries: Seq[(String, String)], recordIdx: Int,
+      dpLine: Int, issues: mutable.ArrayBuffer[ParseIssue]): Option[Citation] = {
     if (entries.isEmpty) return None
     val data = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[String]]
     val consecutive = mutable.ArrayBuffer.empty[(String, String)]
@@ -182,13 +218,17 @@ object PubMedParser {
       case Some(dp) =>
         CiteUtils.parsePubmedDate(dp) match {
           case some @ Some(_) => some
-          case None => return None
+          case None =>
+            issues += ParseIssue("pubmed", recordIdx, dpLine, "bad_value", "DP", dp)
+            return None
         }
       case None => None
     }
     val title = takeJoined("TI") match {
       case Some(t) => t
-      case None => return None
+      case None =>
+        issues += ParseIssue("pubmed", recordIdx, -1, "missing_value", "TI", "")
+        return None
     }
 
     val citationType = take("PT")
@@ -232,16 +272,29 @@ object PubMedParser {
       extra_fields = extraFields))
   }
 
-  /** Parse one .nbib blob (possibly many records) into citations. */
-  def parseString(content: String): Seq[Citation] = {
-    if (content.trim.isEmpty) return Nil
+  /** Parse one .nbib blob into citations AND parse issues (ignored lines
+    * with line numbers, bad DP values, missing titles).
+    */
+  def parseAccounted(content: String): (Seq[Citation], Seq[ParseIssue]) = {
+    if (content.trim.isEmpty) return (Nil, Nil)
     val lineBreak = CiteUtils.newlineDelimiterOf(content)
-    blankLineSplit(content, lineBreak).flatMap(parseRecord)
+    val results = blankLineSplitIdx(content, lineBreak).zipWithIndex
+      .map { case (chunk, idx) => parseRecordAccounted(chunk, idx) }
+    (results.flatMap(_._1), results.flatMap(_._2))
   }
+
+  /** Parse one .nbib blob (possibly many records) into citations. */
+  def parseString(content: String): Seq[Citation] = parseAccounted(content)._1
 
   /** Distributed parse: one blob per row → citations. Narrow (no shuffle). */
   def parse(blobs: Dataset[String]): Dataset[Citation] = {
     import blobs.sparkSession.implicits._
     blobs.flatMap(parseString _)
+  }
+
+  /** Distributed error surface: one blob per row → issue rows. Narrow. */
+  def parseErrors(blobs: Dataset[String]): Dataset[ParseIssue] = {
+    import blobs.sparkSession.implicits._
+    blobs.flatMap(b => parseAccounted(b)._2)
   }
 }

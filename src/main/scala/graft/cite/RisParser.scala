@@ -98,7 +98,9 @@ object RisParser {
         }
       }
     }
-    if (current.hasContent) out += current
+    // a trailing ignored-only fragment carries no citation but its ignored
+    // lines still belong in the error surface
+    if (current.hasContent || current.ignored.nonEmpty) out += current
     out.toSeq
   }
 
@@ -179,8 +181,32 @@ object RisParser {
       extra_fields = extraFields))
   }
 
+  /** Parse one RIS blob into citations AND parse issues: unlexable lines
+    * (with 1-based line numbers) and records dropped for a missing title
+    * (the reference's `MissingValue` record error + collected
+    * `ignored_lines`, /root/reference/src/ris/structure.rs:19-26).
+    */
+  def parseAccounted(content: String): (Seq[Citation], Seq[ParseIssue]) = {
+    val cits = mutable.ArrayBuffer.empty[Citation]
+    val issues = mutable.ArrayBuffer.empty[ParseIssue]
+    risParse(content).zipWithIndex.foreach { case (raw, idx) =>
+      raw.ignored.foreach { case (ln, line) =>
+        issues += ParseIssue("ris", idx, ln, "ignored_line", "", line)
+      }
+      val hadContent = raw.hasContent // assemble consumes the staging map
+      assemble(raw) match {
+        case Some(c) => cits += c
+        case None =>
+          if (hadContent)
+            issues += ParseIssue("ris", idx, -1, "missing_value", "TI", "")
+      }
+    }
+    (cits.toSeq, issues.toSeq)
+  }
+
   /** Parse one RIS blob into citations (records without a title dropped, as
-    * the reference's record-level error).
+    * the reference's record-level error; use [[parseAccounted]] to keep the
+    * error rows).
     */
   def parseString(content: String): Seq[Citation] =
     risParse(content).flatMap(assemble)
@@ -189,5 +215,11 @@ object RisParser {
   def parse(blobs: Dataset[String]): Dataset[Citation] = {
     import blobs.sparkSession.implicits._
     blobs.flatMap(parseString _)
+  }
+
+  /** Distributed error surface: one blob per row → issue rows. Narrow. */
+  def parseErrors(blobs: Dataset[String]): Dataset[ParseIssue] = {
+    import blobs.sparkSession.implicits._
+    blobs.flatMap(b => parseAccounted(b)._2)
   }
 }

@@ -58,6 +58,26 @@ object Citation {
   */
 final case class DuplicateGroup(unique: Citation, duplicates: Seq[Citation])
 
+/** One parse problem, as DATA (the Spark-typed analog of the reference's
+  * `ParseError`/`ValueError` taxonomy, /root/reference/src/error.rs:35-129,
+  * plus the per-record `ignored_lines` the record types collect,
+  * /root/reference/src/ris/structure.rs:19-26). A crawl-cleaning job needs
+  * the error rows as a side output, not a thrown exception: every parser
+  * exposes `parseAccounted` (citations + issues) and `parseErrors`
+  * (distributed issues-only), while `parse`/`parseString` keep their
+  * citations-only contract.
+  *
+  * Flat non-optional fields (-1 / "" for absent) so the frame joins,
+  * groups, and compares cleanly.
+  */
+final case class ParseIssue(
+    format: String,     // "ris" | "pubmed" | "endnote_xml" | "csv"
+    record_idx: Int,    // 0-based record within the blob; -1 when unknown
+    line: Int,          // 1-based line within the blob; -1 when not addressable
+    kind: String,       // "syntax" | "missing_value" | "bad_value" | "ignored_line"
+    key: String,        // offending tag/field key ("" when none)
+    value: String)      // offending content ("" when none)
+
 /** Input format of a parsed blob (/root/reference/src/lib.rs:170-177). */
 object CitationFormat {
   val Ris = "ris"

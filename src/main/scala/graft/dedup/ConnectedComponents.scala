@@ -20,21 +20,49 @@ object ConnectedComponents {
   /** edges: DataFrame(a: long, b: long), undirected, a != b (self-loops ok,
     * ignored). Returns DataFrame(id: long, component: long) covering every
     * id present in the edge set; component = min id of the component.
+    *
+    * Durability: `localCheckpoint` blocks are executor-local — an executor
+    * loss mid-fixpoint kills the job on a real cluster (no lineage left to
+    * recompute). With `durable = Some((store, k))`, every k-th star round
+    * is ALSO written through the [[graft.io.StageStore]] (reliable storage,
+    * stages `<prefix>_round_<i>`), and a restarted run FAST-FORWARDS to the
+    * latest persisted round instead of redoing the fixpoint from round 0.
+    * Rounds are pure functions of the (deterministic) input edge set, so a
+    * resumed fixpoint is bit-identical to an uninterrupted one. At default
+    * k=5 a short fixpoint (O(log n) rounds; 3-4 on most corpora) writes
+    * nothing extra; only genuinely long fixpoints pay the durable writes.
     */
-  def run(edges: DataFrame, maxIterations: Int = 50): DataFrame = {
-    val spark = edges.sparkSession
-    var current = edges.select(col("a").cast("long"), col("b").cast("long"))
-      .filter(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
-      .distinct()
-      .localCheckpoint(true)
+  def run(edges: DataFrame, maxIterations: Int = 50,
+      durable: Option[(graft.io.StageStore, Int)] = None,
+      durablePrefix: String = "cc"): DataFrame = {
+    durable.foreach { case (_, k) => require(k >= 1, "durable interval must be >= 1") }
+
+    // fast-forward: resume from the latest durably-persisted round
+    val resumed = durable.flatMap { case (store, _) =>
+      (maxIterations to 1 by -1).iterator
+        .map(i => (i, s"${durablePrefix}_round_$i"))
+        .collectFirst { case (i, stage) if store.has(stage) => (i, store.read(stage)) }
+    }
+
+    var current = resumed.map(_._2).getOrElse {
+      edges.select(col("a").cast("long"), col("b").cast("long"))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+        .distinct()
+        .localCheckpoint(true)
+    }
 
     var converged = false
-    var iter = 0
+    var iter = resumed.map(_._1).getOrElse(0)
     var prevSig = signature(current)
     while (!converged && iter < maxIterations) {
-      val afterLarge = largeStar(current)
-      val afterSmall = smallStar(afterLarge).localCheckpoint(true)
+      val round = iter + 1
+      val next = smallStar(largeStar(current))
+      val afterSmall = durable match {
+        case Some((store, k)) if round % k == 0 =>
+          store.getOrCompute(s"${durablePrefix}_round_$round")(next)
+        case _ => next.localCheckpoint(true)
+      }
       // probe convergence every round: the probe is one count/xor agg job,
       // far cheaper than the extra star round (two shuffles + an eager
       // checkpoint) that a skipped probe would let run

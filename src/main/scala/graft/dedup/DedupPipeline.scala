@@ -45,7 +45,8 @@ final case class DedupConfig(
     sourcePreferences: Seq[String] = Nil,
     maxCcIterations: Int = 50,
     resumeChunks: Int = 4,
-    verifyIdUniqueness: Boolean = true) {
+    verifyIdUniqueness: Boolean = true,
+    ccDurableInterval: Int = 5) {
   require(bands * rows == numHashes, "bands*rows must equal numHashes")
   require(resumeChunks >= 1, "resumeChunks must be >= 1")
 }
@@ -287,12 +288,20 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
     }
 
   /** Stage 5 — components: union exact + verified edges, run large-star/
-    * small-star to fixpoint.
+    * small-star to fixpoint. Every `ccDurableInterval`-th star round is
+    * persisted through the StageStore (reliable storage), so a job killed
+    * mid-fixpoint fast-forwards to the last persisted round on resume —
+    * `localCheckpoint` alone is executor-local and would force a full redo
+    * (or a job failure) after an executor loss. 0 disables.
     */
   def components(exact: DataFrame, verified: DataFrame): DataFrame =
     store.getOrCompute("components") {
       val edges = exact.select("a", "b").union(verified.select("a", "b"))
-      ConnectedComponents.run(edges, config.maxCcIterations)
+      val durable =
+        if (config.ccDurableInterval > 0) Some((store, config.ccDurableInterval))
+        else None
+      ConnectedComponents.run(edges, config.maxCcIterations, durable,
+        durablePrefix = "components_cc")
     }
 
   /** Stage 6 — clusters: every page gets a cluster (singletons = own id);

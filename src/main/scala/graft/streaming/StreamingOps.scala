@@ -38,9 +38,12 @@ object StreamingOps {
       minhash_bands(col("shingles"), bands, rows, seed).as("bands"))
   }
 
-  /** Streaming exact-dedup: keep the first page seen per content hash,
-    * with state expired by the event-time watermark (late duplicates beyond
-    * `watermarkDelay` may re-emit — the documented watermark contract).
+  /** Streaming exact-dedup: keep ONE page per content hash — among
+    * same-hash rows arriving in the same micro-batch the survivor is
+    * unspecified (no event-time ordering inside a batch); across batches
+    * the earlier batch's survivor wins. State is expired by the event-time
+    * watermark (late duplicates beyond `watermarkDelay` may re-emit — the
+    * documented watermark contract).
     */
   def firstSeenByContent(pages: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
     pages
@@ -66,8 +69,10 @@ object StreamingOps {
   /** One LSH band-bucket occupancy: (band, bucket) → member ids seen so far. */
   final case class BucketState(ids: Seq[Long])
 
-  /** A doc's row in one band bucket. */
-  final case class BandRow(id: Long, band: Int, bucket: Long)
+  /** A doc's row in one band bucket; `ts` is the page's event time
+    * (warc_ts), which drives watermark-based bucket-state expiry.
+    */
+  final case class BandRow(id: Long, band: Int, bucket: Long, ts: java.sql.Timestamp)
 
   /** An emitted candidate pair (a < b). */
   final case class CandidatePair(a: Long, b: Long)
@@ -80,18 +85,38 @@ object StreamingOps {
     * beyond the cap pair only with the most recent retained member (the id-chain
     * degradation of the batch pipeline's hot-bucket path — connectivity is
     * preserved through connected components, state stays bounded).
+    *
+    * Per-bucket state EXPIRES once the event-time watermark passes the
+    * bucket's newest arrival by `bucketIdleGapMs` (event-time timeout over
+    * the `ts`/warc_ts watermark): without expiry the number of
+    * (band, bucket) keys — and so the state store — grows without bound on
+    * a continuous stream. An arrival after expiry reopens the bucket
+    * empty, so pairs spanning an idle gap longer than the timeout are not
+    * emitted — the same bounded-memory watermark contract as
+    * [[firstSeenByContent]]. (Event-time, not processing-time, timeout:
+    * processing-time timeouts make the stateful operator request a batch
+    * every trigger forever — a busy loop on an idle stream — and are
+    * nondeterministic under replay.)
     */
   def streamingCandidates(bandRows: Dataset[BandRow],
-      maxPerBucket: Int = 64): Dataset[CandidatePair] = {
+      maxPerBucket: Int = 64,
+      watermarkDelay: String = "10 minutes",
+      bucketIdleGapMs: Long = 30L * 60 * 1000): Dataset[CandidatePair] = {
     import bandRows.sparkSession.implicits._
     bandRows
+      .withWatermark("ts", watermarkDelay)
+      .as[BandRow]
       .groupByKey(r => (r.band, r.bucket))
       .flatMapGroupsWithState[BucketState, CandidatePair](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (_, rows, state: GroupState[BucketState]) =>
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, _, state: GroupState[BucketState]) if state.hasTimedOut =>
+          state.remove()
+          Iterator.empty
+        case (_, rowsIt, state: GroupState[BucketState]) =>
+          val rows = rowsIt.toSeq
           val prev = state.getOption.map(_.ids).getOrElse(Seq.empty)
           val prevSet = prev.toSet
-          val fresh = rows.map(_.id).toSeq.distinct.filterNot(prevSet.contains).sorted
+          val fresh = rows.map(_.id).distinct.filterNot(prevSet.contains).sorted
           val pairs = scala.collection.mutable.ArrayBuffer.empty[CandidatePair]
           var members = prev
           for (id <- fresh) {
@@ -110,6 +135,11 @@ object StreamingOps {
             }
           }
           state.update(BucketState(members))
+          // expire when the watermark passes the newest arrival + idle gap
+          // (clamped above the current watermark, as the API requires)
+          val maxTs = rows.iterator.map(_.ts.getTime).max
+          state.setTimeoutTimestamp(
+            math.max(maxTs + bucketIdleGapMs, state.getCurrentWatermarkMs() + 1))
           pairs.iterator
       }
   }

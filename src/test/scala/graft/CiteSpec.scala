@@ -450,4 +450,74 @@ class CiteSpec extends AnyFunSuite {
     assert(CiteUtils.newlineDelimiterOf("a\r\nb") === "\r\n")
     assert(CiteUtils.newlineDelimiterOf("a\nb") === "\n")
   }
+
+  // ---- error surface (/root/reference/src/error.rs:35-129; ignored_lines
+  //      per /root/reference/src/ris/structure.rs:19-26) ----
+
+  test("ris errors: ignored lines numbered, title-less record dropped with issue") {
+    val input =
+      """TY  - JOUR
+        |TI  - Good One
+        |ER  -
+        |TY  - JOUR
+        |ID  - 42
+        |!! not a ris line
+        |ER  -
+        |""".stripMargin
+    val (cits, issues) = RisParser.parseAccounted(input)
+    assert(cits.map(_.title) === Seq("Good One"))
+    assert(issues.toSet === Set(
+      ParseIssue("ris", 1, 6, "ignored_line", "", "!! not a ris line"),
+      ParseIssue("ris", 1, -1, "missing_value", "TI", "")))
+    // citations-only surface unchanged
+    assert(RisParser.parseString(input).map(_.title) === Seq("Good One"))
+  }
+
+  test("pubmed errors: bad DP drops record with line-numbered issue; unknown tag ignored") {
+    val input =
+      """PMID- 1
+        |TI  - Good One
+        |DP  - 2023 Jun 9
+        |
+        |PMID- 2
+        |TI  - Bad Date
+        |DP  - not a date
+        |
+        |PMID- 3
+        |TI  - Has Junk
+        |QQQQ- unknown tag line
+        |""".stripMargin
+    val (cits, issues) = PubMedParser.parseAccounted(input)
+    assert(cits.map(_.title) === Seq("Good One", "Has Junk"))
+    assert(issues.toSet === Set(
+      ParseIssue("pubmed", 1, 7, "bad_value", "DP", "not a date"),
+      ParseIssue("pubmed", 2, 11, "ignored_line", "", "QQQQ- unknown tag line")))
+  }
+
+  test("pubmed errors: missing title surfaces as missing_value") {
+    val (cits, issues) = PubMedParser.parseAccounted("PMID- 9\nAB  - only abstract")
+    assert(cits.isEmpty)
+    assert(issues === Seq(ParseIssue("pubmed", 0, -1, "missing_value", "TI", "")))
+  }
+
+  test("endnote errors: invalid record and truncated xml surface as issues") {
+    val ok = "<record><titles><title>T</title></titles></record>"
+    val empty = "<record><volume>7</volume></record>"
+    val (cits, issues) = EndNoteXmlParser.parseAccounted(
+      s"<?xml version=\"1.0\"?><records>$ok$empty</records>")
+    assert(cits.map(_.title) === Seq("T"))
+    assert(issues === Seq(ParseIssue("endnote_xml", 1, -1, "missing_value", "title", "")))
+
+    val (cits2, issues2) = EndNoteXmlParser.parseAccounted(
+      s"<?xml version=\"1.0\"?><records>$ok<record><titles>")
+    assert(cits2.map(_.title) === Seq("T"))
+    assert(issues2.map(_.kind) === Seq("syntax"))
+  }
+
+  test("csv errors: record without mapped title dropped with issue") {
+    val input = "title,volume\nGood,1\n,2\n"
+    val (cits, issues) = CsvParser.parseAccounted(input)
+    assert(cits.map(_.title) === Seq("Good"))
+    assert(issues === Seq(ParseIssue("csv", 1, -1, "missing_value", "title", "")))
+  }
 }

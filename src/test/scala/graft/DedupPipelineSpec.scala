@@ -66,6 +66,34 @@ class DedupPipelineSpec extends AnyFunSuite {
     assert(comps.count() === n)
   }
 
+  test("connected components: kill mid-fixpoint, durable resume matches full run") {
+    import spark.implicits._
+    // a long path needs several star rounds — enough to cross the durable
+    // checkpoint interval before converging
+    val n = 300L
+    val edges = spark.range(0, n - 1).select(col("id").as("a"), (col("id") + 1).as("b"))
+    val full = ConnectedComponents.run(edges)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+
+    // "killed" run: durable every 2nd round, hard iteration cap simulates
+    // the job dying mid-fixpoint — round_2 must be on reliable storage
+    val store = freshStore()
+    ConnectedComponents.run(edges, maxIterations = 2,
+      durable = Some((store, 2)), durablePrefix = "cc").count()
+    assert(store.has("cc_round_2"), "durable round must persist before the kill")
+    val mtime = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(store.root, "cc_round_2", "_MANIFEST.json"))
+
+    // resume: fast-forwards from cc_round_2 (not recomputed) and converges
+    val resumed = ConnectedComponents.run(edges,
+      durable = Some((store, 2)), durablePrefix = "cc")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(resumed === full, "resumed fixpoint must equal the uninterrupted run")
+    val mtimeAfter = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(store.root, "cc_round_2", "_MANIFEST.json"))
+    assert(mtime === mtimeAfter, "persisted round must not be recomputed on resume")
+  }
+
   /** Pair-level recall/precision of the pipeline's clusters against planted
     * truth (the BASELINE.json metric shape: dup-pair recall ≥ 0.99).
     */

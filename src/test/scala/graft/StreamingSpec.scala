@@ -87,8 +87,11 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     val urls = spark.table("first_seen").select("url").as[String].collect().toSet
     assert(urls.contains("u3") && urls.contains("u5"))
-    // exactly one of the three identical pages survives, and it is the first
-    assert(urls.intersect(Set("u1", "u2", "u4")) === Set("u1"))
+    // exactly ONE of the three identical pages survives (the same-batch
+    // survivor among u1/u2 is unspecified — no event-time order within a
+    // batch); u4 arrives in a LATER batch and must always be suppressed
+    assert(urls.intersect(Set("u1", "u2", "u4")).size === 1)
+    assert(!urls.contains("u4"))
   }
 
   test("pagesPerWindow watermarked sliding-window counts") {
@@ -127,16 +130,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val stream = MemoryStream[BandRow]
-    val q = StreamingOps.streamingCandidates(stream.toDS(), maxPerBucket = 3)
+    val q = StreamingOps.streamingCandidates(stream.toDS(), maxPerBucket = 3,
+      watermarkDelay = "10 minutes", bucketIdleGapMs = 30L * 60 * 1000)
       .writeStream.format("memory").queryName("stream_cands")
       .outputMode("append").start()
 
     // batch 1: ids 1,2 share bucket (0, 100); id 9 alone in (1, 200)
-    stream.addData(BandRow(1, 0, 100), BandRow(2, 0, 100), BandRow(9, 1, 200))
+    stream.addData(BandRow(1, 0, 100, ts(0)), BandRow(2, 0, 100, ts(0)),
+      BandRow(9, 1, 200, ts(0)))
     q.processAllAvailable()
     // batch 2: id 3 joins bucket (0,100) → pairs with 1 and 2 (cross-batch);
     // ids 4,5 overflow the cap → chain
-    stream.addData(BandRow(3, 0, 100), BandRow(4, 0, 100), BandRow(5, 0, 100))
+    stream.addData(BandRow(3, 0, 100, ts(1)), BandRow(4, 0, 100, ts(1)),
+      BandRow(5, 0, 100, ts(1)))
+    q.processAllAvailable()
+    // batch 3: event time jumps 3 hours → the watermark passes every
+    // bucket's (newest arrival + 30 min idle gap), expiring their state;
+    // id 6 then reopens bucket (0,100) EMPTY → no pair with pre-expiry
+    // members (bounded-state watermark contract)
+    stream.addData(BandRow(50, 7, 900, ts(180)))
+    q.processAllAvailable()
+    stream.addData(BandRow(6, 0, 100, ts(181)))
     q.processAllAvailable()
     q.stop()
 
@@ -147,5 +161,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.contains(CandidatePair(3, 4)) && pairs.contains(CandidatePair(4, 5)))
     // no pair for the lone member of bucket (1,200)
     assert(!pairs.exists(p => p.a == 9 || p.b == 9))
+    // expired bucket: id 6 must NOT pair with the pre-expiry members
+    assert(!pairs.exists(p => p.a == 6 || p.b == 6))
   }
 }

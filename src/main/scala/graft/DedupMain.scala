@@ -90,6 +90,9 @@ object DedupMain {
     println(
       s"""{"pages":$nPages,"clusters":$nClusters,"dup_pages":${nPages - nClusters},
          |"wall_sec":$wallSec,"docs_per_sec":${nPages / wallSec},
+         |"skew":{"hot_buckets":${pipeline.hotBuckets.value},
+         |"dropped_buckets":${pipeline.droppedBuckets.value},
+         |"dropped_bucket_rows":${pipeline.droppedBucketRows.value}},
          |"stage_rows":$stages}""".stripMargin.replace("\n", ""))
     spark.stop()
   }

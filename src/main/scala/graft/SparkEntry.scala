@@ -346,8 +346,7 @@ object SparkEntry {
         .select(col("band").cast("long"), col("bucket"), col("id"))
         .as[(Long, Long, Long)]
         .mapPartitions(it => graft.dedup.PairEmission.emit[Long](
-          it.map { case (b, k, id) => ((b, k), id) },
-          maxAllPairs = 64, chainHuge = true))
+          it, maxAllPairs = 64, chainHuge = true))
         .toDF("a", "b").distinct()
       val sh = sigs.select(col("id"), col("shingles"))
       val verified = pairs

@@ -109,6 +109,9 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
           .as("bands"))
     }
     val c = config.resumeChunks
+    val freshCompute = // any chunk (or the single stage) computed this run?
+      if (c == 1) !store.has("signatures")
+      else (0 until c).exists(i => !store.has(s"signatures_chunk$i"))
     val out = if (c == 1) store.getOrCompute("signatures")(chunk(pages.toDF()))
     else {
       // one input scan for all chunk computations: cache the pages only if
@@ -137,8 +140,10 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
     // all-null-key case, where xxhash64 skips null inputs and every such row
     // shares one id) silently merge distinct documents. Assert uniqueness
     // with one column-pruned agg over the checkpointed stage — cheap next to
-    // the stage write; disable via config for throughput-only benchmarks.
-    if (config.verifyIdUniqueness) {
+    // the stage write, and skipped entirely on a clean resume (the check
+    // guards the WRITE; already-checkpointed chunks were verified when
+    // first computed).
+    if (config.verifyIdUniqueness && freshCompute) {
       val row = out.agg(count(lit(1)).as("n"), count_distinct(col("id")).as("d"))
         .collect()(0)
       require(row.getLong(0) == row.getLong(1),
@@ -213,8 +218,11 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
         .select(col("band").cast("long"), col("bucket"), col("id"))
         .as[(Long, Long, Long)]
         .mapPartitions { it =>
+          // the decoded (band, bucket, id) tuples feed emit() as-is — no
+          // per-row re-wrapping (143M band rows; extra allocations here
+          // measurably slow the stage)
           PairEmission.emit[Long](
-            it.map { case (band, bucket, id) => ((band, bucket), id) },
+            it,
             maxAllPairs = maxAll,
             hugeCutoff = hugeCutoff,
             chainHuge = false,

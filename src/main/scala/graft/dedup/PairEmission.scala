@@ -6,8 +6,8 @@ package graft.dedup
   * formulation (SparkEntry `q_dedup_minhash_clusters`) — one implementation
   * so the skew policy cannot drift between call sites.
   *
-  * Contract: `rows` is a partition iterator of ((k1, k2), value) already
-  * SORTED by bucket key (and by whatever within-bucket order adjacency
+  * Contract: `rows` is a partition iterator of (k1, k2, value) triples
+  * already SORTED by bucket key (and by whatever within-bucket order adjacency
   * should follow — id order for MinHash buckets, (fingerprint, id) order
   * for SimHash buckets). For each bucket of n values:
   *   - n < 2                      → nothing;
@@ -31,7 +31,7 @@ package graft.dedup
 object PairEmission {
 
   def emit[T](
-      rows: Iterator[((Long, Long), T)],
+      rows: Iterator[(Long, Long, T)],
       maxAllPairs: Int,
       hugeCutoff: Long = Long.MaxValue,
       chainHuge: Boolean = false,
@@ -107,7 +107,7 @@ object PairEmission {
       private def advance(): Unit =
         if (!out.hasNext && !done) {
           if (rows.hasNext) {
-            val ((k1, k2), v) = rows.next()
+            val (k1, k2, v) = rows.next()
             if (!started || k1 != curK1 || k2 != curK2) {
               out = endBucket()
               curK1 = k1

@@ -97,7 +97,7 @@ object SimHashDedup {
       .as[(Long, Long, Long, Long)]
       .mapPartitions { it =>
         PairEmission.emit[(Long, Long)](
-          it.map { case (t, k, sim, id) => ((t, k), (id, sim)) },
+          it.map { case (t, k, sim, id) => (t, k, (id, sim)) },
           maxAllPairs = maxAll,
           chainHuge = true,
           onHot = () => hot.foreach(_.add(1L)))

@@ -81,8 +81,8 @@ class ExprSpec extends AnyFunSuite {
 
   test("PairEmission: all-pairs below cap, chain above, drop/chain past huge cutoff") {
     import graft.dedup.PairEmission
-    def rows(buckets: (Long, Seq[Long])*): Iterator[((Long, Long), Long)] =
-      buckets.iterator.flatMap { case (k, ids) => ids.map(id => ((0L, k), id)) }
+    def rows(buckets: (Long, Seq[Long])*): Iterator[(Long, Long, Long)] =
+      buckets.iterator.flatMap { case (k, ids) => ids.map(id => (0L, k, id)) }
 
     // all-pairs ≤ cap; chain above; <2 members → nothing
     val basic = PairEmission.emit[Long](

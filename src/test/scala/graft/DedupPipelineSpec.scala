@@ -211,6 +211,31 @@ class DedupPipelineSpec extends AnyFunSuite {
     assert(lin.map(_.getAs[Long]("rows")).sum > 0)
   }
 
+  test("guards: unfingerprinted checkpoint dir refused; duplicate doc ids fail fast") {
+    import spark.implicits._
+    val pages = Seq(
+      mkPage("g1", (1 to 30).map(i => s"ga$i").mkString(" "), "s"),
+      mkPage("g2", (1 to 30).map(i => s"gb$i").mkString(" "), "s")).toDS()
+
+    // a dir holding stage manifests but NO _PIPELINE_CONFIG.json predates
+    // the fingerprint guard — adopting it could mix configs; must refuse
+    val store = freshStore()
+    store.write("signatures_chunk0", Seq((1L, "x")).toDF("id", "url"))
+    val ex = intercept[IllegalArgumentException] {
+      new DedupPipeline(spark, DedupConfig(), store).run(pages).count()
+    }
+    assert(ex.getMessage.contains("_PIPELINE_CONFIG.json"))
+
+    // duplicate (url, warc_ts) natural keys collide to one xxhash64 id —
+    // the signature stage must fail fast, not silently merge documents
+    val dupPages = pages.union(Seq(
+      mkPage("g1", (1 to 30).map(i => s"ga$i").mkString(" "), "s")).toDS())
+    val ex2 = intercept[IllegalArgumentException] {
+      new DedupPipeline(spark, DedupConfig(), freshStore()).run(dupPages).count()
+    }
+    assert(ex2.getMessage.contains("not unique"))
+  }
+
   test("simhash block-permuted tables: finds hamming<=3, excludes hamming>3") {
     import spark.implicits._
     val v = 0x0123456789abcdefL

@@ -1,0 +1,41 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed-table storage for co-located joins (SURVEY.md §4 "minimize
+  * shuffles": pre-partition the big, reused side ONCE so every later
+  * equi-join on the bucket column shuffles only the small side — or
+  * nothing, when both sides share the layout).
+  *
+  * Where this matters in the pipeline at 100-TB scale: the verification
+  * stage joins candidate pairs back to the signature table TWICE (sh_a,
+  * sh_b), and the cluster stage joins components to signatures again —
+  * three shuffles of the corpus-sized signature table per run under the
+  * plain parquet layout. Persisting signatures bucketed by `id` replaces
+  * all three with in-place bucketed scans; only the (orders-of-magnitude
+  * smaller) pair/component side still moves. The sandbox StageStore keeps
+  * the plain parquet-dir layout for its atomic-manifest resume semantics —
+  * production Iceberg gets the same effect from a bucket(id) partition
+  * transform on the checkpoint tables.
+  *
+  * Spark requires bucketed data to live in a catalog table
+  * (`saveAsTable`), not a bare path — bucket metadata rides in the
+  * catalog. The embedded session catalog (spark.sql.warehouse.dir)
+  * suffices; no external metastore needed.
+  */
+object Bucketed {
+
+  /** Persist `df` bucketed (+sorted) by `col` into `nBuckets` as catalog
+    * table `name`, replacing any previous version.
+    */
+  def write(df: DataFrame, name: String, col: String, nBuckets: Int): Unit = {
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $name")
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, col)
+      .sortBy(col)
+      .saveAsTable(name)
+  }
+
+  def read(spark: SparkSession, name: String): DataFrame = spark.table(name)
+}

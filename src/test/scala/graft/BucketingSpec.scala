@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.Bucketed
+
+/** Physical-plan evidence for the bucketed co-located join path
+  * (SURVEY.md §4): a bucketed big side must join WITHOUT an Exchange on
+  * its side of the plan, and two tables sharing the bucket layout must
+  * join with no Exchange at all.
+  */
+class BucketingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.warehouse.dir",
+      Files.createTempDirectory("graft-warehouse-").toString)
+    .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    .config("spark.sql.ui.explainMode", "extended")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("bucketed signature table joins with no Exchange on the bucketed side") {
+    import spark.implicits._
+    val sigs = spark.range(0, 10000)
+      .select(col("id"), (col("id") % 97).as("content_hash"))
+    Bucketed.write(sigs, "sigs_bucketed", "id", 8)
+
+    // the pair side is small and unbucketed — it alone may shuffle
+    val pairs = spark.range(0, 500).select(col("id"), lit(1L).as("tag"))
+    val joined = Bucketed.read(spark, "sigs_bucketed").join(pairs, "id")
+    joined.collect()
+    // AQE's toString prints final AND initial plans — assert on final only
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val plan = finalPlan(joined)
+
+    // exactly the pair side shuffles: one Exchange, none above the bucketed scan
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"bucketed side must not shuffle:\n$plan")
+    assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+      s"scan must be bucket-aware:\n$plan")
+
+    // co-bucketed pair table → NO Exchange anywhere
+    Bucketed.write(pairs, "pairs_bucketed", "id", 8)
+    val cojoined = Bucketed.read(spark, "sigs_bucketed")
+      .join(Bucketed.read(spark, "pairs_bucketed"), "id")
+    cojoined.collect()
+    val coplan = finalPlan(cojoined)
+    assert(!coplan.contains("Exchange"),
+      s"co-bucketed join must be shuffle-free:\n$coplan")
+
+    // values correct
+    assert(cojoined.count() === 500L)
+  }
+}

@@ -373,6 +373,34 @@ object SparkEntry {
         .filter(col("cos") >= 0.2)
     }),
 
+    // The verification predicate incl. the LCS second chance, with a CLOSED
+    // FORM: per doc build a core of a = 20 + doc_id%40 unique tokens and a
+    // variant prefixed by 12 extra unique tokens. Shingle algebra (all
+    // tokens distinct): |shingles(core)| = a-2, |shingles(variant)| = a+10,
+    // all of core's contained in variant's ⇒ Jaccard = (a-2)/(a+10) — direct
+    // (≥0.8) iff a ≥ 50. The core's normalized text is a verbatim substring
+    // of the variant's ⇒ LCS = len(core) ≥ half the shorter text, so every
+    // borderline pair is rescued: the exact shape the LCS check exists for.
+    "q_dedup_lcs_rescue" -> ((s, dir) => {
+      val a = (lit(20) + col("doc_id") % 40).cast("int")
+      def tok(prefix: String) = (j: Column) =>
+        concat(lit("d"), col("doc_id"), lit(prefix), j)
+      val core = concat_ws(" ", transform(sequence(lit(1), a), tok("x")))
+      val extra = concat_ws(" ", transform(sequence(lit(1), lit(12)), tok("xe")))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          normalize_tokens(core).as("nt_a"),
+          normalize_tokens(concat(extra, lit(" "), core)).as("nt_b"))
+        .select(col("doc_id"),
+          round(jaccard_sorted(
+            word_shingles(col("nt_a"), 3), word_shingles(col("nt_b"), 3)), 6)
+            .as("jac"),
+          (lcs_length(col("nt_a"), col("nt_b")) >=
+            least(length(col("nt_a")), length(col("nt_b"))) * 0.5).as("rescued_ok"))
+        .select(col("doc_id"), col("jac"), (col("jac") >= 0.8).as("direct"),
+          col("rescued_ok"))
+    }),
+
     // Character-set Jaccard (char shingles at k=1 — DuckDB's jaccard()
     // uses the same character-set semantics).
     "q_dedup_char_jaccard" -> ((s, dir) => {
@@ -764,6 +792,16 @@ object SparkEntry {
 
     "q_dedup_char_jaccard" ->
       "SELECT doc_id, round(jaccard(text, substr(text, 1, 50)), 6) AS jac FROM documents",
+
+    // closed form from the shingle algebra in the query's comment:
+    // jac = (a-2)/(a+10) with a = 20 + doc_id%40; direct iff a >= 50;
+    // the verbatim-substring LCS condition holds for every row
+    "q_dedup_lcs_rescue" ->
+      """SELECT doc_id,
+        |  round((a - 2) / CAST(a + 10 AS DOUBLE), 6) AS jac,
+        |  a >= 50 AS direct,
+        |  true AS rescued_ok
+        |FROM (SELECT doc_id, 20 + doc_id % 40 AS a FROM documents)""".stripMargin,
 
     // closed form of the doubled + token-salted corpus: every doc clusters
     // with exactly its planted twin (see the query's construction comment)

@@ -26,15 +26,26 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object Bucketed {
 
   /** Persist `df` bucketed (+sorted) by `col` into `nBuckets` as catalog
-    * table `name`, replacing any previous version.
+    * table `name`, replacing any previous version. Also clears an orphaned
+    * default location (a managed-table dir left by a previous session whose
+    * catalog no longer lists the table — Spark refuses to create over it).
     */
   def write(df: DataFrame, name: String, col: String, nBuckets: Int): Unit = {
-    df.sparkSession.sql(s"DROP TABLE IF EXISTS $name")
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val orphan = new java.io.File(new java.net.URI(warehouse).getPath, name)
+    if (orphan.exists()) deleteRecursively(orphan)
     df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, col)
       .sortBy(col)
       .saveAsTable(name)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
   }
 
   def read(spark: SparkSession, name: String): DataFrame = spark.table(name)

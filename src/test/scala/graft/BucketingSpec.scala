@@ -15,18 +15,22 @@ import graft.io.Bucketed
   */
 class BucketingSpec extends AnyFunSuite {
 
+  // getOrCreate() may return another suite's session when the whole test
+  // JVM runs — session-level config is NOT reliable here. Everything this
+  // spec needs is set per-test via runtime conf below.
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.warehouse.dir",
       Files.createTempDirectory("graft-warehouse-").toString)
-    .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
-    .config("spark.sql.ui.explainMode", "extended")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
   test("bucketed signature table joins with no Exchange on the bucketed side") {
     import spark.implicits._
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
     val sigs = spark.range(0, 10000)
       .select(col("id"), (col("id") % 97).as("content_hash"))
     Bucketed.write(sigs, "sigs_bucketed", "id", 8)
@@ -57,5 +61,10 @@ class BucketingSpec extends AnyFunSuite {
 
     // values correct
     assert(cojoined.count() === 500L)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS sigs_bucketed")
+      spark.sql("DROP TABLE IF EXISTS pairs_bucketed")
+    }
   }
 }

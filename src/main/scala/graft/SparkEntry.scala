@@ -58,6 +58,20 @@ object SparkEntry {
     (corpus, queries)
   }
 
+  // twin-doubled ANN inputs for the closed-form LSH/IVF oracles: every
+  // vector gets an identical twin at id + 10⁶; queries are the first 50
+  // originals (their own corpus row is excluded by excludeSelf, the twin
+  // is the guaranteed exact-cosine-1 top-1)
+  private def annTwinInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val base = t(s, dir, "embeddings")
+      .select(col("vec_id").cast("long").as("id"), col("embedding").as("vec"))
+    val corpus = base.union(
+      base.select((col("id") + 1000000L).as("id"), col("vec")))
+    val queries = base.filter(col("id") < 50)
+      .select(col("id").as("query_id"), col("vec").as("qvec"))
+    (corpus, queries)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------- relational core (scan/filter/agg/join/window/sort/set/json) ----------
 
@@ -451,20 +465,26 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
     }),
 
-    // Sign-LSH banded ANN (rows-only: hash-based buckets; recall pinned by
-    // TrainingOpsSpec against the brute-force baseline).
+    // Sign-LSH banded ANN with a CLOSED-FORM oracle: the corpus is doubled
+    // with twin ids (+10⁶) sharing identical vectors, and each query IS a
+    // corpus vector. The twin has an identical RHP signature (same buckets
+    // — candidate generation cannot miss it) and cosine exactly 1.0, while
+    // every other vector's cosine is strictly below 1 (random embeddings),
+    // so top-1 must be (query_id, query_id+10⁶, 1.0, 1). k=3 recall vs the
+    // brute-force baseline stays pinned in TrainingOpsSpec.
     "q_ann_lsh_topk" -> ((s, dir) => {
-      val (corpus, queries) = annInputs(s, dir)
-      Ann.rhpTopK(corpus, queries, 3, bands = 16, rowsPerBand = 4)
+      val (corpus, queries) = annTwinInputs(s, dir)
+      Ann.rhpTopK(corpus, queries, 1, bands = 16, rowsPerBand = 4)
         .select(col("query_id"), col("id").as("neighbor_id"), col("cos"),
           col("rank").cast("long").as("rank"))
     }),
 
-    // IVF ANN (rows-only: centroid cells are data-order-dependent; recall
-    // pinned by TrainingOpsSpec against brute force).
+    // IVF ANN, same closed form: identical vectors assign to the same cell
+    // (deterministic argmax with id tie-break), the query probes its own
+    // cell among nprobe=4, so the twin is always found at cos 1.0.
     "q_ann_ivf_topk" -> ((s, dir) => {
-      val (corpus, queries) = annInputs(s, dir)
-      Ann.ivfTopK(corpus, queries, 3, nlist = 16, nprobe = 4)
+      val (corpus, queries) = annTwinInputs(s, dir)
+      Ann.ivfTopK(corpus, queries, 1, nlist = 16, nprobe = 4)
         .select(col("query_id"), col("id").as("neighbor_id"), col("cos"),
           col("rank").cast("long").as("rank"))
     }),
@@ -829,6 +849,20 @@ object SparkEntry {
         |  FROM embeddings c CROSS JOIN embeddings q
         |  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id)
         |WHERE rank <= 3""".stripMargin,
+
+    // closed form of the twin-doubled ANN inputs: top-1 is always the
+    // identical twin at cosine exactly 1.0 (see the queries' comments)
+    "q_ann_lsh_topk" ->
+      """SELECT CAST(vec_id AS BIGINT) AS query_id,
+        |  CAST(vec_id + 1000000 AS BIGINT) AS neighbor_id,
+        |  CAST(1.0 AS DOUBLE) AS cos, CAST(1 AS BIGINT) AS rank
+        |FROM embeddings WHERE vec_id < 50""".stripMargin,
+
+    "q_ann_ivf_topk" ->
+      """SELECT CAST(vec_id AS BIGINT) AS query_id,
+        |  CAST(vec_id + 1000000 AS BIGINT) AS neighbor_id,
+        |  CAST(1.0 AS DOUBLE) AS cos, CAST(1 AS BIGINT) AS rank
+        |FROM embeddings WHERE vec_id < 50""".stripMargin,
 
     "q_embed_norms" ->
       """SELECT vec_id,

@@ -46,7 +46,9 @@ final case class DedupConfig(
     maxCcIterations: Int = 50,
     resumeChunks: Int = 4,
     verifyIdUniqueness: Boolean = true,
-    ccDurableInterval: Int = 5) {
+    ccDurableInterval: Int = 5,
+    useSimHashCandidates: Boolean = false,
+    simHashMaxHamming: Int = 3) {
   require(bands * rows == numHashes, "bands*rows must equal numHashes")
   require(resumeChunks >= 1, "resumeChunks must be >= 1")
 }
@@ -341,12 +343,32 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
           col("id"), col("source"), col("lang"))
     }
 
+  /** Optional extra candidate source: SimHash near-dup pairs (Manku
+    * block-permuted tables over the `simhash` column the signature stage
+    * already persists). SimHash weights REPEATED shingles, so it surfaces
+    * "same content, small edits" pairs whose set-Jaccard sits at the LSH
+    * miss margin; every extra candidate still passes through the same
+    * exact-Jaccard (+LCS) verification, so precision is unchanged — this
+    * widens recall only.
+    */
+  def simHashCandidates(sigs: DataFrame): DataFrame =
+    store.getOrCompute("simhash_pairs") {
+      SimHashDedup.nearDupPairs(
+        sigs.select("id", "simhash"), config.simHashMaxHamming,
+        hotBucketAcc = Some(hotBuckets))
+        .select("a", "b")
+    }
+
   /** Run everything; returns the clusters DataFrame. */
   def run(pages: Dataset[Page]): DataFrame = {
     assertCheckpointConfig()
     val sigs = signatures(pages)
     val exact = exactEdges(sigs)
-    val pairs = candidatePairs(sigs, exact)
+    val lshPairs = candidatePairs(sigs, exact)
+    val pairs =
+      if (config.useSimHashCandidates)
+        lshPairs.union(simHashCandidates(sigs)).distinct()
+      else lshPairs
     val verified = verifiedEdges(sigs, pairs, Some(pages))
     val comps = components(exact, verified)
     clusters(sigs, comps)

@@ -211,6 +211,24 @@ class DedupPipelineSpec extends AnyFunSuite {
     assert(lin.map(_.getAs[Long]("rows")).sum > 0)
   }
 
+  test("simhash candidate source: planted families still recovered; precision holds") {
+    import spark.implicits._
+    val spec = CorpusSpec(nFamilies = 60, pDup = 0.5, seed = 7)
+    val corpus = DeterministicCorpus.generate(spark, spec).cache()
+    val pages = corpus.map(_._1)
+    val truth = corpus.map(_._2).toDF()
+    val pipeline = new DedupPipeline(spark,
+      DedupConfig(useSimHashCandidates = true), freshStore())
+    val clusters = pipeline.run(pages)
+    assert(clusters.count() === pages.count())
+    val (recall, precision, nTruth) = pairMetrics(clusters, truth)
+    assert(nTruth > 10)
+    assert(recall >= 0.99, s"recall $recall with simhash candidates on")
+    assert(precision >= 0.99,
+      s"precision $precision — simhash candidates must not bypass verification")
+    corpus.unpersist()
+  }
+
   test("guards: unfingerprinted checkpoint dir refused; duplicate doc ids fail fast") {
     import spark.implicits._
     val pages = Seq(

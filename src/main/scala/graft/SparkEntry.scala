@@ -549,6 +549,19 @@ object SparkEntry {
             .cast("long").as("n_in_bin"))
     }),
 
+    // Frame sampling (video-shaped explode stage): 16-sample frames, keep
+    // every 2nd. Closed form: n_frames = ceil(floor(n_bytes/16) / 2) per
+    // asset (texts are ASCII and < 4096 bytes, so n_bytes = strlen; every
+    // doc is ≥ 32 bytes so every asset emits frames).
+    "q_multimodal_frames" -> ((s, dir) => {
+      Multimodal.sampleFrames(
+        Multimodal.syntheticAssets(s, t(s, dir, "documents")),
+        frameLen = 16, stride = 2)
+        .groupBy("asset_id")
+        .agg(count(lit(1)).as("n_frames"),
+          max(col("frame_idx")).cast("long").as("last_idx"))
+    }),
+
     // ---------- citation parsing (reference API surface) ----------
 
     // RIS round-trip: build a RIS blob per document row, parse it back with
@@ -904,6 +917,14 @@ object SparkEntry {
         |  CAST(coalesce(counts.c, 0) AS BIGINT) AS n_in_bin
         |FROM grid LEFT JOIN counts
         |  ON grid.doc_id = counts.doc_id AND grid.bin = counts.bin""".stripMargin,
+
+    // kept frames = indices 0,2,4,… below floor(bytes/16):
+    // count = ceil(floor(n/16)/2), last kept index = 2*(count-1)
+    "q_multimodal_frames" ->
+      """SELECT doc_id AS asset_id,
+        |  CAST((strlen(text) // 16 + 1) // 2 AS BIGINT) AS n_frames,
+        |  CAST(2 * ((strlen(text) // 16 + 1) // 2 - 1) AS BIGINT) AS last_idx
+        |FROM documents""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id AS asset_id,

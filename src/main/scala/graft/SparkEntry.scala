@@ -551,15 +551,22 @@ object SparkEntry {
 
     // Frame sampling (video-shaped explode stage): 16-sample frames, keep
     // every 2nd. Closed form: n_frames = ceil(floor(n_bytes/16) / 2) per
-    // asset (texts are ASCII and < 4096 bytes, so n_bytes = strlen; every
-    // doc is ≥ 32 bytes so every asset emits frames).
+    // asset (texts are ASCII and < 4096 bytes, so n_bytes = strlen). The
+    // frame aggregate is LEFT-JOINED from the full asset list so an asset
+    // too short to emit any frame (< 16 bytes) still yields a row
+    // (n_frames = 0, last_idx = -2 — matching the oracle's formula at
+    // strlen < 16) instead of silently depending on a min-length corpus
+    // property.
     "q_multimodal_frames" -> ((s, dir) => {
-      Multimodal.sampleFrames(
-        Multimodal.syntheticAssets(s, t(s, dir, "documents")),
-        frameLen = 16, stride = 2)
+      val assets = Multimodal.syntheticAssets(s, t(s, dir, "documents"))
+      val perAsset = Multimodal.sampleFrames(assets, frameLen = 16, stride = 2)
         .groupBy("asset_id")
-        .agg(count(lit(1)).as("n_frames"),
-          max(col("frame_idx")).cast("long").as("last_idx"))
+        .agg(count(lit(1)).as("cnt"), max(col("frame_idx")).cast("long").as("mx"))
+      assets.toDF().select(col("asset_id"))
+        .join(perAsset, Seq("asset_id"), "left")
+        .select(col("asset_id"),
+          coalesce(col("cnt"), lit(0L)).as("n_frames"),
+          coalesce(col("mx"), lit(-2L)).as("last_idx"))
     }),
 
     // ---------- citation parsing (reference API surface) ----------

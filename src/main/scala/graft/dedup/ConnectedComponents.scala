@@ -37,11 +37,43 @@ object ConnectedComponents {
       durablePrefix: String = "cc"): DataFrame = {
     durable.foreach { case (_, k) => require(k >= 1, "durable interval must be >= 1") }
 
-    // fast-forward: resume from the latest durably-persisted round
+    // Guard the durable prefix against a different edge set: persisted
+    // rounds are pure functions of the input, so fast-forwarding from
+    // rounds computed on OTHER data would silently corrupt the result.
+    // Fingerprint = (row count, XOR of per-edge hashes) over the RAW input
+    // (one narrow agg scan, no shuffle; count disambiguates XOR
+    // cancellation of repeated rows). Written on first run, verified on
+    // resume, mismatch refuses.
+    durable.foreach { case (store, _) =>
+      import java.nio.file.{Files, Paths}
+      val row = edges.agg(
+        count(lit(1)).as("n"),
+        coalesce(bit_xor(xxhash64(col("a"), col("b"))), lit(0L)).as("h")).collect()(0)
+      val fingerprint = s"""{"input_count":${row.getLong(0)},"input_xor":${row.getLong(1)}}"""
+      val path = Paths.get(store.root, s"${durablePrefix}_META.json")
+      if (Files.exists(path)) {
+        val stored = Files.readString(path)
+        require(stored == fingerprint,
+          s"durable union-find prefix '$durablePrefix' under ${store.root} was " +
+            s"written for a different edge set:\n  stored:  $stored\n  " +
+            s"current: $fingerprint\nUse a fresh prefix or checkpoint dir.")
+      } else {
+        Files.createDirectories(path.getParent)
+        Files.writeString(path, fingerprint)
+      }
+    }
+
+    // Fast-forward: resume from the latest durably-persisted round. Rounds
+    // are discovered by NAME SCAN over the store (not bounded by the
+    // current maxIterations), so a resume with a smaller cap still finds
+    // rounds persisted beyond it.
     val resumed = durable.flatMap { case (store, _) =>
-      (maxIterations to 1 by -1).iterator
-        .map(i => (i, s"${durablePrefix}_round_$i"))
-        .collectFirst { case (i, stage) if store.has(stage) => (i, store.read(stage)) }
+      val prefix = s"${durablePrefix}_round_"
+      store.stages(prefix)
+        .flatMap(n => n.stripPrefix(prefix).toIntOption.map(i => (i, n)))
+        .sortBy(-_._1)
+        .headOption
+        .map { case (i, stage) => (i, store.read(stage)) }
     }
 
     var current = resumed.map(_._2).getOrElse {

@@ -1,7 +1,6 @@
 package graft.dedup
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions._
@@ -90,26 +89,7 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
     * at 10⁵ rows/executor-thread) by ~4×.
     */
   def signatures(pages: Dataset[Page]): DataFrame = {
-    def chunk(df: DataFrame): DataFrame = {
-      val normalized = df
-        .withColumn("norm_text", normalize_tokens(col("text")))
-        .withColumn("shingles", word_shingles(col("norm_text"), config.shingleK, config.seed))
-      normalized.select(
-        xxhash64(col("url"), col("warc_ts")).as("id"),
-        col("url"),
-        col("warc_ts"),
-        col("lang"),
-        col("source"),
-        length(col("text")).as("text_len"),
-        xxhash64(col("norm_text")).as("content_hash"),
-        simhash64(col("shingles")).as("simhash"),
-        size(col("shingles")).as("n_shingles"),
-        // stored/verified representation: low 32 bits (half the bytes;
-        // MinHash/SimHash above mix from the full 64-bit hashes)
-        truncate_hashes32(col("shingles")).as("shingles"),
-        minhash_bands(col("shingles"), config.bands, config.rows, config.seed)
-          .as("bands"))
-    }
+    def chunk(df: DataFrame): DataFrame = signaturesChunkPlan(df)
     val c = config.resumeChunks
     val freshCompute = // any chunk (or the single stage) computed this run?
       if (c == 1) !store.has("signatures")
@@ -148,26 +128,71 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
     if (config.verifyIdUniqueness && freshCompute) {
       val row = out.agg(count(lit(1)).as("n"), count_distinct(col("id")).as("d"))
         .collect()(0)
-      require(row.getLong(0) == row.getLong(1),
-        s"doc ids are not unique: ${row.getLong(0)} rows but ${row.getLong(1)} " +
-          "distinct xxhash64(url, warc_ts) ids — dedupe the input on " +
-          "(url, warc_ts) or switch to a 128-bit id")
+      if (row.getLong(0) != row.getLong(1)) {
+        // Delete the just-written signature checkpoints BEFORE throwing:
+        // leaving them on disk would let a rerun see every chunk present,
+        // set freshCompute=false, skip this check, and silently adopt the
+        // duplicate-id signatures.
+        if (c == 1) store.invalidate("signatures")
+        else (0 until c).foreach(i => store.invalidate(s"signatures_chunk$i"))
+        throw new IllegalArgumentException(
+          s"doc ids are not unique: ${row.getLong(0)} rows but ${row.getLong(1)} " +
+            "distinct hash(url, warc_ts) ids — dedupe the input on " +
+            "(url, warc_ts) or switch to idBits=128 (signature checkpoints " +
+            "were removed so a rerun re-checks)")
+      }
     }
     out
   }
 
+  /** The signature stage's per-chunk plan — narrow (no Exchange), asserted
+    * by PlanAudit. Extracted so the physical plan can be audited without
+    * touching the checkpoint store.
+    */
+  private[graft] def signaturesChunkPlan(df: DataFrame): DataFrame = {
+    val normalized = df
+      .withColumn("norm_text", normalize_tokens(col("text")))
+      .withColumn("shingles", word_shingles(col("norm_text"), config.shingleK, config.seed))
+    normalized.select(
+      xxhash64(col("url"), col("warc_ts")).as("id"),
+      col("url"),
+      col("warc_ts"),
+      col("lang"),
+      col("source"),
+      length(col("text")).as("text_len"),
+      xxhash64(col("norm_text")).as("content_hash"),
+      simhash64(col("shingles")).as("simhash"),
+      size(col("shingles")).as("n_shingles"),
+      // stored/verified representation: low 32 bits (half the bytes;
+      // MinHash/SimHash above mix from the full 64-bit hashes)
+      truncate_hashes32(col("shingles")).as("shingles"),
+      minhash_bands(col("shingles"), config.bands, config.rows, config.seed)
+        .as("bands"))
+  }
+
   /** Stage 2 — exact-dup fast path (the DOI-equality analog, SURVEY.md §2.3):
-    * identical normalized content ⇒ edge to the group minimum. One shuffle
-    * on content_hash; output is linear in duplicate count.
+    * identical normalized content ⇒ edge to the group minimum. Output is
+    * linear in duplicate count.
+    *
+    * Shape: `groupBy(content_hash).agg(min(id))` + equi-join back — NOT
+    * `min over Window.partitionBy(content_hash)`. A window has no map-side
+    * partial aggregation and no AQE skew mitigation, so a 10⁸-copy
+    * boilerplate family (exactly the content this stage exists to absorb)
+    * would ship every copy into ONE task. The aggregate's partial min makes
+    * the min side tiny (one row per distinct hash per task before the
+    * shuffle), and AQE skew-join splitting can split the hot hash on the
+    * join back. Same output, no single-task funnel.
     */
   def exactEdges(sigs: DataFrame): DataFrame =
-    store.getOrCompute("exact_edges") {
-      val w = Window.partitionBy("content_hash")
-      sigs.select(col("id"), col("content_hash"))
-        .withColumn("m", min("id").over(w))
-        .filter(col("id") =!= col("m"))
-        .select(col("m").as("a"), col("id").as("b"))
-    }
+    store.getOrCompute("exact_edges")(exactEdgesPlan(sigs))
+
+  private[graft] def exactEdgesPlan(sigs: DataFrame): DataFrame = {
+    val slim = sigs.select(col("id"), col("content_hash"))
+    val mins = slim.groupBy("content_hash").agg(min("id").as("m"))
+    slim.join(mins, "content_hash")
+      .filter(col("id") =!= col("m"))
+      .select(col("m").as("a"), col("id").as("b"))
+  }
 
   /** Skew-policy observability (SURVEY.md §4.2 "no silent caps"): buckets
     * that fell back to chain emission, and buckets/rows dropped past
@@ -199,7 +224,9 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
     * thrashes memory, while this pass is a pure sequential scan.
     */
   def candidatePairs(sigs: DataFrame, exact: DataFrame): DataFrame =
-    store.getOrCompute("candidate_pairs") {
+    store.getOrCompute("candidate_pairs")(candidatePairsPlan(sigs, exact))
+
+  private[graft] def candidatePairsPlan(sigs: DataFrame, exact: DataFrame): DataFrame = {
       import spark.implicits._
       // exact-dup members (b side) are represented by their group min.
       // Explicit slim projection BEFORE the anti join: the join shuffles its
@@ -234,7 +261,7 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
         .toDF("a", "b")
 
       pairs.distinct()
-    }
+  }
 
   /** Stage 4 — verification: exact Jaccard over the persisted shingle sets
     * (two co-keyed joins back to the signature table); optionally a
@@ -251,7 +278,10 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
     */
   def verifiedEdges(sigs: DataFrame, pairs: DataFrame,
       pages: Option[Dataset[Page]] = None): DataFrame =
-    store.getOrCompute("verified_edges") {
+    store.getOrCompute("verified_edges")(verifiedEdgesPlan(sigs, pairs, pages))
+
+  private[graft] def verifiedEdgesPlan(sigs: DataFrame, pairs: DataFrame,
+      pages: Option[Dataset[Page]] = None): DataFrame = {
       // Explicit shuffled-hash joins: both joins co-partition on the doc id
       // (a shuffle that is needed regardless), build the hash table on the
       // pair side, and never sort. Left unhinted, the optimizer may instead
@@ -295,7 +325,7 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
           direct.union(rescued)
         case _ => direct
       }
-    }
+  }
 
   /** Stage 5 — components: union exact + verified edges, run large-star/
     * small-star to fixpoint. Every `ccDurableInterval`-th star round is
@@ -322,26 +352,36 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
     * struct — one shuffle, no collect_list.
     */
   def clusters(sigs: DataFrame, comps: DataFrame): DataFrame =
-    store.getOrCompute("clusters") {
-      val assigned = sigs
-        .join(comps, Seq("id"), "left")
-        .withColumn("cluster_id", coalesce(col("component"), col("id")))
+    store.getOrCompute("clusters")(clustersPlan(sigs, comps))
 
-      val prefRank: org.apache.spark.sql.Column =
-        if (config.sourcePreferences.isEmpty) lit(Int.MaxValue)
-        else config.sourcePreferences.zipWithIndex.foldRight(lit(Int.MaxValue): org.apache.spark.sql.Column) {
-          case ((src, rank), acc) => when(col("source") === src, lit(rank)).otherwise(acc)
-        }
+  /** Representative selection as `min_by` over a packed priority struct
+    * (pref_rank asc, text_len desc via negation, warc_ts asc, id asc —
+    * struct comparison is field-wise, and the unique trailing id makes the
+    * order total) + an equi-join to set the flag. NOT a `row_number` window:
+    * a window sorts a monster cluster (the exact-path-linked boilerplate
+    * family) in one task with no partial aggregation, while `min_by`
+    * partial-aggregates map-side (one candidate row per cluster per task)
+    * and AQE can skew-split the join back.
+    */
+  private[graft] def clustersPlan(sigs: DataFrame, comps: DataFrame): DataFrame = {
+    val prefRank: org.apache.spark.sql.Column =
+      if (config.sourcePreferences.isEmpty) lit(Int.MaxValue)
+      else config.sourcePreferences.zipWithIndex.foldRight(lit(Int.MaxValue): org.apache.spark.sql.Column) {
+        case ((src, rank), acc) => when(col("source") === src, lit(rank)).otherwise(acc)
+      }
 
-      val w = Window.partitionBy("cluster_id")
-        .orderBy(col("pref_rank").asc, col("text_len").desc,
-          col("warc_ts").asc, col("id").asc)
-      assigned
-        .withColumn("pref_rank", prefRank)
-        .withColumn("rn", row_number().over(w))
-        .select(col("url"), col("cluster_id"), (col("rn") === 1).as("is_representative"),
-          col("id"), col("source"), col("lang"))
-    }
+    val assigned = sigs
+      .join(comps, Seq("id"), "left")
+      .withColumn("cluster_id", coalesce(col("component"), col("id")))
+      .withColumn("pref_rank", prefRank)
+    val reps = assigned.groupBy("cluster_id")
+      .agg(min_by(col("id"),
+        struct(col("pref_rank"), (-col("text_len")).as("neg_len"),
+          col("warc_ts"), col("id"))).as("rep_id"))
+    assigned.join(reps, "cluster_id")
+      .select(col("url"), col("cluster_id"), (col("id") === col("rep_id")).as("is_representative"),
+        col("id"), col("source"), col("lang"))
+  }
 
   /** Optional extra candidate source: SimHash near-dup pairs (Manku
     * block-permuted tables over the `simhash` column the signature stage
@@ -398,7 +438,8 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
       // configs. Refuse instead of adopting it.
       val root = Paths.get(store.root)
       val hasStages = Files.exists(root) &&
-        Files.list(root).toArray.map(_.asInstanceOf[java.nio.file.Path]).exists(p =>
+        scala.util.Using.resource(Files.list(root))(
+          _.toArray.map(_.asInstanceOf[java.nio.file.Path])).exists(p =>
           Files.isDirectory(p) && Files.exists(p.resolve("_MANIFEST.json")))
       require(!hasStages,
         s"checkpoint dir ${store.root} holds stage checkpoints but no " +

@@ -29,12 +29,21 @@ object Bucketed {
     * table `name`, replacing any previous version. Also clears an orphaned
     * default location (a managed-table dir left by a previous session whose
     * catalog no longer lists the table — Spark refuses to create over it).
+    * The location is resolved through the catalog (`defaultTablePath`), so
+    * database-qualified names like `db.tbl` map to their real managed
+    * location (`<warehouse>/db.db/tbl`), not a naive string concat.
+    *
+    * NOT crash-atomic: the sequence is DROP TABLE → clear orphan dir →
+    * saveAsTable, so a job killed mid-write leaves NO table (never a
+    * half-written one — Spark commits the catalog entry only after the data
+    * write). Production Iceberg gets real atomic replace from snapshot
+    * commits.
     */
   def write(df: DataFrame, name: String, col: String, nBuckets: Int): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $name")
-    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    val orphan = new java.io.File(new java.net.URI(warehouse).getPath, name)
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
+    val orphan = new java.io.File(spark.sessionState.catalog.defaultTablePath(ident))
     if (orphan.exists()) deleteRecursively(orphan)
     df.write
       .mode(SaveMode.Overwrite)

@@ -45,7 +45,8 @@ final class StageStore(spark: SparkSession, val root: String) {
     if (Files.exists(dir) && !has(stage)) deleteRecursively(dir)
     df.write.mode("overwrite").parquet(dir.toString)
     val wallMs = (System.nanoTime() - t0) / 1000000
-    val files = Files.list(dir).toArray.map(_.asInstanceOf[Path])
+    val files = scala.util.Using.resource(Files.list(dir))(
+      _.toArray.map(_.asInstanceOf[Path]))
       .filter(_.getFileName.toString.endsWith(".parquet"))
     val back = spark.read.parquet(dir.toString)
     // per-file row counts from the parquet footers — metadata only, no
@@ -92,9 +93,26 @@ final class StageStore(spark: SparkSession, val root: String) {
     if (Files.exists(dir)) deleteRecursively(dir)
   }
 
+  /** Names of completed stages under this store whose name starts with
+    * `prefix` (manifest present ⇒ complete). Lets callers discover persisted
+    * work (e.g. durable union-find rounds) without knowing how many were
+    * written.
+    */
+  def stages(prefix: String): Seq[String] = {
+    val rootPath = Paths.get(root)
+    if (!Files.exists(rootPath)) Nil
+    else scala.util.Using.resource(Files.list(rootPath))(
+      _.toArray.map(_.asInstanceOf[Path]))
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith(prefix) &&
+        Files.exists(p.resolve("_MANIFEST.json")))
+      .map(_.getFileName.toString).toSeq
+  }
+
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))
-      Files.list(p).toArray.map(_.asInstanceOf[Path]).foreach(deleteRecursively)
+      scala.util.Using.resource(Files.list(p))(
+        _.toArray.map(_.asInstanceOf[Path])).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 }

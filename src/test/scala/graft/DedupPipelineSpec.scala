@@ -294,6 +294,46 @@ class DedupPipelineSpec extends AnyFunSuite {
     assert(pairs.filter(col("a") === 1000L || col("b") === 1000L).count() === 0L)
   }
 
+  test("hot keys: 10^6-copy exact family and 10^6-member cluster at full throughput") {
+    // The two stages that once used Window.partitionBy would funnel these
+    // planted monsters into one task; the partial-agg + join-back plans
+    // must both complete fast and produce the exact closed-form output.
+    val pipe = new DedupPipeline(spark, DedupConfig(), freshStore())
+    val n = 1000000L
+    val hotN = n - 1000
+
+    // exact edges: one content_hash shared by hotN rows + 1000 singletons
+    val sigs = spark.range(n).select(
+      col("id"),
+      when(col("id") < hotN, lit(7L)).otherwise(col("id")).as("content_hash"))
+    val edges = pipe.exactEdgesPlan(sigs)
+    val edgePlan = {
+      val e = pipe.exactEdgesPlan(sigs); e.collect(); e.queryExecution.executedPlan.toString
+    }
+    assert(!edgePlan.split("== Initial Plan ==")(0).contains("Window"))
+    assert(edges.count() === hotN - 1) // every hot copy → edge to the group min
+    val mm = edges.agg(min("a"), max("a"), min("b")).collect()(0)
+    assert(mm.getLong(0) === 0L && mm.getLong(1) === 0L) // all edges anchor at id 0
+    assert(mm.getLong(2) === 1L)
+
+    // clusters: a single 10^6-member cluster; representative = longest text,
+    // then earliest warc_ts, then smallest id ⇒ id 99 (text_len = id % 100)
+    val sigs2 = spark.range(n).select(
+      col("id"),
+      concat(lit("https://synth.test/hot/"), col("id")).as("url"),
+      to_timestamp(lit("2024-01-01 00:00:00")).as("warc_ts"),
+      lit("en").as("lang"),
+      lit("src0").as("source"),
+      (col("id") % 100).cast("int").as("text_len"))
+    val comps = spark.range(1, n).select(col("id"), lit(0L).as("component"))
+    val clusters = pipe.clustersPlan(sigs2, comps)
+    assert(clusters.count() === n)
+    val reps = clusters.filter(col("is_representative")).collect()
+    assert(reps.length === 1)
+    assert(reps(0).getAs[Long]("id") === 99L)
+    assert(reps(0).getAs[Long]("cluster_id") === 0L)
+  }
+
   test("lcs second chance: long verbatim quote rescues a borderline pair") {
     import spark.implicits._
     // shared: a long verbatim run; doc B wraps it in enough extra unique

@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  /** edges: DataFrame(a: long, b: long), undirected, a != b (self-loops ok,
-    * ignored). Returns DataFrame(id: long, component: long) covering every
-    * id present in the edge set; component = min id of the component.
+  /** edges: DataFrame(a, b) with both columns either long (narrower numerics
+    * are coerced) or the same struct-of-longs (the 128-bit doc id);
+    * undirected, a != b (self-loops ok, ignored). Returns
+    * DataFrame(id, component) covering every id present in the edge set;
+    * component = min id of the component (field-wise min for structs).
     *
     * Durability: `localCheckpoint` blocks are executor-local — an executor
     * loss mid-fixpoint kills the job on a real cluster (no lineage left to
@@ -76,8 +78,16 @@ object ConnectedComponents {
         .map { case (i, stage) => (i, store.read(stage)) }
     }
 
+    // Ids may be longs (narrow numeric inputs coerced to long) or structs
+    // (the 128-bit two-long id): every operation below — least/greatest,
+    // min, >, equi-join, distinct — is field-wise orderable on structs, so
+    // the fixpoint is width-agnostic.
+    val canonInput = edges.schema("a").dataType match {
+      case _: org.apache.spark.sql.types.StructType => edges.select(col("a"), col("b"))
+      case _ => edges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+    }
     var current = resumed.map(_._2).getOrElse {
-      edges.select(col("a").cast("long"), col("b").cast("long"))
+      canonInput
         .filter(col("a") =!= col("b"))
         .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
         .distinct()

@@ -47,9 +47,11 @@ final case class DedupConfig(
     verifyIdUniqueness: Boolean = true,
     ccDurableInterval: Int = 5,
     useSimHashCandidates: Boolean = false,
-    simHashMaxHamming: Int = 3) {
+    simHashMaxHamming: Int = 3,
+    idBits: Int = 64) {
   require(bands * rows == numHashes, "bands*rows must equal numHashes")
   require(resumeChunks >= 1, "resumeChunks must be >= 1")
+  require(idBits == 64 || idBits == 128, "idBits must be 64 or 128")
 }
 
 /** The end-to-end near-dup detection + clustering pipeline (SURVEY.md §3.3
@@ -64,6 +66,23 @@ final case class DedupConfig(
 final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: StageStore) {
 
   import spark.implicits._
+  import DedupPipeline.IdSeed2
+
+  /** The stable doc id as a pure function of the row's natural key
+    * (url, warc_ts) — identical across resume runs, partitionings, and
+    * cluster sizes. `idBits = 64`: one xxhash64 long (random-collision math
+    * ~n²/2⁶⁵ pairs — fine to ~10⁹ docs). `idBits = 128`: a two-long struct
+    * of independent-seed xxhash64 values (~n²/2¹²⁹ — ~10⁻¹⁵ expected
+    * colliding pairs at 10¹² docs). Struct ids flow through every stage
+    * unchanged: Spark orders/joins/aggregates structs field-wise, so min,
+    * least/greatest, equi-joins, and min_by tie-breaks all behave exactly
+    * as for longs.
+    */
+  private def idCol: org.apache.spark.sql.Column =
+    if (config.idBits == 64) xxhash64(col("url"), col("warc_ts"))
+    else struct(
+      xxhash64(col("url"), col("warc_ts")).as("h1"),
+      xxhash64_seeded(IdSeed2, col("url"), col("warc_ts")).as("h2"))
 
   /** Stage 1 — signatures: extract+normalize text, shingle, MinHash→LSH
     * band keys, SimHash, exact-content hash; assign the stable numeric id.
@@ -154,7 +173,7 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
       .withColumn("norm_text", normalize_tokens(col("text")))
       .withColumn("shingles", word_shingles(col("norm_text"), config.shingleK, config.seed))
     normalized.select(
-      xxhash64(col("url"), col("warc_ts")).as("id"),
+      idCol.as("id"),
       col("url"),
       col("warc_ts"),
       col("lang"),
@@ -241,24 +260,47 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
       val maxAll = config.maxBucketAllPairs
       val hugeCutoff = config.hugeBucketCutoff
       val (hot, droppedB, droppedR) = (hotBuckets, droppedBuckets, droppedBucketRows)
-      val pairs = bandRows
+      val sorted = bandRows
         .repartition(col("band"), col("bucket"))
+        // struct ids sort lexicographically by (h1, h2) — the same order as
+        // the (Long, Long) tuples the wide branch feeds PairEmission, so
+        // chain adjacency is identical across widths
         .sortWithinPartitions("band", "bucket", "id")
-        .select(col("band").cast("long"), col("bucket"), col("id"))
-        .as[(Long, Long, Long)]
-        .mapPartitions { it =>
-          // the decoded (band, bucket, id) tuples feed emit() as-is — no
-          // per-row re-wrapping (143M band rows; extra allocations here
-          // measurably slow the stage)
-          PairEmission.emit[Long](
-            it,
-            maxAllPairs = maxAll,
-            hugeCutoff = hugeCutoff,
-            chainHuge = false,
-            onHot = () => hot.add(1L),
-            onDropped = n => { droppedB.add(1L); droppedR.add(n) })
-        }
-        .toDF("a", "b")
+      val pairs =
+        if (config.idBits == 64)
+          sorted.select(col("band").cast("long"), col("bucket"), col("id"))
+            .as[(Long, Long, Long)]
+            .mapPartitions { it =>
+              // the decoded (band, bucket, id) tuples feed emit() as-is — no
+              // per-row re-wrapping (143M band rows; extra allocations here
+              // measurably slow the stage)
+              PairEmission.emit[Long](
+                it,
+                maxAllPairs = maxAll,
+                hugeCutoff = hugeCutoff,
+                chainHuge = false,
+                onHot = () => hot.add(1L),
+                onDropped = n => { droppedB.add(1L); droppedR.add(n) })
+            }
+            .toDF("a", "b")
+        else
+          sorted.select(col("band").cast("long"), col("bucket"),
+            col("id.h1"), col("id.h2"))
+            .as[(Long, Long, Long, Long)]
+            .mapPartitions { it =>
+              PairEmission.emit[(Long, Long)](
+                it.map { case (band, bucket, h1, h2) => (band, bucket, (h1, h2)) },
+                maxAllPairs = maxAll,
+                hugeCutoff = hugeCutoff,
+                chainHuge = false,
+                onHot = () => hot.add(1L),
+                onDropped = n => { droppedB.add(1L); droppedR.add(n) })
+            }
+            .map { case ((a1, a2), (b1, b2)) => (a1, a2, b1, b2) }
+            .toDF("a1", "a2", "b1", "b2")
+            .select(
+              struct(col("a1").as("h1"), col("a2").as("h2")).as("a"),
+              struct(col("b1").as("h1"), col("b2").as("h2")).as("b"))
 
       pairs.distinct()
   }
@@ -311,7 +353,7 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
           val neededIds = borderline.select(col("a").as("id"))
             .union(borderline.select(col("b").as("id"))).distinct()
           val texts = p.toDF()
-            .withColumn("id", xxhash64(col("url"), col("warc_ts")))
+            .withColumn("id", idCol)
             .join(broadcast(neededIds), Seq("id"), "left_semi")
             .select(col("id"), normalize_tokens(col("text")).as("nt"))
             .localCheckpoint(true)
@@ -449,4 +491,11 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
       Files.writeString(path, fingerprint)
     }
   }
+}
+
+object DedupPipeline {
+  /** Seed of the second 128-bit id half (any constant ≠ 42, the stock
+    * xxhash64 seed; this is the splitmix64 golden-ratio increment).
+    */
+  private[dedup] val IdSeed2: Long = 0x9E3779B97F4A7C15L
 }

@@ -59,7 +59,8 @@ object SimHashDedup {
   }
 
   /** Candidate + verified pairs (a < b) with hamming(simhash_a, simhash_b)
-    * ≤ maxHamming, from a signature frame with (id: long, simhash: long).
+    * ≤ maxHamming, from a signature frame with (id, simhash: long) — id is
+    * either a long or the 128-bit two-long struct (h1, h2).
     *
     * Physical shape mirrors the main pipeline's candidate stage: explode
     * C(maxHamming+3, 3) (table, key) rows per doc, ONE shuffle
@@ -88,22 +89,49 @@ object SimHashDedup {
 
     val maxAll = maxBucketSize
     val hot = hotBucketAcc
-    val pairs = banded
+    val sorted = banded
       .repartition(col("table"), col("key"))
       // sort by (simhash, id) within the bucket: chain adjacency then runs
       // inside identical-fingerprint families, whose pairs pass the
       // Hamming filter — connectivity of a hot family is preserved
       .sortWithinPartitions("table", "key", "simhash", "id")
-      .as[(Long, Long, Long, Long)]
-      .mapPartitions { it =>
-        PairEmission.emit[(Long, Long)](
-          it.map { case (t, k, sim, id) => (t, k, (id, sim)) },
-          maxAllPairs = maxAll,
-          chainHuge = true,
-          onHot = () => hot.foreach(_.add(1L)))
-      }
-      .map { case ((idX, simX), (idY, simY)) => (idX, simX, idY, simY) }
-      .toDF("id_x", "sim_x", "id_y", "sim_y")
+
+    // The id is either one long or the 128-bit two-long struct; the
+    // emission pass is identical, only the tuple decode differs.
+    val wideId = sigs.schema("id").dataType.isInstanceOf[org.apache.spark.sql.types.StructType]
+    val pairs =
+      if (!wideId)
+        sorted
+          .as[(Long, Long, Long, Long)]
+          .mapPartitions { it =>
+            PairEmission.emit[(Long, Long)](
+              it.map { case (t, k, sim, id) => (t, k, (sim, id)) },
+              maxAllPairs = maxAll,
+              chainHuge = true,
+              onHot = () => hot.foreach(_.add(1L)))
+          }
+          .map { case ((simX, idX), (simY, idY)) => (idX, simX, idY, simY) }
+          .toDF("id_x", "sim_x", "id_y", "sim_y")
+      else
+        sorted.select(col("table"), col("key"), col("simhash"),
+          col("id.h1"), col("id.h2"))
+          .as[(Long, Long, Long, Long, Long)]
+          .mapPartitions { it =>
+            PairEmission.emit[(Long, (Long, Long))](
+              it.map { case (t, k, sim, h1, h2) => (t, k, (sim, (h1, h2))) },
+              maxAllPairs = maxAll,
+              chainHuge = true,
+              onHot = () => hot.foreach(_.add(1L)))
+          }
+          .map { case ((simX, (ax1, ax2)), (simY, (bx1, bx2))) =>
+            (ax1, ax2, simX, bx1, bx2, simY)
+          }
+          .toDF("ax1", "ax2", "sim_x", "bx1", "bx2", "sim_y")
+          .select(
+            struct(col("ax1").as("h1"), col("ax2").as("h2")).as("id_x"),
+            col("sim_x"),
+            struct(col("bx1").as("h1"), col("bx2").as("h2")).as("id_y"),
+            col("sim_y"))
 
     pairs
       .filter(hamming64(col("sim_x"), col("sim_y")) <= maxHamming)

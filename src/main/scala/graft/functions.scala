@@ -56,6 +56,14 @@ object functions {
   def minhash_jaccard(l: Column, r: Column): Column = col(MinHashJaccard(ex(l), ex(r)))
   def hamming64(l: Column, r: Column): Column = col(HammingDist64(ex(l), ex(r)))
 
+  /** xxhash64 with an explicit seed (the stock `functions.xxhash64` pins
+    * seed 42). Two different-seed hashes of the same natural key give an
+    * effectively independent 128-bit id at 10¹²-doc scale, where 64-bit
+    * birthday math yields ~27k colliding pairs.
+    */
+  def xxhash64_seeded(seed: Long, cols: Column*): Column =
+    col(org.apache.spark.sql.catalyst.expressions.XxHash64(cols.map(ex), seed))
+
   // ---- embedding similarity + fingerprinting ----
   def cosine_sim(l: Column, r: Column): Column = col(CosineSim(ex(l), ex(r)))
   def dot_product(l: Column, r: Column): Column = col(DotProduct(ex(l), ex(r)))

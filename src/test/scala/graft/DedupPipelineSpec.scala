@@ -142,6 +142,37 @@ class DedupPipelineSpec extends AnyFunSuite {
     corpus.unpersist()
   }
 
+  test("e2e idBits=128: struct ids flow through all stages; partition identical to 64-bit") {
+    import spark.implicits._
+    val spec = CorpusSpec(nFamilies = 300, pDup = 0.3, seed = 42)
+    val corpus = DeterministicCorpus.generate(spark, spec).cache()
+    val pages = corpus.map(_._1)
+    val truth = corpus.map(_._2).toDF()
+
+    // all optional candidate/verify branches on, so the wide id is pushed
+    // through LSH emission, SimHash tables, LCS rescue, CC, and rep select
+    val cfgWide = DedupConfig(idBits = 128, useSimHashCandidates = true, useLcsCheck = true)
+    val pipeWide = new DedupPipeline(spark, cfgWide, freshStore())
+    val wide = pipeWide.run(pages)
+    assert(wide.schema("cluster_id").dataType
+      .isInstanceOf[org.apache.spark.sql.types.StructType])
+    val (recall, precision, nTruth) = pairMetrics(wide, truth)
+    assert(nTruth > 50)
+    assert(recall >= 0.99, s"wide-id pair recall $recall < 0.99")
+    assert(precision >= 0.99, s"wide-id pair precision $precision < 0.99")
+
+    // same partition of urls as the 64-bit pipeline on the same input
+    val pipe64 = new DedupPipeline(spark,
+      cfgWide.copy(idBits = 64), freshStore())
+    val narrow = pipe64.run(pages)
+    def partition(df: DataFrame): Set[Set[String]] =
+      df.select(col("cluster_id").cast("string").as("c"), col("url"))
+        .as[(String, String)].collect()
+        .groupBy(_._1).values.map(_.map(_._2).toSet).toSet
+    assert(partition(wide) === partition(narrow))
+    corpus.unpersist()
+  }
+
   test("e2e scenarios from reference dedup tests (FIXTURES.md §B)") {
     import spark.implicits._
     // exact duplicate pair + distinct third (dedupe.rs:873-923)

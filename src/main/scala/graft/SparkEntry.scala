@@ -160,6 +160,32 @@ object SparkEntry {
         .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
     }),
 
+    // FULL OUTER join with null-side aggregation: customers without orders
+    // and order-groups without a (filtered) customer row both survive.
+    // Money is summed as floor(price*100) longs — bit-identical across
+    // engines where double sums are not.
+    "q_outer_join" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_nationkey") < 5)
+        .select(col("c_custkey"))
+      val ords = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      cust.join(ords, cust("c_custkey") === ords("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_custkey").isNotNull.as("has_cust"),
+          col("o_custkey").isNotNull.as("has_orders"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("cents"), lit(0L)).as("sum_cents"))
+    }),
+
+    // CUBE grouping sets (all four grouping combinations in one Expand).
+    "q_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+    }),
+
     // Left-semi + left-anti joins (EXISTS / NOT EXISTS duals).
     "q_semi_anti" -> ((s, dir) => {
       val customer = t(s, dir, "customer").select(col("c_custkey").as("custkey"))
@@ -449,8 +475,28 @@ object SparkEntry {
         .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
     }),
 
-    // Winnowing document fingerprints (rows-only: hash-based).
+    // Winnowing fingerprints with a CLOSED-FORM oracle: fingerprint sets
+    // are computed INDEPENDENTLY for each doc and its identical-text twin
+    // (id + 10⁶), then joined back — winnowing is deterministic, so every
+    // row must report matches_twin = true (and the oracle is exactly that).
     "q_dedup_fingerprint" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"), col("text"))
+      val doubled = base.union(
+        base.select((col("id") + 1000000L).as("id"), col("text")))
+      val fp = doubled.select(col("id"), fingerprint_set(col("text")).as("fp"))
+      val orig = fp.filter(col("id") < 1000000L)
+      val twin = fp.filter(col("id") >= 1000000L)
+        .select((col("id") - 1000000L).as("id"), col("fp").as("fp_twin"))
+      orig.join(twin, "id")
+        .select(col("id").as("doc_id"),
+          (col("fp") === col("fp_twin")).as("matches_twin"))
+    }),
+
+    // Raw winnowing digests (rows-only / bench entry: hash values are not
+    // DuckDB-expressible; determinism is pinned by the matches_twin oracle
+    // above and by ExprSpec).
+    "q_dedup_fingerprint_raw" -> ((s, dir) => {
       t(s, dir, "documents").select(
         col("doc_id"), fingerprint64(col("text")).as("fingerprint"))
     }),
@@ -945,10 +991,31 @@ object SparkEntry {
         |  CAST(doc_id % 50 AS VARCHAR) AS volume, '10-25' AS pages
         |FROM documents""".stripMargin,
 
+    "q_dedup_fingerprint" ->
+      """SELECT doc_id, true AS matches_twin FROM documents""".stripMargin,
+
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_outer_join" ->
+      """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+        |  (c.c_custkey IS NOT NULL) AS has_cust,
+        |  (o.o_custkey IS NOT NULL) AS has_orders,
+        |  CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
+        |  CAST(coalesce(o.cents, 0) AS BIGINT) AS sum_cents
+        |FROM (SELECT c_custkey FROM customer WHERE c_nationkey < 5) c
+        |FULL OUTER JOIN (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |    sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1) o
+        |ON c.c_custkey = o.o_custkey""".stripMargin,
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
 
     "q_semi_anti" ->
       """SELECT c_custkey AS custkey, 'has_orders' AS status FROM customer c

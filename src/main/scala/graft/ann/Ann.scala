@@ -78,6 +78,169 @@ object Ann {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
 
+  /** Cell-occupancy metric for an IVF codebook: one row per cell with its
+    * resident count (narrow assignment pass + partial-agg count). Emit/log
+    * this next to any IVF build — an unbalanced codebook (max ≫ mean) means
+    * hot cells degenerate toward brute force for their residents.
+    */
+  def cellSizes(corpus: DataFrame, cents: Seq[(Long, Seq[Float])]): DataFrame =
+    withNearestCells(corpus, "vec", 1, cents)
+      .groupBy("cell").count().orderBy(col("cell"))
+
+  /** max/mean cell-occupancy ratio (1.0 = perfectly balanced codebook). */
+  def cellBalance(corpus: DataFrame, cents: Seq[(Long, Seq[Float])]): Double = {
+    val row = cellSizes(corpus, cents).agg(max("count"), avg("count")).collect()(0)
+    row.getLong(0) / row.getDouble(1)
+  }
+
+  /** Spherical k-means|| centroids (Bahmani et al., VLDB 2012 init + bounded
+    * Lloyd): the scale-honest replacement for the hash-pick [[centroids]],
+    * whose cells stay balanced only on near-uniform embeddings — on
+    * clustered real-world data a hash pick lands several seeds in one
+    * natural cluster, misses others, and the missed clusters pile into hot
+    * cells.
+    *
+    * Every distributed step is a NARROW pass over an in-plan codebook plus
+    * a tiny aggregate — no shuffle of the corpus:
+    *   1. seed with the hash-min corpus row;
+    *   2. `rounds` oversampling rounds: per-row cost = 1 − max-cosine to the
+    *      current candidate set (one agg for the cost sum), then each row
+    *      joins the candidate set independently with probability
+    *      `oversample · nlist · cost / totalCost` (deterministic coin:
+    *      xxhash64(id, round));
+    *   3. candidates are weighted by their resident counts (one assignment
+    *      pass + partial-agg count) and reduced to `nlist` centroids with
+    *      driver-side weighted spherical k-means (farthest-point init);
+    *      the candidate set is O(rounds · oversample · nlist) — driver-tiny;
+    *   4. `lloydIters` distributed Lloyd rounds: reassign (narrow argmax) +
+    *      per-(cell, dim) partial-agg means (shuffle volume O(tasks · nlist
+    *      · d), never O(n · d)). Empty cells keep their centroid.
+    *
+    * Driver-resident codebook bound: nlist · d floats (the same footprint
+    * the hash-pick codebook has); at nlist beyond ~10⁵ use a two-level
+    * (coarse × residual) codebook instead. FP means depend on partition
+    * reduction order, so refined centroids are deterministic only up to FP
+    * associativity — fine for an ANN codebook (the oracle queries are
+    * closed-form twin checks, independent of codebook perturbation).
+    * Returned cell ids are 0 until nlist.
+    */
+  def kmeansCentroids(corpus: DataFrame, nlist: Int, rounds: Int = 4,
+      oversample: Int = 2, lloydIters: Int = 2, seed: Long = 42L): Seq[(Long, Seq[Float])] = {
+    require(nlist >= 1 && rounds >= 1 && oversample >= 1)
+    val first = corpus.orderBy(xxhash64(col("id"), lit(seed))).limit(1)
+      .select(col("vec")).collect()(0).getSeq[Float](0)
+    var cand = Vector[Seq[Float]](first)
+
+    def maxCos(centArr: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
+      aggregate(centArr, lit(-1.0d),
+        (acc, c) => greatest(acc, cosine_sim(c, v)))
+
+    for (round <- 0 until rounds) {
+      val centArr = typedLit(cand)
+      val costed = corpus.withColumn("cost",
+        greatest(lit(0.0), lit(1.0) - maxCos(centArr, col("vec"))))
+      val total = costed.agg(sum("cost")).collect()(0).getDouble(0)
+      if (total > 0) {
+        // deterministic coin in [0,1): high 63 bits of xxhash64(id, round)
+        val coin = shiftrightunsigned(xxhash64(col("id"), lit(round + seed)), 1)
+          .cast("double") / lit(Long.MaxValue.toDouble)
+        val p = least(lit(1.0), col("cost") * (oversample.toLong * nlist / total))
+        val picked = costed.filter(coin < p)
+          .select("vec").limit(16 * oversample * nlist) // runaway guard
+          .collect().map(_.getSeq[Float](0))
+        cand = (cand ++ picked).distinct
+      }
+    }
+
+    // weight candidates by resident count, then reduce on the driver
+    val candIdx = cand.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val weights = withNearestCells(corpus, "vec", 1, candIdx)
+      .groupBy("cell").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val weighted = candIdx.map { case (i, v) => (v.toArray, weights.getOrElse(i, 0L).toDouble) }
+    var cents = driverWeightedKMeans(weighted, nlist)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+
+    for (_ <- 0 until lloydIters) cents = lloydStep(corpus, cents)
+    cents
+  }
+
+  /** One distributed Lloyd iteration: narrow argmax reassignment + exact
+    * per-(cell, dim) means via partial-agg sums. Empty cells keep their
+    * previous centroid.
+    */
+  private[graft] def lloydStep(corpus: DataFrame,
+      cents: Seq[(Long, Seq[Float])]): Seq[(Long, Seq[Float])] = {
+    val rows = withNearestCells(corpus, "vec", 1, cents)
+      .select(col("cell"), posexplode(col("vec")).as(Seq("dim", "x")))
+      .groupBy("cell", "dim")
+      .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+      .collect()
+    val byCell = rows.groupBy(_.getLong(0))
+    cents.map { case (cid, old) =>
+      byCell.get(cid) match {
+        case Some(rs) =>
+          val mean = old.toArray
+          rs.foreach(r => mean(r.getInt(1)) = (r.getDouble(2) / r.getLong(3)).toFloat)
+          (cid, mean.toSeq)
+        case None => (cid, old)
+      }
+    }
+  }
+
+  /** Driver-side weighted spherical k-means over the (tiny) k-means||
+    * candidate set: farthest-point init by cosine distance, then 10 weighted
+    * Lloyd rounds. Deterministic.
+    */
+  private def driverWeightedKMeans(points: Seq[(Array[Float], Double)],
+      k: Int): Seq[Array[Float]] = {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dotV = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dotV += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else dotV / math.sqrt(na * nb)
+    }
+    val pos = points.filter(_._2 > 0) match {
+      case Seq() => points // all zero-weight (empty corpus): fall back
+      case ps => ps
+    }
+    // farthest-point greedy init from the heaviest candidate
+    val init = scala.collection.mutable.ArrayBuffer(pos.maxBy(_._2)._1)
+    while (init.length < math.min(k, pos.length)) {
+      val next = pos.maxBy { case (p, w) =>
+        val d = 1.0 - init.map(c => cos(p, c)).max
+        d * w
+      }._1
+      if (init.exists(_.sameElements(next))) {
+        // all remaining mass sits on already-picked points
+        init += pos(init.length % pos.length)._1
+      } else init += next
+    }
+    var cents = init.toArray
+    for (_ <- 0 until 10) {
+      val d = cents(0).length
+      val sums = Array.fill(cents.length)(new Array[Double](d))
+      val ws = new Array[Double](cents.length)
+      pos.foreach { case (p, w) =>
+        var best = 0; var bestCos = -2.0
+        var c = 0
+        while (c < cents.length) {
+          val s = cos(p, cents(c)); if (s > bestCos) { bestCos = s; best = c }; c += 1
+        }
+        var i = 0
+        while (i < d) { sums(best)(i) += p(i) * w; i += 1 }
+        ws(best) += w
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (ws(c) == 0) old
+        else { val m = new Array[Float](d); var i = 0
+          while (i < d) { m(i) = (sums(c)(i) / ws(c)).toFloat; i += 1 }; m }
+      }
+    }
+    // pad if the candidate set was smaller than k (degenerate corpora)
+    while (cents.length < k) cents = cents :+ cents(cents.length % math.max(1, cents.length))
+    cents.toSeq
+  }
+
   /** Adds `cell` — the id(s) of the `probes` nearest centroids — as a
     * NARROW per-row computation over the in-plan centroid array (no
     * crossJoin, no window, no shuffle: an earlier formulation shuffled
@@ -120,8 +283,11 @@ object Ann {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4,
-      excludeSelf: Boolean = true): DataFrame = {
-    val cents = centroids(corpus, nlist)
+      excludeSelf: Boolean = true,
+      codebook: Option[Seq[(Long, Seq[Float])]] = None): DataFrame = {
+    // default codebook = hash-pick (cheapest; fine on near-uniform data).
+    // Pass kmeansCentroids(...) for clustered corpora — balanced cells.
+    val cents = codebook.getOrElse(centroids(corpus, nlist))
     val corpusCells = withNearestCells(corpus, "vec", 1, cents)
     val queryCells = withNearestCells(queries, "qvec", nprobe, cents)
     val scored = corpusCells.join(queryCells, "cell")
@@ -140,13 +306,76 @@ object Ann {
   }
 
   /** Embedding-cosine near-duplicate pairs: all (a < b) pairs with cosine ≥
-    * `threshold`. Exact variant (self-join) for oracle scale; the LSH path
-    * reuses [[rhpTopK]] banding for candidates at corpus scale.
+    * `threshold`. Exact O(n²) variant (self-join) — the ORACLE, bounded
+    * input sizes only; the scale path is [[nearDupPairsLsh]].
     */
   def nearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
     val a = corpus.select(col("id").as("a"), col("vec").as("va"))
     val b = corpus.select(col("id").as("b"), col("vec").as("vb"))
     a.crossJoin(b).filter(col("a") < col("b"))
+      .withColumn("cos", round(cosine_sim(col("va"), col("vb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("a", "b", "cos")
+  }
+
+  /** Scale path for embedding near-dup pairs: sign-LSH banding + the shared
+    * [[graft.dedup.PairEmission]] skew policy — the same physical shape as
+    * the MinHash dedup candidate stage. No crossJoin anywhere:
+    *   1. one narrow pass computes the ≤64-bit RHP signature and explodes
+    *      `bands` band keys per row;
+    *   2. ONE shuffle (repartition by (band, key)) + in-partition sort +
+    *      streaming pair emission: all C(n,2) pairs for buckets up to
+    *      `maxBucketSize`, an id-ordered chain above (O(n) output, O(1)
+    *      memory; a hot bucket is near-parallel vectors, so the chain keeps
+    *      the group connected for clustering consumers — activations are
+    *      observable via `hotBucketAcc`);
+    *   3. exact cosine verification via two shuffled-hash joins back to the
+    *      (slim) vector table, threshold filter, distinct.
+    *
+    * Default geometry 8 bands × 8 bits: P(candidate) at cosine 0.95 ≈
+    * 1-(1-0.9⁸)⁸ ≈ 0.99; per-band keyspace 256 keeps buckets dense —
+    * exactly the case the chain policy is built for. Raise `rowsPerBand`
+    * (fewer, more selective bands) as the corpus grows.
+    */
+  def nearDupPairsLsh(corpus: DataFrame, threshold: Double,
+      bands: Int = 8, rowsPerBand: Int = 8, seed: Long = 42L,
+      maxBucketSize: Int = 4096,
+      hotBucketAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    val bits = bands * rowsPerBand
+    require(bits <= 64, "bands*rowsPerBand must be <= 64")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val bandCols = (0 until bands).map(b =>
+      struct(lit(b.toLong).as("band"),
+        shiftright(col("sig"), b * rowsPerBand)
+          .bitwiseAND(lit((1L << rowsPerBand) - 1)).as("key")))
+    val bandRows = corpus
+      .withColumn("sig", rhp_signature(col("vec"), bits, seed))
+      .select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.key").as("key"), col("id"))
+
+    val maxAll = maxBucketSize
+    val hot = hotBucketAcc
+    val pairs = bandRows
+      .repartition(col("band"), col("key"))
+      .sortWithinPartitions("band", "key", "id")
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        graft.dedup.PairEmission.emit[Long](
+          it,
+          maxAllPairs = maxAll,
+          chainHuge = true,
+          onHot = () => hot.foreach(_.add(1L)))
+      }
+      .toDF("a", "b")
+      .distinct()
+
+    val vecs = corpus.select(col("id"), col("vec"))
+    pairs.hint("shuffle_hash")
+      .join(vecs.withColumnsRenamed(Map("id" -> "a", "vec" -> "va")), "a")
+      .hint("shuffle_hash")
+      .join(vecs.withColumnsRenamed(Map("id" -> "b", "vec" -> "vb")), "b")
       .withColumn("cos", round(cosine_sim(col("va"), col("vb")), 6))
       .filter(col("cos") >= threshold)
       .select("a", "b", "cos")

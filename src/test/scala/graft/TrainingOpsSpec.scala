@@ -136,6 +136,72 @@ class TrainingOpsSpec extends AnyFunSuite {
 
   // ---- multimodal ----
 
+  test("ivf codebook: kmeans|| balances cells on clustered embeddings where hash-pick fails") {
+    import spark.implicits._
+    // 4 well-separated unit clusters (250 members each, 8 dims): a perfect
+    // 4-cell codebook has balance ratio 1.0. Hash-pick seeds land by id
+    // hash — typically several in one natural cluster — so missed clusters
+    // pile into hot cells.
+    val corpus = (0L until 1000L).map { i =>
+      val c = (i % 4).toInt
+      val arr = Array.fill(8)(0f)
+      arr(c) = 1f
+      val jit = graft.kernel.Shingling.splitmix64(i * 31 + 7)
+      arr(4 + c) = (Math.floorMod(jit, 1000L) / 10000.0f) // tiny in-cluster spread
+      (i, arr)
+    }.toDF("id", "vec")
+
+    val hashPick = Ann.centroids(corpus, 4)
+    val balBase = Ann.cellBalance(corpus, hashPick)
+    val refined = Ann.kmeansCentroids(corpus, 4)
+    val balKm = Ann.cellBalance(corpus, refined)
+
+    assert(refined.length === 4)
+    assert(balBase > 1.5, s"fixture too easy: hash-pick balance $balBase")
+    assert(balKm <= 1.1, s"kmeans|| codebook unbalanced: $balKm (hash-pick: $balBase)")
+
+    // cell sizes metric: 4 rows, sums to corpus size
+    val sizes = Ann.cellSizes(corpus, refined).collect()
+    assert(sizes.length === 4)
+    assert(sizes.map(_.getLong(1)).sum === 1000L)
+
+    // the balanced codebook still answers queries exactly on this corpus
+    val queries = corpus.limit(3).select(col("id").as("query_id"), col("vec").as("qvec"))
+    val res = Ann.ivfTopK(corpus, queries, 3, nlist = 4, nprobe = 1,
+      codebook = Some(refined)).collect()
+    assert(res.length === 9)
+    // top-1 neighbor of a cluster member is another member of ITS cluster
+    res.filter(_.getInt(3) == 1).foreach { r =>
+      assert(r.getLong(1) % 4 === r.getLong(0) % 4)
+    }
+  }
+
+  test("embedding near-dup pairs: LSH path matches exact pairs with high recall, no crossJoin") {
+    import spark.implicits._
+    // 150 random gaussians + a near-identical twin for 50 of them: the twin
+    // pairs are the true near-dups (cos ≈ 1); random pairs sit far below
+    // the 0.95 threshold at 16 dims.
+    val base = embeddings(150, 16, 77L)
+    val twins = base.filter(col("id") < 50)
+      .select((col("id") + 1000L).as("id"),
+        transform(col("vec"), x => x * lit(1.000001f)).as("vec"))
+    val corpus = base.union(twins)
+
+    val exact = Ann.nearDupPairs(corpus, 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 50) // all 50 twin pairs are true positives
+
+    val lsh = Ann.nearDupPairsLsh(corpus, 0.95)
+    val lshPairs = lsh.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(lshPairs).size.toDouble / exact.size
+    assert(recall >= 0.95, s"LSH near-dup recall $recall over ${exact.size} pairs")
+    // precision is exact by construction (every candidate is cosine-verified)
+    assert(lshPairs.subsetOf(exact))
+
+    val plan = lsh.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("crossJoin"))
+  }
+
   test("multimodal: decode + featurize is deterministic, batched, schema-stable") {
     import spark.implicits._
     val docs = Seq((1L, "hello world this is binary payload text"),

@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
   * The Spark-side shape is the real deliverable here: schema, batched
   * per-partition processing (the Scala analog of `mapInPandas` — one
   * iterator pass per partition, amortizing decoder setup), deterministic
-  * partitioning, and typed feature output. The codec step itself is a STUB
-  * (no image/audio libraries exist in this container): [[StubDecoder]]
-  * derives deterministic fake samples from the payload bytes. Swapping in a
-  * real decoder is a one-class change behind [[MediaDecoder]].
+  * partitioning, and typed feature output. Image decode is REAL
+  * ([[ImageIoDecoder]], JDK `javax.imageio` — PNG/JPEG/BMP/GIF, no external
+  * jars); audio/video decode remains a STUB (the JDK ships no AV codecs):
+  * [[StubDecoder]] derives deterministic fake samples from the payload
+  * bytes. Swapping in a real AV decoder is a one-class change behind
+  * [[MediaDecoder]]; [[KindDispatchDecoder]] routes per kind.
   */
 object Multimodal {
 
@@ -58,6 +60,70 @@ object Multimodal {
       }
       out
     }
+  }
+
+  /** REAL image decode via the JDK's `javax.imageio` (PNG/JPEG/BMP/GIF —
+    * ships with the JRE, no external jars): pixels are read row-major and
+    * converted to grayscale luma in [-1, 1] (Rec. 601 weights), capped at
+    * `maxSamples` samples so per-row output stays bounded like the stub's.
+    * Non-image payloads (ImageIO sniffing fails) decode to an empty sample
+    * array — callers treat that as "no signal", same as a zero-byte
+    * payload. Audio/video remain on [[StubDecoder]] (the JDK ships no
+    * codecs for them); the decoder seam is per-kind, so a real AV codec is
+    * still a one-class swap.
+    */
+  final class ImageIoDecoder(maxSamples: Int = 4096) extends MediaDecoder {
+    override def decode(payload: Array[Byte], meta: MediaMeta): Array[Float] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null) return Array.emptyFloatArray
+      val w = img.getWidth
+      val n = math.min(w.toLong * img.getHeight, maxSamples.toLong).toInt
+      val out = new Array[Float](n)
+      var i = 0
+      while (i < n) {
+        val rgb = img.getRGB(i % w, i / w)
+        val luma = 0.299f * ((rgb >> 16) & 0xff) +
+          0.587f * ((rgb >> 8) & 0xff) + 0.114f * (rgb & 0xff)
+        out(i) = luma / 127.5f - 1.0f
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Per-kind decoder dispatch: real ImageIO for images, stub for
+    * audio/video. The production default for mixed asset tables.
+    */
+  final class KindDispatchDecoder(image: MediaDecoder = new ImageIoDecoder(),
+      other: MediaDecoder = StubDecoder) extends MediaDecoder {
+    override def decode(payload: Array[Byte], meta: MediaMeta): Array[Float] =
+      if (meta.kind == "image") image.decode(payload, meta)
+      else other.decode(payload, meta)
+  }
+
+  /** Deterministic tiny PNG: a w×h grayscale splitmix pattern encoded with
+    * the JDK encoder — a pure function of (seed, w, h). Used to synthesize
+    * image-kind payloads for tests and fixtures (no media files ship in the
+    * sandbox).
+    */
+  def syntheticPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = (graft.kernel.Shingling.splitmix64(seed ^ (y.toLong * w + x)) & 0xffL).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   final val FeatureDim = 16

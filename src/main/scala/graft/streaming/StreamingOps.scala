@@ -97,6 +97,16 @@ object StreamingOps {
     * processing-time timeouts make the stateful operator request a batch
     * every trigger forever — a busy loop on an idle stream — and are
     * nondeterministic under replay.)
+    *
+    * Delivery contract: AT-LEAST-ONCE. Bucket state and source offsets are
+    * checkpointed per micro-batch, so a restart resumes with state intact
+    * and committed batches are not replayed (pinned by StreamingSpec's
+    * restart test) — but a failure between a sink write and its offset
+    * commit replays that one batch, re-emitting its pairs to a
+    * non-idempotent sink. This is the right trade here: the downstream
+    * consumer (edge union → connected components) is naturally idempotent
+    * to duplicate pairs, so exactly-once would buy nothing and cost a
+    * second stateful dedup operator in the query.
     */
   def streamingCandidates(bandRows: Dataset[BandRow],
       maxPerBucket: Int = 64,

@@ -220,6 +220,42 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(feats.map(_.feature.toSeq) === again.map(_.feature.toSeq))
   }
 
+  test("multimodal: real PNG decode round-trips known pixels through the Spark path") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    import graft.multimodal.Multimodal.{ImageIoDecoder, KindDispatchDecoder, MediaAsset, MediaMeta}
+
+    // closed-form pixels: PNG is lossless, so decoded luma must equal the
+    // splitmix pattern the generator painted, in row-major order
+    val (seed, w, h) = (7L, 16, 8)
+    val png = Multimodal.syntheticPng(seed, w, h)
+    assert(png.take(8).map(_ & 0xff).toSeq === Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a))
+    val decoded = new ImageIoDecoder().decode(png,
+      MediaMeta("image", w, h, 0L, 0, "png"))
+    assert(decoded.length === w * h)
+    val expected = (0 until w * h).map { i =>
+      val v = (graft.kernel.Shingling.splitmix64(seed ^ i.toLong) & 0xffL).toInt
+      // gray pixel: luma weights sum to 1, so luma == v exactly up to FP
+      v / 127.5f - 1.0f
+    }
+    decoded.zip(expected).foreach { case (a, b) => assert(math.abs(a - b) < 1e-3f) }
+
+    // distributed path: image assets decode via ImageIO, non-image payloads
+    // stay on the stub — one KindDispatchDecoder per partition
+    val assets = Seq(
+      MediaAsset(1L, png, MediaMeta("image", w, h, 0L, 0, "png")),
+      MediaAsset(2L, "plain text payload with enough bytes".getBytes("UTF-8"),
+        MediaMeta("audio", 0, 0, 37L, 16000, "stub"))).toDS()
+    val feats = Multimodal.decodeFeatures(assets, new KindDispatchDecoder())
+      .collect().map(f => f.asset_id -> f).toMap
+    assert(math.abs(feats(1L).feature.sum - 1.0f) < 1e-4f) // L1-normalized histogram
+    assert(feats(2L).n_bytes === 36)
+    // determinism: same PNG bytes → same feature, independent of partitioning
+    val again = Multimodal.decodeFeatures(assets.repartition(4), new KindDispatchDecoder())
+      .collect().map(f => f.asset_id -> f.feature.toSeq).toMap
+    assert(again(1L) === feats(1L).feature.toSeq)
+  }
+
   test("multimodal: frame sampling shapes") {
     import spark.implicits._
     val docs = Seq((7L, "x" * 100)).toDF("doc_id", "text")

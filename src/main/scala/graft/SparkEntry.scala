@@ -413,6 +413,20 @@ object SparkEntry {
         .filter(col("cos") >= 0.2)
     }),
 
+    // The banded (no-crossJoin) embedding near-dup path with a CLOSED FORM:
+    // the corpus is doubled with identical-vector twins (+10⁶). A twin
+    // shares the full RHP signature — every band collides, so candidate
+    // generation cannot miss it — and its cosine is exactly 1.0, while at
+    // threshold 0.999 no random non-twin pair survives. Output = exactly
+    // the twin pairs.
+    "q_dedup_embed_lsh" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val corpus = base.union(
+        base.select((col("id") + 1000000L).as("id"), col("vec")))
+      Ann.nearDupPairsLsh(corpus, 0.999)
+    }),
+
     // The verification predicate incl. the LCS second chance, with a CLOSED
     // FORM: per doc build a core of a = 20 + doc_id%40 unique tokens and a
     // variant prefixed by 12 extra unique tokens. Shingle algebra (all
@@ -875,6 +889,10 @@ object SparkEntry {
         |WHERE x.vec_id < 200 AND y.vec_id < 200
         |  AND round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
         |      CAST(y.embedding AS DOUBLE[])), 6) >= 0.2""".stripMargin,
+
+    "q_dedup_embed_lsh" ->
+      """SELECT vec_id AS a, vec_id + 1000000 AS b, 1.0 AS cos
+        |FROM embeddings""".stripMargin,
 
     "q_dedup_char_jaccard" ->
       "SELECT doc_id, round(jaccard(text, substr(text, 1, 50)), 6) AS jac FROM documents",

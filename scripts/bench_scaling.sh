@@ -23,6 +23,10 @@ fi
 run() {
   local cores=$1
   rm -rf "$OUT-$cores"
+  # same-moment CPU ceiling (graft.Burn): a pair is only meaningful when
+  # the burn shows a near-linear box across BOTH legs — the VM's
+  # deliverable parallelism drifts with hypervisor tenancy
+  sbt -batch "runMain graft.Burn" 2>/dev/null | grep 'BURN'
   echo "== local[$cores] =="
   SPARK_GRAFT_MASTER="local[$cores]" sbt -batch \
     "runMain graft.DedupMain $OUT-$cores --cores $cores --input $CORPUS" 2>/dev/null \
@@ -31,4 +35,5 @@ run() {
 
 run 2
 run 8
+sbt -batch "runMain graft.Burn" 2>/dev/null | grep 'BURN'
 echo "== done; efficiency = (docs_per_sec_8/docs_per_sec_2)/4, pass iff >= 0.8 =="

@@ -49,31 +49,9 @@ object Bench {
     // distinguishable from a plan regression inside the artifact itself —
     // round-2's BENCH looked like a 26% regression until an idle-box rerun
     // showed it was tenancy noise.
-    def burn(workers: Int): Double = {
-      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
-      val counts = new java.util.concurrent.atomic.AtomicLongArray(workers)
-      val threads = (0 until workers).map { w =>
-        val t = new Thread(() => {
-          val md = java.security.MessageDigest.getInstance("SHA-256")
-          var buf = Array.fill[Byte](64)(w.toByte)
-          var n = 0L
-          while (!stop.get()) { buf = md.digest(buf); n += 1 }
-          counts.set(w, n)
-        })
-        t.setDaemon(true)
-        t.start()
-        t
-      }
-      val t0 = System.nanoTime()
-      Thread.sleep(1200)
-      stop.set(true)
-      threads.foreach(_.join(5000))
-      val secs = (System.nanoTime() - t0) / 1e9
-      (0 until workers).map(counts.get).sum / secs
-    }
-    val burnRates = Seq(1, 2, 4, 8).map(w => w -> burn(w)).toMap
+    val burnEff = Burn.effectiveCores()
     val effCores = Seq(2, 4, 8)
-      .map(w => f""""effective_cores_$w":${burnRates(w) / burnRates(1)}%.2f""")
+      .map(w => f""""effective_cores_$w":${burnEff(w)}%.2f""")
       .mkString(",")
 
     // JVM/codegen warmup so the first measured query is not paying JIT cost

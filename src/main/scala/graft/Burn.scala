@@ -1,0 +1,51 @@
+package graft
+
+/** CPU-ceiling probe: a sha256 burn at 1/2/4/8 threads. The sandbox VM's
+  * deliverable parallelism DRIFTS with hypervisor tenancy (round 1 measured
+  * 1→8 ≈ 8.0× linear; the next morning only 5.4 effective cores), so every
+  * benchmark artifact and every scaling pair must carry the same-moment
+  * ceiling to be interpretable. Used inline by [[Bench]] (JSON fields) and
+  * standalone by scripts/bench_scaling.sh (one line per leg).
+  *
+  * Usage: runMain graft.Burn   →
+  *   BURN effective_cores_2=1.98 effective_cores_4=3.71 effective_cores_8=7.12 ceiling_2to8=0.899
+  */
+object Burn {
+
+  /** Total sha256 hashes/sec across `workers` threads over ~1.2 s. */
+  def rate(workers: Int, millis: Long = 1200): Double = {
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val counts = new java.util.concurrent.atomic.AtomicLongArray(workers)
+    val threads = (0 until workers).map { w =>
+      val t = new Thread(() => {
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        var buf = Array.fill[Byte](64)(w.toByte)
+        var n = 0L
+        while (!stop.get()) { buf = md.digest(buf); n += 1 }
+        counts.set(w, n)
+      })
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+    val t0 = System.nanoTime()
+    Thread.sleep(millis)
+    stop.set(true)
+    threads.foreach(_.join(5000))
+    val secs = (System.nanoTime() - t0) / 1e9
+    (0 until workers).map(counts.get).sum / secs
+  }
+
+  /** effective_cores at 2/4/8 workers (vs the 1-worker rate). */
+  def effectiveCores(): Map[Int, Double] = {
+    val r1 = rate(1)
+    Seq(2, 4, 8).map(w => w -> rate(w) / r1).toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    val eff = effectiveCores()
+    val ceiling = eff(8) / eff(2) / 4.0
+    println(f"BURN effective_cores_2=${eff(2)}%.2f effective_cores_4=${eff(4)}%.2f " +
+      f"effective_cores_8=${eff(8)}%.2f ceiling_2to8=$ceiling%.3f")
+  }
+}

@@ -12,8 +12,12 @@ package graft
   */
 object Burn {
 
-  /** Total sha256 hashes/sec across `workers` threads over ~1.2 s. */
-  def rate(workers: Int, millis: Long = 1200): Double = {
+  /** Total sha256 hashes/sec across `workers` threads over ~2 s (short
+    * windows sample tenancy bursts; readings like effective_cores_8 > 8
+    * mean the 1-worker reference slice itself was throttled — treat the
+    * whole probe as "box unstable", not as data).
+    */
+  def rate(workers: Int, millis: Long = 2000): Double = {
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val counts = new java.util.concurrent.atomic.AtomicLongArray(workers)
     val threads = (0 until workers).map { w =>

@@ -13,7 +13,7 @@ import graft.synth.DeterministicCorpus.CorpusSpec
   *
   * Usage:
   *   DedupMain <checkpointDir> [--families N] [--hot N] [--cores N]
-  *             [--input <parquet pages dir>] [--seed N]
+  *             [--input <parquet pages dir>] [--seed N] [--idbits 64|128]
   *
   * Without --input, a deterministic synthetic corpus of N families is
   * generated (same generator the tests and bench use). Re-running with the
@@ -57,7 +57,9 @@ object DedupMain {
     }
 
     val store = new StageStore(spark, checkpointDir)
-    val cfg = DedupConfig()
+    // --idbits 128 switches to the two-long struct id (10^12-doc scale;
+    // see DedupPipeline.idCol). countDistinct below works on either width.
+    val cfg = DedupConfig(idBits = opts.getOrElse("idbits", "64").toInt)
     val pipeline = new DedupPipeline(spark, cfg, store)
 
     val t0 = System.nanoTime()

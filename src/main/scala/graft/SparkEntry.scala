@@ -549,6 +549,21 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
     }),
 
+    // IVF through the kmeans|| codebook, same closed form: the codebook's
+    // exact centroids depend on FP reduction order, but the oracle does
+    // not — identical twin vectors land in the same cell under ANY
+    // codebook (deterministic argmax with id tie-break), and the query
+    // probes its own cell among nprobe=4.
+    "q_ann_ivf_kmeans" -> ((s, dir) => {
+      val (corpus, queries) = annTwinInputs(s, dir)
+      val codebook = Ann.kmeansCentroids(corpus, nlist = 16,
+        rounds = 2, lloydIters = 1)
+      Ann.ivfTopK(corpus, queries, 1, nlist = 16, nprobe = 4,
+        codebook = Some(codebook))
+        .select(col("query_id"), col("id").as("neighbor_id"), col("cos"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     // Vector norms (scalar kernel parity).
     "q_embed_norms" -> ((s, dir) => {
       t(s, dir, "embeddings").select(
@@ -943,6 +958,12 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id < 50""".stripMargin,
 
     "q_ann_ivf_topk" ->
+      """SELECT CAST(vec_id AS BIGINT) AS query_id,
+        |  CAST(vec_id + 1000000 AS BIGINT) AS neighbor_id,
+        |  CAST(1.0 AS DOUBLE) AS cos, CAST(1 AS BIGINT) AS rank
+        |FROM embeddings WHERE vec_id < 50""".stripMargin,
+
+    "q_ann_ivf_kmeans" ->
       """SELECT CAST(vec_id AS BIGINT) AS query_id,
         |  CAST(vec_id + 1000000 AS BIGINT) AS neighbor_id,
         |  CAST(1.0 AS DOUBLE) AS cos, CAST(1 AS BIGINT) AS rank

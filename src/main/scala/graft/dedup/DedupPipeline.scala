@@ -88,12 +88,12 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
     * band keys, SimHash, exact-content hash; assign the stable numeric id.
     * Narrow (no shuffle).
     *
-    * The doc id is `xxhash64(url, warc_ts)` — a pure function of the row's
-    * natural key (a crawl can contain the same url at several capture
-    * timestamps), so ids are identical across resume runs, partitionings,
-    * and cluster sizes (a monotonic id would not be). Random-collision
-    * math: ~n²/2⁶⁵ expected pairs (≈2·10⁻⁶ at 10⁷ docs); at true 10¹²-doc
-    * scale swap in a 128-bit hash (two-long id) behind the same column.
+    * The doc id is a pure function of the row's natural key (url, warc_ts)
+    * — a crawl can contain the same url at several capture timestamps — so
+    * ids are identical across resume runs, partitionings, and cluster
+    * sizes (a monotonic id would not be). Width is `config.idBits`: 64
+    * (one xxhash64; ~n²/2⁶⁵ expected collisions — fine to ~10⁹ docs) or
+    * 128 (two-long struct; ~10⁻¹⁵ at 10¹² docs) — see [[idCol]].
     *
     * Partition-level resume (north_star: "a killed job resumes mid-pipeline
     * without recomputing completed partitions"): the stage is written as

@@ -40,8 +40,14 @@ object Burn {
     (0 until workers).map(counts.get).sum / secs
   }
 
-  /** effective_cores at 2/4/8 workers (vs the 1-worker rate). */
+  /** effective_cores at 2/4/8 workers (vs the 1-worker rate). A discarded
+    * warm-up burn runs first: the 1-worker reference is measured before the
+    * multi-worker rates, and on a cold JVM its window would absorb
+    * class-loading + JIT of the digest loop, under-reading r1 and inflating
+    * every ratio (one mechanism behind effective_cores_8 > 8 readings).
+    */
   def effectiveCores(): Map[Int, Double] = {
+    rate(1, millis = 500) // discarded: JIT + class-load warm-up
     val r1 = rate(1)
     Seq(2, 4, 8).map(w => w -> rate(w) / r1).toMap
   }

@@ -36,6 +36,33 @@ object Ann {
     topK(scored, k)
   }
 
+  /** Band mask for `rowsPerBand` bits — correct at the 64-bit boundary,
+    * where the naive `(1L << 64) - 1` silently evaluates to 0 (JVM shifts
+    * are mod 64) and would funnel every row into bucket 0, collapsing
+    * recall with no error.
+    */
+  private def bandMask(rowsPerBand: Int): Long =
+    if (rowsPerBand >= 64) -1L else (1L << rowsPerBand) - 1L
+
+  /** Shared sign-LSH band explosion: `bands` (band: long, key: long) rows
+    * per input row, sliced from one ≤64-bit RHP signature of `vecCol`.
+    * Single-sourced for [[rhpTopK]] and [[nearDupPairsLsh]] so the band
+    * geometry (and the 64-bit mask boundary above) cannot diverge.
+    */
+  private def bandExplode(df: DataFrame, vecCol: String, keep: Seq[String],
+      bands: Int, rowsPerBand: Int, seed: Long): DataFrame = {
+    val bits = bands * rowsPerBand
+    require(bands >= 1 && rowsPerBand >= 1 && bits <= 64,
+      "bands*rowsPerBand must be <= 64")
+    val sig = df.withColumn("sig", rhp_signature(col(vecCol), bits, seed))
+    val bandCols = (0 until bands).map(b =>
+      struct(lit(b.toLong).as("band"),
+        shiftright(col("sig"), b * rowsPerBand)
+          .bitwiseAND(lit(bandMask(rowsPerBand))).as("key")))
+    sig.select(keep.map(col) :+ explode(array(bandCols: _*)).as("bk"): _*)
+      .select(keep.map(col) :+ col("bk.band").as("band") :+ col("bk.key").as("key"): _*)
+  }
+
   /** Sign-LSH candidate generation + exact rerank. Signature = `bands`
     * bands of `rowsPerBand` bits from a single ≤64-bit RHP signature; two
     * vectors are candidates when any band matches. `seed` pins the planes.
@@ -43,19 +70,8 @@ object Ann {
   def rhpTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       bands: Int = 8, rowsPerBand: Int = 4, seed: Long = 42L,
       excludeSelf: Boolean = true): DataFrame = {
-    val bits = bands * rowsPerBand
-    require(bits <= 64, "bands*rowsPerBand must be <= 64")
-    def banded(df: DataFrame, vecCol: String, keep: Seq[String]): DataFrame = {
-      val sig = df.withColumn("sig", rhp_signature(col(vecCol), bits, seed))
-      val bandCols = (0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("sig"), b * rowsPerBand)
-            .bitwiseAND(lit((1L << rowsPerBand) - 1)).as("key")))
-      sig.select(keep.map(col) :+ explode(array(bandCols: _*)).as("bk"): _*)
-        .select(keep.map(col) :+ col("bk.band") :+ col("bk.key"): _*)
-    }
-    val corpusBands = banded(corpus, "vec", Seq("id"))
-    val queryBands = banded(queries, "qvec", Seq("query_id"))
+    val corpusBands = bandExplode(corpus, "vec", Seq("id"), bands, rowsPerBand, seed)
+    val queryBands = bandExplode(queries, "qvec", Seq("query_id"), bands, rowsPerBand, seed)
     val candidates = corpusBands.join(queryBands, Seq("band", "key"))
       .select("id", "query_id").distinct()
       .filter(if (excludeSelf) col("id") =!= col("query_id") else lit(true))
@@ -341,19 +357,11 @@ object Ann {
       bands: Int = 8, rowsPerBand: Int = 8, seed: Long = 42L,
       maxBucketSize: Int = 4096,
       hotBucketAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
-    val bits = bands * rowsPerBand
-    require(bits <= 64, "bands*rowsPerBand must be <= 64")
     val spark = corpus.sparkSession
     import spark.implicits._
 
-    val bandCols = (0 until bands).map(b =>
-      struct(lit(b.toLong).as("band"),
-        shiftright(col("sig"), b * rowsPerBand)
-          .bitwiseAND(lit((1L << rowsPerBand) - 1)).as("key")))
-    val bandRows = corpus
-      .withColumn("sig", rhp_signature(col("vec"), bits, seed))
-      .select(col("id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("bk.band").as("band"), col("bk.key").as("key"), col("id"))
+    val bandRows = bandExplode(corpus, "vec", Seq("id"), bands, rowsPerBand, seed)
+      .select(col("band"), col("key"), col("id"))
 
     val maxAll = maxBucketSize
     val hot = hotBucketAcc

@@ -48,10 +48,10 @@ object ConnectedComponents {
     // resume, mismatch refuses.
     durable.foreach { case (store, _) =>
       import java.nio.file.{Files, Paths}
-      val row = edges.agg(
-        count(lit(1)).as("n"),
-        coalesce(bit_xor(xxhash64(col("a"), col("b"))), lit(0L)).as("h")).collect()(0)
-      val fingerprint = s"""{"input_count":${row.getLong(0)},"input_xor":${row.getLong(1)}}"""
+      // same (count, xor-of-edge-hashes) form as the fixpoint check — one
+      // helper so the two can never silently diverge
+      val (n, h) = signature(edges)
+      val fingerprint = s"""{"input_count":$n,"input_xor":$h}"""
       val path = Paths.get(store.root, s"${durablePrefix}_META.json")
       if (Files.exists(path)) {
         val stored = Files.readString(path)

@@ -141,10 +141,13 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
     // all-null-key case, where xxhash64 skips null inputs and every such row
     // shares one id) silently merge distinct documents. Assert uniqueness
     // with one column-pruned agg over the checkpointed stage — cheap next to
-    // the stage write, and skipped entirely on a clean resume (the check
-    // guards the WRITE; already-checkpointed chunks were verified when
-    // first computed).
-    if (config.verifyIdUniqueness && freshCompute) {
+    // the stage write. The pass is recorded as a durable MARKER, not
+    // inferred from chunk completeness: a crash between the last chunk
+    // commit and this check would otherwise leave every manifest present,
+    // and the rerun (freshCompute=false) would silently adopt unchecked —
+    // possibly duplicate-id — signatures.
+    if (config.verifyIdUniqueness &&
+        (freshCompute || !store.marked("signatures_idcheck"))) {
       val row = out.agg(count(lit(1)).as("n"), count_distinct(col("id")).as("d"))
         .collect()(0)
       if (row.getLong(0) != row.getLong(1)) {
@@ -154,12 +157,14 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
         // duplicate-id signatures.
         if (c == 1) store.invalidate("signatures")
         else (0 until c).foreach(i => store.invalidate(s"signatures_chunk$i"))
+        store.unmark("signatures_idcheck")
         throw new IllegalArgumentException(
           s"doc ids are not unique: ${row.getLong(0)} rows but ${row.getLong(1)} " +
             "distinct hash(url, warc_ts) ids — dedupe the input on " +
             "(url, warc_ts) or switch to idBits=128 (signature checkpoints " +
             "were removed so a rerun re-checks)")
       }
+      store.mark("signatures_idcheck")
     }
     out
   }

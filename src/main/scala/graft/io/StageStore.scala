@@ -88,6 +88,29 @@ final class StageStore(spark: SparkSession, val root: String) {
         col("p.file"), col("p.rows"), col("p.bytes"))
   }
 
+  /** Tiny durable markers (atomically-renamed files under the store root)
+    * for invariants that are CHECKED rather than materialized — e.g. "the
+    * signature stage's id uniqueness was verified". Without one, a check
+    * that runs after its stage's write commits is lost to a crash in
+    * between: the rerun sees the stage complete and skips the check. The
+    * caller drops the marker whenever it invalidates the stages the marker
+    * vouches for. Production mapping: a snapshot property on the Iceberg
+    * checkpoint table.
+    */
+  def marked(name: String): Boolean = Files.exists(markerPath(name))
+
+  def mark(name: String): Unit = {
+    Files.createDirectories(Paths.get(root))
+    val tmp = Paths.get(root, s"_MARKER_$name.tmp")
+    Files.writeString(tmp, "ok")
+    Files.move(tmp, markerPath(name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def unmark(name: String): Unit = Files.deleteIfExists(markerPath(name))
+
+  private def markerPath(name: String): Path = Paths.get(root, s"_MARKER_$name")
+
   def invalidate(stage: String): Unit = {
     val dir = stageDir(stage)
     if (Files.exists(dir)) deleteRecursively(dir)

@@ -72,25 +72,49 @@ object Multimodal {
     * codecs for them); the decoder seam is per-kind, so a real AV codec is
     * still a one-class swap.
     */
-  final class ImageIoDecoder(maxSamples: Int = 4096) extends MediaDecoder {
-    override def decode(payload: Array[Byte], meta: MediaMeta): Array[Float] = {
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        catch { case _: java.io.IOException => null }
-      if (img == null) return Array.emptyFloatArray
-      val w = img.getWidth
-      val n = math.min(w.toLong * img.getHeight, maxSamples.toLong).toInt
-      val out = new Array[Float](n)
-      var i = 0
-      while (i < n) {
-        val rgb = img.getRGB(i % w, i / w)
-        val luma = 0.299f * ((rgb >> 16) & 0xff) +
-          0.587f * ((rgb >> 8) & 0xff) + 0.114f * (rgb & 0xff)
-        out(i) = luma / 127.5f - 1.0f
-        i += 1
+  final class ImageIoDecoder(maxSamples: Int = 4096,
+      maxPixels: Long = 1L << 24) extends MediaDecoder {
+    override def decode(payload: Array[Byte], meta: MediaMeta): Array[Float] =
+      // NonFatal, not just IOException: a crawled payload with a valid
+      // magic but corrupt body makes javax.imageio throw unchecked
+      // exceptions (CMMException on a broken ICC profile,
+      // IllegalArgumentException / IndexOutOfBoundsException on malformed
+      // headers) — any of which would otherwise fail the Spark task 4
+      // times and kill the job over one bad image.
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) return Array.emptyFloatArray
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            // dimensions come from the header, BEFORE pixel allocation: a
+            // decompression bomb (tiny file declaring 60000×60000) would
+            // otherwise allocate w·h ints and OOM the executor, a failure
+            // the post-hoc maxSamples cap cannot prevent.
+            val w = reader.getWidth(0)
+            val h = reader.getHeight(0)
+            if (w <= 0 || h <= 0 || w.toLong * h > maxPixels)
+              return Array.emptyFloatArray
+            val img = reader.read(0)
+            val n = math.min(w.toLong * h, maxSamples.toLong).toInt
+            val out = new Array[Float](n)
+            var i = 0
+            while (i < n) {
+              val rgb = img.getRGB(i % w, i / w)
+              val luma = 0.299f * ((rgb >> 16) & 0xff) +
+                0.587f * ((rgb >> 8) & 0xff) + 0.114f * (rgb & 0xff)
+              out(i) = luma / 127.5f - 1.0f
+              i += 1
+            }
+            out
+          } finally reader.dispose()
+        } finally if (iis != null) iis.close()
+      } catch {
+        case scala.util.control.NonFatal(_) => Array.emptyFloatArray
       }
-      out
-    }
   }
 
   /** Per-kind decoder dispatch: real ImageIO for images, stub for

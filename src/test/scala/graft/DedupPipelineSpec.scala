@@ -283,6 +283,26 @@ class DedupPipelineSpec extends AnyFunSuite {
       new DedupPipeline(spark, DedupConfig(), freshStore()).run(dupPages).count()
     }
     assert(ex2.getMessage.contains("not unique"))
+
+    // crash window: every signature chunk committed, but the job died
+    // BEFORE the uniqueness check ran. Chunk completeness must not imply
+    // "checked" — only the durable marker does. Fabricate the post-crash
+    // state: checkpoint present (holding duplicate ids), no marker; the
+    // resume must re-run the check and fail fast, not silently adopt.
+    val crashCfg = DedupConfig(resumeChunks = 1)
+    val crashStore = freshStore()
+    val crashPipe = new DedupPipeline(spark, crashCfg, crashStore)
+    crashStore.write("signatures", crashPipe.signaturesChunkPlan(dupPages.toDF()))
+    assert(!crashStore.marked("signatures_idcheck"))
+    val ex3 = intercept[IllegalArgumentException] {
+      crashPipe.signatures(dupPages).count()
+    }
+    assert(ex3.getMessage.contains("not unique"))
+
+    // happy path writes the marker, so a clean resume still skips the check
+    val okStore = freshStore()
+    new DedupPipeline(spark, crashCfg, okStore).signatures(pages).count()
+    assert(okStore.marked("signatures_idcheck"))
   }
 
   test("simhash block-permuted tables: finds hamming<=3, excludes hamming>3") {

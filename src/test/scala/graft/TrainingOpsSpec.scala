@@ -256,6 +256,46 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(again(1L) === feats(1L).feature.toSeq)
   }
 
+  test("multimodal: corrupt/adversarial image payloads decode to no-signal, not a task kill") {
+    import graft.multimodal.Multimodal
+    import graft.multimodal.Multimodal.{ImageIoDecoder, MediaMeta}
+    val meta = MediaMeta("image", 0, 0, 0L, 0, "png")
+    val dec = new ImageIoDecoder()
+    // valid PNG magic, corrupt body: javax.imageio throws UNCHECKED
+    // exceptions on these (not just IOException) — they must not escape
+    // decode() and fail the Spark task
+    val png = Multimodal.syntheticPng(3L, 16, 16)
+    assert(dec.decode(png.take(png.length / 2), meta).isEmpty)
+    assert(dec.decode(png.take(12), meta).isEmpty)
+    // not an image at all / empty: no reader claims it
+    assert(dec.decode("<html>not an image</html>".getBytes("UTF-8"), meta).isEmpty)
+    assert(dec.decode(Array.emptyByteArray, meta).isEmpty)
+    // decompression bomb: dimensions are checked from the HEADER, before
+    // pixel allocation can OOM the executor — 16×16 = 256 px > 255 cap
+    val guarded = new ImageIoDecoder(maxPixels = 255L)
+    assert(guarded.decode(png, meta).isEmpty)
+    assert(guarded.decode(Multimodal.syntheticPng(3L, 15, 15), meta).nonEmpty)
+  }
+
+  test("ann banding at the 64-bit boundary: rowsPerBand=64 masks correctly") {
+    import spark.implicits._
+    // one identical twin pair among random near-orthogonal vectors
+    val rnd = new scala.util.Random(5)
+    val base = (0L until 40L).map(i => (i, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    val corpus = (base :+ (100L, base(0)._2)).toDF("id", "vec")
+    val acc = spark.sparkContext.longAccumulator("hot64")
+    val pairs = Ann.nearDupPairsLsh(corpus, 0.999, bands = 1, rowsPerBand = 64,
+      maxBucketSize = 4, hotBucketAcc = Some(acc))
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 100L)))
+    // with the (1L << 64) - 1 == 0 mask bug every row keys to band-bucket 0:
+    // the whole corpus funnels into ONE bucket, trips the >4 chain fallback,
+    // and the accumulator fires. Correct masking scatters the 40 random
+    // signatures across the full 64-bit keyspace — no hot bucket.
+    assert(acc.value === 0L,
+      s"hot-bucket fallback fired ${acc.value}× — band keys collapsed")
+  }
+
   test("multimodal: frame sampling shapes") {
     import spark.implicits._
     val docs = Seq((7L, "x" * 100)).toDF("doc_id", "text")

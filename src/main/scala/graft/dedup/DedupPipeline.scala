@@ -250,17 +250,22 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
   def candidatePairs(sigs: DataFrame, exact: DataFrame): DataFrame =
     store.getOrCompute("candidate_pairs")(candidatePairsPlan(sigs, exact))
 
+  /** (band, bucket, id) rows for every BANDABLE doc in `sigs`: exact-dup
+    * members (b side of `exact`) are represented by their group min, so a
+    * 10⁶-copy boilerplate family costs one row per band here, not 10⁶.
+    * Explicit slim projection BEFORE the anti join: the join shuffles its
+    * left side, and shuffling (id, n_shingles, bands) instead of the full
+    * signature row (shingle arrays, url, …) is ~3× less volume.
+    */
+  private def bandRowsOf(sigs: DataFrame, exact: DataFrame): DataFrame =
+    sigs.select("id", "n_shingles", "bands")
+      .join(exact.select(col("b").as("id")), Seq("id"), "left_anti")
+      .filter(col("n_shingles") > 0)
+      .select(col("id"), posexplode(col("bands")).as(Seq("band", "bucket")))
+
   private[graft] def candidatePairsPlan(sigs: DataFrame, exact: DataFrame): DataFrame = {
       import spark.implicits._
-      // exact-dup members (b side) are represented by their group min.
-      // Explicit slim projection BEFORE the anti join: the join shuffles its
-      // left side, and shuffling (id, n_shingles, bands) instead of the full
-      // signature row (shingle arrays, url, …) is ~3× less volume.
-      val slim = sigs.select("id", "n_shingles", "bands")
-      val represented = slim.join(exact.select(col("b").as("id")), Seq("id"), "left_anti")
-      val bandRows = represented
-        .filter(col("n_shingles") > 0)
-        .select(col("id"), posexplode(col("bands")).as(Seq("band", "bucket")))
+      val bandRows = bandRowsOf(sigs, exact)
 
       val maxAll = config.maxBucketAllPairs
       val hugeCutoff = config.hugeBucketCutoff
@@ -459,6 +464,232 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
     val verified = verifiedEdges(sigs, pairs, Some(pages))
     val comps = components(exact, verified)
     clusters(sigs, comps)
+  }
+
+  // ──────────────────────── incremental batches ────────────────────────
+
+  /** Apply a NEW batch of pages on top of a completed [[run]] (and any
+    * previously applied batches) WITHOUT recomputing the corpus — the
+    * production mode at 10¹²-doc scale, where a daily crawl delta is
+    * ~10⁻³ of the corpus and a full re-run would be a 1000× overspend.
+    * Returns the UPDATED full clusters table.
+    *
+    * Per-batch work is bounded by the delta, not the corpus:
+    *   - delta signatures are computed fresh (narrow); ids already present
+    *     — a re-crawl of the same (url, warc_ts) capture — are dropped;
+    *   - the exact path keeps a compacted (content_hash → min id) state
+    *     table, merged per batch (partial-agg'd; never re-scans old rows
+    *     after the first batch);
+    *   - LSH candidates join the delta's band rows against prior band rows
+    *     restricted FIRST (broadcast semi-join) to the buckets the delta
+    *     touches, with the same skew ladder as the batch stage: full cross
+    *     pairs for small buckets, chain-to-bucket-min above
+    *     `maxBucketAllPairs` (O(delta) output), drop + metric above
+    *     `hugeBucketCutoff`;
+    *   - connected components are updated INCREMENTALLY: only components
+    *     touched by a new edge are re-solved (prior assignments re-enter as
+    *     (component, member) star edges — component ids are component
+    *     minima, so merged components keep batch-identical ids), untouched
+    *     assignments are carried over;
+    *   - cluster rows (representative selection) are recomputed only for
+    *     touched clusters and the delta; untouched rows carry over.
+    *
+    * Sandbox state tables are StageStore parquet stages (per-batch names,
+    * so mid-batch kills resume stage-by-stage like the base run); the
+    * production mapping keeps signatures / band rows / hash-min as
+    * bucket-partitioned Iceberg tables so the per-batch joins are
+    * co-located and carried-over stages are partition rewrites, not full
+    * rewrites.
+    *
+    * EQUIVALENCE CONTRACT: while any band bucket stays within
+    * `maxBucketAllPairs` (the all-pairs regime — everything but pathological
+    * boilerplate, which the exact path absorbs first), run(A) +
+    * incremental(B) produces clusters BIT-IDENTICAL to run(A ∪ B) —
+    * pinned by DedupPipelineSpec. In the chain/drop regimes both paths
+    * degrade under the same documented policy but not edge-identically.
+    *
+    * `allPages` feeds the LCS second chance (`useLcsCheck`) and must cover
+    * old AND new pages (production: the pages table itself); with None,
+    * borderline pairs touching old docs get no LCS rescue.
+    *
+    * Batches are ordered by an append-only `_INC_LOG` under the store root
+    * (appended only after the batch's last stage commits); re-applying an
+    * already-logged batch returns its checkpointed result, and stages from
+    * a different half-applied batch are refused rather than silently
+    * ignored.
+    */
+  def incremental(batch: String, newPages: Dataset[Page],
+      allPages: Option[Dataset[Page]] = None): DataFrame = {
+    require(batch.matches("[A-Za-z0-9-]+"),
+      s"batch id '$batch' must match [A-Za-z0-9-]+ (stage names are '_'-delimited)")
+    assertCheckpointConfig()
+    val applied = incBatches
+    if (applied.contains(batch)) return store.read(s"inc_${batch}_clusters")
+    val stray = store.stages("inc_").map(_.split("_")(1)).distinct
+      .filterNot(b => applied.contains(b) || b == batch)
+    require(stray.isEmpty,
+      s"checkpoint dir ${store.root} holds stages from unapplied batch(es) " +
+        s"${stray.mkString(", ")} — finish or invalidate them before starting '$batch'")
+
+    val priorSigs = priorSignatures(applied)
+    val priorComps =
+      if (applied.isEmpty) store.read("components")
+      else store.read(s"inc_${applied.last}_components")
+
+    // 1 — delta signatures (ids already present are the same capture: drop)
+    val sigsNew = store.getOrCompute(s"inc_${batch}_signatures") {
+      signaturesChunkPlan(newPages.toDF())
+        .join(priorSigs.select("id"), Seq("id"), "left_anti")
+    }
+    if (config.verifyIdUniqueness && !store.marked(s"inc_${batch}_idcheck")) {
+      val row = sigsNew.agg(count(lit(1)).as("n"), count_distinct(col("id")).as("d"))
+        .collect()(0)
+      if (row.getLong(0) != row.getLong(1)) {
+        store.invalidate(s"inc_${batch}_signatures")
+        throw new IllegalArgumentException(
+          s"batch '$batch' doc ids are not unique: ${row.getLong(0)} rows but " +
+            s"${row.getLong(1)} distinct hash(url, warc_ts) ids — dedupe the " +
+            "batch on (url, warc_ts) or switch to idBits=128")
+      }
+      store.mark(s"inc_${batch}_idcheck")
+    }
+
+    // 2 — exact path via the compacted (content_hash → min id) state
+    val priorHashMin =
+      if (applied.isEmpty)
+        priorSigs.groupBy("content_hash").agg(min("id").as("m"))
+      else store.read(s"inc_${applied.last}_hash_min")
+    val deltaMin = sigsNew.groupBy("content_hash").agg(min("id").as("dm"))
+    val hashMin = store.getOrCompute(s"inc_${batch}_hash_min") {
+      priorHashMin.select(col("content_hash"), col("m"))
+        .union(deltaMin.select(col("content_hash"), col("dm")))
+        .groupBy("content_hash").agg(min("m").as("m"))
+    }
+    val exactInc = store.getOrCompute(s"inc_${batch}_exact_edges") {
+      // delta docs to their (possibly old) group min …
+      val newDoc = sigsNew.select("id", "content_hash")
+        .join(hashMin, "content_hash")
+        .filter(col("id") =!= col("m"))
+        .select(col("m").as("a"), col("id").as("b"))
+      // … and the demoted old min when the delta brings a smaller id
+      val repChange = priorHashMin.withColumnRenamed("m", "pm")
+        .join(deltaMin, "content_hash")
+        .filter(col("dm") < col("pm"))
+        .select(col("dm").as("a"), col("pm").as("b"))
+      newDoc.union(repChange).distinct()
+    }
+
+    // 3 — LSH candidates: delta×delta via the batch plan, delta×prior via
+    //     a bucket-restricted join with the same skew ladder
+    val candInc = store.getOrCompute(s"inc_${batch}_candidate_pairs") {
+      val within = candidatePairsPlan(sigsNew, exactInc)
+      val deltaBand = bandRowsOf(sigsNew, exactInc)
+      val touchedBuckets = deltaBand.select("band", "bucket").distinct()
+      val oldBand = priorBandRows(applied)
+        .join(broadcast(touchedBuckets), Seq("band", "bucket"), "left_semi")
+      val stats = oldBand.groupBy("band", "bucket")
+        .agg(count(lit(1)).as("n"), min("id").as("bmin"))
+      val smallCross = deltaBand
+        .join(stats.filter(col("n") <= config.maxBucketAllPairs)
+          .select("band", "bucket"), Seq("band", "bucket"), "left_semi")
+        .join(oldBand.withColumnRenamed("id", "oid"), Seq("band", "bucket"))
+        .select(least(col("id"), col("oid")).as("a"),
+          greatest(col("id"), col("oid")).as("b"))
+      val chained = deltaBand
+        .join(stats.filter(col("n") > config.maxBucketAllPairs &&
+          col("n") <= config.hugeBucketCutoff)
+          .select(col("band"), col("bucket"), col("bmin")), Seq("band", "bucket"))
+        .select(least(col("id"), col("bmin")).as("a"),
+          greatest(col("id"), col("bmin")).as("b"))
+        .filter(col("a") =!= col("b"))
+      // no silent caps: surface dropped huge buckets (stats is already
+      // aggregated — this probe job is tiny)
+      val nHuge = stats.filter(col("n") > config.hugeBucketCutoff).count()
+      if (nHuge > 0) droppedBuckets.add(nHuge)
+      within.union(smallCross).union(chained).distinct()
+    }
+
+    // 4 — verification over the combined signature table (same plan as batch)
+    val allSigs = priorSigs.union(sigsNew)
+    val verifiedInc = store.getOrCompute(s"inc_${batch}_verified_edges") {
+      verifiedEdgesPlan(allSigs, candInc, allPages)
+    }
+
+    // 5 — incremental connected components: re-solve ONLY touched components
+    val newEdges = exactInc.select("a", "b").union(verifiedInc.select("a", "b"))
+    val edgeIds = newEdges.select(col("a").as("id"))
+      .union(newEdges.select(col("b").as("id"))).distinct()
+    // prior cluster of every edge-touched node (prior singletons = own id)
+    val touched = edgeIds.join(priorComps, Seq("id"), "left")
+      .select(coalesce(col("component"), col("id")).as("component")).distinct()
+    val compsInc = store.getOrCompute(s"inc_${batch}_components") {
+      val subOld = priorComps.join(touched, Seq("component"), "left_semi")
+        .select(col("component").as("a"), col("id").as("b"))
+        .filter(col("a") =!= col("b"))
+      val durable =
+        if (config.ccDurableInterval > 0) Some((store, config.ccDurableInterval))
+        else None
+      val sub = ConnectedComponents.run(subOld.union(newEdges),
+        config.maxCcIterations, durable, durablePrefix = s"inc_${batch}_cc")
+      priorComps.join(touched, Seq("component"), "left_anti")
+        .select("id", "component")
+        .union(sub.select("id", "component"))
+    }
+
+    // 6 — clusters: recompute rows only for touched clusters + the delta
+    val clustersInc = store.getOrCompute(s"inc_${batch}_clusters") {
+      val priorClusters =
+        if (applied.isEmpty) store.read("clusters")
+        else store.read(s"inc_${applied.last}_clusters")
+      val touchedCl = touched.withColumnRenamed("component", "cluster_id")
+      val members = priorClusters
+        .join(touchedCl, Seq("cluster_id"), "left_semi").select("id")
+      val affectedIds = members.union(sigsNew.select("id")).distinct()
+      val affectedSigs = allSigs.join(affectedIds, Seq("id"), "left_semi")
+      val affectedComps = compsInc.join(affectedIds, Seq("id"), "left_semi")
+      val cols = Seq("url", "cluster_id", "is_representative", "id", "source", "lang")
+      priorClusters.join(touchedCl, Seq("cluster_id"), "left_anti")
+        .select(cols.map(col): _*)
+        .union(clustersPlan(affectedSigs, affectedComps).select(cols.map(col): _*))
+    }
+    appendIncLog(batch)
+    clustersInc
+  }
+
+  /** Batches applied so far, in application order (append-only log). */
+  private[graft] def incBatches: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(store.root, "_INC_LOG")
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty)
+    else Nil
+  }
+
+  private def appendIncLog(batch: String): Unit =
+    if (!incBatches.contains(batch)) {
+      val p = java.nio.file.Paths.get(store.root, "_INC_LOG")
+      java.nio.file.Files.writeString(p, batch + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+
+  private def readBaseSignatures(): DataFrame =
+    if (config.resumeChunks == 1) store.read("signatures")
+    else (0 until config.resumeChunks)
+      .map(i => store.read(s"signatures_chunk$i")).reduce(_ union _)
+
+  private def priorSignatures(applied: Seq[String]): DataFrame =
+    (readBaseSignatures() +: applied.map(b => store.read(s"inc_${b}_signatures")))
+      .reduce(_ union _)
+
+  /** Band rows of everything dedup'd so far: base + applied batches, each
+    * through the same exact-dup representative collapse as the batch stage.
+    */
+  private def priorBandRows(applied: Seq[String]): DataFrame = {
+    val base = bandRowsOf(readBaseSignatures(), store.read("exact_edges"))
+    val incs = applied.map(b => bandRowsOf(
+      store.read(s"inc_${b}_signatures"), store.read(s"inc_${b}_exact_edges")))
+    (base +: incs).reduce(_ union _)
   }
 
   /** Guard against resuming a checkpoint dir written under a different

@@ -305,6 +305,51 @@ class DedupPipelineSpec extends AnyFunSuite {
     assert(okStore.marked("signatures_idcheck"))
   }
 
+  test("incremental batches: run(A)+inc(B)+inc(C) equals run(A∪B∪C) bit-identically") {
+    import spark.implicits._
+    import scala.util.hashing.MurmurHash3
+    val spec = CorpusSpec(nFamilies = 80, pDup = 0.5, seed = 11)
+    val all = DeterministicCorpus.generate(spark, spec).map(_._1).cache()
+    def part(p: graft.schema.Page): Int = math.floorMod(MurmurHash3.stringHash(p.url), 4)
+    val aPages = all.filter(p => part(p) >= 2)
+    // exact copies of A content landing in batch B: exercises the hash-min
+    // state (newDoc edges into old groups; repChange when a copy hashes to
+    // a smaller id than the old group minimum)
+    val copies = aPages.take(6).toSeq
+      .map(p => p.copy(url = p.url + "#recrawl",
+        warc_ts = new java.sql.Timestamp(p.warc_ts.getTime + 60000L))).toDS()
+    val bPages = all.filter(p => part(p) == 1).union(copies)
+    val cPages = all.filter(p => part(p) == 0)
+    val (na, nb, nc) = (aPages.count(), bPages.count(), cPages.count())
+    assert(na > 0 && nb > 0 && nc > 0)
+
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("url", "cluster_id", "is_representative")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSet
+
+    val full = key(new DedupPipeline(spark, DedupConfig(), freshStore())
+      .run(aPages.union(bPages).union(cPages)))
+
+    val store = freshStore()
+    val pipe = new DedupPipeline(spark, DedupConfig(), store)
+    pipe.run(aPages).count()
+    // a literal re-crawl (same url AND warc_ts as an A page → same id) must
+    // be dropped by the already-present anti-join, not double-counted
+    assert(pipe.incremental("b", bPages.union(aPages.limit(1))).count() === na + nb)
+    val incr = key(pipe.incremental("c", cPages))
+    assert(incr === full,
+      "incremental clusters must be bit-identical to the batch run")
+    // re-applying a logged batch returns the checkpointed result
+    assert(key(pipe.incremental("c", cPages)) === full)
+    // stages from a half-applied OTHER batch are refused, not ignored
+    store.write("inc_x_signatures", Seq((1L, 2L)).toDF("id", "content_hash"))
+    val exStray = intercept[IllegalArgumentException] {
+      pipe.incremental("y", cPages)
+    }
+    assert(exStray.getMessage.contains("unapplied batch"))
+    all.unpersist()
+  }
+
   test("simhash block-permuted tables: finds hamming<=3, excludes hamming>3") {
     import spark.implicits._
     val v = 0x0123456789abcdefL

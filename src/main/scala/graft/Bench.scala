@@ -78,10 +78,25 @@ object Bench {
     results("dedup_e2e") = dedupSec
     val docsPerSec = nPages / dedupSec
 
+    // steady-state production mode: apply a ~5% crawl delta on the SAME
+    // store's checkpoints — the measurable claim is that a delta costs a
+    // small fraction of the full rerun it replaces (dedup_e2e above).
+    // familyOffset keeps the delta's url space disjoint from the base.
+    val delta = DeterministicCorpus.pages(spark,
+      CorpusSpec(nFamilies = math.max(1L, families / 20),
+        familyOffset = families * 10))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDelta = delta.count()
+    val incSec = time {
+      new DedupPipeline(spark, DedupConfig(), store)
+        .incremental("bench-delta", delta).count(); ()
+    }
+    results("dedup_incremental") = incSec
+
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","dedup_pages":$nPages,"dedup_docs_per_sec":$docsPerSec%.1f,"cores":$cpus,$effCores}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","dedup_pages":$nPages,"dedup_docs_per_sec":$docsPerSec%.1f,"inc_delta_pages":$nDelta,"inc_delta_docs_per_sec":${nDelta / incSec}%.1f,"cores":$cpus,$effCores}""")
     spark.stop()
   }
 }

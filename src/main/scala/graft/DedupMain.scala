@@ -14,11 +14,19 @@ import graft.synth.DeterministicCorpus.CorpusSpec
   * Usage:
   *   DedupMain <checkpointDir> [--families N] [--hot N] [--cores N]
   *             [--input <parquet pages dir>] [--seed N] [--idbits 64|128]
+  *             [--inc-batch NAME [--inc-input dir | --inc-families N]
+  *              [--inc-offset N]]
   *
   * Without --input, a deterministic synthetic corpus of N families is
   * generated (same generator the tests and bench use). Re-running with the
   * same checkpointDir resumes: completed stages load from their checkpoint.
   * Prints per-stage row counts and a final cluster summary as JSON.
+  *
+  * With --inc-batch, applies an incremental crawl delta on top of the
+  * completed run in <checkpointDir> (see [[DedupPipeline.incremental]]):
+  * the delta comes from --inc-input, or is synthesized with --inc-families
+  * at --inc-offset (default 10⁹ — far past any base family range, so the
+  * delta's url space is disjoint).
   */
 object DedupMain {
   def main(args: Array[String]): Unit = {
@@ -62,13 +70,41 @@ object DedupMain {
     val cfg = DedupConfig(idBits = opts.getOrElse("idbits", "64").toInt)
     val pipeline = new DedupPipeline(spark, cfg, store)
 
+    val incBatch = opts.get("inc-batch")
     val t0 = System.nanoTime()
-    val clusters = pipeline.run(pages)
+    val (clusters, deltaPages) = incBatch match {
+      case Some(batch) =>
+        val delta = opts.get("inc-input") match {
+          case Some(dir) => spark.read.parquet(dir).as[graft.schema.Page]
+          case None => DeterministicCorpus.pages(spark, CorpusSpec(
+            nFamilies = opts.getOrElse("inc-families", "100000").toLong,
+            seed = opts.getOrElse("seed", "42").toLong,
+            familyOffset = opts.getOrElse("inc-offset", "1000000000").toLong))
+        }
+        (pipeline.incremental(batch, delta), Some(delta.count()))
+      case None => (pipeline.run(pages), None)
+    }
     // one job: total rows + distinct clusters off the final (small) table
     val summary = clusters.agg(count(lit(1)), countDistinct("cluster_id"))
       .as[(Long, Long)].collect()(0)
     val (nPages, nClusters) = summary
     val wallSec = (System.nanoTime() - t0) / 1e9
+    if (incBatch.isDefined) {
+      // incremental mode: docs/sec is the DELTA throughput (the work this
+      // mode replaces is a full rerun — compare against the batch figure)
+      val nDelta = deltaPages.get
+      println(
+        s"""{"mode":"incremental","batch":"${incBatch.get}","delta_pages":$nDelta,
+           |"pages":$nPages,"clusters":$nClusters,"wall_sec":$wallSec,
+           |"delta_docs_per_sec":${nDelta / wallSec},
+           |"skew":{"hot_buckets":${pipeline.hotBuckets.value},
+           |"dropped_buckets":${pipeline.droppedBuckets.value},
+           |"dropped_bucket_rows":${pipeline.droppedBucketRows.value}}}"""
+          .stripMargin.replace("\n", ""))
+      spark.stop()
+      return
+    }
+
     // stage row counts come from the checkpoint manifests (parquet footer
     // metadata recorded at write time) — no re-scan of stage tables
     val sigStages =

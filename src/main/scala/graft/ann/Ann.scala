@@ -143,6 +143,17 @@ object Ann {
   def kmeansCentroids(corpus: DataFrame, nlist: Int, rounds: Int = 4,
       oversample: Int = 2, lloydIters: Int = 2, seed: Long = 42L): Seq[(Long, Seq[Float])] = {
     require(nlist >= 1 && rounds >= 1 && oversample >= 1)
+    // the build makes rounds + lloydIters + 2 passes over the corpus —
+    // persist the slim (id, vec) projection once instead of re-reading
+    // (and re-deserializing) the source per pass
+    val slim = corpus.select("id", "vec")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try kmeansCentroidsOn(slim, nlist, rounds, oversample, lloydIters, seed)
+    finally slim.unpersist(blocking = false)
+  }
+
+  private def kmeansCentroidsOn(corpus: DataFrame, nlist: Int, rounds: Int,
+      oversample: Int, lloydIters: Int, seed: Long): Seq[(Long, Seq[Float])] = {
     val first = corpus.orderBy(xxhash64(col("id"), lit(seed))).limit(1)
       .select(col("vec")).collect()(0).getSeq[Float](0)
     var cand = Vector[Seq[Float]](first)

@@ -554,12 +554,17 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
       store.mark(s"inc_${batch}_idcheck")
     }
 
-    // 2 — exact path via the compacted (content_hash → min id) state
-    val priorHashMin =
+    // 2 — exact path via the compacted (content_hash → min id) state.
+    // priorHashMin/deltaMin each feed two consumers (state merge + edge
+    // derivation): persist so the first-batch full aggregation over prior
+    // signatures runs once, not per consumer.
+    val priorHashMin = (
       if (applied.isEmpty)
         priorSigs.groupBy("content_hash").agg(min("id").as("m"))
       else store.read(s"inc_${applied.last}_hash_min")
+    ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deltaMin = sigsNew.groupBy("content_hash").agg(min("id").as("dm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hashMin = store.getOrCompute(s"inc_${batch}_hash_min") {
       priorHashMin.select(col("content_hash"), col("m"))
         .union(deltaMin.select(col("content_hash"), col("dm")))
@@ -583,12 +588,20 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
     //     a bucket-restricted join with the same skew ladder
     val candInc = store.getOrCompute(s"inc_${batch}_candidate_pairs") {
       val within = candidatePairsPlan(sigsNew, exactInc)
-      val deltaBand = bandRowsOf(sigsNew, exactInc)
+      // deltaBand feeds three consumers and oldBand/stats two/three each:
+      // eager localCheckpoints make the (corpus-sized) prior band explode
+      // run ONCE, not once per consumer
+      val deltaBand = bandRowsOf(sigsNew, exactInc).localCheckpoint(true)
+      // no broadcast hint: for a small delta AQE broadcasts the bucket set
+      // (prior band rows never shuffle); a corpus-sized delta would OOM the
+      // driver under a forced broadcast, and shuffling is then correct
       val touchedBuckets = deltaBand.select("band", "bucket").distinct()
       val oldBand = priorBandRows(applied)
-        .join(broadcast(touchedBuckets), Seq("band", "bucket"), "left_semi")
+        .join(touchedBuckets, Seq("band", "bucket"), "left_semi")
+        .localCheckpoint(true)
       val stats = oldBand.groupBy("band", "bucket")
         .agg(count(lit(1)).as("n"), min("id").as("bmin"))
+        .localCheckpoint(true)
       val smallCross = deltaBand
         .join(stats.filter(col("n") <= config.maxBucketAllPairs)
           .select("band", "bucket"), Seq("band", "bucket"), "left_semi")
@@ -609,19 +622,27 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
       within.union(smallCross).union(chained).distinct()
     }
 
-    // 4 — verification over the combined signature table (same plan as batch)
+    // 4 — verification: same plan as batch, but the shingle side is
+    //     semi-filtered to pair-touched ids FIRST — the batch plan shuffles
+    //     the whole signature table (necessary there), which for a 5% delta
+    //     would make verification cost corpus-sized instead of delta-sized
     val allSigs = priorSigs.union(sigsNew)
     val verifiedInc = store.getOrCompute(s"inc_${batch}_verified_edges") {
-      verifiedEdgesPlan(allSigs, candInc, allPages)
+      val pairIds = candInc.select(col("a").as("id"))
+        .union(candInc.select(col("b").as("id"))).distinct()
+      verifiedEdgesPlan(allSigs.join(pairIds, Seq("id"), "left_semi"),
+        candInc, allPages)
     }
 
     // 5 — incremental connected components: re-solve ONLY touched components
     val newEdges = exactInc.select("a", "b").union(verifiedInc.select("a", "b"))
     val edgeIds = newEdges.select(col("a").as("id"))
       .union(newEdges.select(col("b").as("id"))).distinct()
-    // prior cluster of every edge-touched node (prior singletons = own id)
+    // prior cluster of every edge-touched node (prior singletons = own id);
+    // eager checkpoint — consumed by both the components and clusters thunks
     val touched = edgeIds.join(priorComps, Seq("id"), "left")
       .select(coalesce(col("component"), col("id")).as("component")).distinct()
+      .localCheckpoint(true)
     val compsInc = store.getOrCompute(s"inc_${batch}_components") {
       val subOld = priorComps.join(touched, Seq("component"), "left_semi")
         .select(col("component").as("a"), col("id").as("b"))
@@ -653,6 +674,8 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
         .union(clustersPlan(affectedSigs, affectedComps).select(cols.map(col): _*))
     }
     appendIncLog(batch)
+    priorHashMin.unpersist(blocking = false)
+    deltaMin.unpersist(blocking = false)
     clustersInc
   }
 

@@ -128,13 +128,19 @@ object DeterministicCorpus {
     */
   def expectedExtract(text: String, title: String): String = s"$title $text"
 
+  /** `familyOffset` shifts the family id range (urls are pure functions of
+    * the family id), so two specs with disjoint ranges generate DISJOINT
+    * url spaces — the way to synthesize an incremental crawl delta that
+    * cannot collide with a base corpus on (url, warc_ts).
+    */
   final case class CorpusSpec(
       nFamilies: Long = 1000,
       pDup: Double = 0.2,
       maxCopies: Int = 4,
       pHardNegative: Double = 0.1,
       hotFamilySize: Int = 0,
-      seed: Long = 42L)
+      seed: Long = 42L,
+      familyOffset: Long = 0L)
 
   private val Langs = Array("en", "en", "en", "en", "en", "en", "en", "en",
     "de", "fr") // 80/10/10-ish
@@ -150,7 +156,7 @@ object DeterministicCorpus {
     val hot = spec.hotFamilySize
 
     val pHardScaled = (spec.pHardNegative * (1L << 32).toDouble).toLong
-    val families = spark.range(0, spec.nFamilies)
+    val families = spark.range(spec.familyOffset, spec.familyOffset + spec.nFamilies)
       .flatMap { family =>
         val text = baseText(seed, family)
         val rDup = mix(seed ^ (family * 0x9e3779b9L + 3))

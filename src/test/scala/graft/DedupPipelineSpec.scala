@@ -170,6 +170,21 @@ class DedupPipelineSpec extends AnyFunSuite {
         .as[(String, String)].collect()
         .groupBy(_._1).values.map(_.map(_._2).toSet).toSet
     assert(partition(wide) === partition(narrow))
+
+    // incremental path under wide ids: least/greatest/'<' and the hash-min
+    // merge all operate on struct ids — delta of disjoint families plus an
+    // exact copy of an existing page (exercises the cross-batch exact path)
+    val deltaSpec = CorpusSpec(nFamilies = 40, pDup = 0.3, seed = 42,
+      familyOffset = 5000)
+    val deltaCopy = pages.take(1).toSeq.map(p =>
+      p.copy(url = p.url + "#recrawl",
+        warc_ts = new java.sql.Timestamp(p.warc_ts.getTime + 1L))).toDS()
+    val delta = DeterministicCorpus.pages(spark, deltaSpec).union(deltaCopy)
+    val incWide = pipeWide.incremental("w1", delta, Some(pages.union(delta)))
+    val fullWide = new DedupPipeline(spark, cfgWide, freshStore())
+      .run(pages.union(delta))
+    assert(partition(incWide) === partition(fullWide),
+      "wide-id incremental must partition urls identically to the batch run")
     corpus.unpersist()
   }
 
@@ -347,6 +362,32 @@ class DedupPipelineSpec extends AnyFunSuite {
       pipe.incremental("y", cPages)
     }
     assert(exStray.getMessage.contains("unapplied batch"))
+    all.unpersist()
+  }
+
+  test("incremental hot bucket: delta members chain into an oversized prior bucket") {
+    import spark.implicits._
+    // 210-member near-identical boilerplate family; the last 10 arrive as a
+    // delta. Their band buckets hold ~200 prior rows — far over
+    // maxBucketAllPairs — so the cross join must take the chain-to-bucket-
+    // min path (O(delta) output), and connectivity must still land every
+    // member in ONE cluster.
+    val all = DeterministicCorpus.pages(spark,
+      CorpusSpec(nFamilies = 30, hotFamilySize = 210, seed = 3)).cache()
+    def copyIdx(u: String): Int = u.substring(u.lastIndexOf('c') + 1).toInt
+    val basePages = all.filter(p => !p.url.contains("/f-1/") || copyIdx(p.url) < 200)
+    val deltaPages = all.filter(p => p.url.contains("/f-1/") && copyIdx(p.url) >= 200)
+    assert(deltaPages.count() === 10L)
+
+    val pipe = new DedupPipeline(spark,
+      DedupConfig(maxBucketAllPairs = 16), freshStore())
+    pipe.run(basePages).count()
+    val clusters = pipe.incremental("hot", deltaPages)
+    assert(clusters.count() === all.count())
+    val hotClusters = clusters.filter(col("url").contains("/f-1/"))
+      .select("cluster_id").distinct().count()
+    assert(hotClusters === 1L,
+      s"hot family split across $hotClusters clusters — chain path broken")
     all.unpersist()
   }
 

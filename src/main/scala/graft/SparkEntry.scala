@@ -401,6 +401,58 @@ object SparkEntry {
           coalesce(col("component"), col("id")).as("cluster_id"))
     }),
 
+    // Incremental batch dedup with a CLOSED-FORM oracle: the base batch is
+    // the salted corpus, the delta batch is its exact twins (same text at a
+    // later capture ts). run(base) + incremental(delta) must (a) cluster
+    // every twin with its original, with the EARLIER capture as
+    // representative (rep chain: text_len tie → earlier warc_ts), and
+    // (b) be bit-identical to run(base ∪ delta) — the equivalence
+    // contract. SimHash candidates are ON, so the delta×prior Manku-table
+    // mirror (identical twin fingerprints) runs under the driver gate too.
+    "q_dedup_incremental" -> ((s, dir) => {
+      // capped input: this row buys the equivalence CONTRACT (a fixed-size
+      // correctness surface, dominated by per-stage job latency, not data);
+      // incremental THROUGHPUT is the bench's dedup_incremental metric
+      val base = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        .select(col("doc_id").cast("long").as("id"), saltedTokens.as("stext"))
+      def pages(df: DataFrame, ts: String) = {
+        import s.implicits._
+        df.select(
+          concat(lit("doc://"), col("id")).as("url"),
+          to_timestamp(lit(ts)).as("warc_ts"),
+          typedLit(Array.empty[Byte]).as("html"),
+          col("stext").as("text"),
+          lit("en").as("lang"),
+          lit("web").as("source")).as[graft.schema.Page]
+      }
+      val basePages = pages(base, "2026-01-01 00:00:00")
+      val deltaPages = pages(
+        base.select((col("id") + 1000000L).as("id"), col("stext")),
+        "2026-01-02 00:00:00")
+      def tmpStore() = new graft.io.StageStore(s,
+        java.nio.file.Files.createTempDirectory("graft-q-inc-").toString)
+      // lean checkpointing (single chunk, no durable CC rounds): resume
+      // durability is pinned by its own suite; this query buys the
+      // equivalence contract at the smallest stage-write cost
+      val cfg = graft.dedup.DedupConfig(useSimHashCandidates = true,
+        resumeChunks = 1, ccDurableInterval = 0)
+      val batchRun = new graft.dedup.DedupPipeline(s, cfg, tmpStore())
+        .run(basePages.union(deltaPages))
+      val pipe = new graft.dedup.DedupPipeline(s, cfg, tmpStore())
+      pipe.run(basePages).count()
+      val incRun = pipe.incremental("delta", deltaPages)
+      def repMap(df: DataFrame): DataFrame = {
+        val reps = df.filter(col("is_representative"))
+          .select(col("cluster_id"), col("url").as("rep_url"))
+        df.select("url", "cluster_id").join(reps, "cluster_id")
+          .select("url", "rep_url")
+      }
+      repMap(incRun)
+        .join(repMap(batchRun).withColumnRenamed("rep_url", "rep_url_b"), "url")
+        .select(col("url"), col("rep_url"),
+          (col("rep_url") === col("rep_url_b")).as("matches_batch"))
+    }),
+
     // Embedding-cosine near-dup pairs: bounded self-join over vectors,
     // keep pairs above a cosine threshold (the embedding analog of the
     // fuzzy-title predicate).
@@ -936,6 +988,18 @@ object SparkEntry {
         |  CAST(doc_id + 1000000 AS BIGINT) AS b,
         |  CAST(0 AS BIGINT) AS hamming
         |FROM documents""".stripMargin,
+
+    // closed form of the incremental-vs-batch comparison: every capture
+    // clusters with its twin, the earlier capture is the representative,
+    // and the incremental partition equals the batch partition
+    "q_dedup_incremental" ->
+      """SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+        |  'doc://' || CAST(doc_id AS VARCHAR) AS rep_url,
+        |  true AS matches_batch FROM documents WHERE doc_id < 1000
+        |UNION ALL
+        |SELECT 'doc://' || CAST(doc_id + 1000000 AS VARCHAR) AS url,
+        |  'doc://' || CAST(doc_id AS VARCHAR) AS rep_url,
+        |  true AS matches_batch FROM documents WHERE doc_id < 1000""".stripMargin,
 
     "q_ann_cosine_topk" ->
       """SELECT query_id, neighbor_id, cos, rank FROM (

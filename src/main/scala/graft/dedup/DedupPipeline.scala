@@ -48,6 +48,7 @@ final case class DedupConfig(
     ccDurableInterval: Int = 5,
     useSimHashCandidates: Boolean = false,
     simHashMaxHamming: Int = 3,
+    simHashMaxBucket: Int = 10000,
     idBits: Int = 64) {
   require(bands * rows == numHashes, "bands*rows must equal numHashes")
   require(resumeChunks >= 1, "resumeChunks must be >= 1")
@@ -447,6 +448,7 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
     store.getOrCompute("simhash_pairs") {
       SimHashDedup.nearDupPairs(
         sigs.select("id", "simhash"), config.simHashMaxHamming,
+        maxBucketSize = config.simHashMaxBucket,
         hotBucketAcc = Some(hotBuckets))
         .select("a", "b")
     }
@@ -481,11 +483,13 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
     *     table, merged per batch (partial-agg'd; never re-scans old rows
     *     after the first batch);
     *   - LSH candidates join the delta's band rows against prior band rows
-    *     restricted FIRST (broadcast semi-join) to the buckets the delta
-    *     touches, with the same skew ladder as the batch stage: full cross
-    *     pairs for small buckets, chain-to-bucket-min above
-    *     `maxBucketAllPairs` (O(delta) output), drop + metric above
-    *     `hugeBucketCutoff`;
+    *     restricted FIRST (semi-join; AQE broadcasts small deltas) to the
+    *     buckets the delta touches, with the same skew ladder as the batch
+    *     stage: full cross pairs for small buckets, chain-to-bucket-min
+    *     above `maxBucketAllPairs` (O(delta) output), drop + metric above
+    *     `hugeBucketCutoff`; with `useSimHashCandidates`, the SimHash
+    *     source is mirrored the same way (delta×delta via the batch
+    *     operator, delta×prior via a Manku-table cross join);
     *   - connected components are updated INCREMENTALLY: only components
     *     touched by a new edge are re-solved (prior assignments re-enter as
     *     (component, member) star edges — component ids are component
@@ -502,7 +506,9 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
     * rewrites.
     *
     * EQUIVALENCE CONTRACT: while any band bucket stays within
-    * `maxBucketAllPairs` (the all-pairs regime — everything but pathological
+    * `maxBucketAllPairs` (and, with `useSimHashCandidates`, any SimHash
+    * table bucket within `simHashMaxBucket` — both paths threshold on the
+    * same config value) (the all-pairs regime — everything but pathological
     * boilerplate, which the exact path absorbs first), run(A) +
     * incremental(B) produces clusters BIT-IDENTICAL to run(A ∪ B) —
     * pinned by DedupPipelineSpec. In the chain/drop regimes both paths
@@ -619,7 +625,57 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
       // aggregated — this probe job is tiny)
       val nHuge = stats.filter(col("n") > config.hugeBucketCutoff).count()
       if (nHuge > 0) droppedBuckets.add(nHuge)
-      within.union(smallCross).union(chained).distinct()
+      val lsh = within.union(smallCross).union(chained)
+
+      // optional SimHash candidate source, mirrored incrementally:
+      // delta×delta via the batch operator, delta×prior via a Manku-table
+      // cross join (prior rows restricted to delta-touched table keys).
+      // Hot identical-fingerprint floods chain each delta doc to the
+      // flood's min id (hamming 0 — always verified); pairs between
+      // DISTINCT fingerprints in a hot bucket degrade exactly like the
+      // batch operator's run-boundary probing.
+      val all =
+        if (!config.useSimHashCandidates) lsh
+        else {
+          val k = config.simHashMaxHamming
+          val simWithin = SimHashDedup.nearDupPairs(
+            sigsNew.select("id", "simhash"), k,
+            maxBucketSize = config.simHashMaxBucket,
+            hotBucketAcc = Some(hotBuckets)).select("a", "b")
+          val deltaSim = SimHashDedup
+            .tableRows(sigsNew.select("id", "simhash"), k).localCheckpoint(true)
+          val priorSim = SimHashDedup
+            .tableRows(priorSigs.select("id", "simhash"), k)
+            .join(deltaSim.select("table", "key").distinct(),
+              Seq("table", "key"), "left_semi")
+            .localCheckpoint(true)
+          val sStats = priorSim.groupBy("table", "key")
+            .agg(count(lit(1)).as("n")).localCheckpoint(true)
+          val simSmall = deltaSim
+            .join(sStats.filter(col("n") <= config.simHashMaxBucket)
+              .select("table", "key"), Seq("table", "key"), "left_semi")
+            .join(priorSim
+              .withColumnsRenamed(Map("id" -> "oid", "simhash" -> "osim")),
+              Seq("table", "key"))
+            .filter(hamming64(col("simhash"), col("osim")) <= k)
+            .select(least(col("id"), col("oid")).as("a"),
+              greatest(col("id"), col("oid")).as("b"))
+          val simHot = deltaSim
+            .join(sStats.filter(col("n") > config.simHashMaxBucket)
+              .select("table", "key"), Seq("table", "key"), "left_semi")
+            .join(priorSim.groupBy("table", "key", "simhash")
+              .agg(min("id").as("oid")), Seq("table", "key", "simhash"))
+            .select(least(col("id"), col("oid")).as("a"),
+              greatest(col("id"), col("oid")).as("b"))
+            .filter(col("a") =!= col("b"))
+          // skew-policy observability, as in the batch operator: hot sim
+          // buckets are counted, never silent (this probe reuses the tiny
+          // aggregated sStats checkpoint)
+          val nSimHot = sStats.filter(col("n") > config.simHashMaxBucket).count()
+          if (nSimHot > 0) hotBuckets.add(nSimHot)
+          lsh.union(simWithin).union(simSmall).union(simHot)
+        }
+      all.distinct()
     }
 
     // 4 — verification: same plan as batch, but the shingle side is

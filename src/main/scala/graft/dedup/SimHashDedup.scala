@@ -58,6 +58,19 @@ object SimHashDedup {
     }
   }
 
+  /** (table, key, simhash, id) rows — C(maxHamming+3, 3) per doc. Shared
+    * by [[nearDupPairs]] and [[DedupPipeline.incremental]]'s delta×prior
+    * cross join, so the table geometry cannot diverge between them.
+    */
+  private[dedup] def tableRows(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    val keyCols = tableKeys(col("simhash"), maxHamming).map { case (t, key) =>
+      struct(lit(t.toLong).as("table"), key.as("key"))
+    }
+    sigs.select(col("id"), col("simhash"), explode(array(keyCols: _*)).as("tk"))
+      .select(col("tk.table").as("table"), col("tk.key").as("key"),
+        col("simhash"), col("id"))
+  }
+
   /** Candidate + verified pairs (a < b) with hamming(simhash_a, simhash_b)
     * ≤ maxHamming, from a signature frame with (id, simhash: long) — id is
     * either a long or the 128-bit two-long struct (h1, h2).
@@ -79,13 +92,7 @@ object SimHashDedup {
     val spark = sigs.sparkSession
     import spark.implicits._
 
-    val keyCols = tableKeys(col("simhash"), maxHamming).map { case (t, key) =>
-      struct(lit(t.toLong).as("table"), key.as("key"))
-    }
-    val banded = sigs
-      .select(col("id"), col("simhash"), explode(array(keyCols: _*)).as("tk"))
-      .select(col("tk.table").as("table"), col("tk.key").as("key"),
-        col("simhash"), col("id"))
+    val banded = tableRows(sigs, maxHamming)
 
     val maxAll = maxBucketSize
     val hot = hotBucketAcc

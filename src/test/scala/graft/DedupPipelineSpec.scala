@@ -391,6 +391,63 @@ class DedupPipelineSpec extends AnyFunSuite {
     all.unpersist()
   }
 
+  test("incremental with simhash candidates: bit-identical to the batch run") {
+    import spark.implicits._
+    import scala.util.hashing.MurmurHash3
+    // families split across base and delta: cross-batch near-dup pairs must
+    // come out of the delta×prior SimHash mirror exactly as the batch
+    // operator would emit them (both threshold on simHashMaxBucket)
+    val spec = CorpusSpec(nFamilies = 60, pDup = 0.5, seed = 13)
+    val all = DeterministicCorpus.generate(spark, spec).map(_._1).cache()
+    def part(p: graft.schema.Page): Int = math.floorMod(MurmurHash3.stringHash(p.url), 3)
+    val basePages = all.filter(p => part(p) != 0)
+    val deltaPages = all.filter(p => part(p) == 0)
+    assert(basePages.count() > 0 && deltaPages.count() > 0)
+
+    def key(df: DataFrame) =
+      df.select("url", "cluster_id", "is_representative")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSet
+
+    val cfg = DedupConfig(useSimHashCandidates = true)
+    val full = key(new DedupPipeline(spark, cfg, freshStore()).run(all))
+    val pipe = new DedupPipeline(spark, cfg, freshStore())
+    pipe.run(basePages).count()
+    val incr = key(pipe.incremental("delta", deltaPages))
+    assert(incr === full,
+      "incremental clusters with simhash candidates must equal the batch run")
+    all.unpersist()
+  }
+
+  test("incremental hot SIM bucket: delta chains into an oversized prior " +
+      "simhash family; policy observable") {
+    import spark.implicits._
+    // the 210-member near-identical family floods its simhash table buckets
+    // far past simHashMaxBucket=8: the delta×prior mirror must take the
+    // identical-fingerprint min-id chain (O(delta) output), count the hot
+    // buckets, and still land every member in one cluster
+    val all = DeterministicCorpus.pages(spark,
+      CorpusSpec(nFamilies = 30, hotFamilySize = 210, seed = 3)).cache()
+    def copyIdx(u: String): Int = u.substring(u.lastIndexOf('c') + 1).toInt
+    val basePages = all.filter(p => !p.url.contains("/f-1/") || copyIdx(p.url) < 200)
+    val deltaPages = all.filter(p => p.url.contains("/f-1/") && copyIdx(p.url) >= 200)
+    assert(deltaPages.count() === 10L)
+
+    val pipe = new DedupPipeline(spark,
+      DedupConfig(useSimHashCandidates = true, simHashMaxBucket = 8,
+        maxBucketAllPairs = 16), freshStore())
+    pipe.run(basePages).count()
+    pipe.hotBuckets.reset()
+    val clusters = pipe.incremental("hot", deltaPages)
+    assert(clusters.count() === all.count())
+    val hotClusters = clusters.filter(col("url").contains("/f-1/"))
+      .select("cluster_id").distinct().count()
+    assert(hotClusters === 1L,
+      s"hot family split across $hotClusters clusters — sim chain path broken")
+    assert(pipe.hotBuckets.value > 0L,
+      "oversized prior sim buckets must be counted, not silently chained")
+    all.unpersist()
+  }
+
   test("simhash block-permuted tables: finds hamming<=3, excludes hamming>3") {
     import spark.implicits._
     val v = 0x0123456789abcdefL

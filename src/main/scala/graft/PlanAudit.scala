@@ -160,6 +160,12 @@ object PlanAudit {
         !cluPlan.contains("Window") && cluPlan.contains("min_by"), cluPlan)
     }
 
+    // Per-domain gate: partial-agg'd max + join back — a max-over-Window on
+    // the domain key would funnel a hot domain into one task.
+    val pdom = plan("q_domain_filter")
+    check("q_domain_filter: no Window (partial-agg max + join back)",
+      !pdom.contains("Window") && pdom.contains("partial_max"), pdom)
+
     println(s"PlanAudit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()
     if (failures > 0) sys.exit(1)

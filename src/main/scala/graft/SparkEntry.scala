@@ -9,7 +9,7 @@ import graft.cite.{CitationDedup, CsvParser, EndNoteXmlParser, FormatDetect, Pub
 import graft.dedup.ConnectedComponents
 import graft.functions._
 import graft.multimodal.Multimodal
-import graft.text.TextOps
+import graft.text.{TextOps, UrlOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -696,6 +696,73 @@ object SparkEntry {
           coalesce(col("mx"), lit(-2L)).as("last_idx"))
     }),
 
+    // URL canonicalization (narrow, codegen'd — the crawl-capture analog of
+    // the reference's citation field normalizers). Messy URLs are BUILT
+    // from doc_id so the canonical forms have closed-form oracles:
+    // scheme/host case + www + :443 + trailing slash + tracking params +
+    // param order + fragment all fold away.
+    "q_url_canon" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val full = concat(lit("HTTPS://WWW.Site"), col("doc_id") % 7,
+        lit(".com:443/Path/"), col("doc_id"), lit("/?utm_source=x&b=2&a=1#f"))
+      val port = concat(lit("http://Host"), col("doc_id"), lit(".org:80/"))
+      val tracking = concat(lit("https://x.com/p"), col("doc_id"),
+        lit("?utm_campaign=1&fbclid=2"))
+      docs.select(col("doc_id"),
+        UrlOps.canonicalizeUrl(full).as("canon_full"),
+        UrlOps.canonicalizeUrl(port).as("canon_port"),
+        UrlOps.canonicalizeUrl(tracking).as("canon_tracking"))
+    }),
+
+    // Canonical-URL dedup: two capture spellings of every logical page
+    // (www+:443+trailing-slash+utm vs bare) collapse to one canonical key;
+    // an exact groupBy keeps the earliest capture. This is the cheap
+    // pre-pass that shrinks what the MinHash stages must chew.
+    "q_url_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val a = docs.select(col("doc_id"),
+        concat(lit("HTTPS://WWW.D"), col("doc_id") % 50,
+          lit(".com:443/a/?utm_source=t")).as("url"))
+      val b = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("https://d"), col("doc_id") % 50, lit(".com/a")).as("url"))
+      a.union(b)
+        .groupBy(UrlOps.canonicalizeUrl(col("url")).as("canon_url"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_captures"))
+    }),
+
+    // Per-domain corpus stats (partial-agg'd shuffle on the host key —
+    // the input to domain-level quality gates and contribution caps).
+    // Quality is summed as exact integer millionths so the oracle compare
+    // never rides on cross-engine float-sum order.
+    "q_domain_stats" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val url = concat(lit("https://News-"), col("doc_id") % 20,
+        lit(".example.com/a/"), col("doc_id"))
+      docs.select(UrlOps.hostOf(url).as("domain"), col("text"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("sum_tokens"),
+          sum(round(TextOps.qualityScore(col("text")) * 1000000).cast("long"))
+            .as("sum_quality_ppm"))
+    }),
+
+    // Per-domain length gate: keep docs at least half as long (in tokens)
+    // as their domain's longest doc. groupBy(max) + equi-join back — NOT a
+    // window over the domain key: a hot domain (every crawl has one) would
+    // sort in a single task, while the aggregate partial-aggregates
+    // map-side and AQE can skew-split the join.
+    "q_domain_filter" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val url = concat(lit("https://News-"), col("doc_id") % 20,
+        lit(".example.com/a/"), col("doc_id"))
+      val slim = docs.select(col("doc_id"), UrlOps.hostOf(url).as("domain"),
+        TextOps.tokenCount(col("text")).cast("long").as("toks"))
+      val maxes = slim.groupBy("domain").agg(max("toks").as("max_toks"))
+      slim.join(maxes, "domain")
+        .filter(col("toks") * 2 >= col("max_toks"))
+        .select("doc_id", "domain", "toks")
+    }),
+
     // ---------- citation parsing (reference API surface) ----------
 
     // RIS round-trip: build a RIS blob per document row, parse it back with
@@ -1048,6 +1115,39 @@ object SparkEntry {
          |  ${TextOps.bpeTokenCountSql("text")} AS n_bpe,
          |  ${TextOps.qualityScoreSql("text")} AS quality
          |FROM documents""".stripMargin,
+
+    // closed forms of the constructed messy URLs (see the queries' comments)
+    "q_url_canon" ->
+      """SELECT doc_id,
+        |  'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.com/Path/'
+        |    || CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS canon_full,
+        |  'http://host' || CAST(doc_id AS VARCHAR) || '.org/' AS canon_port,
+        |  'https://x.com/p' || CAST(doc_id AS VARCHAR) AS canon_tracking
+        |FROM documents""".stripMargin,
+
+    "q_url_dedup" ->
+      """SELECT 'https://d' || CAST(doc_id % 50 AS VARCHAR) || '.com/a' AS canon_url,
+        |  MIN(doc_id) AS keep_id,
+        |  COUNT(*) * 2 AS n_captures
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_domain_stats" ->
+      s"""SELECT 'news-' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS domain,
+         |  COUNT(*) AS n_docs,
+         |  SUM(CAST(${TextOps.tokenCountSql("text")} AS BIGINT)) AS sum_tokens,
+         |  SUM(CAST(round(${TextOps.qualityScoreSql("text")} * 1000000) AS BIGINT))
+         |    AS sum_quality_ppm
+         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_domain_filter" ->
+      s"""SELECT doc_id, domain, toks FROM (
+         |  SELECT doc_id,
+         |    'news-' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS domain,
+         |    CAST(${TextOps.tokenCountSql("text")} AS BIGINT) AS toks,
+         |    MAX(CAST(${TextOps.tokenCountSql("text")} AS BIGINT))
+         |      OVER (PARTITION BY doc_id % 20) AS max_toks
+         |  FROM documents)
+         |WHERE toks * 2 >= max_toks""".stripMargin,
 
     "q_corpus_filter" ->
       s"""SELECT min(doc_id) AS doc_id, count(*) AS n_copies

@@ -1,0 +1,67 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization for web-corpus curation (graft-added op; no
+  * reference analog — the web-crawl counterpart of the reference's citation
+  * field normalizers, e.g. format_doi's scheme/host stripping at
+  * /root/reference/src/utils.rs).
+  *
+  * Crawls capture the same logical page under many spellings — scheme/host
+  * case, `www.`, default ports, tracking query params, param order,
+  * trailing slashes, fragments. Canonicalizing BEFORE content dedup
+  * collapses these for free (an exact groupBy on a short string), shrinking
+  * the corpus the expensive MinHash/SimHash stages must chew at 100 TB.
+  *
+  * Everything is composed from built-in, codegen'd Spark expressions (no
+  * UDFs), evaluated narrowly per row — no shuffle, no state.
+  *
+  * Canonical form, applied only when the value parses as `scheme://...`
+  * (anything else passes through unchanged so non-URL ids are never
+  * corrupted):
+  *   - scheme and authority lowercased (path/query case is meaningful and
+  *     preserved)
+  *   - leading `www.` stripped from the host
+  *   - default ports stripped (`:80` for http, `:443` for https)
+  *   - query params split on `&`; tracking params dropped
+  *     ([[TrackingParamPattern]]: utm_*, fbclid, gclid, msclkid, ref);
+  *     the rest sorted and rejoined (param order never distinguishes pages)
+  *   - trailing slashes stripped from the path; empty path becomes `/`
+  *   - fragment dropped (never sent to the server)
+  */
+object UrlOps {
+
+  /** Tracking/attribution params that never change page content. Matched
+    * against a full `key=value` pair (or bare key) after splitting on `&`.
+    */
+  val TrackingParamPattern: String =
+    "^(utm_[^=&]*|fbclid|gclid|msclkid|ref)(=.*)?$"
+
+  /** Canonical URL per the rules above; non-URL strings pass through. */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val noWww = regexp_replace(auth, "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(noWww, ":80$", ""))
+      .when(scheme === "https", regexp_replace(noWww, ":443$", ""))
+      .otherwise(noWww)
+    val rawPath = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val trimmedPath = regexp_replace(rawPath, "/+$", "")
+    val path = when(trimmedPath === "", lit("/")).otherwise(trimmedPath)
+    val rawQuery = regexp_extract(url, "\\?([^#]*)", 1)
+    val params = filter(split(rawQuery, "&"),
+      p => p =!= "" && !p.rlike(TrackingParamPattern))
+    val query = array_join(array_sort(params), "&")
+    when(scheme === "", url).otherwise(concat(
+      scheme, lit("://"), host, path,
+      when(query === "", lit("")).otherwise(concat(lit("?"), query))))
+  }
+
+  /** The canonical host (registrable domain + subdomains, `www.`/port/case
+    * folded) — the grouping key for per-domain corpus stats and caps.
+    * Non-URL strings yield the empty string.
+    */
+  def hostOf(url: Column): Column =
+    regexp_extract(canonicalizeUrl(url), "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
+}

@@ -7,7 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.ann.Ann
 import graft.kernel.{Fingerprint, VecMath}
 import graft.multimodal.Multimodal
-import graft.text.TextOps
+import graft.text.{TextOps, UrlOps}
 
 /** Training-data operator tests: text analysis, ANN search, fingerprinting,
   * multimodal plumbing.
@@ -60,6 +60,50 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(overlapOther < 0.1, s"unrelated overlap $overlapOther")
     assert(Fingerprint.digest(doc) === Fingerprint.digest(doc))
     assert(Fingerprint.digest(doc) !== Fingerprint.digest(other))
+  }
+
+  // ---- UrlOps ----
+
+  test("url canonicalization: case, www, default ports, tracking params, " +
+      "param order, trailing slash, fragment") {
+    import spark.implicits._
+    val cases = Seq(
+      // full gauntlet: scheme+host case, www, :443, trailing /, tracking
+      // param, unsorted params, fragment
+      ("HTTPS://WWW.Example.COM:443/Path/A/?utm_source=x&b=2&a=1#frag",
+        "https://example.com/Path/A?a=1&b=2"),
+      // http default port; empty path → "/"
+      ("http://Host.ORG:80", "http://host.org/"),
+      // root slash preserved; bare '?' dropped
+      ("https://x.com/?", "https://x.com/"),
+      // only tracking params → no query at all
+      ("https://x.com/p?utm_campaign=1&fbclid=2&gclid=3&msclkid=4&ref=5",
+        "https://x.com/p"),
+      // bare tracking key without '=' also dropped; real param kept
+      ("https://x.com/p?ref&q=1", "https://x.com/p?q=1"),
+      // non-default port preserved; path case preserved
+      ("https://x.com:8443/CaseSensitive", "https://x.com:8443/CaseSensitive"),
+      // utm-prefixed KEY dropped, but a VALUE containing utm_ survives
+      ("https://x.com/p?a=utm_source&utm_x=1", "https://x.com/p?a=utm_source"),
+      // :80 on https is NOT a default port — preserved
+      ("https://x.com:80/p", "https://x.com:80/p"),
+      // non-URL passes through untouched
+      ("not a url at all", "not a url at all"),
+      ("doc://123", "doc://123/"))
+    val got = cases.map(_._1).toDF("url")
+      .select(UrlOps.canonicalizeUrl(col("url"))).as[String].collect()
+    cases.map(_._2).zip(got).zip(cases.map(_._1)).foreach {
+      case ((want, actual), in) =>
+        assert(actual === want, s"canonicalizeUrl($in)")
+    }
+    // idempotence: canonicalizing a canonical url is a no-op
+    val twice = cases.map(_._2).toDF("url")
+      .select(UrlOps.canonicalizeUrl(col("url"))).as[String].collect()
+    assert(twice.toSeq === cases.map(_._2))
+    // hostOf
+    val hosts = Seq("HTTPS://WWW.A.B.Example.COM:443/x", "nope")
+      .toDF("url").select(UrlOps.hostOf(col("url"))).as[String].collect()
+    assert(hosts.toSeq === Seq("a.b.example.com", ""))
   }
 
   // ---- TextOps ----

@@ -14,6 +14,7 @@ import graft.synth.DeterministicCorpus.CorpusSpec
   * Usage:
   *   DedupMain <checkpointDir> [--families N] [--hot N] [--cores N]
   *             [--input <parquet pages dir>] [--seed N] [--idbits 64|128]
+  *             [--simhash true]
   *             [--inc-batch NAME [--inc-input dir | --inc-families N]
   *              [--inc-offset N]]
   *
@@ -67,7 +68,11 @@ object DedupMain {
     val store = new StageStore(spark, checkpointDir)
     // --idbits 128 switches to the two-long struct id (10^12-doc scale;
     // see DedupPipeline.idCol). countDistinct below works on either width.
-    val cfg = DedupConfig(idBits = opts.getOrElse("idbits", "64").toInt)
+    // --simhash true adds the SimHash candidate source (batch AND the
+    // incremental mirror — a checkpoint dir is config-fingerprinted, so
+    // base run and deltas must agree on it).
+    val cfg = DedupConfig(idBits = opts.getOrElse("idbits", "64").toInt,
+      useSimHashCandidates = opts.get("simhash").exists(_.toBoolean))
     val pipeline = new DedupPipeline(spark, cfg, store)
 
     val incBatch = opts.get("inc-batch")

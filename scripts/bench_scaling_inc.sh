@@ -1,0 +1,42 @@
+#!/usr/bin/env bash
+# Two-cluster-size scaling evidence for the INCREMENTAL (steady-state) path:
+# apply the SAME synthesized crawl delta to two copies of the SAME completed
+# checkpoint store at local[2] (N) and local[8] (4N); report
+# delta_docs_per_sec at both + efficiency = (dps_8/dps_2)/4.
+#
+# Same caveats as bench_scaling.sh: the pair is only meaningful when the
+# bracketing graft.Burn lines show a near-linear box (the VM's deliverable
+# parallelism drifts with hypervisor tenancy); the delta (~448k pages on the
+# default 8.95M-page base) amortizes fixed per-job cost.
+#
+# Usage: scripts/bench_scaling_inc.sh [baseStore] [incFamilies]
+#   baseStore: a COMPLETED DedupMain checkpoint dir (created if missing from
+#              /tmp/graft_corpus_xxl at local[8])
+set -euo pipefail
+cd "$(dirname "$0")/.."
+BASE="${1:-/tmp/graft_inc_base}"
+INC_FAMILIES="${2:-280000}"
+
+if [ ! -d "$BASE/clusters" ]; then
+  echo "== building base store ($BASE) from /tmp/graft_corpus_xxl =="
+  SPARK_GRAFT_MASTER="local[8]" sbt -batch \
+    "runMain graft.DedupMain $BASE --cores 8 --input /tmp/graft_corpus_xxl" \
+    2>/dev/null | grep '"pages"'
+fi
+
+run() {
+  local cores=$1
+  local dir="${BASE}_leg$cores"
+  rm -rf "$dir"
+  cp -r "$BASE" "$dir"
+  sbt -batch "runMain graft.Burn" 2>/dev/null | grep 'BURN'
+  echo "== local[$cores] delta apply =="
+  SPARK_GRAFT_MASTER="local[$cores]" sbt -batch \
+    "runMain graft.DedupMain $dir --cores $cores --inc-batch s1 --inc-families $INC_FAMILIES" \
+    2>/dev/null | grep '"mode"'
+}
+
+run 2
+run 8
+sbt -batch "runMain graft.Burn" 2>/dev/null | grep 'BURN'
+echo "== done; efficiency = (delta_dps_8/delta_dps_2)/4; final pages+clusters must match across legs =="

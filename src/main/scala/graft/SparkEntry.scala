@@ -429,28 +429,42 @@ object SparkEntry {
       val deltaPages = pages(
         base.select((col("id") + 1000000L).as("id"), col("stext")),
         "2026-01-02 00:00:00")
-      def tmpStore() = new graft.io.StageStore(s,
-        java.nio.file.Files.createTempDirectory("graft-q-inc-").toString)
+      val tmpDirs = Seq.fill(2)(
+        java.nio.file.Files.createTempDirectory("graft-q-inc-"))
       // lean checkpointing (single chunk, no durable CC rounds): resume
       // durability is pinned by its own suite; this query buys the
       // equivalence contract at the smallest stage-write cost
       val cfg = graft.dedup.DedupConfig(useSimHashCandidates = true,
         resumeChunks = 1, ccDurableInterval = 0)
-      val batchRun = new graft.dedup.DedupPipeline(s, cfg, tmpStore())
-        .run(basePages.union(deltaPages))
-      val pipe = new graft.dedup.DedupPipeline(s, cfg, tmpStore())
-      pipe.run(basePages).count()
-      val incRun = pipe.incremental("delta", deltaPages)
-      def repMap(df: DataFrame): DataFrame = {
-        val reps = df.filter(col("is_representative"))
-          .select(col("cluster_id"), col("url").as("rep_url"))
-        df.select("url", "cluster_id").join(reps, "cluster_id")
-          .select("url", "rep_url")
+      try {
+        val batchRun = new graft.dedup.DedupPipeline(s, cfg,
+          new graft.io.StageStore(s, tmpDirs(0).toString))
+          .run(basePages.union(deltaPages))
+        val pipe = new graft.dedup.DedupPipeline(s, cfg,
+          new graft.io.StageStore(s, tmpDirs(1).toString))
+        pipe.run(basePages).count()
+        val incRun = pipe.incremental("delta", deltaPages)
+        def repMap(df: DataFrame): DataFrame = {
+          val reps = df.filter(col("is_representative"))
+            .select(col("cluster_id"), col("url").as("rep_url"))
+          df.select("url", "cluster_id").join(reps, "cluster_id")
+            .select("url", "rep_url")
+        }
+        repMap(incRun)
+          .join(repMap(batchRun).withColumnRenamed("rep_url", "rep_url_b"), "url")
+          .select(col("url"), col("rep_url"),
+            (col("rep_url") === col("rep_url_b")).as("matches_batch"))
+          // the comparison is ~2k slim rows: pin it in executor memory so
+          // the checkpoint stores it reads from can be deleted NOW instead
+          // of leaking a stage tree per Verify/Bench invocation
+          .localCheckpoint(true)
+      } finally tmpDirs.foreach { d =>
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        scala.util.Using.resource(Files.walk(d))(
+          _.sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p)))
       }
-      repMap(incRun)
-        .join(repMap(batchRun).withColumnRenamed("rep_url", "rep_url_b"), "url")
-        .select(col("url"), col("rep_url"),
-          (col("rep_url") === col("rep_url_b")).as("matches_batch"))
     }),
 
     // Embedding-cosine near-dup pairs: bounded self-join over vectors,

@@ -777,16 +777,52 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
     * (e.g. chunk membership under a different `resumeChunks`, or edges
     * from a different LSH geometry). First run records the config
     * fingerprint; later runs must match or use a fresh directory.
+    *
+    * The fingerprint is per-field (`name=value` lines), compared with
+    * default-compatibility: a field MISSING from the stored fingerprint
+    * (a knob added to `DedupConfig` after the store was written) is
+    * accepted iff the current value equals the case-class default —
+    * stored stages were computed under exactly that behavior, so adding a
+    * config knob never invalidates existing state (at production scale,
+    * "new knob ⇒ recompute exabytes" is not an acceptable failure mode).
+    * A stored field unknown to the current config (a field since removed)
+    * cannot be verified and is refused.
     */
   private def assertCheckpointConfig(): Unit = {
     import java.nio.file.{Files, Paths}
     val path = Paths.get(store.root, "_PIPELINE_CONFIG.json")
-    val fingerprint = config.toString
+    val fields: Seq[(String, String)] =
+      config.productElementNames.zip(config.productIterator.map(_.toString)).toSeq
+    val defaults: Map[String, String] = {
+      val d = DedupConfig()
+      d.productElementNames.zip(d.productIterator.map(_.toString)).toMap
+    }
+    val fingerprint = fields.map { case (k, v) => s"$k=$v" }.mkString("\n")
     if (Files.exists(path)) {
       val stored = Files.readString(path)
-      require(stored == fingerprint,
+      val storedMap = stored.linesIterator.filter(_.contains('='))
+        .map { l => val i = l.indexOf('='); (l.take(i), l.drop(i + 1)) }.toMap
+      val mismatch = new StringBuilder
+      require(stored.contains('=') || stored == fingerprint,
+        s"checkpoint dir ${store.root} carries a pre-field-format config " +
+          "fingerprint that cannot be verified against the current config; " +
+          "use a fresh checkpoint dir.")
+      fields.foreach { case (k, v) =>
+        storedMap.get(k) match {
+          case Some(sv) =>
+            if (sv != v) mismatch ++= s"  $k: stored=$sv current=$v\n"
+          case None => // knob added after the store was written
+            if (v != defaults(k))
+              mismatch ++= s"  $k: absent from stored fingerprint (stage " +
+                s"data was computed under the default ${defaults(k)}) but " +
+                s"current=$v\n"
+        }
+      }
+      storedMap.keysIterator.filterNot(fields.map(_._1).toSet).foreach(k =>
+        mismatch ++= s"  $k: stored but unknown to the current config\n")
+      require(mismatch.isEmpty,
         s"checkpoint dir ${store.root} was written with a different pipeline " +
-          s"config:\n  stored:  $stored\n  current: $fingerprint\n" +
+          s"config:\n$mismatch" +
           "Resume with the original config or use a fresh checkpoint dir.")
     } else {
       // A dir holding stage manifests but no config fingerprint predates the

@@ -34,9 +34,13 @@ object UrlOps {
 
   /** Tracking/attribution params that never change page content. Matched
     * against a full `key=value` pair (or bare key) after splitting on `&`.
+    * Deliberately ONLY pure attribution keys: `ref`-style params are
+    * content-bearing on major sites (e.g. a branch selector), and dropping
+    * one would silently discard distinct pages in the canonical-dedup
+    * pre-pass.
     */
   val TrackingParamPattern: String =
-    "^(utm_[^=&]*|fbclid|gclid|msclkid|ref)(=.*)?$"
+    "^(utm_[^=&]*|fbclid|gclid|msclkid)(=.*)?$"
 
   /** Canonical URL per the rules above; non-URL strings pass through. */
   def canonicalizeUrl(url: Column): Column = {
@@ -49,7 +53,11 @@ object UrlOps {
     val rawPath = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     val trimmedPath = regexp_replace(rawPath, "/+$", "")
     val path = when(trimmedPath === "", lit("/")).otherwise(trimmedPath)
-    val rawQuery = regexp_extract(url, "\\?([^#]*)", 1)
+    // anchored to the pre-fragment prefix: a '?' INSIDE the fragment (SPA
+    // hash routing, 'https://x.com/p#/view?tab=1') must not leak fragment
+    // content into the canonical query — [^#?]* stops at '#' first, so the
+    // match requires the first '?' to precede any '#'
+    val rawQuery = regexp_extract(url, "^[^#?]*\\?([^#]*)", 1)
     val params = filter(split(rawQuery, "&"),
       p => p =!= "" && !p.rlike(TrackingParamPattern))
     val query = array_join(array_sort(params), "&")
@@ -58,10 +66,15 @@ object UrlOps {
       when(query === "", lit("")).otherwise(concat(lit("?"), query))))
   }
 
-  /** The canonical host (registrable domain + subdomains, `www.`/port/case
-    * folded) — the grouping key for per-domain corpus stats and caps.
-    * Non-URL strings yield the empty string.
+  /** The canonical host (registrable domain + subdomains) — the grouping
+    * key for per-domain corpus stats and caps. Unlike [[canonicalizeUrl]]
+    * (which preserves userinfo and non-default ports because they are part
+    * of the page's identity), the GROUPING key folds `user@` and ANY
+    * `:port` too, so one site cannot split across domain groups and evade
+    * a per-domain gate. Non-URL strings yield the empty string.
     */
-  def hostOf(url: Column): Column =
-    regexp_extract(canonicalizeUrl(url), "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
+  def hostOf(url: Column): Column = {
+    val auth = regexp_extract(canonicalizeUrl(url), "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
+    regexp_replace(regexp_replace(auth, "^[^@/]*@", ""), ":[0-9]+$", "")
+  }
 }

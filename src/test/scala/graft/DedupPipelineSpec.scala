@@ -320,6 +320,46 @@ class DedupPipelineSpec extends AnyFunSuite {
     assert(okStore.marked("signatures_idcheck"))
   }
 
+  test("config fingerprint: knob added after the store was written resumes " +
+      "at its default, is refused off-default; removed knob refused") {
+    import spark.implicits._
+    val pages = Seq(
+      mkPage("f1", (1 to 30).map(i => s"fa$i").mkString(" "), "s"),
+      mkPage("f2", (1 to 30).map(i => s"fb$i").mkString(" "), "s")).toDS()
+    val store = freshStore()
+    new DedupPipeline(spark, DedupConfig(), store).run(pages).count()
+
+    val fp = java.nio.file.Paths.get(store.root, "_PIPELINE_CONFIG.json")
+    val full = java.nio.file.Files.readString(fp)
+
+    // simulate a store written BEFORE simHashMaxBucket existed
+    java.nio.file.Files.writeString(fp, full.linesIterator
+      .filterNot(_.startsWith("simHashMaxBucket=")).mkString("\n"))
+    // current value == default → stages are still valid, resume accepted
+    assert(new DedupPipeline(spark, DedupConfig(), store)
+      .run(pages).count() === 2L)
+    // off-default → stage contents would differ, refused
+    val exOff = intercept[IllegalArgumentException] {
+      new DedupPipeline(spark, DedupConfig(simHashMaxBucket = 7), store)
+        .run(pages).count()
+    }
+    assert(exOff.getMessage.contains("simHashMaxBucket"))
+
+    // a stored field the current config no longer knows cannot be verified
+    java.nio.file.Files.writeString(fp, full + "\nretiredKnob=3")
+    val exUnknown = intercept[IllegalArgumentException] {
+      new DedupPipeline(spark, DedupConfig(), store).run(pages).count()
+    }
+    assert(exUnknown.getMessage.contains("retiredKnob"))
+
+    // pre-field-format (case-class toString) fingerprints are refused
+    java.nio.file.Files.writeString(fp, DedupConfig().toString)
+    val exLegacy = intercept[IllegalArgumentException] {
+      new DedupPipeline(spark, DedupConfig(), store).run(pages).count()
+    }
+    assert(exLegacy.getMessage.contains("pre-field-format"))
+  }
+
   test("incremental batches: run(A)+inc(B)+inc(C) equals run(A∪B∪C) bit-identically") {
     import spark.implicits._
     import scala.util.hashing.MurmurHash3

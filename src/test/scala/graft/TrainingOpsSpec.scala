@@ -77,10 +77,14 @@ class TrainingOpsSpec extends AnyFunSuite {
       // root slash preserved; bare '?' dropped
       ("https://x.com/?", "https://x.com/"),
       // only tracking params → no query at all
-      ("https://x.com/p?utm_campaign=1&fbclid=2&gclid=3&msclkid=4&ref=5",
+      ("https://x.com/p?utm_campaign=1&fbclid=2&gclid=3&msclkid=4",
         "https://x.com/p"),
       // bare tracking key without '=' also dropped; real param kept
-      ("https://x.com/p?ref&q=1", "https://x.com/p?q=1"),
+      ("https://x.com/p?fbclid&q=1", "https://x.com/p?q=1"),
+      // ref is CONTENT-BEARING (branch selectors etc.) — never dropped
+      ("https://x.com/p?ref=main", "https://x.com/p?ref=main"),
+      // '?' inside the fragment is fragment content, not a query
+      ("https://x.com/p#/view?tab=1", "https://x.com/p"),
       // non-default port preserved; path case preserved
       ("https://x.com:8443/CaseSensitive", "https://x.com:8443/CaseSensitive"),
       // utm-prefixed KEY dropped, but a VALUE containing utm_ survives
@@ -100,10 +104,11 @@ class TrainingOpsSpec extends AnyFunSuite {
     val twice = cases.map(_._2).toDF("url")
       .select(UrlOps.canonicalizeUrl(col("url"))).as[String].collect()
     assert(twice.toSeq === cases.map(_._2))
-    // hostOf
-    val hosts = Seq("HTTPS://WWW.A.B.Example.COM:443/x", "nope")
+    // hostOf: grouping key folds userinfo and ANY port (not just defaults)
+    val hosts = Seq("HTTPS://WWW.A.B.Example.COM:443/x",
+      "https://user@x.com:8443/p", "nope")
       .toDF("url").select(UrlOps.hostOf(col("url"))).as[String].collect()
-    assert(hosts.toSeq === Seq("a.b.example.com", ""))
+    assert(hosts.toSeq === Seq("a.b.example.com", "x.com", ""))
   }
 
   // ---- TextOps ----

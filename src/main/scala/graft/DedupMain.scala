@@ -14,7 +14,7 @@ import graft.synth.DeterministicCorpus.CorpusSpec
   * Usage:
   *   DedupMain <checkpointDir> [--families N] [--hot N] [--cores N]
   *             [--input <parquet pages dir>] [--seed N] [--idbits 64|128]
-  *             [--simhash true]
+  *             [--simhash true] [--urldedup true]
   *             [--inc-batch NAME [--inc-input dir | --inc-families N]
   *              [--inc-offset N]]
   *
@@ -71,8 +71,11 @@ object DedupMain {
     // --simhash true adds the SimHash candidate source (batch AND the
     // incremental mirror — a checkpoint dir is config-fingerprinted, so
     // base run and deltas must agree on it).
+    // --urldedup true collapses capture spellings per canonical url
+    // within each batch before signatures (UrlOps.canonicalizeUrl).
     val cfg = DedupConfig(idBits = opts.getOrElse("idbits", "64").toInt,
-      useSimHashCandidates = opts.get("simhash").exists(_.toBoolean))
+      useSimHashCandidates = opts.get("simhash").exists(_.toBoolean),
+      urlCanonicalPreDedup = opts.get("urldedup").exists(_.toBoolean))
     val pipeline = new DedupPipeline(spark, cfg, store)
 
     val incBatch = opts.get("inc-batch")

@@ -49,6 +49,7 @@ final case class DedupConfig(
     useSimHashCandidates: Boolean = false,
     simHashMaxHamming: Int = 3,
     simHashMaxBucket: Int = 10000,
+    urlCanonicalPreDedup: Boolean = false,
     idBits: Int = 64) {
   require(bands * rows == numHashes, "bands*rows must equal numHashes")
   require(resumeChunks >= 1, "resumeChunks must be >= 1")
@@ -453,17 +454,43 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
         .select("a", "b")
     }
 
+  /** Optional pre-stage (`urlCanonicalPreDedup`): keep ONE capture per
+    * CANONICAL url ([[graft.text.UrlOps.canonicalizeUrl]] — scheme/host
+    * case, `www.`, default ports, tracking params, param order, trailing
+    * slash, fragment) within the input batch — the earliest `warc_ts`
+    * (raw url as the deterministic tiebreak). A crawl frontier emits the
+    * same logical page under many spellings; collapsing them here costs
+    * one partial-agg'd shuffle on a short string key and shrinks what the
+    * signature/banding stages must chew. Dropped captures do NOT appear
+    * in the clusters output (they were never distinct documents). Scoped
+    * WITHIN a batch: cross-batch captures of the same canonical url are
+    * exact-content or near-dup pairs, which the exact path / LSH stages
+    * already link.
+    */
+  private[graft] def urlPreDedup(pages: Dataset[Page]): Dataset[Page] =
+    if (!config.urlCanonicalPreDedup) pages
+    else {
+      val df = pages.toDF()
+      val cols = df.columns
+      df.groupBy(graft.text.UrlOps.canonicalizeUrl(col("url")).as("canon_url"))
+        .agg(min_by(struct(cols.map(col): _*),
+          struct(col("warc_ts"), col("url"))).as("p"))
+        .select("p.*")
+        .as[Page]
+    }
+
   /** Run everything; returns the clusters DataFrame. */
   def run(pages: Dataset[Page]): DataFrame = {
     assertCheckpointConfig()
-    val sigs = signatures(pages)
+    val input = urlPreDedup(pages)
+    val sigs = signatures(input)
     val exact = exactEdges(sigs)
     val lshPairs = candidatePairs(sigs, exact)
     val pairs =
       if (config.useSimHashCandidates)
         lshPairs.union(simHashCandidates(sigs)).distinct()
       else lshPairs
-    val verified = verifiedEdges(sigs, pairs, Some(pages))
+    val verified = verifiedEdges(sigs, pairs, Some(input))
     val comps = components(exact, verified)
     clusters(sigs, comps)
   }
@@ -542,9 +569,11 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
       if (applied.isEmpty) store.read("components")
       else store.read(s"inc_${applied.last}_components")
 
-    // 1 — delta signatures (ids already present are the same capture: drop)
+    // 1 — delta signatures (ids already present are the same capture:
+    // drop); the optional canonical-url pre-dedup applies within the
+    // delta, like the batch path (see urlPreDedup's scope note)
     val sigsNew = store.getOrCompute(s"inc_${batch}_signatures") {
-      signaturesChunkPlan(newPages.toDF())
+      signaturesChunkPlan(urlPreDedup(newPages).toDF())
         .join(priorSigs.select("id"), Seq("id"), "left_anti")
     }
     if (config.verifyIdUniqueness && !store.marked(s"inc_${batch}_idcheck")) {

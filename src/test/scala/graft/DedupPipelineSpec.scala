@@ -320,6 +320,33 @@ class DedupPipelineSpec extends AnyFunSuite {
     assert(okStore.marked("signatures_idcheck"))
   }
 
+  test("url canonical pre-dedup: capture spellings collapse to the earliest; " +
+      "off by default") {
+    import spark.implicits._
+    val body = (1 to 40).map(i => s"pd$i").mkString(" ")
+    def cap(url: String, t: Long) = graft.schema.Page(url,
+      new java.sql.Timestamp(t), Array.empty[Byte], body, "en", "s")
+    val pages = Seq(
+      cap("HTTPS://WWW.x.com:443/a/?utm_source=1", 2000L), // same page,
+      cap("https://x.com/a", 1000L),                       // three spellings
+      cap("https://x.com/a#frag", 3000L),
+      mkPage("other", (1 to 40).map(i => s"zq$i").mkString(" "), "s")).toDS()
+
+    val on = new DedupPipeline(spark,
+      DedupConfig(urlCanonicalPreDedup = true), freshStore()).run(pages)
+    // dropped captures never appear; the earliest capture is kept
+    assert(on.count() === 2L)
+    assert(on.filter(col("url").startsWith("http")).select("url")
+      .as[String].collect().toSeq === Seq("https://x.com/a"))
+
+    // default off: all captures flow through (and the exact path clusters
+    // the identical-content spellings anyway)
+    val off = new DedupPipeline(spark, DedupConfig(), freshStore()).run(pages)
+    assert(off.count() === 4L)
+    assert(off.filter(col("url").startsWith("http"))
+      .select("cluster_id").distinct().count() === 1L)
+  }
+
   test("config fingerprint: knob added after the store was written resumes " +
       "at its default, is refused off-default; removed knob refused") {
     import spark.implicits._

@@ -470,12 +470,19 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
   private[graft] def urlPreDedup(pages: Dataset[Page]): Dataset[Page] =
     if (!config.urlCanonicalPreDedup) pages
     else {
-      val df = pages.toDF()
-      val cols = df.columns
-      df.groupBy(graft.text.UrlOps.canonicalizeUrl(col("url")).as("canon_url"))
-        .agg(min_by(struct(cols.map(col): _*),
+      // the html payload — the corpus's largest column — is NOT carried
+      // through the dedup shuffle: no pipeline stage reads it (signatures
+      // drops it before caching, LCS joins normalized text), so shuffling
+      // it would multiply the stage's volume by the payload ratio for
+      // nothing. The kept rows re-attach an empty payload. Production
+      // ingest-time spelling-dedup keeps payloads in place by deduping
+      // within host-partitioned crawl files instead.
+      val slim = pages.toDF().drop("html")
+      slim.groupBy(graft.text.UrlOps.canonicalizeUrl(col("url")).as("canon_url"))
+        .agg(min_by(struct(slim.columns.map(col): _*),
           struct(col("warc_ts"), col("url"))).as("p"))
         .select("p.*")
+        .withColumn("html", typedLit(Array.empty[Byte]))
         .as[Page]
     }
 

@@ -111,6 +111,62 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(hosts.toSeq === Seq("a.b.example.com", "x.com", ""))
   }
 
+  test("url canonicalization property: every randomized spelling of a " +
+      "logical page folds to one canonical form; invariants hold") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42) // seeded: deterministic corpus
+    // a logical page = (host labels, path segments, real params)
+    case class Logical(host: String, path: Seq[String], params: Seq[(String, String)])
+    def logical(i: Int) = Logical(
+      s"site$i.example.org",
+      Seq.fill(1 + rnd.nextInt(3))(s"Seg${rnd.nextInt(50)}"),
+      Seq.tabulate(rnd.nextInt(3))(j => (s"k$j", s"v${rnd.nextInt(9)}")))
+    def randCase(s: String) =
+      s.map(c => if (rnd.nextBoolean()) c.toUpper else c)
+    val tracking = Seq("utm_source=x", "utm_medium=email", "fbclid=abc",
+      "gclid=1", "msclkid=2")
+    // one random SPELLING of a logical page: case noise on scheme+host,
+    // optional www./default port/trailing slashes, shuffled params with
+    // injected tracking noise, optional fragment (possibly containing '?')
+    def spelling(l: Logical): String = {
+      val scheme = randCase("https") // fixed scheme: ports pair with it
+      val host = (if (rnd.nextBoolean()) "www." else "") + randCase(l.host) +
+        (if (rnd.nextBoolean()) ":443" else "")
+      val path = l.path.mkString("/", "/", "") +
+        (if (rnd.nextBoolean()) "/" * (1 + rnd.nextInt(2)) else "")
+      val params = rnd.shuffle(
+        l.params.map { case (k, v) => s"$k=$v" } ++
+          Seq.fill(rnd.nextInt(3))(tracking(rnd.nextInt(tracking.length))))
+      val query = if (params.isEmpty) "" else params.mkString("?", "&", "")
+      val frag = rnd.nextInt(3) match {
+        case 0 => "" case 1 => "#sec" case _ => "#/view?tab=" + rnd.nextInt(5)
+      }
+      s"$scheme://$host$path$query$frag"
+    }
+    val cases = (0 until 60).map(logical).flatMap { l =>
+      val id = l.host + l.path.mkString("/") + l.params.mkString(",")
+      Seq.fill(5)(spelling(l)).map(s => (id, s))
+    }
+    val canon = cases.toDF("logical", "url")
+      .select(col("logical"), col("url"),
+        UrlOps.canonicalizeUrl(col("url")).as("c"),
+        UrlOps.canonicalizeUrl(UrlOps.canonicalizeUrl(col("url"))).as("cc"))
+      .collect()
+    canon.foreach { r =>
+      val (u, c, cc) = (r.getString(1), r.getString(2), r.getString(3))
+      assert(c === cc, s"not idempotent for $u")
+      assert(!c.contains("#"), s"fragment survived in $c")
+      assert(!c.contains("utm_") && !c.contains("fbclid") &&
+        !c.contains("gclid") && !c.contains("msclkid"),
+        s"tracking param survived in $c (from $u)")
+    }
+    // all spellings of one logical page agree on ONE canonical form
+    canon.groupBy(_.getString(0)).foreach { case (l, rows) =>
+      assert(rows.map(_.getString(2)).toSet.size === 1,
+        s"spellings of $l diverged: ${rows.map(_.getString(2)).toSet}")
+    }
+  }
+
   // ---- TextOps ----
 
   test("language id picks the stopword-dominant language; und for no hits") {

@@ -1,0 +1,69 @@
+package graft.dedup
+
+/** Analytic MinHash-LSH parameter selection (Broder, "On the resemblance
+  * and containment of documents", SEQUENCES 1997; banding analysis per
+  * Leskovec/Rajaraman/Ullman, Mining of Massive Datasets §3.4).
+  *
+  * With `b` bands of `r` rows, a pair at Jaccard similarity `s` shares at
+  * least one band bucket with probability `1 − (1 − s^r)^b` — an S-curve
+  * whose waterline sits near `(1/b)^(1/r)`. Choosing (b, r) IS the
+  * engine's recall/cost dial at 100 TB: too-flat a curve either misses
+  * near-dups above the threshold (recall loss that no later stage can
+  * recover) or floods the verify stage with sub-threshold candidates
+  * (each one a shuffled shingle-set comparison). This module makes the
+  * choice analytic instead of folklore:
+  *
+  *   - [[candidateProbability]]: the exact curve, for validation and docs;
+  *   - [[falseNegativeRate]] / [[falsePositiveArea]]: the two costs;
+  *   - [[suggest]]: the (b, r) factorization of `numHashes` whose curve
+  *     best separates below-threshold from above-threshold pairs.
+  *
+  * The pipeline default (16 bands × 5 rows = 80 hashes) was picked by
+  * exactly this criterion for jaccardThreshold = 0.8; the test suite pins
+  * [[suggest]] to reproduce it.
+  */
+object LshTuning {
+
+  /** P[pair at similarity s shares ≥1 band bucket] for b bands × r rows. */
+  def candidateProbability(s: Double, bands: Int, rows: Int): Double = {
+    require(s >= 0 && s <= 1, "similarity in [0,1]")
+    1.0 - math.pow(1.0 - math.pow(s, rows), bands)
+  }
+
+  /** Miss probability for a pair exactly AT the threshold — pairs above it
+    * are missed strictly less often.
+    */
+  def falseNegativeRate(threshold: Double, bands: Int, rows: Int): Double =
+    1.0 - candidateProbability(threshold, bands, rows)
+
+  /** Mean candidate probability over sub-threshold similarities (uniform
+    * on [0, threshold), midpoint rule): the verify-stage load per
+    * below-threshold pair. Deterministic — no RNG.
+    */
+  def falsePositiveArea(threshold: Double, bands: Int, rows: Int,
+      steps: Int = 1000): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < steps) {
+      acc += candidateProbability((i + 0.5) * threshold / steps, bands, rows)
+      i += 1
+    }
+    acc / steps
+  }
+
+  /** All (bands, rows) factorizations of numHashes with rows ≥ 1. */
+  def factorizations(numHashes: Int): Seq[(Int, Int)] =
+    (1 to numHashes).filter(numHashes % _ == 0).map(b => (b, numHashes / b))
+
+  /** The factorization of `numHashes` minimizing
+    * `fnWeight · falseNegativeRate + falsePositiveArea` at `threshold`.
+    * False negatives default-weighted 10×: a missed near-dup is
+    * unrecoverable, an extra candidate just costs one verify comparison.
+    */
+  def suggest(threshold: Double, numHashes: Int,
+      fnWeight: Double = 10.0): (Int, Int) =
+    factorizations(numHashes).minBy { case (b, r) =>
+      fnWeight * falseNegativeRate(threshold, b, r) +
+        falsePositiveArea(threshold, b, r)
+    }
+}

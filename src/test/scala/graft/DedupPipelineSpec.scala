@@ -320,6 +320,48 @@ class DedupPipelineSpec extends AnyFunSuite {
     assert(okStore.marked("signatures_idcheck"))
   }
 
+  test("lsh tuning: suggest reproduces the pipeline default; analytic " +
+      "S-curve matches the real banding expression empirically") {
+    import spark.implicits._
+    import graft.dedup.LshTuning
+    import graft.functions.{minhash_bands, normalize_tokens, word_shingles}
+
+    // the pipeline default (16 bands × 5 rows) is the analytic optimum for
+    // the 0.8 threshold at 80 hashes — pinned so a config drift is loud
+    assert(LshTuning.suggest(0.8, 80) === ((16, 5)))
+    assert(LshTuning.candidateProbability(0.0, 16, 5) === 0.0)
+    assert(LshTuning.candidateProbability(1.0, 16, 5) === 1.0)
+    val curve = (0 to 10).map(i => LshTuning.candidateProbability(i / 10.0, 16, 5))
+    assert(curve === curve.sorted, "S-curve must be monotone in similarity")
+
+    // empirical validation on the REAL expressions: n pairs of token sets
+    // at exact Jaccard (shared/(shared+2·uniq)); fraction sharing ≥1 band
+    // bucket must sit within sampling noise of the analytic curve.
+    // Deterministic (fixed token strings, fixed hash seed).
+    def empirical(shared: Int, uniq: Int, n: Int): Double = {
+      val rows = (0 until n).map { p =>
+        val base = (0 until shared).map(i => s"p${p}s$i")
+        ((base ++ (0 until uniq).map(i => s"p${p}a$i")).mkString(" "),
+          (base ++ (0 until uniq).map(i => s"p${p}b$i")).mkString(" "))
+      }
+      def bandsOf(c: org.apache.spark.sql.Column) =
+        minhash_bands(word_shingles(normalize_tokens(c), 1), 16, 5)
+      val hits = rows.toDF("ta", "tb")
+        .select(bandsOf(col("ta")).as("ba"), bandsOf(col("tb")).as("bb"))
+        .as[(Array[Long], Array[Long])].collect()
+        .count { case (a, b) => a.zip(b).exists(p => p._1 == p._2) }
+      hits.toDouble / n
+    }
+    // Jaccard 0.8 = 80/(80+2·10): analytic 0.9983
+    val e08 = empirical(80, 10, 200)
+    assert(math.abs(e08 - LshTuning.candidateProbability(0.8, 16, 5)) < 0.03,
+      s"empirical $e08 at s=0.8")
+    // Jaccard 0.4 = 40/(40+2·30): analytic 0.152; 3σ ≈ 0.076 at n=200
+    val e04 = empirical(40, 30, 200)
+    assert(math.abs(e04 - LshTuning.candidateProbability(0.4, 16, 5)) < 0.08,
+      s"empirical $e04 at s=0.4")
+  }
+
   test("url canonical pre-dedup: capture spellings collapse to the earliest; " +
       "off by default") {
     import spark.implicits._

@@ -467,6 +467,17 @@ object SparkEntry {
       }
     }),
 
+    // The LSH banding S-curve at the pipeline's default geometry (16×5,
+    // threshold 0.8): P[candidate | similarity s] = 1 − (1 − s⁵)¹⁶,
+    // evaluated on a similarity grid — the analytic recall/cost dial
+    // (graft.dedup.LshTuning), oracle-checked against DuckDB's pow.
+    "q_lsh_curve" -> ((s, dir) => {
+      s.range(0, 101).select(
+        (col("id") / 100.0).as("sim"),
+        round(lit(1.0) - pow(lit(1.0) - pow(col("id") / 100.0, lit(5.0)),
+          lit(16.0)), 6).as("p_candidate"))
+    }),
+
     // Embedding-cosine near-dup pairs: bounded self-join over vectors,
     // keep pairs above a cosine threshold (the embedding analog of the
     // fuzzy-title predicate).
@@ -1138,6 +1149,12 @@ object SparkEntry {
         |  'http://host' || CAST(doc_id AS VARCHAR) || '.org/' AS canon_port,
         |  'https://x.com/p' || CAST(doc_id AS VARCHAR) AS canon_tracking
         |FROM documents""".stripMargin,
+
+    "q_lsh_curve" ->
+      """SELECT CAST(i AS DOUBLE) / 100.0 AS sim,
+        |  round(1.0 - pow(1.0 - pow(CAST(i AS DOUBLE) / 100.0, 5.0), 16.0), 6)
+        |    AS p_candidate
+        |FROM range(0, 101) t(i)""".stripMargin,
 
     "q_url_dedup" ->
       """SELECT 'https://d' || CAST(doc_id % 50 AS VARCHAR) || '.com/a' AS canon_url,

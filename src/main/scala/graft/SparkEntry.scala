@@ -532,6 +532,23 @@ object SparkEntry {
           col("rescued_ok"))
     }),
 
+    // Containment (Broder's second resemblance measure): |A∩B| / |A| over
+    // token sets — asymmetric, the quote/subsumption detector Jaccard
+    // underrates when one document swallows another. Pure built-ins
+    // (array_intersect/array_distinct), same formula in DuckDB.
+    "q_text_containment" -> ((s, dir) => {
+      val full = split(lower(col("text")), " ")
+      val head = split(lower(substring(col("text"), 1, 100)), " ")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        round(size(array_intersect(full, head)).cast("double") /
+          greatest(size(array_distinct(full)).cast("double"), lit(1.0)), 6)
+          .as("full_in_head"),
+        round(size(array_intersect(head, full)).cast("double") /
+          greatest(size(array_distinct(head)).cast("double"), lit(1.0)), 6)
+          .as("head_in_full"))
+    }),
+
     // Character-set Jaccard (char shingles at k=1 — DuckDB's jaccard()
     // uses the same character-set semantics).
     "q_dedup_char_jaccard" -> ((s, dir) => {
@@ -1052,6 +1069,18 @@ object SparkEntry {
     "q_dedup_embed_lsh" ->
       """SELECT vec_id AS a, vec_id + 1000000 AS b, 1.0 AS cos
         |FROM embeddings""".stripMargin,
+
+    "q_text_containment" ->
+      """SELECT doc_id,
+        |  round(CAST(len(list_intersect(string_split(lower(text), ' '),
+        |      string_split(lower(substr(text, 1, 100)), ' '))) AS DOUBLE)
+        |    / greatest(CAST(len(list_distinct(string_split(lower(text), ' ')))
+        |      AS DOUBLE), 1.0), 6) AS full_in_head,
+        |  round(CAST(len(list_intersect(string_split(lower(substr(text, 1, 100)), ' '),
+        |      string_split(lower(text), ' '))) AS DOUBLE)
+        |    / greatest(CAST(len(list_distinct(string_split(lower(substr(text, 1, 100)), ' ')))
+        |      AS DOUBLE), 1.0), 6) AS head_in_full
+        |FROM documents""".stripMargin,
 
     "q_dedup_char_jaccard" ->
       "SELECT doc_id, round(jaccard(text, substr(text, 1, 50)), 6) AS jac FROM documents",

@@ -458,14 +458,24 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
     * CANONICAL url ([[graft.text.UrlOps.canonicalizeUrl]] — scheme/host
     * case, `www.`, default ports, tracking params, param order, trailing
     * slash, fragment) within the input batch — the earliest `warc_ts`
-    * (raw url as the deterministic tiebreak). A crawl frontier emits the
-    * same logical page under many spellings; collapsing them here costs
-    * one partial-agg'd shuffle on a short string key and shrinks what the
-    * signature/banding stages must chew. Dropped captures do NOT appear
-    * in the clusters output (they were never distinct documents). Scoped
-    * WITHIN a batch: cross-batch captures of the same canonical url are
-    * exact-content or near-dup pairs, which the exact path / LSH stages
-    * already link.
+    * (raw url, then content hash, as deterministic tiebreaks). A crawl
+    * frontier emits the same logical page under many spellings;
+    * collapsing them here costs one partial-agg'd shuffle on a short
+    * string key and shrinks what the signature/banding stages must chew.
+    *
+    * POLICY, stated plainly: this is keep-one-capture-per-page-PER-BATCH.
+    * A batch is a crawl snapshot; within one snapshot, one capture per
+    * logical page is the point. A RE-crawl whose content changed is a
+    * later batch's row and is NOT collapsed against earlier batches
+    * (pre-dedup is per-batch by design — see the incremental contract
+    * note). Pipelines that must retain multiple same-batch captures of
+    * one url (web-archive history) should leave the flag off — the id
+    * scheme supports that natively.
+    *
+    * Rows with a NULL url pass through un-deduped: they would otherwise
+    * all share the null canonical key and silently collapse to one row,
+    * whereas downstream the signature id-uniqueness guard rejects them
+    * LOUDLY (all-null natural keys share one id) — the loud path wins.
     */
   private[graft] def urlPreDedup(pages: Dataset[Page]): Dataset[Page] =
     if (!config.urlCanonicalPreDedup) pages
@@ -478,10 +488,15 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
       // ingest-time spelling-dedup keeps payloads in place by deduping
       // within host-partitioned crawl files instead.
       val slim = pages.toDF().drop("html")
-      slim.groupBy(graft.text.UrlOps.canonicalizeUrl(col("url")).as("canon_url"))
+      // the xxhash64(text) tiebreak makes the pick TOTAL: corrupt inputs
+      // holding two different texts at one (url, warc_ts) resolve the
+      // same way on every re-execution of this (uncheckpointed) plan
+      val kept = slim.filter(col("url").isNotNull)
+        .groupBy(graft.text.UrlOps.canonicalizeUrl(col("url")).as("canon_url"))
         .agg(min_by(struct(slim.columns.map(col): _*),
-          struct(col("warc_ts"), col("url"))).as("p"))
+          struct(col("warc_ts"), col("url"), xxhash64(col("text")))).as("p"))
         .select("p.*")
+      kept.union(slim.filter(col("url").isNull))
         .withColumn("html", typedLit(Array.empty[Byte]))
         .as[Page]
     }
@@ -497,7 +512,12 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
       if (config.useSimHashCandidates)
         lshPairs.union(simHashCandidates(sigs)).distinct()
       else lshPairs
-    val verified = verifiedEdges(sigs, pairs, Some(input))
+    // LCS texts come from the ORIGINAL pages, not the pre-dedup'd plan:
+    // the lookup is keyed by doc id (hash(url, warc_ts)), dropped captures'
+    // ids never appear in borderline pairs, and driving the (tiny) text
+    // fetch through `input` would re-execute the corpus-wide pre-dedup
+    // shuffle for a handful of rows
+    val verified = verifiedEdges(sigs, pairs, Some(pages))
     val comps = components(exact, verified)
     clusters(sigs, comps)
   }
@@ -547,6 +567,12 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
     * incremental(B) produces clusters BIT-IDENTICAL to run(A ∪ B) —
     * pinned by DedupPipelineSpec. In the chain/drop regimes both paths
     * degrade under the same documented policy but not edge-identically.
+    * With `urlCanonicalPreDedup` the contract additionally requires that
+    * no canonical url spans batches: pre-dedup is PER-BATCH (a batch is a
+    * crawl snapshot), so spellings of one page split across A and B keep
+    * one capture each — they still land in one cluster (exact/near-dup
+    * edges link them) but the row sets differ from run(A ∪ B), whose
+    * global pre-dedup keeps a single capture.
     *
     * `allPages` feeds the LCS second chance (`useLcsCheck`) and must cover
     * old AND new pages (production: the pages table itself); with None,

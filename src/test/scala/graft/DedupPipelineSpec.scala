@@ -387,6 +387,22 @@ class DedupPipelineSpec extends AnyFunSuite {
     assert(off.count() === 4L)
     assert(off.filter(col("url").startsWith("http"))
       .select("cluster_id").distinct().count() === 1L)
+
+    // null urls pass through UN-deduped (they must reach the loud
+    // id-uniqueness guard, not silently collapse into one null group)
+    val pipe = new DedupPipeline(spark,
+      DedupConfig(urlCanonicalPreDedup = true), freshStore())
+    val nulls = Seq(cap(null, 1L), cap(null, 2L)).toDS()
+    assert(pipe.urlPreDedup(pages.union(nulls))
+      .filter(col("url").isNull).count() === 2L)
+
+    // corrupt duplicate (url, warc_ts) with different texts: the content-
+    // hash tiebreak makes the surviving row identical on re-execution
+    val dup = Seq(cap("https://t.com/x", 5L).copy(text = "aaa bbb"),
+      cap("https://t.com/x", 5L).copy(text = "ccc ddd")).toDS()
+    val pick1 = pipe.urlPreDedup(dup).collect().map(_.text).toSeq
+    val pick2 = pipe.urlPreDedup(dup).collect().map(_.text).toSeq
+    assert(pick1.length === 1 && pick1 === pick2)
   }
 
   test("config fingerprint: knob added after the store was written resumes " +

@@ -49,10 +49,11 @@ object Bench {
     // distinguishable from a plan regression inside the artifact itself —
     // round-2's BENCH looked like a 26% regression until an idle-box rerun
     // showed it was tenancy noise.
-    val burnEff = Burn.effectiveCores()
+    val burn = Burn.probe()
     val effCores = Seq(2, 4, 8)
-      .map(w => f""""effective_cores_$w":${burnEff(w)}%.2f""")
-      .mkString(",")
+      .map(w => f""""effective_cores_$w":${burn.eff(w)}%.2f""")
+      .mkString(",") +
+      f""","burn_r1_spread":${burn.r1Spread}%.3f,"burn_stable":${burn.stable}"""
 
     // JVM/codegen warmup so the first measured query is not paying JIT cost
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -78,6 +79,17 @@ object Bench {
     results("dedup_e2e") = dedupSec
     val docsPerSec = nPages / dedupSec
 
+    // LCS-rescue variant (useLcsCheck defaults off in DedupConfig): a
+    // separate e2e run so the suffix-automaton verify join's cost at scale
+    // is visible in the artifact instead of only in unit tests. Borderline
+    // pairs are few on this corpus, so the expected delta vs dedup_e2e is
+    // the borderline text fetch + LCS join, not a corpus-sized term.
+    val lcsStore = new StageStore(spark, Files.createTempDirectory("graft-bench-lcs-").toString)
+    results("dedup_e2e_lcs") = time {
+      new DedupPipeline(spark, DedupConfig(useLcsCheck = true), lcsStore)
+        .run(pages).count(); ()
+    }
+
     // steady-state production mode: apply a ~5% crawl delta on the SAME
     // store's checkpoints — the measurable claim is that a delta costs a
     // small fraction of the full rerun it replaces (dedup_e2e above).
@@ -98,5 +110,16 @@ object Bench {
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","dedup_pages":$nPages,"dedup_docs_per_sec":$docsPerSec%.1f,"inc_delta_pages":$nDelta,"inc_delta_docs_per_sec":${nDelta / incSec}%.1f,"cores":$cpus,$effCores}""")
     spark.stop()
+    // temp checkpoint stores: delete so repeated bench runs don't pile up
+    // multi-GB trees in /tmp (each e2e store holds the full stage chain)
+    Seq(store.root, lcsStore.root).foreach { r =>
+      def rm(p: java.nio.file.Path): Unit = {
+        if (Files.isDirectory(p))
+          scala.util.Using.resource(Files.list(p))(
+            _.toArray.map(_.asInstanceOf[java.nio.file.Path])).foreach(rm)
+        Files.deleteIfExists(p); ()
+      }
+      rm(java.nio.file.Paths.get(r))
+    }
   }
 }

@@ -7,17 +7,27 @@ package graft
   * ceiling to be interpretable. Used inline by [[Bench]] (JSON fields) and
   * standalone by scripts/bench_scaling.sh (one line per leg).
   *
+  * The 1-worker REFERENCE rate is the probe's weak point: a single
+  * throttled (or turbo-boosted) 2-second window corrupts every ratio —
+  * impossible readings like effective_cores_8 = 8.98 were observed. So the
+  * reference is measured THREE times, interleaved with the multi-worker
+  * burns (before, between, after), and the ratios use the MEDIAN; when the
+  * three slices spread more than 15% (or any burn leaves a thread alive at
+  * the join deadline) the whole probe is flagged `stable=false` — an
+  * unstable probe must not masquerade as a ceiling.
+  *
   * Usage: runMain graft.Burn   →
-  *   BURN effective_cores_2=1.98 effective_cores_4=3.71 effective_cores_8=7.12 ceiling_2to8=0.899
+  *   BURN effective_cores_2=1.98 effective_cores_4=3.71 effective_cores_8=7.12 ceiling_2to8=0.899 burn_r1_spread=0.04 burn_stable=true
   */
 object Burn {
 
-  /** Total sha256 hashes/sec across `workers` threads over ~2 s (short
-    * windows sample tenancy bursts; readings like effective_cores_8 > 8
-    * mean the 1-worker reference slice itself was throttled — treat the
-    * whole probe as "box unstable", not as data).
+  /** (hashes/sec across `workers` threads over ~`millis` ms, all workers
+    * exited within the join deadline). Workers publish their counts every
+    * iteration, so even a thread that overstays the deadline (heavy steal —
+    * exactly the case the probe exists for) contributes its real progress
+    * instead of reading 0 — but such a reading is still marked invalid.
     */
-  def rate(workers: Int, millis: Long = 2000): Double = {
+  private def rateChecked(workers: Int, millis: Long): (Double, Boolean) = {
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val counts = new java.util.concurrent.atomic.AtomicLongArray(workers)
     val threads = (0 until workers).map { w =>
@@ -25,8 +35,7 @@ object Burn {
         val md = java.security.MessageDigest.getInstance("SHA-256")
         var buf = Array.fill[Byte](64)(w.toByte)
         var n = 0L
-        while (!stop.get()) { buf = md.digest(buf); n += 1 }
-        counts.set(w, n)
+        while (!stop.get()) { buf = md.digest(buf); n += 1; counts.lazySet(w, n) }
       })
       t.setDaemon(true)
       t.start()
@@ -37,25 +46,50 @@ object Burn {
     stop.set(true)
     threads.foreach(_.join(5000))
     val secs = (System.nanoTime() - t0) / 1e9
-    (0 until workers).map(counts.get).sum / secs
+    val allExited = !threads.exists(_.isAlive)
+    ((0 until workers).map(counts.get).sum / secs, allExited)
   }
 
-  /** effective_cores at 2/4/8 workers (vs the 1-worker rate). A discarded
-    * warm-up burn runs first: the 1-worker reference is measured before the
-    * multi-worker rates, and on a cold JVM its window would absorb
-    * class-loading + JIT of the digest loop, under-reading r1 and inflating
-    * every ratio (one mechanism behind effective_cores_8 > 8 readings).
+  def rate(workers: Int, millis: Long = 2000): Double =
+    rateChecked(workers, millis)._1
+
+  /** One probe: effective cores at 2/4/8 workers vs the median 1-worker
+    * reference, plus the reference slices' relative spread and the
+    * stability verdict.
     */
-  def effectiveCores(): Map[Int, Double] = {
-    rate(1, millis = 500) // discarded: JIT + class-load warm-up
-    val r1 = rate(1)
-    Seq(2, 4, 8).map(w => w -> rate(w) / r1).toMap
+  final case class Probe(eff: Map[Int, Double], r1Spread: Double, stable: Boolean) {
+    def ceiling2to8: Double = eff(8) / eff(2) / 4.0
   }
+
+  /** Interleaved probe (see object doc). A discarded warm-up burn runs
+    * first: on a cold JVM the first window absorbs class-loading + JIT of
+    * the digest loop, under-reading the reference and inflating every
+    * ratio.
+    */
+  def probe(): Probe = {
+    rateChecked(1, 500) // discarded: JIT + class-load warm-up
+    val (r1a, v1) = rateChecked(1, 2000)
+    val (r2, v2) = rateChecked(2, 2000)
+    val (r1b, v3) = rateChecked(1, 2000)
+    val (r4, v4) = rateChecked(4, 2000)
+    val (r8, v5) = rateChecked(8, 2000)
+    val (r1c, v6) = rateChecked(1, 2000)
+    val ones = Seq(r1a, r1b, r1c).sorted
+    val r1 = ones(1) // median of the three interleaved reference slices
+    val spread = if (r1 > 0) (ones.last - ones.head) / r1 else Double.PositiveInfinity
+    val stable = spread <= 0.15 && Seq(v1, v2, v3, v4, v5, v6).forall(identity)
+    Probe(Map(2 -> r2 / r1, 4 -> r4 / r1, 8 -> r8 / r1), spread, stable)
+  }
+
+  /** effective_cores at 2/4/8 workers — kept for callers that only need the
+    * ratios; prefer [[probe]] where the stability verdict matters.
+    */
+  def effectiveCores(): Map[Int, Double] = probe().eff
 
   def main(args: Array[String]): Unit = {
-    val eff = effectiveCores()
-    val ceiling = eff(8) / eff(2) / 4.0
-    println(f"BURN effective_cores_2=${eff(2)}%.2f effective_cores_4=${eff(4)}%.2f " +
-      f"effective_cores_8=${eff(8)}%.2f ceiling_2to8=$ceiling%.3f")
+    val p = probe()
+    println(f"BURN effective_cores_2=${p.eff(2)}%.2f effective_cores_4=${p.eff(4)}%.2f " +
+      f"effective_cores_8=${p.eff(8)}%.2f ceiling_2to8=${p.ceiling2to8}%.3f " +
+      f"burn_r1_spread=${p.r1Spread}%.3f burn_stable=${p.stable}")
   }
 }

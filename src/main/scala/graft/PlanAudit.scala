@@ -166,6 +166,12 @@ object PlanAudit {
     check("q_domain_filter: no Window (partial-agg max + join back)",
       !pdom.contains("Window") && pdom.contains("partial_max"), pdom)
 
+    // Representative-selection demo query: must use the same skew-safe
+    // min_by + join-back shape the pipeline ships, not a row_number window.
+    val prep = plan("q_rep_select")
+    check("q_rep_select: no Window (min_by + join back)",
+      !prep.contains("Window") && prep.contains("min_by"), prep)
+
     println(s"PlanAudit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()
     if (failures > 0) sys.exit(1)

@@ -324,14 +324,21 @@ object SparkEntry {
     // Representative selection (dedupe.rs:507-530 analog): per synthetic
     // cluster pick the row with the richest content (longest text; the
     // has-abstract preference analog), ties broken by smallest doc_id.
+    // Same skew-safe shape as the pipeline's clustersPlan: min_by over a
+    // packed priority struct (partial-agg'd map-side) + an equi-join back
+    // to flag every member — NOT a row_number window, which would sort a
+    // monster cluster in one task.
     "q_rep_select" -> ((s, dir) => {
-      val w = Window.partitionBy("cluster_id")
-        .orderBy(length(col("text")).desc, col("doc_id").asc)
-      t(s, dir, "documents")
-        .withColumn("cluster_id", (col("doc_id") - col("doc_id") % 10).cast("long"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("cluster_id"), col("doc_id").cast("long").as("rep_id"))
+      val slim = t(s, dir, "documents")
+        .select((col("doc_id") - col("doc_id") % 10).cast("long").as("cluster_id"),
+          col("doc_id").cast("long").as("doc_id"),
+          length(col("text")).as("len"))
+      val reps = slim.groupBy("cluster_id")
+        .agg(min_by(col("doc_id"),
+          struct((-col("len")).as("neg_len"), col("doc_id"))).as("rep_id"))
+      slim.join(reps, "cluster_id")
+        .select(col("cluster_id"), col("doc_id"),
+          (col("doc_id") === col("rep_id")).as("is_representative"))
     }),
 
 
@@ -750,10 +757,16 @@ object SparkEntry {
       val port = concat(lit("http://Host"), col("doc_id"), lit(".org:80/"))
       val tracking = concat(lit("https://x.com/p"), col("doc_id"),
         lit("?utm_campaign=1&fbclid=2"))
+      // percent-encoding axes: %7e decodes (unreserved), %2f keeps its
+      // bytes but uppercases hex, '+' in the query folds to %20, %41%5A
+      // decode to their letters
+      val pct = concat(lit("https://ex.com/p%7e"), col("doc_id"),
+        lit("/%2fx?q=a+b&n=%41%5A"))
       docs.select(col("doc_id"),
         UrlOps.canonicalizeUrl(full).as("canon_full"),
         UrlOps.canonicalizeUrl(port).as("canon_port"),
-        UrlOps.canonicalizeUrl(tracking).as("canon_tracking"))
+        UrlOps.canonicalizeUrl(tracking).as("canon_tracking"),
+        UrlOps.canonicalizeUrl(pct).as("canon_pct"))
     }),
 
     // Canonical-URL dedup: two capture spellings of every logical page
@@ -1176,7 +1189,9 @@ object SparkEntry {
         |  'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.com/Path/'
         |    || CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS canon_full,
         |  'http://host' || CAST(doc_id AS VARCHAR) || '.org/' AS canon_port,
-        |  'https://x.com/p' || CAST(doc_id AS VARCHAR) AS canon_tracking
+        |  'https://x.com/p' || CAST(doc_id AS VARCHAR) AS canon_tracking,
+        |  'https://ex.com/p~' || CAST(doc_id AS VARCHAR)
+        |    || '/%2Fx?n=AZ&q=a%20b' AS canon_pct
         |FROM documents""".stripMargin,
 
     "q_lsh_curve" ->
@@ -1194,9 +1209,10 @@ object SparkEntry {
     "q_domain_stats" ->
       s"""SELECT 'news-' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS domain,
          |  COUNT(*) AS n_docs,
-         |  SUM(CAST(${TextOps.tokenCountSql("text")} AS BIGINT)) AS sum_tokens,
-         |  SUM(CAST(round(${TextOps.qualityScoreSql("text")} * 1000000) AS BIGINT))
-         |    AS sum_quality_ppm
+         |  CAST(SUM(CAST(${TextOps.tokenCountSql("text")} AS BIGINT)) AS BIGINT)
+         |    AS sum_tokens,
+         |  CAST(SUM(CAST(round(${TextOps.qualityScoreSql("text")} * 1000000)
+         |    AS BIGINT)) AS BIGINT) AS sum_quality_ppm
          |FROM documents GROUP BY 1""".stripMargin,
 
     "q_domain_filter" ->
@@ -1315,13 +1331,12 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "q_rep_select" ->
-      """SELECT cluster_id, rep_id FROM (
+      """SELECT cluster_id, doc_id, rn = 1 AS is_representative FROM (
         |  SELECT CAST(doc_id - doc_id % 10 AS BIGINT) AS cluster_id,
-        |    CAST(doc_id AS BIGINT) AS rep_id,
+        |    CAST(doc_id AS BIGINT) AS doc_id,
         |    row_number() OVER (PARTITION BY doc_id - doc_id % 10
         |      ORDER BY strlen(text) DESC, doc_id ASC) AS rn
-        |  FROM documents)
-        |WHERE rn = 1""".stripMargin,
+        |  FROM documents)""".stripMargin,
 
     "q_cite_pubmed" ->
       """SELECT doc_id, trim(substr(text, 1, 40)) AS title,

@@ -304,6 +304,34 @@ object Ann {
     df.withColumn("cell", explode(cellCol))
   }
 
+  /** Default codebook builder with balance auto-select: build the cheap
+    * hash-pick codebook first, measure its cell occupancy, and REBUILD with
+    * [[kmeansCentroids]] when max/mean exceeds `balanceBound` — on
+    * clustered real-world embeddings a hash pick lands several seeds in one
+    * natural cluster and the missed clusters pile into hot cells (measured
+    * >1.5 on the clustered test fixture vs ≤1.1 for k-means). Near-uniform
+    * corpora stay on the hash pick and skip the k-means passes entirely.
+    *
+    * Every build emits one `IVF_BUILD` metrics line with the chosen
+    * codebook's cell-size histogram (empty cells omitted — they hold no
+    * residents to scan), so an unbalanced codebook is visible in the run
+    * log, never silent.
+    */
+  def autoCodebook(corpus: DataFrame, nlist: Int,
+      balanceBound: Double = 1.5, seed: Long = 42L): Seq[(Long, Seq[Float])] = {
+    val hash = centroids(corpus, nlist)
+    val sizes = cellSizes(corpus, hash).collect().map(_.getLong(1))
+    val bal =
+      if (sizes.isEmpty) 1.0
+      else sizes.max.toDouble / (sizes.sum.toDouble / sizes.length)
+    val rebuilt = bal > balanceBound
+    val chosen = if (rebuilt) kmeansCentroids(corpus, nlist, seed = seed) else hash
+    val chosenSizes =
+      if (rebuilt) cellSizes(corpus, chosen).collect().map(_.getLong(1)) else sizes
+    println(f"""IVF_BUILD {"nlist":$nlist,"hash_balance":$bal%.3f,"rebuilt_kmeans":$rebuilt,"cells":[${chosenSizes.mkString(",")}]}""")
+    chosen
+  }
+
   /** IVF: corpus partitioned into `nlist` cells by nearest deterministic
     * centroid (narrow argmax — see [[withNearestCells]]), queries probe the
     * `nprobe` nearest cells, equi-join on cell id + exact rerank.
@@ -312,9 +340,10 @@ object Ann {
       nlist: Int = 16, nprobe: Int = 4,
       excludeSelf: Boolean = true,
       codebook: Option[Seq[(Long, Seq[Float])]] = None): DataFrame = {
-    // default codebook = hash-pick (cheapest; fine on near-uniform data).
-    // Pass kmeansCentroids(...) for clustered corpora — balanced cells.
-    val cents = codebook.getOrElse(centroids(corpus, nlist))
+    // default codebook = balance auto-select (hash-pick, upgraded to
+    // k-means|| when the hash pick's cells come out skewed — see
+    // autoCodebook). Pass an explicit codebook to pin either variant.
+    val cents = codebook.getOrElse(autoCodebook(corpus, nlist))
     val corpusCells = withNearestCells(corpus, "vec", 1, cents)
     val queryCells = withNearestCells(queries, "qvec", nprobe, cents)
     val scored = corpusCells.join(queryCells, "cell")

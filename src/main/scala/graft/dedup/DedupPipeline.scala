@@ -806,12 +806,21 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
     else Nil
   }
 
+  /** Atomic log append (write the full updated log to a temp file, then
+    * ATOMIC_MOVE over `_INC_LOG` — the StageStore.mark pattern): a plain
+    * append crashed mid-write would leave a truncated batch id, after which
+    * every later `incremental()` refuses with a misleading "stages from
+    * unapplied batch" error and needs manual log surgery.
+    */
   private def appendIncLog(batch: String): Unit =
     if (!incBatches.contains(batch)) {
       val p = java.nio.file.Paths.get(store.root, "_INC_LOG")
-      java.nio.file.Files.writeString(p, batch + "\n",
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.APPEND)
+      val tmp = java.nio.file.Paths.get(store.root, "_INC_LOG.tmp")
+      java.nio.file.Files.writeString(tmp,
+        (incBatches :+ batch).mkString("", "\n", "\n"))
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
 
   private def readBaseSignatures(): DataFrame =

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.kernel.{HtmlText, Shingling, StrSim, TextNorm}
+import graft.kernel.{HtmlText, Shingling, StrSim, TextNorm, UrlNorm}
 
 /** Catalyst expressions for the normalization/signature kernel (SURVEY.md
   * §2.2, §2.6). Each is a thin, null-safe wrapper over a pure function in
@@ -115,6 +115,17 @@ case class SplitIssns(child: Expression)
     new GenericArrayData(parts.map(UTF8String.fromString).toArray[Any])
   }
   override protected def withNewChildInternal(c: Expression): SplitIssns = copy(child = c)
+}
+
+/** RFC 3986 percent-encoding normalization (decode unreserved escapes,
+  * uppercase the rest) — see [[graft.kernel.UrlNorm.percentNormalize]].
+  */
+case class PercentNormalize(child: Expression)
+    extends UnaryExpression with SimpleCodegen {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    UrlNorm.percentNormalize(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): PercentNormalize = copy(child = c)
 }
 
 /** Jaro similarity (threshold spec /root/reference/src/dedupe.rs:141,628). */

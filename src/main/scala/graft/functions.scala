@@ -33,6 +33,7 @@ object functions {
   def format_doi(c: Column): Column = col(FormatDoi(ex(c)))
   def split_issns(c: Column): Column = col(SplitIssns(ex(c)))
   def extract_html_text(c: Column): Column = col(ExtractHtmlText(ex(c)))
+  def percent_normalize(c: Column): Column = col(PercentNormalize(ex(c)))
 
   // ---- string similarity ----
   def jaro(l: Column, r: Column): Column = col(JaroSim(ex(l), ex(r)))
@@ -95,6 +96,7 @@ object functions {
     one("graft_format_doi", es => FormatDoi(es.head))
     one("graft_split_issns", es => SplitIssns(es.head))
     one("graft_extract_html_text", es => ExtractHtmlText(es.head))
+    one("graft_percent_normalize", es => PercentNormalize(es.head))
     one("graft_jaro", es => JaroSim(es(0), es(1)))
     one("graft_jaro_winkler", es => JaroWinklerSim(es(0), es(1)))
     one("graft_lcs_length", es => LongestCommonSubstring(es(0), es(1)))

@@ -1,0 +1,63 @@
+package graft.kernel
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Percent-encoding normalization for URL canonicalization (graft-added;
+  * RFC 3986 §2.3 + §6.2.2.1-2). One byte-level pass:
+  *
+  *   - a `%XX` escape of an UNRESERVED character (ALPHA / DIGIT / `-` `.`
+  *     `_` `~`) is decoded — `%7E`, `%7e` and `~` are the same page;
+  *   - any other valid escape keeps its bytes but uppercases the hex
+  *     digits (`%3a` → `%3A`) — case-insensitive escapes, one spelling;
+  *   - a `%` not followed by two hex digits passes through verbatim (crawl
+  *     URLs are full of illegal-but-served percent signs; corrupting them
+  *     would split real capture groups).
+  *
+  * Decoding only unreserved characters can never materialize a delimiter
+  * (`/ ? # & = +` are all reserved), so the caller may split the URL into
+  * components before or after this pass with identical results.
+  *
+  * Operates on raw UTF-8 bytes — escapes are pure ASCII, and non-ASCII
+  * bytes pass through untouched, so no decode/re-encode round trip.
+  */
+object UrlNorm {
+
+  private def hexVal(b: Byte): Int =
+    if (b >= '0' && b <= '9') b - '0'
+    else if (b >= 'a' && b <= 'f') b - 'a' + 10
+    else if (b >= 'A' && b <= 'F') b - 'A' + 10
+    else -1
+
+  private def unreserved(v: Int): Boolean =
+    (v >= 'A' && v <= 'Z') || (v >= 'a' && v <= 'z') ||
+      (v >= '0' && v <= '9') ||
+      v == '-' || v == '.' || v == '_' || v == '~'
+
+  private val Hex: Array[Byte] = "0123456789ABCDEF".getBytes
+
+  def percentNormalize(s: UTF8String): UTF8String = {
+    val in = s.getBytes
+    var has = false
+    var j = 0
+    while (j < in.length && !has) { if (in(j) == '%') has = true; j += 1 }
+    if (!has) return s // the overwhelmingly common case: zero allocation
+
+    val out = new Array[Byte](in.length) // output never exceeds input length
+    var o = 0
+    var i = 0
+    while (i < in.length) {
+      val b = in(i)
+      if (b == '%' && i + 2 < in.length &&
+          hexVal(in(i + 1)) >= 0 && hexVal(in(i + 2)) >= 0) {
+        val v = hexVal(in(i + 1)) * 16 + hexVal(in(i + 2))
+        if (unreserved(v)) { out(o) = v.toByte; o += 1 }
+        else {
+          out(o) = '%'; out(o + 1) = Hex(v >> 4); out(o + 2) = Hex(v & 0xF)
+          o += 3
+        }
+        i += 3
+      } else { out(o) = b; o += 1; i += 1 }
+    }
+    UTF8String.fromBytes(java.util.Arrays.copyOf(out, o))
+  }
+}

@@ -77,6 +77,42 @@ object StreamingOps {
   /** An emitted candidate pair (a < b). */
   final case class CandidatePair(a: Long, b: Long)
 
+  /** 128-bit variants — the streaming face of the batch pipeline's
+    * `idBits = 128` two-long struct ids. Ordering is field-wise
+    * ((h1, h2) lexicographic), exactly how Spark orders the batch path's
+    * structs, so chain adjacency and pair orientation are identical across
+    * widths.
+    */
+  final case class BucketState128(ids: Seq[(Long, Long)])
+  final case class BandRow128(h1: Long, h2: Long, band: Int, bucket: Long, ts: java.sql.Timestamp)
+  final case class CandidatePair128(a1: Long, a2: Long, b1: Long, b2: Long)
+
+  /** The width-generic bucket-pairing policy shared by both id widths
+    * (single-sourced so the 64- and 128-bit surfaces cannot diverge):
+    * fresh arrivals pair with every current member and with each other
+    * while the bucket holds < `maxPerBucket` members; past the cap each
+    * arrival chains to the most recent retained member only (bounded
+    * state, connectivity preserved through connected components).
+    * Returns (updated members, emitted pairs with a < b).
+    */
+  private def pairArrivals[K](prev: Seq[K], arrivals: Seq[K], maxPerBucket: Int)
+      (implicit ord: Ordering[K]): (Seq[K], Seq[(K, K)]) = {
+    val prevSet = prev.toSet
+    val fresh = arrivals.distinct.filterNot(prevSet.contains).sorted
+    val pairs = scala.collection.mutable.ArrayBuffer.empty[(K, K)]
+    var members = prev
+    for (id <- fresh) {
+      if (members.length < maxPerBucket) {
+        members.foreach(m => pairs += ((ord.min(m, id), ord.max(m, id))))
+        members = members :+ id
+      } else {
+        members.lastOption.foreach(m => pairs += ((ord.min(m, id), ord.max(m, id))))
+        members = members.dropRight(1) :+ id
+      }
+    }
+    (members, pairs.toSeq)
+  }
+
   /** Streaming LSH candidate generation: stateful per-bucket membership.
     * Each micro-batch, a bucket's new arrivals pair with its existing
     * members and with each other — so near-dups arriving in DIFFERENT
@@ -124,33 +160,53 @@ object StreamingOps {
           Iterator.empty
         case (_, rowsIt, state: GroupState[BucketState]) =>
           val rows = rowsIt.toSeq
-          val prev = state.getOption.map(_.ids).getOrElse(Seq.empty)
-          val prevSet = prev.toSet
-          val fresh = rows.map(_.id).distinct.filterNot(prevSet.contains).sorted
-          val pairs = scala.collection.mutable.ArrayBuffer.empty[CandidatePair]
-          var members = prev
-          for (id <- fresh) {
-            if (members.length < maxPerBucket) {
-              // pair with every current member, then join the bucket
-              members.foreach { m =>
-                pairs += CandidatePair(math.min(m, id), math.max(m, id))
-              }
-              members = members :+ id
-            } else {
-              // hot bucket: chain to the most recent retained member only
-              members.lastOption.foreach { m =>
-                pairs += CandidatePair(math.min(m, id), math.max(m, id))
-              }
-              members = members.dropRight(1) :+ id
-            }
-          }
+          val (members, pairs) = pairArrivals(
+            state.getOption.map(_.ids).getOrElse(Seq.empty),
+            rows.map(_.id), maxPerBucket)
           state.update(BucketState(members))
           // expire when the watermark passes the newest arrival + idle gap
           // (clamped above the current watermark, as the API requires)
           val maxTs = rows.iterator.map(_.ts.getTime).max
           state.setTimeoutTimestamp(
             math.max(maxTs + bucketIdleGapMs, state.getCurrentWatermarkMs() + 1))
-          pairs.iterator
+          pairs.iterator.map { case (a, b) => CandidatePair(a, b) }
+      }
+  }
+
+  /** [[streamingCandidates]] over 128-bit (two-long struct) doc ids — the
+    * same policy, state contract, expiry, and delivery semantics via the
+    * shared [[pairArrivals]] core; only the id width differs. Pairs are
+    * oriented by (h1, h2) lexicographic order, matching the batch
+    * pipeline's struct ordering, so a 64-bit stream with h2 pinned to a
+    * constant emits exactly the 64-bit operator's pairs (pinned by
+    * StreamingSpec's both-widths test).
+    */
+  def streamingCandidates128(bandRows: Dataset[BandRow128],
+      maxPerBucket: Int = 64,
+      watermarkDelay: String = "10 minutes",
+      bucketIdleGapMs: Long = 30L * 60 * 1000): Dataset[CandidatePair128] = {
+    import bandRows.sparkSession.implicits._
+    bandRows
+      .withWatermark("ts", watermarkDelay)
+      .as[BandRow128]
+      .groupByKey(r => (r.band, r.bucket))
+      .flatMapGroupsWithState[BucketState128, CandidatePair128](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, _, state: GroupState[BucketState128]) if state.hasTimedOut =>
+          state.remove()
+          Iterator.empty
+        case (_, rowsIt, state: GroupState[BucketState128]) =>
+          val rows = rowsIt.toSeq
+          val (members, pairs) = pairArrivals(
+            state.getOption.map(_.ids).getOrElse(Seq.empty),
+            rows.map(r => (r.h1, r.h2)), maxPerBucket)
+          state.update(BucketState128(members))
+          val maxTs = rows.iterator.map(_.ts.getTime).max
+          state.setTimeoutTimestamp(
+            math.max(maxTs + bucketIdleGapMs, state.getCurrentWatermarkMs() + 1))
+          pairs.iterator.map { case ((a1, a2), (b1, b2)) =>
+            CandidatePair128(a1, a2, b1, b2)
+          }
       }
   }
 }

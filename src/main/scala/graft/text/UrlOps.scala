@@ -3,6 +3,8 @@ package graft.text
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
+import graft.functions.percent_normalize
+
 /** URL canonicalization for web-corpus curation (graft-added op; no
   * reference analog — the web-crawl counterpart of the reference's citation
   * field normalizers, e.g. format_doi's scheme/host stripping at
@@ -20,15 +22,27 @@ import org.apache.spark.sql.functions._
   * Canonical form, applied only when the value parses as `scheme://...`
   * (anything else passes through unchanged so non-URL ids are never
   * corrupted):
-  *   - scheme and authority lowercased (path/query case is meaningful and
-  *     preserved)
+  *   - scheme and host lowercased (path/query case is meaningful and
+  *     preserved; so is userinfo — case-sensitive per RFC 3986 §3.2.1)
   *   - leading `www.` stripped from the host
   *   - default ports stripped (`:80` for http, `:443` for https)
+  *   - percent-escapes normalized in path and query (RFC 3986 §6.2.2.1-2:
+  *     unreserved escapes decoded — `%7E` ⇒ `~` — and remaining hex
+  *     uppercased) via [[graft.functions.percent_normalize]]
+  *   - `+` in the QUERY folded to `%20` (form encoding makes them the same
+  *     byte there; in the path `+` is literal and untouched)
   *   - query params split on `&`; tracking params dropped
-  *     ([[TrackingParamPattern]]: utm_*, fbclid, gclid, msclkid, ref);
+  *     ([[TrackingParamPattern]]: utm_*, fbclid, gclid, msclkid);
   *     the rest sorted and rejoined (param order never distinguishes pages)
   *   - trailing slashes stripped from the path; empty path becomes `/`
   *   - fragment dropped (never sent to the server)
+  *
+  * IDN policy: hosts are compared in their WIRE form. A punycode host
+  * (`xn--...`) and its Unicode spelling remain distinct here — folding them
+  * needs an IDNA toASCII pass (a Unicode table dependency), which belongs
+  * at crawl-ingest time where the fetcher already resolved the name;
+  * corpora normalized there arrive in one spelling and canonicalize
+  * consistently.
   */
 object UrlOps {
 
@@ -45,24 +59,35 @@ object UrlOps {
   /** Canonical URL per the rules above; non-URL strings pass through. */
   def canonicalizeUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val auth = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
-    val noWww = regexp_replace(auth, "^www\\.", "")
+    val authRaw = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    // userinfo split off BEFORE case folding / www-strip: it is
+    // case-sensitive (RFC 3986 §3.2.1), and anchoring '^www\.' on the full
+    // authority would give 'user@www.x.com' and 'www.x.com' two different
+    // canonical hosts for the same page
+    val userinfo = regexp_extract(authRaw, "^([^@]*@)", 1)
+    val hostPort = lower(regexp_replace(authRaw, "^[^@]*@", ""))
+    val noWww = regexp_replace(hostPort, "^www\\.", "")
     val host = when(scheme === "http", regexp_replace(noWww, ":80$", ""))
       .when(scheme === "https", regexp_replace(noWww, ":443$", ""))
       .otherwise(noWww)
-    val rawPath = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val rawPath = percent_normalize(
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1))
     val trimmedPath = regexp_replace(rawPath, "/+$", "")
     val path = when(trimmedPath === "", lit("/")).otherwise(trimmedPath)
     // anchored to the pre-fragment prefix: a '?' INSIDE the fragment (SPA
     // hash routing, 'https://x.com/p#/view?tab=1') must not leak fragment
     // content into the canonical query — [^#?]* stops at '#' first, so the
-    // match requires the first '?' to precede any '#'
-    val rawQuery = regexp_extract(url, "^[^#?]*\\?([^#]*)", 1)
+    // match requires the first '?' to precede any '#'.
+    // '+' folds to %20 BEFORE percent normalization (%20 is not unreserved,
+    // so it survives as the single canonical spelling of a query space;
+    // a pre-existing %2B — a literal plus — is untouched and stays distinct)
+    val rawQuery = percent_normalize(regexp_replace(
+      regexp_extract(url, "^[^#?]*\\?([^#]*)", 1), "\\+", "%20"))
     val params = filter(split(rawQuery, "&"),
       p => p =!= "" && !p.rlike(TrackingParamPattern))
     val query = array_join(array_sort(params), "&")
     when(scheme === "", url).otherwise(concat(
-      scheme, lit("://"), host, path,
+      scheme, lit("://"), userinfo, host, path,
       when(query === "", lit("")).otherwise(concat(lit("?"), query))))
   }
 

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.prop.TableDrivenPropertyChecks
 
-import graft.kernel.{Shingling, StrSim, TextNorm}
+import graft.kernel.{Shingling, StrSim, TextNorm, UrlNorm}
 
 /** Golden-table tests for the normalization kernel, transcribed from the
   * reference unit suites (FIXTURES.md §A; sources cited per test).
@@ -211,6 +211,24 @@ class KernelSpec extends AnyFunSuite with TableDrivenPropertyChecks {
     assert(b1.sameElements(b1b))
     assert(b1.intersect(b2).isEmpty)
     intercept[IllegalArgumentException](Shingling.bandKeys(sig1, 10, 7))
+  }
+
+  test("percent-encoding normalization golden table (incl. boundary escapes)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def n(s: String): String = UrlNorm.percentNormalize(UTF8String.fromString(s)).toString
+    val table = Table(("in", "want"),
+      ("", ""),
+      ("no escapes here", "no escapes here"),
+      ("%41%5a%7e", "AZ~"),           // unreserved: decode, either hex case
+      ("%2f%3A", "%2F%3A"),           // reserved: keep bytes, uppercase hex
+      ("a%2Bb", "a%2Bb"),             // already canonical
+      ("100%", "100%"),               // trailing bare '%'
+      ("%4", "%4"),                   // one hex digit only
+      ("%zz41", "%zz41"),             // non-hex after '%'
+      ("%%41", "%A"),                 // first '%' bare, second decodes
+      ("%2e%2E", ".."),               // '.' is unreserved
+      ("café%7e", "café~")) // non-ASCII bytes pass through
+    forAll(table) { (in, want) => assert(n(in) === want, s"in=$in") }
   }
 
   test("longest common substring") {

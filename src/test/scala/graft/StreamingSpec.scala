@@ -10,7 +10,7 @@ import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.StreamingOps
-import graft.streaming.StreamingOps.{BandRow, CandidatePair}
+import graft.streaming.StreamingOps.{BandRow, BandRow128, CandidatePair, CandidatePair128}
 
 case class StreamPage(url: String, warc_ts: Timestamp, text: String, lang: String)
 
@@ -163,6 +163,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!pairs.exists(p => p.a == 9 || p.b == 9))
     // expired bucket: id 6 must NOT pair with the pre-expiry members
     assert(!pairs.exists(p => p.a == 6 || p.b == 6))
+  }
+
+  test("streamingCandidates128: struct ids emit the same pairs as the 64-bit operator") {
+    // The batch pipeline's either-width contract, carried to the streaming
+    // surface: the same event sequence through the 64-bit operator and the
+    // 128-bit operator (high half pinned to a constant) must emit identical
+    // pairs — ordering is (h1, h2) lexicographic, which with a constant h2
+    // reduces to the 64-bit order, including the hot-bucket chain adjacency.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val events = Seq(
+      // bucket (0,100) overflows maxPerBucket=3 → chain regime too
+      Seq((1L, 0, 100L, 0), (2L, 0, 100L, 0), (9L, 1, 200L, 0)),
+      Seq((3L, 0, 100L, 1), (4L, 0, 100L, 1), (5L, 0, 100L, 1)))
+    val h2 = 7L
+
+    val s64 = MemoryStream[BandRow]
+    val q64 = StreamingOps.streamingCandidates(s64.toDS(), maxPerBucket = 3)
+      .writeStream.format("memory").queryName("w64")
+      .outputMode("append").start()
+    events.foreach { batch =>
+      s64.addData(batch.map { case (id, b, k, m) => BandRow(id, b, k, ts(m)) })
+      q64.processAllAvailable()
+    }
+    q64.stop()
+
+    val s128 = MemoryStream[BandRow128]
+    val q128 = StreamingOps.streamingCandidates128(s128.toDS(), maxPerBucket = 3)
+      .writeStream.format("memory").queryName("w128")
+      .outputMode("append").start()
+    events.foreach { batch =>
+      s128.addData(batch.map { case (id, b, k, m) => BandRow128(id, h2, b, k, ts(m)) })
+      q128.processAllAvailable()
+    }
+    q128.stop()
+
+    val p64 = spark.table("w64").as[CandidatePair].collect()
+      .map(p => (p.a, p.b)).toSet
+    val p128 = spark.table("w128").as[CandidatePair128].collect()
+    assert(p128.forall(p => p.a2 == h2 && p.b2 == h2))
+    assert(p128.map(p => (p.a1, p.b1)).toSet === p64)
+    assert(p64.nonEmpty)
   }
 
   test("streamingCandidates restart: state recovers from checkpoint, committed batches not replayed") {

@@ -91,6 +91,21 @@ class TrainingOpsSpec extends AnyFunSuite {
       ("https://x.com/p?a=utm_source&utm_x=1", "https://x.com/p?a=utm_source"),
       // :80 on https is NOT a default port — preserved
       ("https://x.com:80/p", "https://x.com:80/p"),
+      // percent-encoding: unreserved escapes decode (either hex case),
+      // reserved escapes keep their bytes with UPPERCASE hex, '+' in the
+      // query is %20, '+' in the path is literal
+      ("https://x.com/p%7eq/%2fz+w?a=b+c&d=%41", "https://x.com/p~q/%2Fz+w?a=b%20c&d=A"),
+      ("https://x.com/p?x=%7E", "https://x.com/p?x=~"),
+      // a literal plus pre-encoded as %2B is NOT a space — stays distinct
+      ("https://x.com/p?x=%2b", "https://x.com/p?x=%2B"),
+      // '%' without two hex digits passes through verbatim
+      ("https://x.com/100%", "https://x.com/100%"),
+      ("https://x.com/a%4z", "https://x.com/a%4z"),
+      // userinfo: case-sensitive (RFC 3986 §3.2.1), host still folds —
+      // and www-stripping is NOT defeated by the presence of userinfo
+      ("http://User@WWW.X.COM/", "http://User@x.com/"),
+      // IDN policy: punycode stays in wire form (no toUnicode folding)
+      ("https://xn--bcher-kva.example/", "https://xn--bcher-kva.example/"),
       // non-URL passes through untouched
       ("not a url at all", "not a url at all"),
       ("doc://123", "doc://123/"))
@@ -123,6 +138,15 @@ class TrainingOpsSpec extends AnyFunSuite {
       Seq.tabulate(rnd.nextInt(3))(j => (s"k$j", s"v${rnd.nextInt(9)}")))
     def randCase(s: String) =
       s.map(c => if (rnd.nextBoolean()) c.toUpper else c)
+    // randomly percent-encode unreserved characters (random hex case): a
+    // spelling axis real crawls hit constantly — %53eg5 and Seg5 are the
+    // same path segment
+    def pctSpell(s: String) = s.flatMap { c =>
+      if (c.isLetterOrDigit && rnd.nextInt(4) == 0) {
+        val hex = f"${c.toInt}%02x"
+        "%" + (if (rnd.nextBoolean()) hex.toUpperCase else hex)
+      } else c.toString
+    }
     val tracking = Seq("utm_source=x", "utm_medium=email", "fbclid=abc",
       "gclid=1", "msclkid=2")
     // one random SPELLING of a logical page: case noise on scheme+host,
@@ -132,10 +156,10 @@ class TrainingOpsSpec extends AnyFunSuite {
       val scheme = randCase("https") // fixed scheme: ports pair with it
       val host = (if (rnd.nextBoolean()) "www." else "") + randCase(l.host) +
         (if (rnd.nextBoolean()) ":443" else "")
-      val path = l.path.mkString("/", "/", "") +
+      val path = l.path.map(pctSpell).mkString("/", "/", "") +
         (if (rnd.nextBoolean()) "/" * (1 + rnd.nextInt(2)) else "")
       val params = rnd.shuffle(
-        l.params.map { case (k, v) => s"$k=$v" } ++
+        l.params.map { case (k, v) => s"$k=${pctSpell(v)}" } ++
           Seq.fill(rnd.nextInt(3))(tracking(rnd.nextInt(tracking.length))))
       val query = if (params.isEmpty) "" else params.mkString("?", "&", "")
       val frag = rnd.nextInt(3) match {
@@ -159,6 +183,8 @@ class TrainingOpsSpec extends AnyFunSuite {
       assert(!c.contains("utm_") && !c.contains("fbclid") &&
         !c.contains("gclid") && !c.contains("msclkid"),
         s"tracking param survived in $c (from $u)")
+      assert("%[0-9a-f][0-9a-fA-F]|%[0-9A-F][0-9a-f]".r.findFirstIn(c).isEmpty,
+        s"lowercase hex escape survived in $c (from $u)")
     }
     // all spellings of one logical page agree on ONE canonical form
     canon.groupBy(_.getString(0)).foreach { case (l, rows) =>
@@ -279,6 +305,20 @@ class TrainingOpsSpec extends AnyFunSuite {
     res.filter(_.getInt(3) == 1).foreach { r =>
       assert(r.getLong(1) % 4 === r.getLong(0) % 4)
     }
+
+    // DEFAULT path (no explicit codebook): auto-select must detect the
+    // skewed hash pick on this clustered corpus and upgrade to k-means||,
+    // so ivfTopK's default codebook passes the balance bar hash-pick fails
+    val auto = Ann.autoCodebook(corpus, 4)
+    assert(Ann.cellBalance(corpus, auto) <= 1.1,
+      "autoCodebook kept the skewed hash-pick codebook")
+    // and data whose hash pick is already balanced keeps the cheap pick
+    // (no k-means passes) — guarded on the fixture actually being balanced
+    val uniform = embeddings(300, 16, 31L)
+    val hashU = Ann.centroids(uniform, 8)
+    if (Ann.cellBalance(uniform, hashU) <= 1.5)
+      assert(Ann.autoCodebook(uniform, 8) === hashU,
+        "autoCodebook rebuilt on already-balanced data")
   }
 
   test("embedding near-dup pairs: LSH path matches exact pairs with high recall, no crossJoin") {

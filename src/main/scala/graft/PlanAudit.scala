@@ -158,6 +158,33 @@ object PlanAudit {
       val cluPlan = finalPlan(pipe.clustersPlan(sigs, comps))
       check("clusters: no Window (partial-agg min_by + join back)",
         !cluPlan.contains("Window") && cluPlan.contains("min_by"), cluPlan)
+
+      // ---- incremental stage plans (the delta-proportional apply) ----
+      // A real base run + delta apply against the temp store, then audit
+      // the state-table access paths the apply is built on.
+      pipe.run(pages).count()
+      val delta = DeterministicCorpus.pages(spark,
+        CorpusSpec(nFamilies = 20, familyOffset = 90000))
+      pipe.incremental("d1", delta).count()
+      // prior band rows must come from a partition-PRUNED scan of the band
+      // state (directory-level pruning on pkey), with no Exchange — never a
+      // full-corpus re-derivation
+      val prunedBand = pipe.stateView("band", Seq("d1"), Some(Seq(0, 1, 2)),
+        appendOnly = true)
+      val pv = finalPlan(prunedBand)
+      check("incremental band state: partition-pruned scan (PartitionFilters on pkey), no Exchange",
+        "PartitionFilters: \\[[^\\]]*pkey".r.findFirstIn(pv).isDefined &&
+          !pv.contains("Exchange"), pv)
+      // the incremental verify runs the same plan over a pair-semi-filtered
+      // signature side: the two verify joins must stay shuffled-hash (the
+      // semi filter itself may broadcast — that is the point of it)
+      val pairIds = pairs.select(col("a").as("id"))
+        .union(pairs.select(col("b").as("id"))).distinct()
+      val verIncPlan = finalPlan(pipe.verifiedEdgesPlan(
+        sigs.join(pairIds, Seq("id"), "left_semi"), pairs))
+      check("incremental verify: ShuffledHashJoin x2, no SortMergeJoin",
+        "ShuffledHashJoin".r.findAllIn(verIncPlan).length == 2 &&
+          !verIncPlan.contains("SortMergeJoin"), verIncPlan)
     }
 
     // Per-domain gate: partial-agg'd max + join back — a max-over-Window on

@@ -50,10 +50,12 @@ final case class DedupConfig(
     simHashMaxHamming: Int = 3,
     simHashMaxBucket: Int = 10000,
     urlCanonicalPreDedup: Boolean = false,
-    idBits: Int = 64) {
+    idBits: Int = 64,
+    statePartitions: Int = 32) {
   require(bands * rows == numHashes, "bands*rows must equal numHashes")
   require(resumeChunks >= 1, "resumeChunks must be >= 1")
   require(idBits == 64 || idBits == 128, "idBits must be 64 or 128")
+  require(statePartitions >= 1, "statePartitions must be >= 1")
 }
 
 /** The end-to-end near-dup detection + clustering pipeline (SURVEY.md §3.3
@@ -530,34 +532,48 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
     * ~10⁻³ of the corpus and a full re-run would be a 1000× overspend.
     * Returns the UPDATED full clusters table.
     *
-    * Per-batch work is bounded by the delta, not the corpus:
+    * Per-batch work is bounded by the delta, not the corpus — both the
+    * JOINS and the STATE maintenance:
     *   - delta signatures are computed fresh (narrow); ids already present
     *     — a re-crawl of the same (url, warc_ts) capture — are dropped;
-    *   - the exact path keeps a compacted (content_hash → min id) state
-    *     table, merged per batch (partial-agg'd; never re-scans old rows
-    *     after the first batch);
-    *   - LSH candidates join the delta's band rows against prior band rows
-    *     restricted FIRST (semi-join; AQE broadcasts small deltas) to the
-    *     buckets the delta touches, with the same skew ladder as the batch
-    *     stage: full cross pairs for small buckets, chain-to-bucket-min
-    *     above `maxBucketAllPairs` (O(delta) output), drop + metric above
-    *     `hugeBucketCutoff`; with `useSimHashCandidates`, the SimHash
-    *     source is mirrored the same way (delta×delta via the batch
-    *     operator, delta×prior via a Manku-table cross join);
+    *   - corpus-sized state lives in pkey-PARTITIONED state tables
+    *     (directory layout `pkey=N/`, pkey = hash(state key) mod
+    *     `statePartitions`; production: an Iceberg bucket-transform
+    *     partition spec), adopted ONCE from the base run's stages and then
+    *     maintained per batch:
+    *       · band rows (key (band, bucket)) and SimHash table rows (key
+    *         (table, key)) are APPEND-ONLY — each batch appends its delta's
+    *         rows; prior rows are never re-derived from the corpus;
+    *       · hash-min (content_hash → min id), components, and clusters
+    *         are REWRITE tables — each batch rewrites ONLY the partitions
+    *         its delta touches (last-writer-wins layering by manifest-
+    *         declared pkey ownership), so the per-batch write volume is
+    *         O(touched partitions' residents), not the corpus;
+    *   - LSH candidates join the delta's band rows against the band STATE
+    *     pruned to delta-touched partitions (directory-level pruning) and
+    *     semi-restricted to touched buckets, with the same skew ladder as
+    *     the batch stage: full cross pairs for small buckets,
+    *     chain-to-bucket-min above `maxBucketAllPairs` (O(delta) output),
+    *     drop + metric above `hugeBucketCutoff`; with
+    *     `useSimHashCandidates`, the SimHash source is mirrored the same
+    *     way (delta×delta via the batch operator, delta×prior via the
+    *     pruned SimHash state);
     *   - connected components are updated INCREMENTALLY: only components
     *     touched by a new edge are re-solved (prior assignments re-enter as
     *     (component, member) star edges — component ids are component
-    *     minima, so merged components keep batch-identical ids), untouched
-    *     assignments are carried over;
+    *     minima, so merged components keep batch-identical ids); untouched
+    *     partitions are never read or rewritten;
     *   - cluster rows (representative selection) are recomputed only for
-    *     touched clusters and the delta; untouched rows carry over.
+    *     touched clusters and the delta; the returned full table is the
+    *     LAYERED VIEW over base + per-batch partition rewrites.
     *
-    * Sandbox state tables are StageStore parquet stages (per-batch names,
-    * so mid-batch kills resume stage-by-stage like the base run); the
-    * production mapping keeps signatures / band rows / hash-min as
-    * bucket-partitioned Iceberg tables so the per-batch joins are
-    * co-located and carried-over stages are partition rewrites, not full
-    * rewrites.
+    * Remaining corpus-sized terms, stated honestly: (a) the already-present
+    * id anti-join and the verification shingle fetch scan the signature
+    * table (column-pruned, semi-filtered map-side — no corpus shuffle);
+    * (b) the touched-component probe scans the slim (id, component) state
+    * once per batch (the component-hash layout cannot prune an id lookup;
+    * production puts a bloom/id-index on that probe). Both are reads of
+    * slim projections, not rewrites.
     *
     * EQUIVALENCE CONTRACT: while any band bucket stays within
     * `maxBucketAllPairs` (and, with `useSimHashCandidates`, any SimHash
@@ -590,7 +606,13 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
       s"batch id '$batch' must match [A-Za-z0-9-]+ (stage names are '_'-delimited)")
     assertCheckpointConfig()
     val applied = incBatches
-    if (applied.contains(batch)) return store.read(s"inc_${batch}_clusters")
+    if (applied.contains(batch)) {
+      // batches applied under the pre-state-table layout kept a full
+      // clusters stage; state-table batches return the layered view
+      return if (store.has(s"inc_${batch}_clusters"))
+        store.read(s"inc_${batch}_clusters")
+      else currentClusters(applied.take(applied.indexOf(batch) + 1))
+    }
     val stray = store.stages("inc_").map(_.split("_")(1)).distinct
       .filterNot(b => applied.contains(b) || b == batch)
     require(stray.isEmpty,
@@ -598,9 +620,7 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
         s"${stray.mkString(", ")} — finish or invalidate them before starting '$batch'")
 
     val priorSigs = priorSignatures(applied)
-    val priorComps =
-      if (applied.isEmpty) store.read("components")
-      else store.read(s"inc_${applied.last}_components")
+    ensureStateTables(applied, priorSigs)
 
     // 1 — delta signatures (ids already present are the same capture:
     // drop); the optional canonical-url pre-dedup applies within the
@@ -622,30 +642,37 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
       store.mark(s"inc_${batch}_idcheck")
     }
 
-    // 2 — exact path via the compacted (content_hash → min id) state.
-    // priorHashMin/deltaMin each feed two consumers (state merge + edge
-    // derivation): persist so the first-batch full aggregation over prior
-    // signatures runs once, not per consumer.
-    val priorHashMin = (
-      if (applied.isEmpty)
-        priorSigs.groupBy("content_hash").agg(min("id").as("m"))
-      else store.read(s"inc_${applied.last}_hash_min")
-    ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 2 — exact path via the pkey-partitioned (content_hash → min id)
+    // state: the delta touches only its own hashes' partitions, so the
+    // prior lookup is a partition-PRUNED scan and the state update
+    // rewrites only those partitions — never the corpus. priorTouchedHash/
+    // deltaMin each feed two consumers (state rewrite + edge derivation):
+    // persist so the pruned read runs once, not per consumer.
     val deltaMin = sigsNew.groupBy("content_hash").agg(min("id").as("dm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hashMin = store.getOrCompute(s"inc_${batch}_hash_min") {
-      priorHashMin.select(col("content_hash"), col("m"))
-        .union(deltaMin.select(col("content_hash"), col("dm")))
+    val touchedHashPk = deltaMin
+      .select(pkeyOf(col("content_hash")).as("pkey")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val priorTouchedHash = stateView("hash_min", applied,
+      Some(touchedHashPk), appendOnly = false)
+      .select("content_hash", "m")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hashMinStage = store.getOrComputePartitioned(s"inc_${batch}_hash_min_state") {
+      (priorTouchedHash
+        .union(deltaMin.select(col("content_hash"), col("dm").as("m")))
         .groupBy("content_hash").agg(min("m").as("m"))
+        .withColumn("pkey", pkeyOf(col("content_hash"))),
+        Some(touchedHashPk))
     }
     val exactInc = store.getOrCompute(s"inc_${batch}_exact_edges") {
-      // delta docs to their (possibly old) group min …
+      // delta docs to their (possibly old) group min — every delta hash's
+      // partition was rewritten above, so the stage IS the lookup table
       val newDoc = sigsNew.select("id", "content_hash")
-        .join(hashMin, "content_hash")
+        .join(hashMinStage.select("content_hash", "m"), "content_hash")
         .filter(col("id") =!= col("m"))
         .select(col("m").as("a"), col("id").as("b"))
       // … and the demoted old min when the delta brings a smaller id
-      val repChange = priorHashMin.withColumnRenamed("m", "pm")
+      val repChange = priorTouchedHash.withColumnRenamed("m", "pm")
         .join(deltaMin, "content_hash")
         .filter(col("dm") < col("pm"))
         .select(col("dm").as("a"), col("pm").as("b"))
@@ -653,19 +680,39 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
     }
 
     // 3 — LSH candidates: delta×delta via the batch plan, delta×prior via
-    //     a bucket-restricted join with the same skew ladder
+    //     the pkey-partitioned band STATE (appended per batch at ingest,
+    //     never re-derived from the corpus), pruned to delta-touched
+    //     partitions, with the same skew ladder.
+    // The delta's band rows are APPENDED to the state table as their own
+    // stage FIRST — outside the candidate thunk, so a resume that skips
+    // the (complete) candidate stage still guarantees the append exists
+    // for every later batch.
+    val bandStateStage = store.getOrComputePartitioned(s"inc_${batch}_band_state") {
+      (bandRowsOf(sigsNew, exactInc)
+        .withColumn("pkey", pkeyOf(col("band"), col("bucket"))), None)
+    }
+    val deltaSimStage =
+      if (!config.useSimHashCandidates) None
+      else Some(store.getOrComputePartitioned(s"inc_${batch}_sim_state") {
+        (SimHashDedup.tableRows(
+          sigsNew.select("id", "simhash"), config.simHashMaxHamming)
+          .withColumn("pkey", pkeyOf(col("table"), col("key"))), None)
+      })
     val candInc = store.getOrCompute(s"inc_${batch}_candidate_pairs") {
       val within = candidatePairsPlan(sigsNew, exactInc)
-      // deltaBand feeds three consumers and oldBand/stats two/three each:
-      // eager localCheckpoints make the (corpus-sized) prior band explode
-      // run ONCE, not once per consumer
-      val deltaBand = bandRowsOf(sigsNew, exactInc).localCheckpoint(true)
+      // the delta's band rows read back from their materialized state stage
+      // (delta-sized), replacing the old eager localCheckpoint
+      val deltaBand = bandStateStage.select("id", "band", "bucket")
       // no broadcast hint: for a small delta AQE broadcasts the bucket set
       // (prior band rows never shuffle); a corpus-sized delta would OOM the
       // driver under a forced broadcast, and shuffling is then correct
       val touchedBuckets = deltaBand.select("band", "bucket").distinct()
-      val oldBand = priorBandRows(applied)
+      val touchedBandPk = deltaBand
+        .select(pkeyOf(col("band"), col("bucket")).as("pkey")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val oldBand = stateView("band", applied, Some(touchedBandPk), appendOnly = true)
         .join(touchedBuckets, Seq("band", "bucket"), "left_semi")
+        .select("id", "band", "bucket")
         .localCheckpoint(true)
       val stats = oldBand.groupBy("band", "bucket")
         .agg(count(lit(1)).as("n"), min("id").as("bmin"))
@@ -704,10 +751,16 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
             sigsNew.select("id", "simhash"), k,
             maxBucketSize = config.simHashMaxBucket,
             hotBucketAcc = Some(hotBuckets)).select("a", "b")
-          val deltaSim = SimHashDedup
-            .tableRows(sigsNew.select("id", "simhash"), k).localCheckpoint(true)
-          val priorSim = SimHashDedup
-            .tableRows(priorSigs.select("id", "simhash"), k)
+          // the delta's Manku-table rows, read back from their state stage;
+          // the prior side is the pruned SimHash state (appended per batch
+          // at ingest — never tableRows(corpus) re-derivation)
+          val deltaSim = deltaSimStage.get
+            .select("table", "key", "simhash", "id").localCheckpoint(true)
+          val touchedSimPk = deltaSim
+            .select(pkeyOf(col("table"), col("key")).as("pkey")).distinct()
+            .collect().map(_.getInt(0)).toSeq
+          val priorSim = stateView("sim", applied, Some(touchedSimPk), appendOnly = true)
+            .select("table", "key", "simhash", "id")
             .join(deltaSim.select("table", "key").distinct(),
               Seq("table", "key"), "left_semi")
             .localCheckpoint(true)
@@ -752,50 +805,94 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
         candInc, allPages)
     }
 
-    // 5 — incremental connected components: re-solve ONLY touched components
+    // 5 — incremental connected components: re-solve ONLY touched
+    // components, rewrite ONLY their state partitions
     val newEdges = exactInc.select("a", "b").union(verifiedInc.select("a", "b"))
     val edgeIds = newEdges.select(col("a").as("id"))
       .union(newEdges.select(col("b").as("id"))).distinct()
-    // prior cluster of every edge-touched node (prior singletons = own id);
-    // eager checkpoint — consumed by both the components and clusters thunks
-    val touched = edgeIds.join(priorComps, Seq("id"), "left")
+    // prior cluster of every edge-touched node (prior singletons = own id).
+    // This id-keyed probe is the one corpus-wide READ of the component
+    // state per batch: the component-hash partition layout cannot prune an
+    // id lookup (the member fetch below is what it prunes). edgeIds is
+    // delta-small, so the probe is a broadcast-semi map-side scan of the
+    // slim (id, component) pairs — no corpus shuffle. Production mapping:
+    // a bloom filter / id index on the state table.
+    val touched = edgeIds
+      .join(stateView("comp", applied, None, appendOnly = false)
+        .select("id", "component"), Seq("id"), "left")
       .select(coalesce(col("component"), col("id")).as("component")).distinct()
       .localCheckpoint(true)
-    val compsInc = store.getOrCompute(s"inc_${batch}_components") {
-      val subOld = priorComps.join(touched, Seq("component"), "left_semi")
+    val touchedCompPk = touched
+      .select(pkeyOf(col("component")).as("pkey")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    // the touched components' member rows: a partition-PRUNED scan
+    val subStage = store.getOrCompute(s"inc_${batch}_comp_delta") {
+      val subOld = stateView("comp", applied, Some(touchedCompPk), appendOnly = false)
+        .join(touched, Seq("component"), "left_semi")
         .select(col("component").as("a"), col("id").as("b"))
         .filter(col("a") =!= col("b"))
       val durable =
         if (config.ccDurableInterval > 0) Some((store, config.ccDurableInterval))
         else None
-      val sub = ConnectedComponents.run(subOld.union(newEdges),
+      ConnectedComponents.run(subOld.union(newEdges),
         config.maxCcIterations, durable, durablePrefix = s"inc_${batch}_cc")
-      priorComps.join(touched, Seq("component"), "left_anti")
         .select("id", "component")
-        .union(sub.select("id", "component"))
+    }
+    // state rewrite: owned partitions = those holding touched components
+    // (rows removed) ∪ those receiving re-solved rows (a merged component's
+    // min can be a delta id hashing elsewhere); their carried residents
+    // come from a pruned scan
+    val subPk = subStage.select(pkeyOf(col("component")).as("pkey")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val compOwned = (touchedCompPk ++ subPk).distinct
+    store.getOrComputePartitioned(s"inc_${batch}_comp_state") {
+      val carried = stateView("comp", applied, Some(compOwned), appendOnly = false)
+        .join(touched, Seq("component"), "left_anti")
+        .select("id", "component")
+      (carried.union(subStage)
+        .withColumn("pkey", pkeyOf(col("component"))), Some(compOwned))
     }
 
-    // 6 — clusters: recompute rows only for touched clusters + the delta
-    val clustersInc = store.getOrCompute(s"inc_${batch}_clusters") {
-      val priorClusters =
-        if (applied.isEmpty) store.read("clusters")
-        else store.read(s"inc_${applied.last}_clusters")
+    // 6 — clusters: recompute rows only for touched clusters + the delta;
+    // rewrite only their state partitions (cluster ids ARE the touched
+    // component ids, so the pkey sets coincide)
+    store.getOrComputePartitioned(s"inc_${batch}_cluster_state") {
       val touchedCl = touched.withColumnRenamed("component", "cluster_id")
-      val members = priorClusters
+      val members = stateView("cluster", applied, Some(touchedCompPk), appendOnly = false)
         .join(touchedCl, Seq("cluster_id"), "left_semi").select("id")
       val affectedIds = members.union(sigsNew.select("id")).distinct()
       val affectedSigs = allSigs.join(affectedIds, Seq("id"), "left_semi")
-      val affectedComps = compsInc.join(affectedIds, Seq("id"), "left_semi")
+      // every affected id's component was re-solved (members of touched
+      // components and delta ids all enter the sub-solve), so the
+      // delta-sized comp_delta stage IS the component lookup — no scan of
+      // the full mapping
+      val affectedComps = subStage.join(affectedIds, Seq("id"), "left_semi")
       val cols = Seq("url", "cluster_id", "is_representative", "id", "source", "lang")
-      priorClusters.join(touchedCl, Seq("cluster_id"), "left_anti")
+      val newRows = clustersPlan(affectedSigs, affectedComps)
+        .select(cols.map(col): _*).localCheckpoint(true)
+      val newPk = newRows.select(pkeyOf(col("cluster_id")).as("pkey")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val owned = (touchedCompPk ++ newPk).distinct
+      val carried = stateView("cluster", applied, Some(owned), appendOnly = false)
+        .join(touchedCl, Seq("cluster_id"), "left_anti")
         .select(cols.map(col): _*)
-        .union(clustersPlan(affectedSigs, affectedComps).select(cols.map(col): _*))
+      (carried.union(newRows)
+        .withColumn("pkey", pkeyOf(col("cluster_id"))), Some(owned))
     }
     appendIncLog(batch)
-    priorHashMin.unpersist(blocking = false)
+    priorTouchedHash.unpersist(blocking = false)
     deltaMin.unpersist(blocking = false)
-    clustersInc
+    // the full updated table is the layered view — no corpus-sized write
+    // happened above
+    currentClusters(applied :+ batch)
   }
+
+  /** The current full clusters table: the layered view over the base run's
+    * partitioned adoption plus every applied batch's partition rewrites.
+    */
+  private def currentClusters(appliedNow: Seq[String]): DataFrame =
+    stateView("cluster", appliedNow, None, appendOnly = false)
+      .select("url", "cluster_id", "is_representative", "id", "source", "lang")
 
   /** Batches applied so far, in application order (append-only log). */
   private[graft] def incBatches: Seq[String] = {
@@ -832,14 +929,126 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
     (readBaseSignatures() +: applied.map(b => store.read(s"inc_${b}_signatures")))
       .reduce(_ union _)
 
-  /** Band rows of everything dedup'd so far: base + applied batches, each
-    * through the same exact-dup representative collapse as the batch stage.
+  // ──────────────── pkey-partitioned incremental state tables ────────────────
+  //
+  // Five state tables back the incremental mode, each a set of StageStore
+  // stages partitioned by `pkey = hash(state key) mod statePartitions`
+  // (production: Iceberg bucket-transform partitions):
+  //
+  //   band (append-only, key (band, bucket))  · sim (append-only,
+  //   key (table, key)) · hash_min / comp / cluster (rewrite tables,
+  //   keys content_hash / component / cluster_id)
+  //
+  // Append-only tables: each batch appends one stage; the current view is
+  // the union, pruned by pkey. Rewrite tables: each batch's stage owns the
+  // pkeys it rewrote (manifest-declared), and the current view takes each
+  // pkey from the NEWEST owning stage — so a batch writes only touched
+  // partitions and untouched ones are never read or copied.
+
+  private def pkeyOf(cols: org.apache.spark.sql.Column*): org.apache.spark.sql.Column =
+    pmod(xxhash64(cols: _*), lit(config.statePartitions)).cast("int")
+
+  /** How many applied batches the `name` base layer folds in (recorded at
+    * adoption time so layering starts after them).
     */
-  private def priorBandRows(applied: Seq[String]): DataFrame = {
-    val base = bandRowsOf(readBaseSignatures(), store.read("exact_edges"))
-    val incs = applied.map(b => bandRowsOf(
-      store.read(s"inc_${b}_signatures"), store.read(s"inc_${b}_exact_edges")))
-    (base +: incs).reduce(_ union _)
+  private def baseCovers(name: String): Int =
+    store.markerValue(s"${name}_state_covers").map(_.trim.toInt).getOrElse(0)
+
+  private def stateStageNames(name: String, applied: Seq[String]): Seq[String] =
+    s"${name}_state_base" +: applied.drop(baseCovers(name)).map(b => s"inc_${b}_${name}_state")
+
+  /** One-time adoption of a state table's base layer. The covers marker is
+    * written FIRST: a crash between the two leaves a marker without a base
+    * and the rerun (same `applied` — the triggering batch never completed)
+    * recomputes both, whereas the reverse order could leave a base layer
+    * whose batch coverage is unknown.
+    */
+  private def ensureStateBase(name: String, applied: Seq[String])
+      (thunk: => DataFrame): Unit =
+    if (!store.has(s"${name}_state_base")) {
+      store.mark(s"${name}_state_covers", applied.size.toString)
+      store.writePartitioned(s"${name}_state_base", thunk, None): Unit
+    }
+
+  /** Materialize every state table's base layer if absent — from the base
+    * run's stages on a fresh store, or from the LAST applied batch's full
+    * tables on a store written before the state-table layout (lazy
+    * migration; a one-time corpus-sized write, after which every batch is
+    * delta-proportional — the production base run writes its tables
+    * bucket-partitioned from day one and skips this entirely).
+    */
+  private def ensureStateTables(applied: Seq[String], priorSigs: DataFrame): Unit = {
+    ensureStateBase("band", applied) {
+      val base = bandRowsOf(readBaseSignatures(), store.read("exact_edges"))
+      val incs = applied.map(b => bandRowsOf(
+        store.read(s"inc_${b}_signatures"), store.read(s"inc_${b}_exact_edges")))
+      (base +: incs).reduce(_ union _)
+        .withColumn("pkey", pkeyOf(col("band"), col("bucket")))
+    }
+    ensureStateBase("hash_min", applied) {
+      (if (applied.isEmpty)
+        priorSigs.groupBy("content_hash").agg(min("id").as("m"))
+      else store.read(s"inc_${applied.last}_hash_min"))
+        .select(col("content_hash"), col("m"))
+        .withColumn("pkey", pkeyOf(col("content_hash")))
+    }
+    ensureStateBase("comp", applied) {
+      (if (applied.isEmpty) store.read("components")
+      else store.read(s"inc_${applied.last}_components"))
+        .select(col("id"), col("component"))
+        .withColumn("pkey", pkeyOf(col("component")))
+    }
+    ensureStateBase("cluster", applied) {
+      (if (applied.isEmpty) store.read("clusters")
+      else store.read(s"inc_${applied.last}_clusters"))
+        .select(col("url"), col("cluster_id"), col("is_representative"),
+          col("id"), col("source"), col("lang"))
+        .withColumn("pkey", pkeyOf(col("cluster_id")))
+    }
+    if (config.useSimHashCandidates)
+      ensureStateBase("sim", applied) {
+        SimHashDedup.tableRows(
+          priorSigs.select("id", "simhash"), config.simHashMaxHamming)
+          .withColumn("pkey", pkeyOf(col("table"), col("key")))
+      }
+  }
+
+  /** Current view of state table `name` as of `applied` batches.
+    * `pkeys = Some(ks)` prunes the scan to those partitions (directory-
+    * level pruning — the delta-proportional read). Append-only tables union
+    * every layer; rewrite tables take each pkey from the newest stage whose
+    * manifest owns it, so superseded partitions in older layers are never
+    * read.
+    */
+  private[graft] def stateView(name: String, applied: Seq[String],
+      pkeys: Option[Seq[Int]], appendOnly: Boolean): DataFrame = {
+    val stages = stateStageNames(name, applied)
+    val winner = scala.collection.mutable.Map.empty[Int, String]
+    if (!appendOnly)
+      stages.foreach(s => store.ownedPkeys(s).foreach(k => winner(k) = s))
+    val keep = pkeys.map(_.toSet)
+    val parts = stages.flatMap { s =>
+      if (!store.hasData(s)) None
+      else if (appendOnly) keep match {
+        case None => Some(store.read(s))
+        case Some(ks) if ks.isEmpty => None
+        case Some(ks) => Some(store.read(s).filter(col("pkey").isin(ks.toSeq: _*)))
+      } else {
+        val owned0 = winner.collect { case (k, st) if st == s => k }.toSeq
+        val owned = keep.map(ks => owned0.filter(ks)).getOrElse(owned0)
+        if (owned.isEmpty) None
+        else Some(store.read(s).filter(col("pkey").isin(owned: _*)))
+      }
+    }
+    parts.reduceOption(_ unionByName _).getOrElse {
+      // nothing matched the requested partitions — or every layer is
+      // legitimately empty (e.g. a base corpus with no duplicate edges has
+      // an empty component state): a typed empty frame from the schema
+      // sidecar of any completed layer
+      val completed = stages.find(store.has).getOrElse(throw new
+          IllegalStateException(s"state table '$name' has no completed layer"))
+      store.emptyLike(completed)
+    }
   }
 
   /** Guard against resuming a checkpoint dir written under a different

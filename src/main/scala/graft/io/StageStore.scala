@@ -77,6 +77,116 @@ final class StageStore(spark: SparkSession, val root: String) {
   def getOrCompute(stage: String)(thunk: => DataFrame): DataFrame =
     if (has(stage)) read(stage) else write(stage, thunk)
 
+  // ──────────── pkey-partitioned stages (incremental state tables) ────────────
+
+  /** Write `df` — which must carry an int `pkey` column — as a
+    * DIRECTORY-PARTITIONED stage (`<stage>/pkey=N/part-*.parquet`), so later
+    * reads filtered on `pkey` are partition-PRUNED scans (the delta-
+    * proportional read path of the incremental pipeline; the production
+    * mapping is an Iceberg bucket-transform partition spec).
+    *
+    * `owned` declares which pkeys this stage OWNS in a layered
+    * (last-writer-wins) state table. Ownership is recorded in the manifest,
+    * NOT inferred from directories: a rewrite that empties a partition
+    * writes no directory for it, yet must still supersede older layers for
+    * that pkey — directory inference would resurrect the deleted rows.
+    * `None` (append-only tables, where every layer only adds rows) derives
+    * the list from the directories written.
+    */
+  def writePartitioned(stage: String, df: DataFrame,
+      owned: Option[Seq[Int]]): DataFrame = {
+    val t0 = System.nanoTime()
+    val dir = stageDir(stage)
+    if (Files.exists(dir) && !has(stage)) deleteRecursively(dir)
+    df.write.mode("overwrite").partitionBy("pkey").parquet(dir.toString)
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    val files = parquetFilesUnder(dir)
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val entries = files.map { f =>
+      val rows =
+        try {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.toUri), hadoopConf)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try reader.getRecordCount finally reader.close()
+        } catch { case _: Throwable => -1L }
+      s"""{"file":"${dir.relativize(f)}","rows":$rows,"bytes":${Files.size(f)}}"""
+    }
+    val ownedKeys = owned.getOrElse(pkeyDirs(dir)).distinct.sorted
+    // schema sidecar: a partitioned stage whose every owned partition came
+    // out EMPTY (legitimate — e.g. a base corpus with no duplicate edges
+    // leaves the component state empty) has no parquet file to infer a
+    // schema from, yet layered-state readers still need a typed empty frame
+    Files.writeString(dir.resolve("_SCHEMA.json"), df.schema.json)
+    val manifest =
+      s"""{"stage":"$stage","status":"complete","wall_ms":$wallMs,
+         |"pkeys":[${ownedKeys.mkString(",")}],
+         |"partitions":[${entries.mkString(",")}]}""".stripMargin
+    val tmp = dir.resolve("_MANIFEST.json.tmp")
+    Files.writeString(tmp, manifest)
+    Files.move(tmp, manifestPath(stage), StandardCopyOption.ATOMIC_MOVE)
+    if (files.isEmpty) df.limit(0) // all-empty write: nothing to discover
+    else spark.read.parquet(dir.toString)
+  }
+
+  def getOrComputePartitioned(stage: String)
+      (thunk: => (DataFrame, Option[Seq[Int]])): DataFrame =
+    if (has(stage)) readOrEmpty(stage)
+    else { val (df, owned) = thunk; writePartitioned(stage, df, owned) }
+
+  /** Read a completed partitioned stage, or — when every owned partition is
+    * empty — a typed empty frame from its schema sidecar.
+    */
+  def readOrEmpty(stage: String): DataFrame =
+    if (hasData(stage)) read(stage) else emptyLike(stage)
+
+  /** A zero-row frame with a completed partitioned stage's schema. */
+  def emptyLike(stage: String): DataFrame = {
+    val p = stageDir(stage).resolve("_SCHEMA.json")
+    require(Files.exists(p), s"stage '$stage' has no schema sidecar")
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(Files.readString(p))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** pkeys a completed partitioned stage owns (manifest-declared). */
+  def ownedPkeys(stage: String): Seq[Int] = {
+    val m = Files.readString(manifestPath(stage))
+    "\"pkeys\":\\[([0-9,\\s]*)\\]".r.findFirstMatchIn(m) match {
+      case Some(g) =>
+        g.group(1).split(",").iterator.map(_.trim).filter(_.nonEmpty)
+          .map(_.toInt).toSeq
+      case None => Nil
+    }
+  }
+
+  /** Whether the stage wrote at least one data file — a partitioned stage
+    * whose every owned partition came out empty has only its manifest, and
+    * `spark.read` on it would fail schema inference.
+    */
+  def hasData(stage: String): Boolean =
+    has(stage) && pkeyDirs(stageDir(stage)).nonEmpty
+
+  private def pkeyDirs(dir: Path): Seq[Int] =
+    if (!Files.exists(dir)) Nil
+    else scala.util.Using.resource(Files.list(dir))(
+      _.toArray.map(_.asInstanceOf[Path]))
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("pkey="))
+      .map(_.getFileName.toString.stripPrefix("pkey=").toInt).toSeq
+
+  private def parquetFilesUnder(dir: Path): Array[Path] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Path]
+    def walk(p: Path): Unit =
+      if (Files.isDirectory(p))
+        scala.util.Using.resource(Files.list(p))(
+          _.toArray.map(_.asInstanceOf[Path])).foreach(walk)
+      else if (p.getFileName.toString.endsWith(".parquet")) out += p
+    walk(dir)
+    out.toArray
+  }
+
   /** Per-partition lineage rows of a completed stage. */
   def lineage(stage: String): DataFrame = {
     val json = Files.readString(manifestPath(stage))
@@ -99,13 +209,17 @@ final class StageStore(spark: SparkSession, val root: String) {
     */
   def marked(name: String): Boolean = Files.exists(markerPath(name))
 
-  def mark(name: String): Unit = {
+  def mark(name: String, value: String = "ok"): Unit = {
     Files.createDirectories(Paths.get(root))
     val tmp = Paths.get(root, s"_MARKER_$name.tmp")
-    Files.writeString(tmp, "ok")
+    Files.writeString(tmp, value)
     Files.move(tmp, markerPath(name), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
+
+  /** The value a marker was written with (None when unset). */
+  def markerValue(name: String): Option[String] =
+    if (marked(name)) Some(Files.readString(markerPath(name))) else None
 
   def unmark(name: String): Unit = Files.deleteIfExists(markerPath(name))
 

@@ -490,6 +490,64 @@ class DedupPipelineSpec extends AnyFunSuite {
     all.unpersist()
   }
 
+  test("incremental state tables: partition-pruned reads, delta-proportional rewrites") {
+    import spark.implicits._
+    val all = DeterministicCorpus.pages(spark, CorpusSpec(nFamilies = 600, seed = 5)).cache()
+    // a tiny delta: 2 brand-new families plus 5 exact re-crawls of base
+    // pages — the re-crawls link into existing components, so the member
+    // fetch and the comp/cluster partition rewrites are all exercised
+    val recrawls = all.take(5).toSeq
+      .map(p => p.copy(url = p.url + "#recrawl",
+        warc_ts = new java.sql.Timestamp(p.warc_ts.getTime + 60000L))).toDS()
+    val delta = DeterministicCorpus.pages(spark,
+      CorpusSpec(nFamilies = 2, familyOffset = 100000, seed = 5))
+      .union(recrawls).cache()
+    val store = freshStore()
+    val pipe = new DedupPipeline(spark, DedupConfig(), store)
+    pipe.run(all).count()
+    val nAll = all.count()
+    val nDelta = delta.count()
+    val updated = pipe.incremental("d1", delta)
+    // the layered view IS the full table: every id exactly once
+    assert(updated.count() === nAll + nDelta)
+    assert(updated.select("id").distinct().count() === nAll + nDelta)
+
+    // READ path: a pkey-restricted band-state view must be a partition-
+    // PRUNED scan — PartitionFilters on pkey in the executed plan, and no
+    // Exchange (scan+filter+union only)
+    val somePk = Seq(0, 1, 2)
+    val pruned = pipe.stateView("band", Seq("d1"), Some(somePk), appendOnly = true)
+    pruned.collect()
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*pkey".r.findFirstIn(plan).isDefined,
+      s"no partition filter on pkey:\n$plan")
+    assert(!plan.contains("Exchange"), s"state view shuffled:\n$plan")
+    // and it returns exactly the requested partitions' rows
+    val wantRows = pipe.stateView("band", Seq("d1"), None, appendOnly = true)
+      .filter(col("pkey").isin(somePk: _*)).count()
+    assert(pruned.count() === wantRows && wantRows > 0)
+
+    // WRITE path: the delta's cluster/component state rewrites touch a
+    // FRACTION of the corpus (owned partitions only), not the full table
+    val p = DedupConfig().statePartitions
+    val clOwned = store.ownedPkeys("inc_d1_cluster_state")
+    assert(clOwned.nonEmpty && clOwned.size < p / 2,
+      s"cluster rewrite owns ${clOwned.size}/$p partitions — not delta-proportional")
+    val clRows = store.read("inc_d1_cluster_state").count()
+    assert(clRows < (nAll + nDelta) / 2,
+      s"cluster rewrite wrote $clRows rows for a $nDelta-page delta")
+    val compRows = store.read("inc_d1_comp_state").count()
+    assert(compRows < nAll / 2,
+      s"component rewrite wrote $compRows rows for a $nDelta-page delta")
+    // hash-min state: only the delta's hash partitions rewritten
+    assert(store.ownedPkeys("inc_d1_hash_min_state").size < p / 2)
+    // band state: the batch appended ONLY its own band rows
+    assert(store.read("inc_d1_band_state").count() ===
+      pipe.stateView("band", Seq("d1"), None, appendOnly = true).count() -
+        pipe.stateView("band", Nil, None, appendOnly = true).count())
+    all.unpersist(); delta.unpersist()
+  }
+
   test("incremental hot bucket: delta members chain into an oversized prior bucket") {
     import spark.implicits._
     // 210-member near-identical boilerplate family; the last 10 arrive as a

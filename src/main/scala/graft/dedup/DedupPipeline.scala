@@ -51,11 +51,13 @@ final case class DedupConfig(
     simHashMaxBucket: Int = 10000,
     urlCanonicalPreDedup: Boolean = false,
     idBits: Int = 64,
-    statePartitions: Int = 32) {
+    statePartitions: Int = 32,
+    stateCompactEvery: Int = 8) {
   require(bands * rows == numHashes, "bands*rows must equal numHashes")
   require(resumeChunks >= 1, "resumeChunks must be >= 1")
   require(idBits == 64 || idBits == 128, "idBits must be 64 or 128")
   require(statePartitions >= 1, "statePartitions must be >= 1")
+  require(stateCompactEvery >= 1, "stateCompactEvery must be >= 1")
 }
 
 /** The end-to-end near-dup detection + clustering pipeline (SURVEY.md §3.3
@@ -545,10 +547,12 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
     *         (table, key)) are APPEND-ONLY — each batch appends its delta's
     *         rows; prior rows are never re-derived from the corpus;
     *       · hash-min (content_hash → min id), components, and clusters
-    *         are REWRITE tables — each batch rewrites ONLY the partitions
-    *         its delta touches (last-writer-wins layering by manifest-
-    *         declared pkey ownership), so the per-batch write volume is
-    *         O(touched partitions' residents), not the corpus;
+    *         are MERGE-ON-READ UPSERT tables — each batch appends a layer
+    *         holding only the rows it CHANGED (plus tombstones where a
+    *         key's partition moved); reads resolve latest-wins per key and
+    *         layers fold back into one base every `stateCompactEvery`
+    *         batches, so per-batch write volume is O(changed rows) even
+    *         when the touched keys hash into every partition;
     *   - LSH candidates join the delta's band rows against the band STATE
     *     pruned to delta-touched partitions (directory-level pruning) and
     *     semi-restricted to touched buckets, with the same skew ladder as
@@ -565,7 +569,7 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
     *     partitions are never read or rewritten;
     *   - cluster rows (representative selection) are recomputed only for
     *     touched clusters and the delta; the returned full table is the
-    *     LAYERED VIEW over base + per-batch partition rewrites.
+    *     latest-wins view over base + per-batch upsert layers.
     *
     * Remaining corpus-sized terms, stated honestly: (a) the already-present
     * id anti-join and the verification shingle fetch scan the signature
@@ -642,39 +646,43 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
       store.mark(s"inc_${batch}_idcheck")
     }
 
-    // 2 — exact path via the pkey-partitioned (content_hash → min id)
-    // state: the delta touches only its own hashes' partitions, so the
-    // prior lookup is a partition-PRUNED scan and the state update
-    // rewrites only those partitions — never the corpus. priorTouchedHash/
-    // deltaMin each feed two consumers (state rewrite + edge derivation):
+    // 2 — exact path via the (content_hash → min id) state: a pruned
+    // latest-wins read of the delta's hash partitions, then a layer append
+    // of ONLY the changed/new keys (merge-on-read upsert; the state key is
+    // also the partition key, so a newer layer shadows the same key in
+    // place and tombstones are never needed here). priorTouchedHash/
+    // deltaMin each feed two consumers (layer write + edge derivation):
     // persist so the pruned read runs once, not per consumer.
     val deltaMin = sigsNew.groupBy("content_hash").agg(min("id").as("dm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val touchedHashPk = deltaMin
       .select(pkeyOf(col("content_hash")).as("pkey")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val priorTouchedHash = stateView("hash_min", applied,
-      Some(touchedHashPk), appendOnly = false)
+    val priorTouchedHash = resolveState(
+      stateView("hash_min", applied, Some(touchedHashPk), appendOnly = false),
+      Seq("content_hash"))
       .select("content_hash", "m")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hashMinStage = store.getOrComputePartitioned(s"inc_${batch}_hash_min_state") {
-      (priorTouchedHash
-        .union(deltaMin.select(col("content_hash"), col("dm").as("m")))
-        .groupBy("content_hash").agg(min("m").as("m"))
-        .withColumn("pkey", pkeyOf(col("content_hash"))),
-        Some(touchedHashPk))
+    // the batch's current min per delta hash — prior min if smaller
+    val curMin = deltaMin.join(priorTouchedHash, Seq("content_hash"), "left")
+      .select(col("content_hash"),
+        least(col("dm"), coalesce(col("m"), col("dm"))).as("cm"),
+        col("m").as("pm"), col("dm"))
+    store.getOrComputePartitioned(s"inc_${batch}_hash_min_state") {
+      (curMin.filter(col("pm").isNull || col("cm") < col("pm"))
+        .select(col("content_hash"), col("cm").as("m"))
+        .withColumn("pkey", pkeyOf(col("content_hash")))
+        .withColumn(DelCol, lit(false)), None)
     }
     val exactInc = store.getOrCompute(s"inc_${batch}_exact_edges") {
-      // delta docs to their (possibly old) group min — every delta hash's
-      // partition was rewritten above, so the stage IS the lookup table
+      // delta docs to their (possibly old) group min …
       val newDoc = sigsNew.select("id", "content_hash")
-        .join(hashMinStage.select("content_hash", "m"), "content_hash")
-        .filter(col("id") =!= col("m"))
-        .select(col("m").as("a"), col("id").as("b"))
+        .join(curMin.select("content_hash", "cm"), "content_hash")
+        .filter(col("id") =!= col("cm"))
+        .select(col("cm").as("a"), col("id").as("b"))
       // … and the demoted old min when the delta brings a smaller id
-      val repChange = priorTouchedHash.withColumnRenamed("m", "pm")
-        .join(deltaMin, "content_hash")
-        .filter(col("dm") < col("pm"))
+      val repChange = curMin
+        .filter(col("pm").isNotNull && col("dm") < col("pm"))
         .select(col("dm").as("a"), col("pm").as("b"))
       newDoc.union(repChange).distinct()
     }
@@ -806,29 +814,37 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
     }
 
     // 5 — incremental connected components: re-solve ONLY touched
-    // components, rewrite ONLY their state partitions
+    // components, append ONLY the re-solved rows (+ tombstones for moves)
     val newEdges = exactInc.select("a", "b").union(verifiedInc.select("a", "b"))
     val edgeIds = newEdges.select(col("a").as("id"))
       .union(newEdges.select(col("b").as("id"))).distinct()
-    // prior cluster of every edge-touched node (prior singletons = own id).
-    // This id-keyed probe is the one corpus-wide READ of the component
-    // state per batch: the component-hash partition layout cannot prune an
-    // id lookup (the member fetch below is what it prunes). edgeIds is
-    // delta-small, so the probe is a broadcast-semi map-side scan of the
-    // slim (id, component) pairs — no corpus shuffle. Production mapping:
-    // a bloom filter / id index on the state table.
+    // prior component of every edge-touched node (prior singletons = own
+    // id). The id probe semi-filters the slim RAW layer rows map-side
+    // (edgeIds is delta-small ⇒ broadcast semi, no corpus shuffle), and
+    // latest-wins resolution runs on the delta-sized survivors only. The
+    // component-hash layout cannot prune an id lookup; production puts a
+    // bloom/id index on the state files.
+    val compRaw = stateView("comp", applied, None, appendOnly = false)
+    val priorOfEdge = resolveState(
+      compRaw.join(edgeIds, Seq("id"), "left_semi"), Seq("id"))
     val touched = edgeIds
-      .join(stateView("comp", applied, None, appendOnly = false)
-        .select("id", "component"), Seq("id"), "left")
+      .join(priorOfEdge.select("id", "component"), Seq("id"), "left")
       .select(coalesce(col("component"), col("id")).as("component")).distinct()
       .localCheckpoint(true)
     val touchedCompPk = touched
       .select(pkeyOf(col("component")).as("pkey")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    // the touched components' member rows: a partition-PRUNED scan
+    // the touched components' CURRENT member rows: a partition-pruned scan
+    // + latest-wins resolve over the pruned rows (stale rows from earlier
+    // moves lose to their tombstones, see resolveState)
+    val oldMembers = resolveState(
+      stateView("comp", applied, Some(touchedCompPk), appendOnly = false),
+      Seq("id"))
+      .join(touched, Seq("component"), "left_semi")
+      .select("id", "component")
+      .localCheckpoint(true)
     val subStage = store.getOrCompute(s"inc_${batch}_comp_delta") {
-      val subOld = stateView("comp", applied, Some(touchedCompPk), appendOnly = false)
-        .join(touched, Seq("component"), "left_semi")
+      val subOld = oldMembers
         .select(col("component").as("a"), col("id").as("b"))
         .filter(col("a") =!= col("b"))
       val durable =
@@ -838,60 +854,72 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
         config.maxCcIterations, durable, durablePrefix = s"inc_${batch}_cc")
         .select("id", "component")
     }
-    // state rewrite: owned partitions = those holding touched components
-    // (rows removed) ∪ those receiving re-solved rows (a merged component's
-    // min can be a delta id hashing elsewhere); their carried residents
-    // come from a pruned scan
-    val subPk = subStage.select(pkeyOf(col("component")).as("pkey")).distinct()
-      .collect().map(_.getInt(0)).toSeq
-    val compOwned = (touchedCompPk ++ subPk).distinct
+    // layer append (merge-on-read upsert): the re-solved rows, plus a
+    // tombstone at the OLD partition for every member whose component —
+    // hence state partition — changed. Write volume is O(touched members
+    // + delta); untouched rows are never read or copied.
     store.getOrComputePartitioned(s"inc_${batch}_comp_state") {
-      val carried = stateView("comp", applied, Some(compOwned), appendOnly = false)
-        .join(touched, Seq("component"), "left_anti")
-        .select("id", "component")
-      (carried.union(subStage)
-        .withColumn("pkey", pkeyOf(col("component"))), Some(compOwned))
+      val live = subStage.select("id", "component")
+        .withColumn("pkey", pkeyOf(col("component")))
+        .withColumn(DelCol, lit(false))
+      val tombs = oldMembers.withColumnRenamed("component", "oc")
+        .join(subStage.select(col("id"), col("component").as("nc")), Seq("id"))
+        .filter(col("oc") =!= col("nc"))
+        .select(col("id"), col("oc").as("component"))
+        .withColumn("pkey", pkeyOf(col("component")))
+        .withColumn(DelCol, lit(true))
+      (live.unionByName(tombs), None)
     }
 
     // 6 — clusters: recompute rows only for touched clusters + the delta;
-    // rewrite only their state partitions (cluster ids ARE the touched
-    // component ids, so the pkey sets coincide)
+    // append only those rows (+ tombstones for ids whose cluster moved)
     store.getOrComputePartitioned(s"inc_${batch}_cluster_state") {
       val touchedCl = touched.withColumnRenamed("component", "cluster_id")
-      val members = stateView("cluster", applied, Some(touchedCompPk), appendOnly = false)
-        .join(touchedCl, Seq("cluster_id"), "left_semi").select("id")
-      val affectedIds = members.union(sigsNew.select("id")).distinct()
+      val cols = Seq("url", "cluster_id", "is_representative", "id", "source", "lang")
+      val oldRows = resolveState(
+        stateView("cluster", applied, Some(touchedCompPk), appendOnly = false),
+        Seq("id"))
+        .join(touchedCl, Seq("cluster_id"), "left_semi")
+        .select(cols.map(col): _*)
+        .localCheckpoint(true)
+      val affectedIds = oldRows.select("id").union(sigsNew.select("id")).distinct()
       val affectedSigs = allSigs.join(affectedIds, Seq("id"), "left_semi")
       // every affected id's component was re-solved (members of touched
       // components and delta ids all enter the sub-solve), so the
       // delta-sized comp_delta stage IS the component lookup — no scan of
       // the full mapping
       val affectedComps = subStage.join(affectedIds, Seq("id"), "left_semi")
-      val cols = Seq("url", "cluster_id", "is_representative", "id", "source", "lang")
       val newRows = clustersPlan(affectedSigs, affectedComps)
         .select(cols.map(col): _*).localCheckpoint(true)
-      val newPk = newRows.select(pkeyOf(col("cluster_id")).as("pkey")).distinct()
-        .collect().map(_.getInt(0)).toSeq
-      val owned = (touchedCompPk ++ newPk).distinct
-      val carried = stateView("cluster", applied, Some(owned), appendOnly = false)
-        .join(touchedCl, Seq("cluster_id"), "left_anti")
+      val live = newRows
+        .withColumn("pkey", pkeyOf(col("cluster_id")))
+        .withColumn(DelCol, lit(false))
+      // tombstone payload = the superseded row (values are dead weight —
+      // resolution drops the row; only (id, old pkey, newest seq) matter)
+      val tombs = oldRows
+        .join(newRows.select(col("id"), col("cluster_id").as("_nc")), Seq("id"))
+        .filter(col("cluster_id") =!= col("_nc"))
         .select(cols.map(col): _*)
-      (carried.union(newRows)
-        .withColumn("pkey", pkeyOf(col("cluster_id"))), Some(owned))
+        .withColumn("pkey", pkeyOf(col("cluster_id")))
+        .withColumn(DelCol, lit(true))
+      (live.unionByName(tombs), None)
     }
     appendIncLog(batch)
     priorTouchedHash.unpersist(blocking = false)
     deltaMin.unpersist(blocking = false)
+    // fold layers back into a single base once enough batches piled up
+    maybeCompactState(applied :+ batch)
     // the full updated table is the layered view — no corpus-sized write
     // happened above
     currentClusters(applied :+ batch)
   }
 
-  /** The current full clusters table: the layered view over the base run's
-    * partitioned adoption plus every applied batch's partition rewrites.
+  /** The current full clusters table: the latest-wins view over the base
+    * layer plus every applied batch's upsert layer.
     */
   private def currentClusters(appliedNow: Seq[String]): DataFrame =
-    stateView("cluster", appliedNow, None, appendOnly = false)
+    resolveState(stateView("cluster", appliedNow, None, appendOnly = false),
+      Seq("id"))
       .select("url", "cluster_id", "is_representative", "id", "source", "lang")
 
   /** Batches applied so far, in application order (append-only log). */
@@ -936,26 +964,56 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
   // (production: Iceberg bucket-transform partitions):
   //
   //   band (append-only, key (band, bucket))  · sim (append-only,
-  //   key (table, key)) · hash_min / comp / cluster (rewrite tables,
-  //   keys content_hash / component / cluster_id)
+  //   key (table, key)) · hash_min / comp / cluster (UPSERT tables,
+  //   resolution keys content_hash / id / id, partitioned by
+  //   content_hash / component / cluster_id)
   //
-  // Append-only tables: each batch appends one stage; the current view is
-  // the union, pruned by pkey. Rewrite tables: each batch's stage owns the
-  // pkeys it rewrote (manifest-declared), and the current view takes each
-  // pkey from the NEWEST owning stage — so a batch writes only touched
-  // partitions and untouched ones are never read or copied.
+  // Append-only tables: each batch appends one layer of new rows; the
+  // current view is the pruned union. Upsert tables are MERGE-ON-READ
+  // (the Iceberg MOR / LSM analog): each batch appends a layer holding
+  // ONLY the rows it changed, plus tombstones at the OLD partition for
+  // keys whose partition moved; reads union the (pruned) layers and keep
+  // the newest row per key ([[resolveState]]). Per-batch write volume is
+  // therefore O(changed rows) even when the touched keys hash into every
+  // partition — the regime every web-scale delta lives in, and exactly
+  // where a copy-on-write partition rewrite would degrade to a full-table
+  // rewrite per batch. Read amplification is bounded by folding layers
+  // back into a single base every `stateCompactEvery` batches
+  // ([[maybeCompactState]]).
+
+  private val SeqCol = "_seq"
+  private val DelCol = "_del"
+
+  /** Upsert tables and their latest-wins resolution keys; absent = append-only. */
+  private val UpsertKeys: Map[String, Seq[String]] = Map(
+    "hash_min" -> Seq("content_hash"),
+    "comp" -> Seq("id"),
+    "cluster" -> Seq("id"))
 
   private def pkeyOf(cols: org.apache.spark.sql.Column*): org.apache.spark.sql.Column =
     pmod(xxhash64(cols: _*), lit(config.statePartitions)).cast("int")
 
-  /** How many applied batches the `name` base layer folds in (recorded at
-    * adoption time so layering starts after them).
+  /** (covers, version) of the `name` base layer: how many applied batches
+    * it folds in, and which versioned stage holds it (0 = the adoption
+    * base). Written as "covers version" in one marker so the pair moves
+    * atomically.
     */
-  private def baseCovers(name: String): Int =
-    store.markerValue(s"${name}_state_covers").map(_.trim.toInt).getOrElse(0)
+  private def baseInfo(name: String): (Int, Int) =
+    store.markerValue(s"${name}_state_covers") match {
+      case None => (0, 0)
+      case Some(s) =>
+        val t = s.trim.split("\\s+")
+        (t(0).toInt, if (t.length > 1) t(1).toInt else 0)
+    }
 
-  private def stateStageNames(name: String, applied: Seq[String]): Seq[String] =
-    s"${name}_state_base" +: applied.drop(baseCovers(name)).map(b => s"inc_${b}_${name}_state")
+  private def baseStageName(name: String, ver: Int): String =
+    if (ver == 0) s"${name}_state_base" else s"${name}_state_base_v$ver"
+
+  private def stateStageNames(name: String, applied: Seq[String]): Seq[String] = {
+    val (covers, ver) = baseInfo(name)
+    baseStageName(name, ver) +: applied.drop(covers)
+      .map(b => s"inc_${b}_${name}_state")
+  }
 
   /** One-time adoption of a state table's base layer. The covers marker is
     * written FIRST: a crash between the two leaves a marker without a base
@@ -964,18 +1022,83 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
     * whose batch coverage is unknown.
     */
   private def ensureStateBase(name: String, applied: Seq[String])
-      (thunk: => DataFrame): Unit =
-    if (!store.has(s"${name}_state_base")) {
-      store.mark(s"${name}_state_covers", applied.size.toString)
-      store.writePartitioned(s"${name}_state_base", thunk, None): Unit
+      (thunk: => DataFrame): Unit = {
+    val (_, ver) = baseInfo(name)
+    if (!store.has(baseStageName(name, ver))) {
+      store.mark(s"${name}_state_covers", s"${applied.size} $ver")
+      store.writePartitioned(baseStageName(name, ver), thunk, None): Unit
     }
+  }
+
+  /** Fold a state table's layers back into a single base once
+    * `stateCompactEvery` batches piled up since the last fold — the
+    * Iceberg-compaction / LSM-merge analog that bounds merge-on-read
+    * amplification. The new base is written as a fresh versioned stage
+    * (atomic manifest commit), THEN the covers marker moves to it (atomic
+    * rename) — a crash between the two leaves the old view intact and the
+    * retry adopts the already-completed stage instantly. Superseded layer
+    * stages are deleted last (unreferenced once the marker moved).
+    */
+  private def maybeCompactState(appliedNow: Seq[String]): Unit = {
+    val names = Seq("band", "hash_min", "comp", "cluster") ++
+      (if (config.useSimHashCandidates) Seq("sim") else Nil)
+    names.foreach { name =>
+      val (covers, _) = baseInfo(name)
+      val cN = appliedNow.size
+      if (cN - covers >= config.stateCompactEvery) {
+        val oldStages = stateStageNames(name, appliedNow)
+        store.getOrComputePartitioned(baseStageName(name, cN)) {
+          val raw = stateView(name, appliedNow, None,
+            appendOnly = !UpsertKeys.contains(name))
+          (UpsertKeys.get(name) match {
+            case Some(ks) => resolveState(raw, ks).withColumn(DelCol, lit(false))
+            case None => raw
+          }, None)
+        }
+        // version := covers count, so a crash-orphaned stage is always
+        // correct for the covers its name encodes and can be adopted later
+        store.mark(s"${name}_state_covers", s"$cN $cN")
+        oldStages.foreach(store.invalidate)
+      }
+    }
+  }
+
+  /** Latest-wins resolution of a layered upsert-table read: per key keep
+    * the newest layer's row (a live row beats its own batch's tombstone),
+    * then drop tombstoned keys. This is merge-on-read compaction at query
+    * time, over however many rows the caller's pruning left.
+    */
+  private def resolveState(raw: DataFrame, keyCols: Seq[String]): DataFrame = {
+    if (!raw.columns.contains(SeqCol)) // empty-table fallback frame
+      return if (raw.columns.contains(DelCol))
+        raw.filter(!col(DelCol)).drop(DelCol)
+      else raw
+    val live = when(col(DelCol), lit(0)).otherwise(lit(1))
+    raw.groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(raw.columns.map(col): _*),
+        struct(col(SeqCol), live)).as("_w"))
+      .select(col("_w.*"))
+      .filter(!col(DelCol))
+      .drop(SeqCol, DelCol)
+  }
+
+  /** Materialize the incremental state tables for this store's base run +
+    * applied batches, if absent. The production base job calls this as its
+    * FINAL step (writing the tables bucket-partitioned from day one), so
+    * the first delta apply pays no adoption cost; on a store whose base job
+    * didn't, the first `incremental()` runs it lazily — a one-time
+    * corpus-sized write, after which every batch is delta-proportional.
+    */
+  def materializeStateTables(): Unit = {
+    assertCheckpointConfig()
+    val applied = incBatches
+    ensureStateTables(applied, priorSignatures(applied))
+  }
 
   /** Materialize every state table's base layer if absent — from the base
     * run's stages on a fresh store, or from the LAST applied batch's full
     * tables on a store written before the state-table layout (lazy
-    * migration; a one-time corpus-sized write, after which every batch is
-    * delta-proportional — the production base run writes its tables
-    * bucket-partitioned from day one and skips this entirely).
+    * migration; see [[materializeStateTables]]).
     */
   private def ensureStateTables(applied: Seq[String], priorSigs: DataFrame): Unit = {
     ensureStateBase("band", applied) {
@@ -991,12 +1114,14 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
       else store.read(s"inc_${applied.last}_hash_min"))
         .select(col("content_hash"), col("m"))
         .withColumn("pkey", pkeyOf(col("content_hash")))
+        .withColumn(DelCol, lit(false))
     }
     ensureStateBase("comp", applied) {
       (if (applied.isEmpty) store.read("components")
       else store.read(s"inc_${applied.last}_components"))
         .select(col("id"), col("component"))
         .withColumn("pkey", pkeyOf(col("component")))
+        .withColumn(DelCol, lit(false))
     }
     ensureStateBase("cluster", applied) {
       (if (applied.isEmpty) store.read("clusters")
@@ -1004,6 +1129,7 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
         .select(col("url"), col("cluster_id"), col("is_representative"),
           col("id"), col("source"), col("lang"))
         .withColumn("pkey", pkeyOf(col("cluster_id")))
+        .withColumn(DelCol, lit(false))
     }
     if (config.useSimHashCandidates)
       ensureStateBase("sim", applied) {
@@ -1013,31 +1139,30 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
       }
   }
 
-  /** Current view of state table `name` as of `applied` batches.
-    * `pkeys = Some(ks)` prunes the scan to those partitions (directory-
-    * level pruning — the delta-proportional read). Append-only tables union
-    * every layer; rewrite tables take each pkey from the newest stage whose
-    * manifest owns it, so superseded partitions in older layers are never
-    * read.
+  /** RAW layered view of state table `name` as of `applied` batches.
+    * `pkeys = Some(ks)` prunes every layer's scan to those partitions
+    * (directory-level pruning — the delta-proportional read). Append-only
+    * tables are complete as-is; upsert tables come back with `_seq` (layer
+    * index) and `_del` attached and MUST go through [[resolveState]] —
+    * callers that only need a key subset semi-filter the raw rows first,
+    * so resolution runs on the survivors, not the corpus.
     */
   private[graft] def stateView(name: String, applied: Seq[String],
       pkeys: Option[Seq[Int]], appendOnly: Boolean): DataFrame = {
+    require(appendOnly == !UpsertKeys.contains(name),
+      s"state table '$name' appendOnly mismatch")
     val stages = stateStageNames(name, applied)
-    val winner = scala.collection.mutable.Map.empty[Int, String]
-    if (!appendOnly)
-      stages.foreach(s => store.ownedPkeys(s).foreach(k => winner(k) = s))
     val keep = pkeys.map(_.toSet)
-    val parts = stages.flatMap { s =>
+    val parts = stages.zipWithIndex.flatMap { case (s, i) =>
       if (!store.hasData(s)) None
-      else if (appendOnly) keep match {
-        case None => Some(store.read(s))
-        case Some(ks) if ks.isEmpty => None
-        case Some(ks) => Some(store.read(s).filter(col("pkey").isin(ks.toSeq: _*)))
-      } else {
-        val owned0 = winner.collect { case (k, st) if st == s => k }.toSeq
-        val owned = keep.map(ks => owned0.filter(ks)).getOrElse(owned0)
-        if (owned.isEmpty) None
-        else Some(store.read(s).filter(col("pkey").isin(owned: _*)))
+      else {
+        val pruned = keep match {
+          case None => Some(store.read(s))
+          case Some(ks) if ks.isEmpty => None
+          case Some(ks) => Some(store.read(s).filter(col("pkey").isin(ks.toSeq: _*)))
+        }
+        if (appendOnly) pruned
+        else pruned.map(_.withColumn(SeqCol, lit(i)))
       }
     }
     parts.reduceOption(_ unionByName _).getOrElse {

@@ -527,25 +527,64 @@ class DedupPipelineSpec extends AnyFunSuite {
       .filter(col("pkey").isin(somePk: _*)).count()
     assert(pruned.count() === wantRows && wantRows > 0)
 
-    // WRITE path: the delta's cluster/component state rewrites touch a
-    // FRACTION of the corpus (owned partitions only), not the full table
-    val p = DedupConfig().statePartitions
-    val clOwned = store.ownedPkeys("inc_d1_cluster_state")
-    assert(clOwned.nonEmpty && clOwned.size < p / 2,
-      s"cluster rewrite owns ${clOwned.size}/$p partitions — not delta-proportional")
+    // WRITE path (merge-on-read): each upsert layer holds ONLY changed
+    // rows + tombstones — O(touched members + delta), NEVER a corpus copy.
+    // Bounds are corpus-independent: 4× the delta covers live rows,
+    // tombstones, and the recrawled families' co-members with slack.
     val clRows = store.read("inc_d1_cluster_state").count()
-    assert(clRows < (nAll + nDelta) / 2,
-      s"cluster rewrite wrote $clRows rows for a $nDelta-page delta")
+    assert(clRows > 0 && clRows <= 4 * nDelta + 50,
+      s"cluster layer wrote $clRows rows for a $nDelta-page delta")
     val compRows = store.read("inc_d1_comp_state").count()
-    assert(compRows < nAll / 2,
-      s"component rewrite wrote $compRows rows for a $nDelta-page delta")
-    // hash-min state: only the delta's hash partitions rewritten
-    assert(store.ownedPkeys("inc_d1_hash_min_state").size < p / 2)
+    assert(compRows <= 4 * nDelta + 50,
+      s"component layer wrote $compRows rows for a $nDelta-page delta")
+    // hash-min layer: changed/new keys only — at most the delta's hashes
+    val hashRows = store.read("inc_d1_hash_min_state").count()
+    assert(hashRows > 0 && hashRows <= nDelta,
+      s"hash-min layer wrote $hashRows rows for a $nDelta-page delta")
     // band state: the batch appended ONLY its own band rows
     assert(store.read("inc_d1_band_state").count() ===
       pipe.stateView("band", Seq("d1"), None, appendOnly = true).count() -
         pipe.stateView("band", Nil, None, appendOnly = true).count())
     all.unpersist(); delta.unpersist()
+  }
+
+  test("state compaction: layers fold into a versioned base; view unchanged") {
+    import spark.implicits._
+    import scala.util.hashing.MurmurHash3
+    val spec = CorpusSpec(nFamilies = 80, pDup = 0.5, seed = 11)
+    val all = DeterministicCorpus.generate(spark, spec).map(_._1).cache()
+    def part(p: graft.schema.Page): Int = math.floorMod(MurmurHash3.stringHash(p.url), 4)
+    val aPages = all.filter(p => part(p) >= 2)
+    val bPages = all.filter(p => part(p) == 1)
+    val cPages = all.filter(p => part(p) == 0)
+
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("url", "cluster_id", "is_representative")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSet
+    val full = key(new DedupPipeline(spark, DedupConfig(), freshStore())
+      .run(aPages.union(bPages).union(cPages)))
+
+    // compact after EVERY batch — each apply folds the upsert layers +
+    // tombstones back into one resolved base, and the next batch layers on
+    // top of the fold
+    val store = freshStore()
+    val pipe = new DedupPipeline(spark, DedupConfig(stateCompactEvery = 1), store)
+    pipe.run(aPages).count()
+    pipe.incremental("b", bPages).count()
+    // after batch b's compaction: versioned bases exist, per-batch layer
+    // stages and the adoption base are gone
+    assert(store.has("cluster_state_base_v1"), "compacted base missing")
+    assert(!store.has("cluster_state_base"), "adoption base not cleaned up")
+    assert(!store.has("inc_b_cluster_state"), "superseded layer not cleaned up")
+    val incr = key(pipe.incremental("c", cPages))
+    assert(incr === full,
+      "compacted incremental clusters must equal the batch run")
+    assert(store.has("cluster_state_base_v2"))
+    // a compacted base carries no tombstones — it IS the resolved view
+    val base = store.read("cluster_state_base_v2")
+    assert(base.filter(col("_del")).count() === 0)
+    assert(base.count() === full.size)
+    all.unpersist()
   }
 
   test("incremental hot bucket: delta members chain into an oversized prior bucket") {

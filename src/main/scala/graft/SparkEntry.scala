@@ -511,6 +511,22 @@ object SparkEntry {
       Ann.nearDupPairsLsh(corpus, 0.999)
     }),
 
+    // SemDeDup (Abbas 2023) end-to-end with a CLOSED FORM: the corpus is
+    // doubled with identical-vector twins (+10⁶). Twins share every
+    // codebook score, so they land in the same cell with the same
+    // centroid-rank regardless of which codebook autoCodebook picks; their
+    // cosine is exactly 1.0 ≥ eps, and at eps just under 1.0 no distinct
+    // pair qualifies. Every duplicate group is therefore exactly one twin
+    // pair, component = min id = the original, and the (rank, id) keep-rule
+    // tie-breaks to the original id.
+    "q_semdedup" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val corpus = base.union(
+        base.select((col("id") + 1000000L).as("id"), col("vec")))
+      graft.ann.SemDeDup.semDeDup(corpus, eps = 0.9999995, nlist = 8)
+    }),
+
     // The verification predicate incl. the LCS second chance, with a CLOSED
     // FORM: per doc build a core of a = 20 + doc_id%40 unique tokens and a
     // variant prefixed by 12 extra unique tokens. Shingle algebra (all
@@ -1081,6 +1097,15 @@ object SparkEntry {
 
     "q_dedup_embed_lsh" ->
       """SELECT vec_id AS a, vec_id + 1000000 AS b, 1.0 AS cos
+        |FROM embeddings""".stripMargin,
+
+    // closed form of the doubled-twin SemDeDup corpus (see the query's
+    // construction comment): each group = {vec_id, vec_id + 10⁶},
+    // component = the min member, keeper = the original
+    "q_semdedup" ->
+      """SELECT vec_id AS id, vec_id AS component, true AS kept FROM embeddings
+        |UNION ALL
+        |SELECT vec_id + 1000000 AS id, vec_id AS component, false AS kept
         |FROM embeddings""".stripMargin,
 
     "q_text_containment" ->

@@ -49,7 +49,7 @@ object Ann {
     * Single-sourced for [[rhpTopK]] and [[nearDupPairsLsh]] so the band
     * geometry (and the 64-bit mask boundary above) cannot diverge.
     */
-  private def bandExplode(df: DataFrame, vecCol: String, keep: Seq[String],
+  private[ann] def bandExplode(df: DataFrame, vecCol: String, keep: Seq[String],
       bands: Int, rowsPerBand: Int, seed: Long): DataFrame = {
     val bits = bands * rowsPerBand
     require(bands >= 1 && rowsPerBand >= 1 && bits <= 64,

@@ -10,12 +10,15 @@ import org.apache.spark.sql.functions._
   * The Spark-side shape is the real deliverable here: schema, batched
   * per-partition processing (the Scala analog of `mapInPandas` — one
   * iterator pass per partition, amortizing decoder setup), deterministic
-  * partitioning, and typed feature output. Image decode is REAL
-  * ([[ImageIoDecoder]], JDK `javax.imageio` — PNG/JPEG/BMP/GIF, no external
-  * jars); audio/video decode remains a STUB (the JDK ships no AV codecs):
-  * [[StubDecoder]] derives deterministic fake samples from the payload
-  * bytes. Swapping in a real AV decoder is a one-class change behind
-  * [[MediaDecoder]]; [[KindDispatchDecoder]] routes per kind.
+  * partitioning, and typed feature output. Decode is REAL for every
+  * format the JDK ships a codec for: images via [[ImageIoDecoder]]
+  * (`javax.imageio` — PNG/JPEG/BMP/GIF), audio via [[AudioDecoder]]
+  * (`javax.sound.sampled` — WAV/AIFF/AU, PCM/μ-law/a-law), multi-frame
+  * video-kind via [[GifFrameDecoder]] (animated GIF). Containers with no
+  * JDK codec (mp4/webm/mp3) decode to no-signal; a real codec is a
+  * one-class swap behind [[MediaDecoder]]. [[StubDecoder]] remains the
+  * deterministic text-payload decoder for synthetic fixtures.
+  * [[KindDispatchDecoder]] routes per kind.
   */
 object Multimodal {
 
@@ -45,9 +48,10 @@ object Multimodal {
   }
 
   /** STUB decoder — deterministic fake "samples" from payload bytes.
-    * Placeholder for a real codec (none available in this container); the
-    * output is a pure, seedless function of the payload so tests and
-    * parallelism levels agree byte-for-byte.
+    * Used for synthetic text-payload fixtures (where no container format
+    * applies) and as the closed-form decoder behind the DuckDB-checkable
+    * multimodal oracles; the output is a pure, seedless function of the
+    * payload so tests and parallelism levels agree byte-for-byte.
     */
   object StubDecoder extends MediaDecoder {
     override def decode(payload: Array[Byte], meta: MediaMeta): Array[Float] = {
@@ -117,14 +121,150 @@ object Multimodal {
       }
   }
 
-  /** Per-kind decoder dispatch: real ImageIO for images, stub for
-    * audio/video. The production default for mixed asset tables.
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF/AU
+    * containers, PCM/μ-law/a-law encodings — ships with the JRE, no
+    * external jars). Frames are converted to signed 16-bit PCM, channels
+    * averaged to mono, normalized to [-1, 1], capped at `maxSamples`.
+    * Because the stream is read incrementally and the cap bounds the read,
+    * a header declaring a huge frame count cannot allocate past the cap
+    * (the audio analog of the image decompression-bomb guard). Non-audio
+    * payloads (sniffing fails) decode to an empty sample array — "no
+    * signal", same contract as [[ImageIoDecoder]].
+    */
+  final class AudioDecoder(maxSamples: Int = 4096) extends MediaDecoder {
+    override def decode(payload: Array[Byte], meta: MediaMeta): Array[Float] =
+      try {
+        import javax.sound.sampled.{AudioFormat, AudioSystem}
+        val base = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val src = base.getFormat
+          val ch = math.max(1, src.getChannels)
+          val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+            src.getSampleRate, 16, ch, ch * 2, src.getSampleRate, false)
+          val pcm =
+            if (src.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+              src.getSampleSizeInBits == 16 && !src.isBigEndian) base
+            else AudioSystem.getAudioInputStream(target, base)
+          try {
+            val frameBytes = ch * 2
+            val out = new Array[Float](maxSamples)
+            var n = 0
+            val buf = new Array[Byte](frameBytes * 512)
+            var done = false
+            while (!done && n < maxSamples) {
+              val want = math.min(buf.length, (maxSamples - n) * frameBytes)
+              val got = readFully(pcm, buf, want)
+              if (got < frameBytes) done = true
+              var off = 0
+              while (off + frameBytes <= got && n < maxSamples) {
+                var acc = 0.0f
+                var c = 0
+                while (c < ch) {
+                  val lo = buf(off + 2 * c) & 0xff
+                  val hi = buf(off + 2 * c + 1).toInt
+                  acc += ((hi << 8) | lo) / 32768.0f
+                  c += 1
+                }
+                out(n) = acc / ch
+                n += 1
+                off += frameBytes
+              }
+            }
+            if (n == maxSamples) out else java.util.Arrays.copyOf(out, n)
+          } finally pcm.close()
+        } finally base.close()
+      } catch {
+        // UnsupportedAudioFileException on non-audio payloads, plus the
+        // same unchecked-exception surface as images on corrupt bodies
+        case scala.util.control.NonFatal(_) => Array.emptyFloatArray
+      }
+
+    // InputStream.read may return short counts mid-stream; frames must not
+    // be split across reads or channel bytes would misalign
+    private def readFully(in: java.io.InputStream, buf: Array[Byte], want: Int): Int = {
+      var n = 0
+      var eof = false
+      while (n < want && !eof) {
+        val got = in.read(buf, n, want - n)
+        if (got < 0) eof = true else n += got
+      }
+      n
+    }
+  }
+
+  /** REAL multi-frame decode for video-kind assets via the JDK GIF reader
+    * (animated GIF is the one multi-frame container the JRE can read).
+    * Each frame is decoded to grayscale luma like [[ImageIoDecoder]] and
+    * frames are concatenated, so [[sampleFrames]] with `frameLen = w·h`
+    * splits the stream back into per-frame rows. Bounded by `maxFrames`
+    * and the per-frame pixel guard. Other video containers (mp4/webm —
+    * no JDK codec exists) decode to no-signal; swapping in a real codec
+    * stays a one-class change behind [[MediaDecoder]].
+    */
+  final class GifFrameDecoder(maxFrames: Int = 64,
+      maxPixels: Long = 1L << 24,
+      maxSamplesPerFrame: Int = 4096) extends MediaDecoder {
+    override def decode(payload: Array[Byte], meta: MediaMeta): Array[Float] =
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) return Array.emptyFloatArray
+          val reader = readers.next()
+          try {
+            // seekForwardOnly=false: frame count needs a full index scan
+            reader.setInput(iis, false, true)
+            val nFrames = math.min(reader.getNumImages(true), maxFrames)
+            val parts = new scala.collection.mutable.ArrayBuffer[Array[Float]](nFrames)
+            var f = 0
+            while (f < nFrames) {
+              val w = reader.getWidth(f)
+              val h = reader.getHeight(f)
+              if (w > 0 && h > 0 && w.toLong * h <= maxPixels) {
+                val img = reader.read(f)
+                val n = math.min(w.toLong * h, maxSamplesPerFrame.toLong).toInt
+                val out = new Array[Float](n)
+                var i = 0
+                while (i < n) {
+                  val rgb = img.getRGB(i % w, i / w)
+                  val luma = 0.299f * ((rgb >> 16) & 0xff) +
+                    0.587f * ((rgb >> 8) & 0xff) + 0.114f * (rgb & 0xff)
+                  out(i) = luma / 127.5f - 1.0f
+                  i += 1
+                }
+                parts += out
+              }
+              f += 1
+            }
+            val total = parts.iterator.map(_.length).sum
+            val all = new Array[Float](total)
+            var off = 0
+            parts.foreach { p => System.arraycopy(p, 0, all, off, p.length); off += p.length }
+            all
+          } finally reader.dispose()
+        } finally if (iis != null) iis.close()
+      } catch {
+        case scala.util.control.NonFatal(_) => Array.emptyFloatArray
+      }
+  }
+
+  /** Per-kind decoder dispatch: real ImageIO for images, real
+    * javax.sound.sampled for audio, real GIF frame-stack decode for video.
+    * The production default for mixed asset tables; payloads a JDK codec
+    * cannot claim decode to no-signal rather than failing the task.
     */
   final class KindDispatchDecoder(image: MediaDecoder = new ImageIoDecoder(),
-      other: MediaDecoder = StubDecoder) extends MediaDecoder {
+      audio: MediaDecoder = new AudioDecoder(),
+      video: MediaDecoder = new GifFrameDecoder()) extends MediaDecoder {
     override def decode(payload: Array[Byte], meta: MediaMeta): Array[Float] =
-      if (meta.kind == "image") image.decode(payload, meta)
-      else other.decode(payload, meta)
+      meta.kind match {
+        case "image" => image.decode(payload, meta)
+        case "audio" => audio.decode(payload, meta)
+        case "video" => video.decode(payload, meta)
+        case _       => StubDecoder.decode(payload, meta)
+      }
   }
 
   /** Deterministic tiny PNG: a w×h grayscale splitmix pattern encoded with
@@ -147,6 +287,76 @@ object Multimodal {
     }
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic tiny WAV: `n` signed-16-bit mono PCM samples from the
+    * splitmix stream, encoded with the JDK writer — a pure function of
+    * (seed, n, sampleRate). WAV PCM is lossless, so decode must return
+    * exactly `sample / 32768f`.
+    */
+  def syntheticWav(seed: Long, n: Int, sampleRate: Int = 16000): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (graft.kernel.Shingling.splitmix64(seed ^ i.toLong) & 0xffffL).toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      sampleRate.toFloat, 16, 1, 2, sampleRate.toFloat, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** The exact sample values [[syntheticWav]] encodes, for round-trip
+    * assertions.
+    */
+  def syntheticWavSamples(seed: Long, n: Int): Array[Float] =
+    Array.tabulate(n) { i =>
+      (graft.kernel.Shingling.splitmix64(seed ^ i.toLong) & 0xffffL).toShort / 32768.0f
+    }
+
+  /** Deterministic animated GIF: `frames` w×h grayscale splitmix frames
+    * (frame f seeded by `seed ^ (f·0x9e3779b9)`), written with the JDK GIF
+    * sequence writer. Grayscale fits the 256-entry GIF palette, so frames
+    * round-trip losslessly.
+    */
+  def syntheticGif(seed: Long, w: Int, h: Int, frames: Int): Array[Byte] = {
+    import javax.imageio.ImageIO
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < frames) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val frameSeed = seed ^ (f.toLong * 0x9e3779b9L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = (graft.kernel.Shingling.splitmix64(frameSeed ^ (y.toLong * w + x)) & 0xffL).toInt
+            img.getRaster.setSample(x, y, 0, v)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
     bos.toByteArray
   }
 

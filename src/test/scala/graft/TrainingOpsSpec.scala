@@ -422,6 +422,120 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(guarded.decode(Multimodal.syntheticPng(3L, 15, 15), meta).nonEmpty)
   }
 
+  // ---- SemDeDup (embedding-space semantic dedup) ----
+
+  test("semdedup: keep-rule keeps the least-prototypical member; singletons survive") {
+    import spark.implicits._
+    import graft.ann.SemDeDup
+    // ids 1,2 are exact duplicates; rank says 2 is FARTHER from its
+    // centroid (lower cosine) so the paper's rule keeps 2, not min-id 1.
+    // id 3 is an unrelated singleton in the same cell.
+    val v = Seq(1.0f, 2.0f, 3.0f)
+    val df = Seq(
+      (1L, v, 0L, 0.99),
+      (2L, v, 0L, 0.95),
+      (3L, Seq(-3.0f, 1.0f, 0.5f), 0L, 0.80))
+      .toDF("id", "vec", "cell", "rank")
+    val out = SemDeDup.resolveWithCells(df, eps = 0.9999995)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(out.toSeq === Seq((1L, 1L, false), (2L, 1L, true), (3L, 3L, true)))
+  }
+
+  test("semdedup: oversized-cell sub-banding resolves identically to exact all-pairs") {
+    import spark.implicits._
+    import graft.ann.SemDeDup
+    val rnd = new scala.util.Random(13)
+    val base = (0L until 30L).map(i => (i, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    val corpus = (base ++ base.map { case (i, vec) => (i + 1000L, vec) })
+      .map { case (i, vec) => (i, vec, 0L, 0.0) } // one cell, flat rank → id tie-break
+      .toDF("id", "vec", "cell", "rank")
+    val exact = SemDeDup.resolveWithCells(corpus, 0.9999995, maxCellSize = 4096)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // 60 rows in a cell capped at 8 → the whole cell takes the sub-banded
+    // tier; exact twins share every band, so the resolution must match
+    val banded = SemDeDup.resolveWithCells(corpus, 0.9999995, maxCellSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(banded === exact)
+    assert(exact.count(_._3) === 30) // one keeper per twin group
+    assert(exact.forall { case (id, comp, kept) => kept === (id == comp) })
+  }
+
+  test("semdedup: a duplicate flood chains (observable), stays one group, one keeper") {
+    import spark.implicits._
+    import graft.ann.SemDeDup
+    val v = Seq.fill(16)(0.3f)
+    val flood = (0L until 200L).map(i => (i, v, 0L, 0.0)).toDF("id", "vec", "cell", "rank")
+    val acc = spark.sparkContext.longAccumulator("hotCells")
+    val out = SemDeDup.resolveWithCells(flood, 0.9999995, maxCellSize = 8,
+      hotCellAcc = Some(acc)).collect()
+    assert(acc.value > 0) // identical signatures → every band bucket floods → chain
+    assert(out.forall(_.getLong(1) == 0L)) // one component
+    assert(out.count(_.getBoolean(2)) === 1) // exactly one keeper
+  }
+
+  test("multimodal: real WAV decode round-trips exact PCM samples; non-audio is no-signal") {
+    import graft.multimodal.Multimodal
+    import graft.multimodal.Multimodal.{AudioDecoder, KindDispatchDecoder, MediaMeta}
+    val meta = MediaMeta("audio", 0, 0, 0L, 16000, "wav")
+    val dec = new AudioDecoder()
+
+    // WAV PCM is lossless: decoded samples must equal the encoded shorts
+    val wav = Multimodal.syntheticWav(11L, 300)
+    assert(new String(wav.take(4), "US-ASCII") === "RIFF")
+    val decoded = dec.decode(wav, meta)
+    assert(decoded.toSeq === Multimodal.syntheticWavSamples(11L, 300).toSeq)
+
+    // cap bounds the read regardless of declared length (bomb guard analog)
+    val capped = new AudioDecoder(maxSamples = 64)
+    assert(capped.decode(wav, meta).toSeq ===
+      Multimodal.syntheticWavSamples(11L, 64).toSeq)
+
+    // corrupt / non-audio payloads: no-signal, not a task kill
+    assert(dec.decode(wav.take(16), meta).isEmpty) // truncated header
+    assert(dec.decode("not audio at all".getBytes("UTF-8"), meta).isEmpty)
+    assert(dec.decode(Array.emptyByteArray, meta).isEmpty)
+    // valid RIFF magic, corrupt body
+    val corrupt = wav.clone()
+    java.util.Arrays.fill(corrupt, 20, math.min(40, corrupt.length), 0x7f.toByte)
+    val got = dec.decode(corrupt, meta) // must not throw; content unspecified
+    assert(got.length <= 300)
+
+    // dispatch: audio kind routes to the real decoder
+    val viaDispatch = new KindDispatchDecoder().decode(wav, meta)
+    assert(viaDispatch.toSeq === decoded.toSeq)
+  }
+
+  test("multimodal: animated GIF decodes per-frame and splits via sampleFrames") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    import graft.multimodal.Multimodal.{GifFrameDecoder, MediaAsset, MediaMeta}
+    val (seed, w, h, nFrames) = (21L, 8, 8, 5)
+    val gif = Multimodal.syntheticGif(seed, w, h, nFrames)
+    assert(new String(gif.take(3), "US-ASCII") === "GIF")
+    val meta = MediaMeta("video", w, h, 0L, 0, "gif")
+    val dec = new GifFrameDecoder()
+    val samples = dec.decode(gif, meta)
+    assert(samples.length === nFrames * w * h)
+    // grayscale fits the GIF palette losslessly: each frame's luma must
+    // equal the splitmix pattern painted by the generator
+    for (f <- 0 until nFrames; i <- 0 until w * h) {
+      val v = (graft.kernel.Shingling.splitmix64(
+        (seed ^ (f.toLong * 0x9e3779b9L)) ^ i.toLong) & 0xffL).toInt
+      assert(math.abs(samples(f * w * h + i) - (v / 127.5f - 1.0f)) < 1e-3f,
+        s"frame $f sample $i")
+    }
+    // maxFrames bounds the read
+    assert(new GifFrameDecoder(maxFrames = 2).decode(gif, meta).length === 2 * w * h)
+    // corrupt body: no-signal
+    assert(dec.decode(gif.take(gif.length / 2), meta).length < samples.length)
+
+    // distributed frame-sampling path: frameLen = w·h → one row per kept frame
+    val assets = Seq(MediaAsset(9L, gif, meta)).toDS()
+    val frames = Multimodal.sampleFrames(assets, frameLen = w * h, stride = 2, dec)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._2)
+    assert(frames.toSeq === Seq((9L, 0), (9L, 2), (9L, 4)))
+  }
+
   test("ann banding at the 64-bit boundary: rowsPerBand=64 masks correctly") {
     import spark.implicits._
     // one identical twin pair among random near-orthogonal vectors

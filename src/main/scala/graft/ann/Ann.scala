@@ -332,6 +332,29 @@ object Ann {
     chosen
   }
 
+  // Driver-side memo for DEFAULT codebooks: a codebook build costs one-to-
+  // many full corpus scans (balance probe, optional k-means|| rounds), so
+  // repeated ivfTopK calls over the same corpus must not rebuild it every
+  // call. Keyed by the corpus plan's semantic hash + build params — two
+  // plans that Catalyst proves equivalent share an entry. A codebook is a
+  // recall/cost structure, not a correctness input, so a stale entry after
+  // the underlying files changed degrades balance at worst; call
+  // clearCodebookCache() (or pass an explicit codebook) to force a rebuild.
+  private val codebookCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Double, Long),
+      Seq[(Long, Seq[Float])]]()
+
+  def clearCodebookCache(): Unit = codebookCache.clear()
+
+  private[ann] def cachedAutoCodebook(corpus: DataFrame, nlist: Int,
+      balanceBound: Double = 1.5, seed: Long = 42L): Seq[(Long, Seq[Float])] = {
+    val key = (corpus.queryExecution.analyzed.semanticHash(),
+      nlist, balanceBound, seed)
+    if (codebookCache.size() > 64) codebookCache.clear() // unbounded-growth guard
+    codebookCache.computeIfAbsent(key,
+      _ => autoCodebook(corpus, nlist, balanceBound, seed))
+  }
+
   /** IVF: corpus partitioned into `nlist` cells by nearest deterministic
     * centroid (narrow argmax — see [[withNearestCells]]), queries probe the
     * `nprobe` nearest cells, equi-join on cell id + exact rerank.
@@ -342,8 +365,10 @@ object Ann {
       codebook: Option[Seq[(Long, Seq[Float])]] = None): DataFrame = {
     // default codebook = balance auto-select (hash-pick, upgraded to
     // k-means|| when the hash pick's cells come out skewed — see
-    // autoCodebook). Pass an explicit codebook to pin either variant.
-    val cents = codebook.getOrElse(autoCodebook(corpus, nlist))
+    // autoCodebook), memoized per corpus plan so repeated searches don't
+    // re-pay the build's corpus scans. Pass an explicit codebook to pin
+    // either variant.
+    val cents = codebook.getOrElse(cachedAutoCodebook(corpus, nlist))
     val corpusCells = withNearestCells(corpus, "vec", 1, cents)
     val queryCells = withNearestCells(queries, "qvec", nprobe, cents)
     val scored = corpusCells.join(queryCells, "cell")

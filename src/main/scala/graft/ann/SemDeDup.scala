@@ -87,14 +87,19 @@ object SemDeDup {
       }
 
     // tier 2: oversized cells — sign-LSH sub-banding inside the cell.
-    // Bucket key = (cell · bands + band, bandKey): cell ids are 0‥nlist−1,
-    // so the composite never collides across cells.
+    // Bucket key = (cell, key · bands + band). Cell ids may be ARBITRARY
+    // 64-bit values (the hash-pick codebook uses corpus row ids; the core
+    // API accepts user-assigned cells), so the cell stays its own key part;
+    // the (key, band) fold is safe by the band geometry: with bands ≥ 2,
+    // key < 2^(64/bands) so key·bands+band < 2^38, and with bands == 1 the
+    // fold is the identity.
     val hot = hotCellAcc
     val maxAll = maxCellSize
     val bigPairs = Ann.bandExplode(
         sized.filter(col("cell_n") > maxCellSize), "vec",
         Seq("id", "cell"), bands, rowsPerBand, seed)
-      .select((col("cell") * bands + col("band")).as("k1"), col("key"), col("id"))
+      .select(col("cell").as("k1"),
+        (col("key") * bands + col("band")).as("key"), col("id"))
       .repartition(col("k1"), col("key"))
       .sortWithinPartitions("k1", "key", "id")
       .as[(Long, Long, Long)]
@@ -142,7 +147,7 @@ object SemDeDup {
       codebook: Option[Seq[(Long, Seq[Float])]] = None,
       maxCellSize: Int = 4096, seed: Long = 42L,
       hotCellAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
-    val cents = codebook.getOrElse(Ann.autoCodebook(corpus, nlist, seed = seed))
+    val cents = codebook.getOrElse(Ann.cachedAutoCodebook(corpus, nlist, seed = seed))
     val centArr = typedLit(cents)
     def maxCos(v: Column): Column =
       aggregate(centArr, lit(-1.0d), (acc, c) => greatest(acc, cosine_sim(c.getField("_2"), v)))

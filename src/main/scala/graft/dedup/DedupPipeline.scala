@@ -571,6 +571,13 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
     *     touched clusters and the delta; the returned full table is the
     *     latest-wins view over base + per-batch upsert layers.
     *
+    * VIEW LIFETIME: the returned DataFrame is a lazy view over layer files.
+    * Compaction defers deletion of superseded layers by one full compaction
+    * cycle (snapshot-expiry analog), so the view stays readable across at
+    * least `stateCompactEvery` further batches; a caller holding it longer
+    * must re-read via [[incrementalClusters]] (the always-live view) or
+    * materialize it first.
+    *
     * Remaining corpus-sized terms, stated honestly: (a) the already-present
     * id anti-join and the verification shingle fetch scan the signature
     * table (column-pruned, semi-filtered map-side — no corpus shuffle);
@@ -613,9 +620,20 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
     if (applied.contains(batch)) {
       // batches applied under the pre-state-table layout kept a full
       // clusters stage; state-table batches return the layered view
-      return if (store.has(s"inc_${batch}_clusters"))
-        store.read(s"inc_${batch}_clusters")
-      else currentClusters(applied.take(applied.indexOf(batch) + 1))
+      if (store.has(s"inc_${batch}_clusters"))
+        return store.read(s"inc_${batch}_clusters")
+      val upTo = applied.indexOf(batch) + 1
+      // the as-of-batch view exists only while the base layer covers no
+      // MORE than this batch: once compaction folded later batches in,
+      // stateStageNames(applied.take(upTo)) would silently return the
+      // later-era base — refuse loudly instead of answering wrong-era
+      val (covers, _) = baseInfo("cluster")
+      require(covers <= upTo,
+        s"batch '$batch' was already applied, but state compaction has since " +
+          s"folded $covers batches into the base layer — the as-of-'$batch' " +
+          "clusters view no longer exists. Read the current table via " +
+          "incrementalClusters() instead.")
+      return currentClusters(applied.take(upTo))
     }
     val stray = store.stages("inc_").map(_.split("_")(1)).distinct
       .filterNot(b => applied.contains(b) || b == batch)
@@ -669,10 +687,10 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
         least(col("dm"), coalesce(col("m"), col("dm"))).as("cm"),
         col("m").as("pm"), col("dm"))
     store.getOrComputePartitioned(s"inc_${batch}_hash_min_state") {
-      (curMin.filter(col("pm").isNull || col("cm") < col("pm"))
+      curMin.filter(col("pm").isNull || col("cm") < col("pm"))
         .select(col("content_hash"), col("cm").as("m"))
         .withColumn("pkey", pkeyOf(col("content_hash")))
-        .withColumn(DelCol, lit(false)), None)
+        .withColumn(DelCol, lit(false))
     }
     val exactInc = store.getOrCompute(s"inc_${batch}_exact_edges") {
       // delta docs to their (possibly old) group min …
@@ -696,15 +714,15 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
     // the (complete) candidate stage still guarantees the append exists
     // for every later batch.
     val bandStateStage = store.getOrComputePartitioned(s"inc_${batch}_band_state") {
-      (bandRowsOf(sigsNew, exactInc)
-        .withColumn("pkey", pkeyOf(col("band"), col("bucket"))), None)
+      bandRowsOf(sigsNew, exactInc)
+        .withColumn("pkey", pkeyOf(col("band"), col("bucket")))
     }
     val deltaSimStage =
       if (!config.useSimHashCandidates) None
       else Some(store.getOrComputePartitioned(s"inc_${batch}_sim_state") {
-        (SimHashDedup.tableRows(
+        SimHashDedup.tableRows(
           sigsNew.select("id", "simhash"), config.simHashMaxHamming)
-          .withColumn("pkey", pkeyOf(col("table"), col("key"))), None)
+          .withColumn("pkey", pkeyOf(col("table"), col("key")))
       })
     val candInc = store.getOrCompute(s"inc_${batch}_candidate_pairs") {
       val within = candidatePairsPlan(sigsNew, exactInc)
@@ -868,7 +886,7 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
         .select(col("id"), col("oc").as("component"))
         .withColumn("pkey", pkeyOf(col("component")))
         .withColumn(DelCol, lit(true))
-      (live.unionByName(tombs), None)
+      live.unionByName(tombs)
     }
 
     // 6 — clusters: recompute rows only for touched clusters + the delta;
@@ -902,7 +920,7 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
         .select(cols.map(col): _*)
         .withColumn("pkey", pkeyOf(col("cluster_id")))
         .withColumn(DelCol, lit(true))
-      (live.unionByName(tombs), None)
+      live.unionByName(tombs)
     }
     appendIncLog(batch)
     priorTouchedHash.unpersist(blocking = false)
@@ -912,6 +930,17 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
     // the full updated table is the layered view — no corpus-sized write
     // happened above
     currentClusters(applied :+ batch)
+  }
+
+  /** The current full clusters table over everything applied so far (the
+    * base run plus every incremental batch): the latest-wins merge-on-read
+    * view. This is the stable public read path — unlike a DataFrame held
+    * from an old `incremental()` call, it always references the live
+    * layers.
+    */
+  def incrementalClusters(): DataFrame = {
+    assertCheckpointConfig()
+    currentClusters(incBatches)
   }
 
   /** The current full clusters table: the latest-wins view over the base
@@ -1026,7 +1055,7 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
     val (_, ver) = baseInfo(name)
     if (!store.has(baseStageName(name, ver))) {
       store.mark(s"${name}_state_covers", s"${applied.size} $ver")
-      store.writePartitioned(baseStageName(name, ver), thunk, None): Unit
+      store.writePartitioned(baseStageName(name, ver), thunk): Unit
     }
   }
 
@@ -1050,15 +1079,24 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
         store.getOrComputePartitioned(baseStageName(name, cN)) {
           val raw = stateView(name, appliedNow, None,
             appendOnly = !UpsertKeys.contains(name))
-          (UpsertKeys.get(name) match {
+          UpsertKeys.get(name) match {
             case Some(ks) => resolveState(raw, ks).withColumn(DelCol, lit(false))
             case None => raw
-          }, None)
+          }
         }
         // version := covers count, so a crash-orphaned stage is always
         // correct for the covers its name encodes and can be adopted later
         store.mark(s"${name}_state_covers", s"$cN $cN")
-        oldStages.foreach(store.invalidate)
+        // snapshot-expiry grace (the Iceberg expire-snapshots analog):
+        // superseded layers are NOT deleted now — the lazy DataFrames
+        // returned by recent incremental() calls still reference their
+        // files. They are deleted at the NEXT compaction of this table, so
+        // a held view stays readable for at least `stateCompactEvery`
+        // further batches; holding one longer than that is on the caller
+        // (documented at [[incremental]]).
+        store.markerValue(s"${name}_state_expired")
+          .foreach(_.split("\n").filter(_.nonEmpty).foreach(store.invalidate))
+        store.mark(s"${name}_state_expired", oldStages.mkString("\n"))
       }
     }
   }

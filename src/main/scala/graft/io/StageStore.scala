@@ -85,16 +85,14 @@ final class StageStore(spark: SparkSession, val root: String) {
     * proportional read path of the incremental pipeline; the production
     * mapping is an Iceberg bucket-transform partition spec).
     *
-    * `owned` declares which pkeys this stage OWNS in a layered
-    * (last-writer-wins) state table. Ownership is recorded in the manifest,
-    * NOT inferred from directories: a rewrite that empties a partition
-    * writes no directory for it, yet must still supersede older layers for
-    * that pkey — directory inference would resurrect the deleted rows.
-    * `None` (append-only tables, where every layer only adds rows) derives
-    * the list from the directories written.
+    * Layered-state supersession is NOT directory-based: merge-on-read
+    * readers resolve latest-wins per key via the layer sequence + tombstone
+    * columns ([[graft.dedup.DedupPipeline]] `resolveState`), so an empty
+    * partition in a newer layer simply contributes nothing. The manifest's
+    * `pkeys` list is lineage metadata (which partitions this layer wrote),
+    * not an ownership contract.
     */
-  def writePartitioned(stage: String, df: DataFrame,
-      owned: Option[Seq[Int]]): DataFrame = {
+  def writePartitioned(stage: String, df: DataFrame): DataFrame = {
     val t0 = System.nanoTime()
     val dir = stageDir(stage)
     if (Files.exists(dir) && !has(stage)) deleteRecursively(dir)
@@ -112,7 +110,7 @@ final class StageStore(spark: SparkSession, val root: String) {
         } catch { case _: Throwable => -1L }
       s"""{"file":"${dir.relativize(f)}","rows":$rows,"bytes":${Files.size(f)}}"""
     }
-    val ownedKeys = owned.getOrElse(pkeyDirs(dir)).distinct.sorted
+    val ownedKeys = pkeyDirs(dir).distinct.sorted
     // schema sidecar: a partitioned stage whose every owned partition came
     // out EMPTY (legitimate — e.g. a base corpus with no duplicate edges
     // leaves the component state empty) has no parquet file to infer a
@@ -129,10 +127,9 @@ final class StageStore(spark: SparkSession, val root: String) {
     else spark.read.parquet(dir.toString)
   }
 
-  def getOrComputePartitioned(stage: String)
-      (thunk: => (DataFrame, Option[Seq[Int]])): DataFrame =
+  def getOrComputePartitioned(stage: String)(thunk: => DataFrame): DataFrame =
     if (has(stage)) readOrEmpty(stage)
-    else { val (df, owned) = thunk; writePartitioned(stage, df, owned) }
+    else writePartitioned(stage, thunk)
 
   /** Read a completed partitioned stage, or — when every owned partition is
     * empty — a typed empty frame from its schema sidecar.
@@ -149,17 +146,6 @@ final class StageStore(spark: SparkSession, val root: String) {
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-  }
-
-  /** pkeys a completed partitioned stage owns (manifest-declared). */
-  def ownedPkeys(stage: String): Seq[Int] = {
-    val m = Files.readString(manifestPath(stage))
-    "\"pkeys\":\\[([0-9,\\s]*)\\]".r.findFirstMatchIn(m) match {
-      case Some(g) =>
-        g.group(1).split(",").iterator.map(_.trim).filter(_.nonEmpty)
-          .map(_.toInt).toSeq
-      case None => Nil
-    }
   }
 
   /** Whether the stage wrote at least one data file — a partitioned stage

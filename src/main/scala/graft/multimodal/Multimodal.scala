@@ -72,9 +72,9 @@ object Multimodal {
     * `maxSamples` samples so per-row output stays bounded like the stub's.
     * Non-image payloads (ImageIO sniffing fails) decode to an empty sample
     * array — callers treat that as "no signal", same as a zero-byte
-    * payload. Audio/video remain on [[StubDecoder]] (the JDK ships no
-    * codecs for them); the decoder seam is per-kind, so a real AV codec is
-    * still a one-class swap.
+    * payload. Audio routes to [[AudioDecoder]] and multi-frame video-kind
+    * to [[GifFrameDecoder]] via [[KindDispatchDecoder]]; the decoder seam
+    * is per-kind, so any further codec is a one-class swap.
     */
   final class ImageIoDecoder(maxSamples: Int = 4096,
       maxPixels: Long = 1L << 24) extends MediaDecoder {
@@ -140,6 +140,12 @@ object Multimodal {
         try {
           val src = base.getFormat
           val ch = math.max(1, src.getChannels)
+          // the channel count is an unvalidated 2-byte header field; a
+          // crafted 65535-channel header would otherwise size the frame
+          // buffer below at ~67 MB per payload — reject absurd counts
+          // before any allocation keyed off them (the channel leg of the
+          // decompression-bomb guard)
+          if (ch > 64) return Array.emptyFloatArray
           val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
             src.getSampleRate, 16, ch, ch * 2, src.getSampleRate, false)
           val pcm =
@@ -195,12 +201,21 @@ object Multimodal {
 
   /** REAL multi-frame decode for video-kind assets via the JDK GIF reader
     * (animated GIF is the one multi-frame container the JRE can read).
-    * Each frame is decoded to grayscale luma like [[ImageIoDecoder]] and
-    * frames are concatenated, so [[sampleFrames]] with `frameLen = w·h`
-    * splits the stream back into per-frame rows. Bounded by `maxFrames`
-    * and the per-frame pixel guard. Other video containers (mp4/webm —
-    * no JDK codec exists) decode to no-signal; swapping in a real codec
-    * stays a one-class change behind [[MediaDecoder]].
+    *
+    * Animated GIFs routinely store only the CHANGED sub-rectangle per frame
+    * (plus x/y offsets), so frames are COMPOSED onto a full logical-screen
+    * canvas — stored rect drawn at its ImageDescriptor offset over the
+    * previous frame's canvas (disposal methods other than "do not dispose"
+    * are treated as do-not-dispose; uncovered canvas starts black). Every
+    * frame then emits exactly `min(W·H, maxSamplesPerFrame)` grayscale-luma
+    * samples of the composed canvas, so [[sampleFrames]] with that
+    * `frameLen` splits the stream into aligned per-frame rows even when
+    * stored rects differ in size — including when a frame is skipped by the
+    * pixel guard (the canvas re-emits, preserving offsets). Bounded by
+    * `maxFrames`, the canvas pixel guard, and the per-frame sample cap.
+    * Other video containers (mp4/webm — no JDK codec exists) decode to
+    * no-signal; swapping in a real codec stays a one-class change behind
+    * [[MediaDecoder]].
     */
   final class GifFrameDecoder(maxFrames: Int = 64,
       maxPixels: Long = 1L << 24,
@@ -217,36 +232,75 @@ object Multimodal {
             // seekForwardOnly=false: frame count needs a full index scan
             reader.setInput(iis, false, true)
             val nFrames = math.min(reader.getNumImages(true), maxFrames)
-            val parts = new scala.collection.mutable.ArrayBuffer[Array[Float]](nFrames)
+            if (nFrames <= 0) return Array.emptyFloatArray
+            // canvas = the logical screen (stream metadata); falls back to
+            // frame 0's stored rect for non-GIF multi-frame inputs
+            val (cw, chgt) = logicalScreen(reader)
+            if (cw <= 0 || chgt <= 0 || cw.toLong * chgt > maxPixels)
+              return Array.emptyFloatArray
+            val canvas = new java.awt.image.BufferedImage(
+              cw, chgt, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = canvas.createGraphics()
+            val perFrame = math.min(cw.toLong * chgt, maxSamplesPerFrame.toLong).toInt
+            val all = new Array[Float](nFrames * perFrame)
             var f = 0
             while (f < nFrames) {
               val w = reader.getWidth(f)
               val h = reader.getHeight(f)
               if (w > 0 && h > 0 && w.toLong * h <= maxPixels) {
                 val img = reader.read(f)
-                val n = math.min(w.toLong * h, maxSamplesPerFrame.toLong).toInt
-                val out = new Array[Float](n)
-                var i = 0
-                while (i < n) {
-                  val rgb = img.getRGB(i % w, i / w)
-                  val luma = 0.299f * ((rgb >> 16) & 0xff) +
-                    0.587f * ((rgb >> 8) & 0xff) + 0.114f * (rgb & 0xff)
-                  out(i) = luma / 127.5f - 1.0f
-                  i += 1
-                }
-                parts += out
+                val (ox, oy) = frameOffset(reader, f)
+                g.drawImage(img, ox, oy, null)
+              } // guarded-out frame: canvas unchanged, offsets preserved
+              var i = 0
+              while (i < perFrame) {
+                val rgb = canvas.getRGB(i % cw, i / cw)
+                val luma = 0.299f * ((rgb >> 16) & 0xff) +
+                  0.587f * ((rgb >> 8) & 0xff) + 0.114f * (rgb & 0xff)
+                all(f * perFrame + i) = luma / 127.5f - 1.0f
+                i += 1
               }
               f += 1
             }
-            val total = parts.iterator.map(_.length).sum
-            val all = new Array[Float](total)
-            var off = 0
-            parts.foreach { p => System.arraycopy(p, 0, all, off, p.length); off += p.length }
+            g.dispose()
             all
           } finally reader.dispose()
         } finally if (iis != null) iis.close()
       } catch {
         case scala.util.control.NonFatal(_) => Array.emptyFloatArray
+      }
+
+    /** Logical screen dims from the GIF stream metadata; frame-0 dims when
+      * the reader isn't GIF (or the metadata is unreadable).
+      */
+    private def logicalScreen(reader: javax.imageio.ImageReader): (Int, Int) =
+      try {
+        val tree = reader.getStreamMetadata
+          .getAsTree("javax_imageio_gif_stream_1.0")
+          .asInstanceOf[org.w3c.dom.Element]
+        val d = tree.getElementsByTagName("LogicalScreenDescriptor").item(0)
+          .asInstanceOf[org.w3c.dom.Element]
+        (d.getAttribute("logicalScreenWidth").toInt,
+          d.getAttribute("logicalScreenHeight").toInt)
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          (reader.getWidth(0), reader.getHeight(0))
+      }
+
+    /** A frame's stored-rect offset from its ImageDescriptor; (0,0) when
+      * absent (non-GIF readers, malformed metadata).
+      */
+    private def frameOffset(reader: javax.imageio.ImageReader, f: Int): (Int, Int) =
+      try {
+        val tree = reader.getImageMetadata(f)
+          .getAsTree("javax_imageio_gif_image_1.0")
+          .asInstanceOf[org.w3c.dom.Element]
+        val d = tree.getElementsByTagName("ImageDescriptor").item(0)
+          .asInstanceOf[org.w3c.dom.Element]
+        (d.getAttribute("imageLeftPosition").toInt,
+          d.getAttribute("imageTopPosition").toInt)
+      } catch {
+        case scala.util.control.NonFatal(_) => (0, 0)
       }
   }
 
@@ -328,6 +382,11 @@ object Multimodal {
     */
   def syntheticGif(seed: Long, w: Int, h: Int, frames: Int): Array[Byte] = {
     import javax.imageio.ImageIO
+    // the JDK GIF codec truncates the LZW stream of frames under ~25 px
+    // (measured: uniform ≤24-px frames lose their last row, varied 4×4
+    // loses all but the first row) — refuse to generate a fixture the
+    // JDK itself cannot round-trip
+    require(w * h > 24, s"JDK GIF codec truncates tiny frames (${w}x$h)")
     val bos = new java.io.ByteArrayOutputStream()
     val ios = ImageIO.createImageOutputStream(bos)
     val writer = ImageIO.getImageWritersByFormatName("gif").next()

@@ -570,20 +570,35 @@ class DedupPipelineSpec extends AnyFunSuite {
     val store = freshStore()
     val pipe = new DedupPipeline(spark, DedupConfig(stateCompactEvery = 1), store)
     pipe.run(aPages).count()
-    pipe.incremental("b", bPages).count()
-    // after batch b's compaction: versioned bases exist, per-batch layer
-    // stages and the adoption base are gone
+    val heldView = pipe.incremental("b", bPages)
+    heldView.count()
+    // after batch b's compaction: the versioned base exists; superseded
+    // stages (adoption base, per-batch layer) survive ONE compaction cycle
+    // (snapshot-expiry grace) so lazy views held by callers stay readable
     assert(store.has("cluster_state_base_v1"), "compacted base missing")
-    assert(!store.has("cluster_state_base"), "adoption base not cleaned up")
-    assert(!store.has("inc_b_cluster_state"), "superseded layer not cleaned up")
+    assert(store.has("cluster_state_base"), "grace: adoption base deleted too early")
+    assert(store.has("inc_b_cluster_state"), "grace: superseded layer deleted too early")
     val incr = key(pipe.incremental("c", cPages))
     assert(incr === full,
       "compacted incremental clusters must equal the batch run")
+    // the view returned BEFORE batch c still reads (its files are in grace)
+    assert(heldView.count() > 0)
     assert(store.has("cluster_state_base_v2"))
+    // c's compaction expired the PREVIOUS cycle's superseded stages …
+    assert(!store.has("cluster_state_base"), "expired adoption base not cleaned up")
+    assert(!store.has("inc_b_cluster_state"), "expired superseded layer not cleaned up")
+    // … while v1 (superseded just now) is itself in grace
+    assert(store.has("cluster_state_base_v1"), "grace: v1 base deleted too early")
     // a compacted base carries no tombstones — it IS the resolved view
     val base = store.read("cluster_state_base_v2")
     assert(base.filter(col("_del")).count() === 0)
     assert(base.count() === full.size)
+    // idempotent replay of the LAST batch returns the same table; a batch
+    // compaction folded PAST refuses rather than answering wrong-era
+    assert(key(pipe.incremental("c", cPages)) === full)
+    assert(key(pipe.incrementalClusters()) === full)
+    val e = intercept[IllegalArgumentException](pipe.incremental("b", bPages))
+    assert(e.getMessage.contains("compaction"))
     all.unpersist()
   }
 

@@ -536,6 +536,58 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(frames.toSeq === Seq((9L, 0), (9L, 2), (9L, 4)))
   }
 
+  test("multimodal: partial-frame animated GIF composes onto the full canvas at its offset") {
+    import graft.multimodal.Multimodal.{GifFrameDecoder, MediaMeta}
+    import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+    import javax.imageio.metadata.IIOMetadataNode
+
+    // frame 1: full 10×10 canvas, luma 100; frame 2: a 5×5 patch stored at
+    // offset (2, 3) — the partial-frame optimization real animated GIFs
+    // use. The decoder must compose, not misalign. (Patch is ≥25 px and
+    // non-uniform: the JDK GIF codec truncates the LZW stream of tinier
+    // frames — see syntheticGif's guard.)
+    def gray(w: Int, h: Int, v: (Int, Int) => Int) = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w) img.getRaster.setSample(x, y, 0, v(x, y))
+      img
+    }
+    def patchVal(x: Int, y: Int): Int = 150 + x * 3 + y * 5
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    writer.writeToSequence(new IIOImage(gray(10, 10, (_, _) => 100), null, null), null)
+    val patch = gray(5, 5, patchVal)
+    val md = writer.getDefaultImageMetadata(new ImageTypeSpecifier(patch), null)
+    val fmt = "javax_imageio_gif_image_1.0"
+    val tree = md.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+    val kids = tree.getElementsByTagName("ImageDescriptor")
+    val desc = kids.item(0).asInstanceOf[IIOMetadataNode]
+    desc.setAttribute("imageLeftPosition", "2")
+    desc.setAttribute("imageTopPosition", "3")
+    md.setFromTree(fmt, tree)
+    writer.writeToSequence(new IIOImage(patch, null, md), null)
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+
+    val samples = new GifFrameDecoder()
+      .decode(bos.toByteArray, MediaMeta("video", 10, 10, 0L, 0, "gif"))
+    assert(samples.length === 2 * 100) // both frames emit full-canvas length
+    def luma(v: Int) = v / 127.5f - 1.0f
+    // frame 1: uniform 100
+    (0 until 100).foreach(i => assert(math.abs(samples(i) - luma(100)) < 1e-3f))
+    // frame 2: the patch values inside its rect, persisted canvas outside
+    for (y <- 0 until 10; x <- 0 until 10) {
+      val expect =
+        if (x >= 2 && x < 7 && y >= 3 && y < 8) luma(patchVal(x - 2, y - 3))
+        else luma(100)
+      assert(math.abs(samples(100 + y * 10 + x) - expect) < 1e-3f, s"($x,$y)")
+    }
+  }
+
   test("ann banding at the 64-bit boundary: rowsPerBand=64 masks correctly") {
     import spark.implicits._
     // one identical twin pair among random near-orthogonal vectors

@@ -20,7 +20,7 @@ INC_FAMILIES="${2:-280000}"
 if [ ! -d "$BASE/clusters" ]; then
   echo "== building base store ($BASE) from /tmp/graft_corpus_xxl =="
   SPARK_GRAFT_MASTER="local[8]" sbt -batch \
-    "runMain graft.DedupMain $BASE --cores 8 --input /tmp/graft_corpus_xxl" \
+    "runMain graft.DedupMain $BASE --cores 8 --input /tmp/graft_corpus_xxl --adopt-state true" \
     2>/dev/null | grep '"pages"'
 fi
 

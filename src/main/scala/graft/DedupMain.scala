@@ -14,7 +14,7 @@ import graft.synth.DeterministicCorpus.CorpusSpec
   * Usage:
   *   DedupMain <checkpointDir> [--families N] [--hot N] [--cores N]
   *             [--input <parquet pages dir>] [--seed N] [--idbits 64|128]
-  *             [--simhash true] [--urldedup true]
+  *             [--simhash true] [--urldedup true] [--adopt-state true]
   *             [--inc-batch NAME [--inc-input dir | --inc-families N]
   *              [--inc-offset N]]
   *
@@ -90,7 +90,15 @@ object DedupMain {
             familyOffset = opts.getOrElse("inc-offset", "1000000000").toLong))
         }
         (pipeline.incremental(batch, delta), Some(delta.count()))
-      case None => (pipeline.run(pages), None)
+      case None =>
+        val cl = pipeline.run(pages)
+        // --adopt-state true: materialize the incremental state tables as
+        // the base run's final step (the production shape), so the first
+        // delta apply doesn't pay the one-time corpus-sized adoption
+        // inside its own timing
+        if (opts.get("adopt-state").exists(_.toBoolean))
+          pipeline.materializeStateTables()
+        (cl, None)
     }
     // one job: total rows + distinct clusters off the final (small) table
     val summary = clusters.agg(count(lit(1)), countDistinct("cluster_id"))

@@ -199,6 +199,27 @@ object PlanAudit {
     check("q_rep_select: no Window (min_by + join back)",
       !prep.contains("Window") && prep.contains("min_by"), prep)
 
+    // SemDeDup: the verified-edge sub-plan (candidate emission + cosine
+    // verify — CC materializes eagerly, so it is audited directly) must be
+    // bucketed (no cartesian), verified via shuffled-hash joins, and the
+    // keep-rule stage must be min_by + join-back, not a window.
+    {
+      import org.apache.spark.sql.functions.{col, lit, rand}
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"),
+          (col("vec_id") % 16).as("cell"), rand(7).as("rank"))
+      val sem = graft.ann.SemDeDup.candidateEdges(emb, 0.999)
+        .queryExecution.executedPlan.toString
+      check("semdedup edges: no cartesian/crossJoin, no Window",
+        !sem.contains("Cartesian") && !sem.contains("BroadcastNestedLoop") &&
+          !sem.contains("Window"), sem)
+      check("semdedup verify: ShuffledHashJoin x2",
+        "ShuffledHashJoin".r.findAllIn(sem).length == 2, sem)
+      val semFull = plan("q_semdedup")
+      check("q_semdedup keep-rule: no Window (min_by + join back)",
+        !semFull.contains("Window") && semFull.contains("min_by"), semFull)
+    }
+
     println(s"PlanAudit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()
     if (failures > 0) sys.exit(1)

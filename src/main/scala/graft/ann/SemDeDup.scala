@@ -63,6 +63,35 @@ object SemDeDup {
       maxCellSize: Int = 4096,
       bands: Int = 8, rowsPerBand: Int = 8, seed: Long = 42L,
       hotCellAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    val edges = candidateEdges(df, eps, maxCellSize, bands, rowsPerBand,
+      seed, hotCellAcc)
+
+    val comps = graft.dedup.ConnectedComponents.run(edges)
+
+    val members = df.select(col("id"), col("rank"))
+      .join(comps, Seq("id"), "left")
+      .withColumn("component", coalesce(col("component"), col("id")))
+
+    // skew-safe representative: partial-agg min_by + join-back (a window
+    // over `component` would funnel a 10⁶-member duplicate flood through
+    // one task — the anti-scaling shape PlanAudit guards against)
+    val keepers = members.groupBy("component")
+      .agg(min_by(col("id"), struct(col("rank"), col("id"))).as("keeper"))
+    members
+      .join(keepers, "component")
+      .select(col("id"), col("component"), (col("id") === col("keeper")).as("kept"))
+  }
+
+  /** The verified duplicate-edge plan (tiers 1+2 candidate emission +
+    * exact-cosine verification) — the lazy sub-plan [[resolveWithCells]]
+    * feeds to connected components, exposed so the physical-plan audit can
+    * assert its shape (CC materializes eagerly, which hides upstream
+    * operators from the final plan).
+    */
+  def candidateEdges(df: DataFrame, eps: Double,
+      maxCellSize: Int = 4096,
+      bands: Int = 8, rowsPerBand: Int = 8, seed: Long = 42L,
+      hotCellAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     require(bands >= 1 && rowsPerBand >= 1 && bands * rowsPerBand <= 64)
@@ -114,28 +143,13 @@ object SemDeDup {
     // exact-cosine verification on the slim vector table (shuffled-hash:
     // both sides are large and hash-joinable; sort-merge would add two sorts)
     val vecs = df.select(col("id"), col("vec"))
-    val edges = pairs
+    pairs
       .hint("shuffle_hash")
       .join(vecs.withColumnsRenamed(Map("id" -> "a", "vec" -> "va")), "a")
       .hint("shuffle_hash")
       .join(vecs.withColumnsRenamed(Map("id" -> "b", "vec" -> "vb")), "b")
       .filter(cosine_sim(col("va"), col("vb")) >= eps)
       .select("a", "b")
-
-    val comps = graft.dedup.ConnectedComponents.run(edges)
-
-    val members = df.select(col("id"), col("rank"))
-      .join(comps, Seq("id"), "left")
-      .withColumn("component", coalesce(col("component"), col("id")))
-
-    // skew-safe representative: partial-agg min_by + join-back (a window
-    // over `component` would funnel a 10⁶-member duplicate flood through
-    // one task — the anti-scaling shape PlanAudit guards against)
-    val keepers = members.groupBy("component")
-      .agg(min_by(col("id"), struct(col("rank"), col("id"))).as("keeper"))
-    members
-      .join(keepers, "component")
-      .select(col("id"), col("component"), (col("id") === col("keeper")).as("kept"))
   }
 
   /** Full SemDeDup: build (or accept) an IVF codebook, assign each row to

@@ -17,7 +17,10 @@ cd "$(dirname "$0")/.."
 BASE="${1:-/tmp/graft_inc_base}"
 INC_FAMILIES="${2:-280000}"
 
-if [ ! -d "$BASE/clusters" ]; then
+# require BOTH a completed base run AND adopted state tables — a store
+# built without --adopt-state would otherwise pay the one-time corpus-sized
+# adoption inside each timed delta leg, corrupting the pair
+if [ ! -d "$BASE/clusters" ] || [ ! -f "$BASE/_MARKER_cluster_state_covers" ]; then
   echo "== building base store ($BASE) from /tmp/graft_corpus_xxl =="
   SPARK_GRAFT_MASTER="local[8]" sbt -batch \
     "runMain graft.DedupMain $BASE --cores 8 --input /tmp/graft_corpus_xxl --adopt-state true" \

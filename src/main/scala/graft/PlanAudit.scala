@@ -208,8 +208,10 @@ object PlanAudit {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id").as("id"), col("embedding").as("vec"),
           (col("vec_id") % 16).as("cell"), rand(7).as("rank"))
-      val sem = graft.ann.SemDeDup.candidateEdges(emb, 0.999)
-        .queryExecution.executedPlan.toString
+      val semDf = graft.ann.SemDeDup.candidateEdges(emb, 0.999)
+      semDf.collect() // finalize AQE; audit the final section only
+      val sem = semDf.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
       check("semdedup edges: no cartesian/crossJoin, no Window",
         !sem.contains("Cartesian") && !sem.contains("BroadcastNestedLoop") &&
           !sem.contains("Window"), sem)

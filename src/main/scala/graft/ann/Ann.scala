@@ -350,9 +350,18 @@ object Ann {
       balanceBound: Double = 1.5, seed: Long = 42L): Seq[(Long, Seq[Float])] = {
     val key = (corpus.queryExecution.analyzed.semanticHash(),
       nlist, balanceBound, seed)
-    if (codebookCache.size() > 64) codebookCache.clear() // unbounded-growth guard
-    codebookCache.computeIfAbsent(key,
-      _ => autoCodebook(corpus, nlist, balanceBound, seed))
+    // no computeIfAbsent: the build runs multi-job corpus scans, far too
+    // long to hold a CHM bin lock (it would serialize unrelated searches
+    // whose keys share the bin). A rare concurrent duplicate build is the
+    // cheaper failure mode.
+    val hit = codebookCache.get(key)
+    if (hit != null) hit
+    else {
+      val built = autoCodebook(corpus, nlist, balanceBound, seed)
+      if (codebookCache.size() > 64) codebookCache.clear() // growth guard
+      val raced = codebookCache.putIfAbsent(key, built)
+      if (raced != null) raced else built
+    }
   }
 
   /** IVF: corpus partitioned into `nlist` cells by nearest deterministic

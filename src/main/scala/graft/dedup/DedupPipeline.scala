@@ -940,7 +940,12 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
     */
   def incrementalClusters(): DataFrame = {
     assertCheckpointConfig()
-    currentClusters(incBatches)
+    val applied = incBatches
+    // a base-run-only store has a completed `clusters` stage but no adopted
+    // state tables yet — adopt lazily (same one-time migration incremental()
+    // performs) instead of failing on the missing base layer
+    ensureStateTables(applied, priorSignatures(applied))
+    currentClusters(applied)
   }
 
   /** The current full clusters table: the latest-wins view over the base
@@ -1065,17 +1070,18 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
     * amplification. The new base is written as a fresh versioned stage
     * (atomic manifest commit), THEN the covers marker moves to it (atomic
     * rename) — a crash between the two leaves the old view intact and the
-    * retry adopts the already-completed stage instantly. Superseded layer
-    * stages are deleted last (unreferenced once the marker moved).
+    * retry adopts the already-completed stage instantly. Stages superseded
+    * by this fold get a one-cycle snapshot-expiry grace; the PREVIOUS
+    * cycle's cohort is deleted here, derived by scan (crash-idempotent —
+    * see the inline note).
     */
   private def maybeCompactState(appliedNow: Seq[String]): Unit = {
     val names = Seq("band", "hash_min", "comp", "cluster") ++
       (if (config.useSimHashCandidates) Seq("sim") else Nil)
     names.foreach { name =>
-      val (covers, _) = baseInfo(name)
+      val (covers, ver) = baseInfo(name)
       val cN = appliedNow.size
       if (cN - covers >= config.stateCompactEvery) {
-        val oldStages = stateStageNames(name, appliedNow)
         store.getOrComputePartitioned(baseStageName(name, cN)) {
           val raw = stateView(name, appliedNow, None,
             appendOnly = !UpsertKeys.contains(name))
@@ -1084,19 +1090,34 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
             case None => raw
           }
         }
-        // version := covers count, so a crash-orphaned stage is always
-        // correct for the covers its name encodes and can be adopted later
-        store.mark(s"${name}_state_covers", s"$cN $cN")
-        // snapshot-expiry grace (the Iceberg expire-snapshots analog):
-        // superseded layers are NOT deleted now — the lazy DataFrames
+        // snapshot-expiry grace (the Iceberg expire-snapshots analog): the
+        // stages superseded by THIS fold are NOT deleted — lazy DataFrames
         // returned by recent incremental() calls still reference their
-        // files. They are deleted at the NEXT compaction of this table, so
-        // a held view stays readable for at least `stateCompactEvery`
-        // further batches; holding one longer than that is on the caller
-        // (documented at [[incremental]]).
-        store.markerValue(s"${name}_state_expired")
-          .foreach(_.split("\n").filter(_.nonEmpty).foreach(store.invalidate))
-        store.mark(s"${name}_state_expired", oldStages.mkString("\n"))
+        // files; they go at the NEXT compaction, so a held view stays
+        // readable for at least `stateCompactEvery` further batches
+        // (contract documented at [[incremental]]). What IS deleted here is
+        // the PREVIOUS cycle's cohort, DERIVED BY SCAN rather than recorded
+        // in a marker — bases older than the current one, layers already
+        // folded into it — so a crash anywhere in this block retries
+        // idempotently and can never leak a superseded base forever (a
+        // marker written after the covers move would lose the cohort to a
+        // crash between the two writes).
+        val basePrefix = s"${name}_state_base"
+        store.stages(basePrefix).foreach { st =>
+          val v = st.stripPrefix(basePrefix) match {
+            case "" => 0
+            case s if s.startsWith("_v") => s.drop(2).toInt
+            case _ => Int.MaxValue // unrelated stage sharing the prefix
+          }
+          if (v < ver) store.invalidate(st)
+        }
+        appliedNow.take(covers)
+          .foreach(b => store.invalidate(s"inc_${b}_${name}_state"))
+        // version := covers count, so a crash-orphaned stage is always
+        // correct for the covers its name encodes and can be adopted later.
+        // The marker moves LAST: a crash before this line leaves the old
+        // view fully intact (only already-unreferenced stages were deleted).
+        store.mark(s"${name}_state_covers", s"$cN $cN")
       }
     }
   }

@@ -231,7 +231,7 @@ object Multimodal {
           try {
             // seekForwardOnly=false: frame count needs a full index scan
             reader.setInput(iis, false, true)
-            val nFrames = math.min(reader.getNumImages(true), maxFrames)
+            var nFrames = math.min(reader.getNumImages(true), maxFrames)
             if (nFrames <= 0) return Array.emptyFloatArray
             // canvas = the logical screen (stream metadata); falls back to
             // frame 0's stored rect for non-GIF multi-frame inputs
@@ -242,6 +242,13 @@ object Multimodal {
               cw, chgt, java.awt.image.BufferedImage.TYPE_INT_RGB)
             val g = canvas.createGraphics()
             val perFrame = math.min(cw.toLong * chgt, maxSamplesPerFrame.toLong).toInt
+            // non-default (maxFrames, maxSamplesPerFrame) combinations can
+            // push the total past Int.MaxValue — the Int multiply would wrap
+            // negative and the allocation's NegativeArraySizeException would
+            // be swallowed into a silent no-signal. Cap the frame count so
+            // the product always fits.
+            nFrames = math.min(nFrames.toLong,
+              (Int.MaxValue - 8).toLong / math.max(1, perFrame)).toInt
             val all = new Array[Float](nFrames * perFrame)
             var f = 0
             while (f < nFrames) {

@@ -507,6 +507,9 @@ class DedupPipelineSpec extends AnyFunSuite {
     pipe.run(all).count()
     val nAll = all.count()
     val nDelta = delta.count()
+    // the always-live view works on a base-run-only store (lazily adopting
+    // the state tables), not just after a batch applied
+    assert(pipe.incrementalClusters().count() === nAll)
     val updated = pipe.incremental("d1", delta)
     // the layered view IS the full table: every id exactly once
     assert(updated.count() === nAll + nDelta)

@@ -29,13 +29,19 @@ object Burn {
     */
   private def rateChecked(workers: Int, millis: Long): (Double, Boolean) = {
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
-    val counts = new java.util.concurrent.atomic.AtomicLongArray(workers)
+    // counters are PADDED one cache line apart (8 longs): with adjacent
+    // slots, the per-iteration publish from 8 threads ping-pongs a single
+    // cache line and the probe measures its own coherence traffic — a
+    // linear box read as "1.5 effective cores at 8 workers" for hours
+    // (observed 2026-08-18; shell busy-loops on the same box scaled 7.6/8)
+    val Stride = 8
+    val counts = new java.util.concurrent.atomic.AtomicLongArray(workers * Stride)
     val threads = (0 until workers).map { w =>
       val t = new Thread(() => {
         val md = java.security.MessageDigest.getInstance("SHA-256")
         var buf = Array.fill[Byte](64)(w.toByte)
         var n = 0L
-        while (!stop.get()) { buf = md.digest(buf); n += 1; counts.lazySet(w, n) }
+        while (!stop.get()) { buf = md.digest(buf); n += 1; counts.lazySet(w * Stride, n) }
       })
       t.setDaemon(true)
       t.start()
@@ -47,7 +53,7 @@ object Burn {
     threads.foreach(_.join(5000))
     val secs = (System.nanoTime() - t0) / 1e9
     val allExited = !threads.exists(_.isAlive)
-    ((0 until workers).map(counts.get).sum / secs, allExited)
+    ((0 until workers).map(w => counts.get(w * Stride)).sum / secs, allExited)
   }
 
   def rate(workers: Int, millis: Long = 2000): Double =

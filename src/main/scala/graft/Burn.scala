@@ -39,9 +39,23 @@ object Burn {
     val threads = (0 until workers).map { w =>
       val t = new Thread(() => {
         val md = java.security.MessageDigest.getInstance("SHA-256")
-        var buf = Array.fill[Byte](64)(w.toByte)
+        // ALLOCATION-FREE loop: digest(buf) allocates a fresh 32-byte array
+        // per iteration, which turns the probe into a GC benchmark — under
+        // this project's forked-JVM flags (-Xmx24g -XX:+UseParallelGC) the
+        // allocating variant anti-scaled to ~2.7 "effective cores" on a box
+        // that shell busy-loops proved linear (measured 2026-08-18), while
+        // this in-place variant reads ~7.8-8.0 steadily. digest(buf, 0, 32)
+        // writes the hash into the front of the SAME buffer (and resets the
+        // digest), so each iteration still hashes fresh, unfoldable input.
+        val buf = new Array[Byte](64)
+        buf(0) = w.toByte
         var n = 0L
-        while (!stop.get()) { buf = md.digest(buf); n += 1; counts.lazySet(w * Stride, n) }
+        while (!stop.get()) {
+          md.update(buf, 0, 64)
+          md.digest(buf, 0, 32)
+          n += 1
+          counts.lazySet(w * Stride, n)
+        }
       })
       t.setDaemon(true)
       t.start()
@@ -73,7 +87,7 @@ object Burn {
     * ratio.
     */
   def probe(): Probe = {
-    rateChecked(1, 500) // discarded: JIT + class-load warm-up
+    rateChecked(8, 500) // discarded: JIT + class-load warm-up on ALL threads
     val (r1a, v1) = rateChecked(1, 2000)
     val (r2, v2) = rateChecked(2, 2000)
     val (r1b, v3) = rateChecked(1, 2000)

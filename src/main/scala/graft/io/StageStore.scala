@@ -96,7 +96,17 @@ final class StageStore(spark: SparkSession, val root: String) {
     val t0 = System.nanoTime()
     val dir = stageDir(stage)
     if (Files.exists(dir) && !has(stage)) deleteRecursively(dir)
-    df.write.mode("overwrite").partitionBy("pkey").parquet(dir.toString)
+    // cluster rows by pkey BEFORE the partitioned write (Iceberg's
+    // write.distribution-mode=hash): without it every upstream task writes
+    // a file into every pkey directory — N_tasks × N_pkeys tiny files per
+    // layer — and every later pruned read pays thousands of footer opens
+    // (measured: a 640k-page store's state adoption wrote ~1,500 files per
+    // table and a 32k-page delta apply spent most of its wall time opening
+    // them). One shuffle of the layer being written (delta-sized for
+    // batches, corpus-sized only at adoption/compaction) buys one file per
+    // partition directory.
+    df.repartition(col("pkey"))
+      .write.mode("overwrite").partitionBy("pkey").parquet(dir.toString)
     val wallMs = (System.nanoTime() - t0) / 1000000
     val files = parquetFilesUnder(dir)
     val hadoopConf = spark.sparkContext.hadoopConfiguration

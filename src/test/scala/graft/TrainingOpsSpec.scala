@@ -460,6 +460,37 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(exact.forall { case (id, comp, kept) => kept === (id == comp) })
   }
 
+  test("semdedup: sub-banded tier keeps high recall on NEAR (non-exact) duplicates") {
+    import spark.implicits._
+    import graft.ann.SemDeDup
+    // 40 planted near-dup pairs (cosine ≈ 0.995 via small additive noise)
+    // among 80 unrelated vectors, all forced into ONE oversized cell so the
+    // whole corpus takes the sign-LSH sub-banding tier. At eps 0.98 and the
+    // default 8x8 banding, P(all bands miss) ≈ (1-p^8)^8 with p ≈
+    // 1 - acos(0.995)/π ≈ 0.968 → recall ≈ 0.98; require ≥ 0.9.
+    val rnd = new scala.util.Random(29)
+    def unit(v: Array[Float]): Seq[Float] = {
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n).toSeq
+    }
+    val pairs = (0 until 40).map { i =>
+      val base = Array.fill(32)(rnd.nextGaussian().toFloat)
+      val noisy = base.map(x => x + 0.07f * rnd.nextGaussian().toFloat)
+      (i.toLong, unit(base), (i + 1000L), unit(noisy))
+    }
+    val fillers = (0 until 80).map(i =>
+      (i + 5000L, unit(Array.fill(32)(rnd.nextGaussian().toFloat))))
+    val corpus = (pairs.flatMap(p => Seq((p._1, p._2), (p._3, p._4))) ++ fillers)
+      .map { case (id, v) => (id, v, 0L, 0.0) }
+      .toDF("id", "vec", "cell", "rank")
+    val out = SemDeDup.resolveWithCells(corpus, eps = 0.98, maxCellSize = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val recalled = pairs.count(p => out(p._1) == out(p._3))
+    assert(recalled >= 36, s"only $recalled/40 near-dup pairs grouped")
+    // fillers stay singletons (cosine of random 32-d unit vectors ≪ 0.98)
+    fillers.foreach { case (id, _) => assert(out(id) === id) }
+  }
+
   test("semdedup: a duplicate flood chains (observable), stays one group, one keeper") {
     import spark.implicits._
     import graft.ann.SemDeDup

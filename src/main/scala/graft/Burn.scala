@@ -23,18 +23,24 @@ object Burn {
 
   /** (hashes/sec across `workers` threads over ~`millis` ms, all workers
     * exited within the join deadline). Workers publish their counts every
-    * iteration, so even a thread that overstays the deadline (heavy steal —
-    * exactly the case the probe exists for) contributes its real progress
-    * instead of reading 0 — but such a reading is still marked invalid.
+    * 4096 iterations (and once on exit), so even a thread that overstays the
+    * deadline (heavy steal — exactly the case the probe exists for)
+    * contributes its real progress to within ~0.5 ms of work instead of
+    * reading 0 — but such a reading is still marked invalid.
     */
   private def rateChecked(workers: Int, millis: Long): (Double, Boolean) = {
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
-    // counters are PADDED one cache line apart (8 longs): with adjacent
-    // slots, the per-iteration publish from 8 threads ping-pongs a single
-    // cache line and the probe measures its own coherence traffic — a
-    // linear box read as "1.5 effective cores at 8 workers" for hours
-    // (observed 2026-08-18; shell busy-loops on the same box scaled 7.6/8)
-    val Stride = 8
+    // counters are PADDED TWO cache lines apart (16 longs) and published in
+    // 4096-iteration batches. Per-iteration publishes into adjacent slots
+    // ping-pong a single cache line (a linear box read "1.5 effective cores
+    // at 8 workers" for hours, 2026-08-18, while shell busy-loops scaled
+    // 7.6/8); one-line (8-long) padding is NOT enough — Intel's spatial
+    // prefetcher pairs 64-byte lines into 128-byte sectors, so 64-byte-apart
+    // slots still false-share depending on the array's allocation alignment
+    // (measured same-JVM 2026-08-18: stride-8 per-iteration eff8 = 2.4 vs
+    // 7.7 for publish-once, 7.8 for stride-16, 7.7 for batched). The batch
+    // removes the traffic; the two-line stride guards the residual publishes.
+    val Stride = 16
     val counts = new java.util.concurrent.atomic.AtomicLongArray(workers * Stride)
     val threads = (0 until workers).map { w =>
       val t = new Thread(() => {
@@ -54,8 +60,9 @@ object Burn {
           md.update(buf, 0, 64)
           md.digest(buf, 0, 32)
           n += 1
-          counts.lazySet(w * Stride, n)
+          if ((n & 4095L) == 0L) counts.lazySet(w * Stride, n)
         }
+        counts.lazySet(w * Stride, n)
       })
       t.setDaemon(true)
       t.start()

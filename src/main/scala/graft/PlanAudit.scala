@@ -222,6 +222,32 @@ object PlanAudit {
         !semFull.contains("Window") && semFull.contains("min_by"), semFull)
     }
 
+    // Repetition stats: two-level aggregation must partial-agg at BOTH
+    // levels (the map-side combine is what absorbs a 10^6-copy boilerplate
+    // unit) and must not use a Window or a join-per-metric cartesian.
+    val prept = plan("q_repetition")
+    check("q_repetition: partial-agg'd two-level aggregation, no Window",
+      prept.contains("partial_count") && !prept.contains("Window") &&
+        !prept.contains("Cartesian"), prept)
+
+    // Passage spans: cross-doc key detection must be the partial-agg'd
+    // min/max groupBy (never count-distinct), and the only Window is the
+    // per-document gaps-and-islands merge (partition key = doc id).
+    val ppass = plan("q_passage_spans")
+    check("q_passage_spans: partial-agg'd min/max cross-doc keys, no cartesian",
+      ppass.contains("partial_min") && !ppass.contains("Cartesian"), ppass)
+    check("q_passage_spans: every window spec is partitioned by the doc id",
+      {
+        val specs = "windowspecdefinition\\([^)]*".r.findAllIn(ppass).toList
+        specs.nonEmpty && specs.forall(_.contains("doc_id"))
+      }, ppass)
+
+    // Decontamination: the eval key set must broadcast — the training
+    // corpus is scanned once, never shuffled against the eval side.
+    val pdec = plan("q_decontaminate")
+    check("q_decontaminate: eval keys broadcast to the training scan",
+      pdec.contains("BroadcastHashJoin"), pdec)
+
     println(s"PlanAudit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()
     if (failures > 0) sys.exit(1)

@@ -9,7 +9,7 @@ import graft.cite.{CitationDedup, CsvParser, EndNoteXmlParser, FormatDetect, Pub
 import graft.dedup.ConnectedComponents
 import graft.functions._
 import graft.multimodal.Multimodal
-import graft.text.{TextOps, UrlOps}
+import graft.text.{Passages, Repetition, TextOps, UrlOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -48,6 +48,16 @@ object SparkEntry {
     concat(lit("d"), col("doc_id"), lit("xpad2")),
     transform(split(col("text"), "\\s+"),
       tok => concat(lit("d"), col("doc_id"), lit("x"), tok)))
+
+  /** 12-word constant passage planted by q_passage_spans (> the 8-token
+    * window, so plant-only spans are [0,11] / [len,len+11]) and 8-word eval
+    * marker planted by q_decontaminate — tokens outside the corpus
+    * vocabulary, shared verbatim between the Spark queries and the DuckDB
+    * oracles.
+    */
+  private val PassagePlant =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+  private val EvalMarker = "nu xi omicron pi rho sigma tau upsilon"
 
   // embeddings corpus/queries used by the ANN entries
   private def annInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
@@ -719,6 +729,79 @@ object SparkEntry {
         .select(col("doc_id"), col("n_copies"))
     }),
 
+    // Gopher-style repetition quality stats (Repetition.lineStats/ngramStats).
+    // Natural corpus text has no newlines and few duplicate n-grams, so the
+    // query plants deterministic repetition the oracle mirrors exactly:
+    // words' = words ++ first-10-words (guarantees duplicated 5-grams), lines
+    // = 5-word chunks of words' ++ a copy of the first 2 chunks (guarantees
+    // duplicate lines), denominator = chars of the planted text.
+    "q_repetition" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val words0 = split(lower(col("text")), " ")
+      val words = concat(words0, slice(words0, 1, 10))
+      val denom = length(
+        concat(lower(col("text")), lit(" "), concat_ws(" ", slice(words0, 1, 10))))
+      val chunks = transform(
+        sequence(lit(0), ceil(size(words) / 5.0).cast("int") - 1),
+        i => concat_ws(" ", slice(words, i * 5 + 1, lit(5))))
+      val lines = concat(chunks, slice(chunks, 1, 2))
+      val lineRows = docs.select(col("doc_id"), explode(lines).as("line"))
+      val lm = Repetition.lineStats(lineRows, "doc_id", "line")
+      val m2 = Repetition
+        .ngramStats(docs, "doc_id", words, denom, 2)
+        .withColumnRenamed("top_ngram_char_frac", "top_2gram_char_frac")
+        .drop("dup_ngram_char_frac")
+      val m5 = Repetition
+        .ngramStats(docs, "doc_id", words, denom, 5)
+        .withColumnRenamed("dup_ngram_char_frac", "dup_5gram_char_frac")
+        .drop("top_ngram_char_frac")
+      // line stats cover every document (any non-empty text yields >=1
+      // chunk); the n-gram legs drop docs shorter than n words, so left-join
+      // + zero-fill per ngramStats' documented contract
+      lm.join(m2, Seq("doc_id"), "left").join(m5, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("dup_line_frac"), col("dup_line_char_frac"),
+          coalesce(col("top_2gram_char_frac"), lit(0.0)).as("top_2gram_char_frac"),
+          coalesce(col("dup_5gram_char_frac"), lit(0.0)).as("dup_5gram_char_frac"))
+    }),
+
+    // Cross-document shared-passage spans (Passages.sharedPassageSpans,
+    // n = 8 token windows, xxhash64 keys). Natural cross-doc 8-gram overlap
+    // exists but is sparse, so a 12-word constant passage is planted at the
+    // HEAD of docs ≡0 (mod 3) and the TAIL of docs ≡1 (mod 3); ≡2 docs carry
+    // only their natural text. The oracle replays the same plant with
+    // string-keyed grams — identical spans absent 64-bit collisions.
+    "q_passage_spans" -> ((s, dir) => {
+      val plant = PassagePlant.split(" ").toSeq
+      val words0 = split(lower(col("text")), " ")
+      val planted = when(col("doc_id") % 3 === 0, concat(array(plant.map(lit): _*), words0))
+        .when(col("doc_id") % 3 === 1, concat(words0, array(plant.map(lit): _*)))
+        .otherwise(words0)
+      Passages
+        .sharedPassageSpans(t(s, dir, "documents"), "doc_id", planted, 8)
+        .select(col("doc_id"), col("start_tok").cast("long").as("start_tok"),
+          col("end_tok").cast("long").as("end_tok"), col("n_windows"))
+    }),
+
+    // Benchmark decontamination (Passages.contaminationHits, n = 8): eval
+    // corpus = docs ≡0 (mod 37) with a planted 8-word eval marker appended;
+    // training corpus = the rest, with the same marker planted on docs
+    // ≡3 (mod 11) — those train docs are contaminated by construction, plus
+    // whatever natural 8-gram overlap exists (mirrored by the oracle).
+    "q_decontaminate" -> ((s, dir) => {
+      val marker = EvalMarker.split(" ").toSeq
+      val docs = t(s, dir, "documents")
+      val words0 = split(lower(col("text")), " ")
+      val evalDocs = docs
+        .filter(col("doc_id") % 37 === 0)
+        .select(col("doc_id"), concat(words0, array(marker.map(lit): _*)).as("words"))
+      val train = docs
+        .filter(col("doc_id") % 37 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 3, concat(words0, array(marker.map(lit): _*)))
+            .otherwise(words0).as("words"))
+      Passages.contaminationHits(train, evalDocs, "doc_id", "words", 8)
+    }),
+
     // ---------- multimodal ----------
 
     // Binary-asset metadata path: text → payload bytes → typed meta.
@@ -1258,6 +1341,95 @@ object SparkEntry {
          |WHERE ${TextOps.qualityScoreSql("text")} >= 0.5
          |  AND ${TextOps.langIdSql("text")} = 'en'
          |GROUP BY $NormalizeTextSql""".stripMargin,
+
+    // mirrors q_repetition's plant: words' = words ++ words[1:10], lines =
+    // 5-word chunks ++ chunks[1:2], denominator = chars of the planted text
+    "q_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    string_split(lower(text), ' ')
+        |      || string_split(lower(text), ' ')[1:10] AS words,
+        |    strlen(lower(text) || ' '
+        |      || array_to_string(string_split(lower(text), ' ')[1:10], ' ')) AS n_chars
+        |  FROM documents),
+        |chunks AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, CAST(ceil(len(words) / 5.0) AS BIGINT)),
+        |      i -> array_to_string(words[i*5+1 : i*5+5], ' ')) AS ls
+        |  FROM w),
+        |lines AS (SELECT doc_id, unnest(ls || ls[1:2]) AS line FROM chunks),
+        |lc AS (SELECT doc_id, line, COUNT(*) AS cnt, strlen(line) AS len
+        |       FROM lines GROUP BY 1, 2),
+        |lm AS (
+        |  SELECT doc_id,
+        |    round(1.0 - COUNT(*) / CAST(SUM(cnt) AS DOUBLE), 6) AS dup_line_frac,
+        |    round(COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt * len END), 0)
+        |      / CAST(SUM(cnt * len) AS DOUBLE), 6) AS dup_line_char_frac
+        |  FROM lc GROUP BY 1),
+        |g2 AS (SELECT doc_id, array_to_string(words[i+1 : i+2], ' ') AS gram, n_chars
+        |       FROM w, unnest(range(0, len(words) - 1)) t(i) WHERE len(words) >= 2),
+        |c2 AS (SELECT doc_id, n_chars, gram, COUNT(*) AS cnt FROM g2 GROUP BY 1, 2, 3),
+        |m2 AS (SELECT doc_id,
+        |         round(MAX(cnt * strlen(gram)) / CAST(MAX(n_chars) AS DOUBLE), 6)
+        |           AS top_2gram_char_frac
+        |       FROM c2 GROUP BY 1),
+        |g5 AS (SELECT doc_id, array_to_string(words[i+1 : i+5], ' ') AS gram, n_chars
+        |       FROM w, unnest(range(0, len(words) - 4)) t(i) WHERE len(words) >= 5),
+        |c5 AS (SELECT doc_id, n_chars, gram, COUNT(*) AS cnt FROM g5 GROUP BY 1, 2, 3),
+        |m5 AS (SELECT doc_id,
+        |         round(least(1.0, COALESCE(SUM(CASE WHEN cnt > 1
+        |             THEN cnt * strlen(gram) END), 0)
+        |           / CAST(MAX(n_chars) AS DOUBLE)), 6) AS dup_5gram_char_frac
+        |       FROM c5 GROUP BY 1)
+        |SELECT lm.doc_id, dup_line_frac, dup_line_char_frac,
+        |       COALESCE(top_2gram_char_frac, 0.0) AS top_2gram_char_frac,
+        |       COALESCE(dup_5gram_char_frac, 0.0) AS dup_5gram_char_frac
+        |FROM lm LEFT JOIN m2 USING (doc_id) LEFT JOIN m5 USING (doc_id)""".stripMargin,
+
+    // string-keyed replica of q_passage_spans' hash-keyed plan (same plant)
+    "q_passage_spans" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, CASE doc_id % 3
+         |    WHEN 0 THEN string_split('$PassagePlant', ' ')
+         |      || string_split(lower(text), ' ')
+         |    WHEN 1 THEN string_split(lower(text), ' ')
+         |      || string_split('$PassagePlant', ' ')
+         |    ELSE string_split(lower(text), ' ') END AS words
+         |  FROM documents),
+         |g AS (SELECT doc_id, i AS pos, array_to_string(words[i+1 : i+8], ' ') AS gram
+         |      FROM w, unnest(range(0, len(words) - 7)) t(i) WHERE len(words) >= 8),
+         |shared AS (SELECT gram FROM g GROUP BY gram HAVING MIN(doc_id) <> MAX(doc_id)),
+         |m AS (SELECT doc_id, pos FROM g JOIN shared USING (gram)),
+         |isl AS (SELECT doc_id, pos,
+         |          CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+         |               THEN 0 ELSE 1 END AS flag
+         |        FROM m),
+         |grp AS (SELECT doc_id, pos,
+         |          SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos
+         |                          ROWS UNBOUNDED PRECEDING) AS isle
+         |        FROM isl)
+         |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_tok,
+         |       CAST(MAX(pos) + 7 AS BIGINT) AS end_tok, COUNT(*) AS n_windows
+         |FROM grp GROUP BY doc_id, isle""".stripMargin,
+
+    // mirrors q_decontaminate's plant; COUNT(DISTINCT gram) vs the plan's
+    // count_distinct(xxhash64(gram)) — identical absent 64-bit collisions
+    "q_decontaminate" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS w0 FROM documents),
+         |ev AS (SELECT doc_id, w0 || string_split('$EvalMarker', ' ') AS words
+         |       FROM base WHERE doc_id % 37 = 0),
+         |tr AS (SELECT doc_id, CASE WHEN doc_id % 11 = 3
+         |         THEN w0 || string_split('$EvalMarker', ' ') ELSE w0 END AS words
+         |       FROM base WHERE doc_id % 37 <> 0),
+         |eg AS (SELECT DISTINCT array_to_string(words[i+1 : i+8], ' ') AS gram
+         |       FROM ev, unnest(range(0, len(words) - 7)) t(i) WHERE len(words) >= 8),
+         |tg AS (SELECT doc_id, array_to_string(words[i+1 : i+8], ' ') AS gram
+         |       FROM tr, unnest(range(0, len(words) - 7)) t(i) WHERE len(words) >= 8),
+         |hits AS (SELECT doc_id, COUNT(DISTINCT gram) AS n_hits
+         |         FROM tg JOIN eg USING (gram) GROUP BY 1)
+         |SELECT tr.doc_id, CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits
+         |FROM tr LEFT JOIN hits USING (doc_id)""".stripMargin,
 
     // StubDecoder: sample = ((byte & 0xff) − 128)/128, bin = ((s+1)/2·16)
     // clamped to [0,15] — algebraically bin = byte ÷ 16. Texts are ASCII

@@ -1,0 +1,119 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cross-document exact-substring operators for training-data curation:
+  *
+  *  - [[sharedPassageSpans]]: find maximal token spans that occur verbatim in
+  *    two or more documents (the distributed, windowed form of
+  *    suffix-array exact-substring dedup — Lee et al. 2022, "Deduplicating
+  *    Training Data Makes Language Models Better": repeated passages are
+  *    memorization fuel and should be cut even when the documents hosting
+  *    them are not near-duplicates).
+  *  - [[contaminationHits]]: benchmark decontamination — count, per training
+  *    document, the distinct n-grams it shares with an evaluation corpus, so
+  *    contaminated documents can be gated before pretraining.
+  *
+  * Scale design: documents are exploded into overlapping n-token windows
+  * keyed by `xxhash64(gram)` — the shuffle carries (id, pos, 8-byte key),
+  * never gram strings. Cross-document keys are found with a partial-agg'd
+  * `min(id) <> max(id)` groupBy (two or more distinct owners ⟺ min ≠ max —
+  * no count-distinct, no row explosion on a 10^6-document boilerplate gram:
+  * the map-side combine collapses each partition's copies to one row).
+  * Matched windows are merged into maximal spans with a per-document
+  * gaps-and-islands pass — the only window function, partitioned by document
+  * id (cardinality = corpus size, bounded per-partition by document length:
+  * skew-safe). Decontamination broadcasts the evaluation key set (an eval
+  * suite is small by definition) so the training side is scanned exactly
+  * once with no shuffle.
+  *
+  * Collision note: keys are 64-bit hashes of the gram text; two different
+  * grams colliding would merge unrelated passages. At 10^12 windows the
+  * expected collision count is governed by the birthday bound on 2^64 —
+  * accepted here exactly as in the MinHash/SimHash stages, and the oracle's
+  * string-keyed replica pins the hash-keyed plan's output at test scale.
+  */
+object Passages {
+
+  /** Overlapping n-token windows as (id, pos, key) rows, key = xxhash64 of
+    * the space-joined gram; empty when the document has fewer than n words.
+    */
+  def windowKeys(
+      docs: DataFrame,
+      idCol: String,
+      words: Column,
+      n: Int): DataFrame =
+    Repetition
+      .explodeNgrams(docs, idCol, words, n)
+      .select(col(idCol), col("pos"), xxhash64(col("gram")).as("key"))
+
+  /** Keys owned by two or more distinct documents. `min(id) <> max(id)` is
+    * exact for "≥ 2 distinct owners" and partial-aggregates, unlike a
+    * count-distinct.
+    */
+  def crossDocKeys(windows: DataFrame, idCol: String): DataFrame =
+    windows
+      .groupBy(col("key"))
+      .agg(min(col(idCol)).as("lo"), max(col(idCol)).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .select(col("key"))
+
+  /** Maximal token spans shared verbatim with at least one other document:
+    * (id, start_tok, end_tok, n_windows). Two matched windows at positions
+    * p < q belong to the same span iff q − p ≤ n (their token intervals
+    * touch or overlap); end_tok = last window position + n − 1.
+    */
+  def sharedPassageSpans(
+      docs: DataFrame,
+      idCol: String,
+      words: Column,
+      n: Int): DataFrame = {
+    val win = windowKeys(docs, idCol, words, n)
+    val matched = win
+      .join(crossDocKeys(win, idCol), "key")
+      .select(col(idCol), col("pos"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    matched
+      .withColumn(
+        "flag",
+        when(col("pos") - lag("pos", 1).over(byDoc) <= n, lit(0)).otherwise(lit(1)))
+      .withColumn("grp", sum("flag").over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("grp"))
+      .agg(
+        min("pos").as("start_tok"),
+        (max("pos") + lit(n - 1)).as("end_tok"),
+        count(lit(1)).as("n_windows"))
+      .drop("grp")
+  }
+
+  /** Per-training-document contamination against an evaluation corpus:
+    * (id, n_hits) where n_hits = distinct n-grams shared with ANY eval
+    * document. Training documents with no hits carry n_hits = 0. The eval
+    * key set is broadcast — eval suites are small — so the gram scan of the
+    * training text never shuffles against the eval side; only (id, matched
+    * key) pairs shuffle into the per-doc count. The zero-fill spine is a
+    * SECOND scan of `train`, column-pruned to the id, left-joined to the
+    * hit counts (docs shorter than n words have no windows, so the spine
+    * cannot be derived from the gram scan) — at corpus scale that is one
+    * extra id-only pass, not a second text pass.
+    */
+  def contaminationHits(
+      train: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      wordsCol: String,
+      n: Int): DataFrame = {
+    val evalKeys =
+      windowKeys(evalDocs, idCol, col(wordsCol), n).select(col("key")).distinct()
+    val hits = windowKeys(train, idCol, col(wordsCol), n)
+      .join(broadcast(evalKeys), "key")
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("key")).as("n_hits"))
+    train
+      .select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+  }
+}

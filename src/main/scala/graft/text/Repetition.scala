@@ -1,0 +1,106 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Repetition-based quality statistics for training-data curation, after the
+  * Gopher filter family (Rae et al. 2021, "Scaling Language Models", appendix
+  * A1.1): duplicate-line fraction, duplicate-line character fraction, and
+  * per-n top/duplicated n-gram character fractions. Documents dominated by
+  * repeated lines or n-grams are boilerplate/spam and are gated out of
+  * pretraining corpora by thresholds over exactly these statistics.
+  *
+  * Scale design: every statistic is a two-level aggregation — explode the
+  * unit (line or n-gram), partial-agg counts on (id, unit), then partial-agg
+  * the per-document reduction on id — so the map-side combine absorbs the
+  * within-partition repetition that motivates the metric in the first place
+  * (a 10^6-copy boilerplate line contributes one row per partition, not 10^6
+  * shuffle rows). No per-row O(len^2) lambda loops: a 50 KB document costs
+  * O(tokens) exploded rows, not O(tokens^2) comparisons, and the shuffles
+  * stay slim (id, unit-string, count). No UDFs; every kernel is a built-in.
+  *
+  * Definitions (deterministic, engine-portable; deviations from the paper's
+  * prose are chosen for exact replicability in ANSI SQL and documented):
+  *  - dup_line_frac        = 1 − distinct(lines) / count(lines)
+  *  - dup_line_char_frac   = Σ chars of lines occurring >1 (instance-
+  *                           weighted) / Σ chars of all lines
+  *  - top_ngram_char_frac  = max over grams g of count(g)·chars(g) / denom
+  *  - dup_ngram_char_frac  = min(1, Σ over grams with count>1 of
+  *                           count·chars / denom) — instance-weighted over
+  *                           overlapping grams, clamped (the paper de-
+  *                           overlaps character spans; instance weighting is
+  *                           the closed form both engines compute exactly)
+  */
+object Repetition {
+
+  /** array<struct<pos,gram>> of the n-token windows of `words`; empty when
+    * the document has fewer than n words (the guard matters: Spark's
+    * `sequence(0, negative)` DESCENDS instead of returning empty). The single
+    * source of the windowing arithmetic for both [[explodeNgrams]] and
+    * [[ngramStats]] (and, via explodeNgrams, `Passages`).
+    */
+  private[text] def ngramStructs(words: Column, n: Int): Column =
+    when(
+      size(words) >= n,
+      transform(
+        sequence(lit(0), size(words) - n),
+        i => struct(i.as("pos"), concat_ws(" ", slice(words, i + 1, lit(n))).as("gram"))))
+      .otherwise(array().cast("array<struct<pos:int,gram:string>>"))
+
+  /** Word n-grams of `words` as (id, pos, gram) rows; empty when the
+    * document has fewer than n words. pos is 0-based.
+    */
+  def explodeNgrams(
+      docs: DataFrame,
+      idCol: String,
+      words: Column,
+      n: Int): DataFrame =
+    docs
+      .select(col(idCol), explode(ngramStructs(words, n)).as("w"))
+      .select(col(idCol), col("w.pos").as("pos"), col("w.gram").as("gram"))
+
+  /** Per-document duplicate-line stats over (id, line) unit rows:
+    * (id, dup_line_frac, dup_line_char_frac), round(·, 6).
+    */
+  def lineStats(lines: DataFrame, idCol: String, lineCol: String): DataFrame =
+    lines
+      .groupBy(col(idCol), col(lineCol).as("line"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("len", length(col("line")))
+      .groupBy(col(idCol))
+      .agg(
+        round(lit(1.0) - count(lit(1)) / sum("cnt").cast("double"), 6)
+          .as("dup_line_frac"),
+        round(
+          coalesce(sum(when(col("cnt") > 1, col("cnt") * col("len"))), lit(0L))
+            / sum(col("cnt") * col("len")).cast("double"),
+          6).as("dup_line_char_frac"))
+
+  /** Per-document n-gram repetition stats: (id, top_ngram_char_frac,
+    * dup_ngram_char_frac), both round(·, 6), denominated by `denom`
+    * (typically the document's character length). Documents with fewer than
+    * n words are absent from the output (join + coalesce at the call site).
+    */
+  def ngramStats(
+      docs: DataFrame,
+      idCol: String,
+      words: Column,
+      denom: Column,
+      n: Int): DataFrame =
+    docs
+      .select(col(idCol), denom.as("__denom"), explode(ngramStructs(words, n)).as("w"))
+      .select(col(idCol), col("__denom"), col("w.gram").as("gram"))
+      .groupBy(col(idCol), col("gram"))
+      .agg(count(lit(1)).as("cnt"), max("__denom").as("denom"))
+      .withColumn("chars", col("cnt") * length(col("gram")))
+      .groupBy(col(idCol))
+      .agg(
+        round(max("chars") / max("denom").cast("double"), 6)
+          .as("top_ngram_char_frac"),
+        round(
+          least(
+            lit(1.0),
+            coalesce(sum(when(col("cnt") > 1, col("chars"))), lit(0L))
+              / max("denom").cast("double")),
+          6).as("dup_ngram_char_frac"))
+}

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.{Passages, Repetition}
+
+/** Repetition quality stats (Gopher-style), cross-document passage spans,
+  * and benchmark decontamination.
+  */
+class RepetitionSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("lineStats: hand-computed duplicate-line fractions") {
+    val lines = Seq(
+      (1L, "xx xx"), (1L, "yyy"), (1L, "xx xx"), (1L, "z"),
+      (2L, "a"), (2L, "b")).toDF("id", "line")
+    val m = Repetition.lineStats(lines, "id", "line")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // doc 1: 4 lines, 3 distinct -> dup_line_frac = 0.25;
+    // dup chars = 2*5 of "xx xx"; total chars = 5+5+3+1 = 14
+    assert(m(1L)._1 === 0.25)
+    assert(m(1L)._2 === math.rint(10.0 / 14.0 * 1e6) / 1e6)
+    assert(m(2L) === ((0.0, 0.0)))
+  }
+
+  test("ngramStats: top and duplicated n-gram char fractions, clamped") {
+    val docs = Seq((1L, "a b a b a"), (2L, "p q r")).toDF("id", "text")
+    val m = Repetition
+      .ngramStats(docs, "id", split(col("text"), " "), length(col("text")), 2)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // doc 1 grams: "a b"x2, "b a"x2 -> top = 2*3/9; dup = min(1, 12/9)
+    assert(m(1L)._1 === math.rint(6.0 / 9.0 * 1e6) / 1e6)
+    assert(m(1L)._2 === 1.0)
+    // doc 2: all grams unique -> top = 3/5, dup = 0
+    assert(m(2L)._1 === 0.6)
+    assert(m(2L)._2 === 0.0)
+  }
+
+  test("explodeNgrams: documents shorter than n yield no rows") {
+    val docs = Seq((1L, "only two"), (2L, "one")).toDF("id", "text")
+    val rows = Repetition.explodeNgrams(docs, "id", split(col("text"), " "), 3)
+    assert(rows.count() === 0)
+  }
+
+  test("ngramStats: short docs are absent and zero-fill at the call site") {
+    val docs = Seq((1L, "a b c"), (2L, "a b")).toDF("id", "text")
+    val m3 = Repetition
+      .ngramStats(docs, "id", split(col("text"), " "), length(col("text")), 3)
+    assert(m3.select("id").as[Long].collect().toSeq === Seq(1L))
+    // the documented caller contract (q_repetition's shape): left join +
+    // coalesce restores the short doc with zeroed n-gram stats
+    val filled = docs.select(col("id"))
+      .join(m3, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("top_ngram_char_frac"), lit(0.0)).as("t"),
+        coalesce(col("dup_ngram_char_frac"), lit(0.0)).as("d"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(filled(2L) === ((0.0, 0.0)))
+    assert(filled(1L)._1 === 1.0) // "a b c" is its own single 3-gram: 5/5
+  }
+
+  test("sharedPassageSpans: planted shared block yields exact merged spans") {
+    val c = "c1 c2 c3 c4 c5 c6 c7 c8"
+    val docs = Seq(
+      (1L, s"$c a b"),
+      (2L, s"z1 z2 $c z3"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10")).toDF("id", "text")
+    val spans = Passages
+      .sharedPassageSpans(docs, "id", split(col("text"), " "), 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    // shared 4-grams are exactly the 5 windows inside c1..c8 of each doc
+    assert(spans === Array((1L, 0, 7, 5L), (2L, 2, 9, 5L)))
+  }
+
+  test("sharedPassageSpans: blocks further apart than n stay separate spans") {
+    // docs 1 and 2 share two 4-token blocks separated (in doc 1) by a
+    // 5-token unique gap > n, so doc 1 must report two spans
+    val docs = Seq(
+      (1L, "s1 s2 s3 s4 g1 g2 g3 g4 g5 t1 t2 t3 t4"),
+      (2L, "s1 s2 s3 s4 h1 h2 h3 h4 h5 t1 t2 t3 t4")).toDF("id", "text")
+    val spans = Passages
+      .sharedPassageSpans(docs, "id", split(col("text"), " "), 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(spans === Array((1L, 0, 3), (1L, 9, 12), (2L, 0, 3), (2L, 9, 12)))
+  }
+
+  test("contaminationHits: planted eval overlap counted, clean docs zero") {
+    val evalDocs = Seq((100L, Seq("e1", "e2", "e3", "e4", "e5")))
+      .toDF("id", "words")
+    val train = Seq(
+      (1L, Seq("x1", "e1", "e2", "e3", "e4", "x2")), // one eval 4-gram
+      (2L, Seq("e1", "e2", "e3", "e4", "e5", "x3")), // both eval 4-grams
+      (3L, Seq("y1", "y2", "y3", "y4", "y5")), // clean
+      (4L, Seq("e1", "e2"))) // shorter than n: no windows, zero via the spine
+      .toDF("id", "words")
+    val hits = Passages.contaminationHits(train, evalDocs, "id", "words", 4)
+    val m = hits.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m === Map(1L -> 1L, 2L -> 2L, 3L -> 0L, 4L -> 0L))
+    // the eval key set must reach the training scan as a broadcast join
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+}

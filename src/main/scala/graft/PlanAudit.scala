@@ -248,6 +248,22 @@ object PlanAudit {
     check("q_decontaminate: eval keys broadcast to the training scan",
       pdec.contains("BroadcastHashJoin"), pdec)
 
+    // Global line dedup: occurrence counts + keeper choice must be ONE
+    // partial-agg'd groupBy with a join-back (the exact_edges skew ladder),
+    // never a window over the corpus-wide line key.
+    val pline = plan("q_line_dedup")
+    check("q_line_dedup: partial-agg'd count/min + join-back, no Window/cartesian",
+      pline.contains("partial_count") && !pline.contains("Window") &&
+        !pline.contains("Cartesian"), pline)
+
+    // PII scrub: a pure per-row projection — one codegen'd scan, no
+    // shuffle, no join, no window.
+    val ppii = plan("q_pii")
+    check("q_pii: narrow codegen'd scan (no Exchange/join/Window)",
+      !ppii.contains("Exchange") && !ppii.contains("Join") &&
+        !ppii.contains("Window") &&
+        (ppii.contains("WholeStageCodegen") || ppii.contains("*(")), ppii)
+
     println(s"PlanAudit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()
     if (failures > 0) sys.exit(1)

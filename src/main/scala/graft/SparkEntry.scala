@@ -9,7 +9,7 @@ import graft.cite.{CitationDedup, CsvParser, EndNoteXmlParser, FormatDetect, Pub
 import graft.dedup.ConnectedComponents
 import graft.functions._
 import graft.multimodal.Multimodal
-import graft.text.{Passages, Repetition, TextOps, UrlOps}
+import graft.text.{LineDedup, Passages, Pii, Repetition, TextOps, UrlOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -58,6 +58,11 @@ object SparkEntry {
   private val PassagePlant =
     "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
   private val EvalMarker = "nu xi omicron pi rho sigma tau upsilon"
+
+  /** Constant boilerplate line planted by q_line_dedup (out-of-vocabulary
+    * tokens, shared verbatim with the DuckDB oracle).
+    */
+  private val LineBoiler = "accept omega cookies psi continue phi"
 
   // embeddings corpus/queries used by the ANN entries
   private def annInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
@@ -802,6 +807,59 @@ object SparkEntry {
       Passages.contaminationHits(train, evalDocs, "doc_id", "words", 8)
     }),
 
+    // C4-style global line dedup (LineDedup.dropGlobalDuplicateLines):
+    // lines = 5-word chunks of the doc text; a constant boilerplate line is
+    // planted on docs ≡0 (mod 2) at the head and AGAIN at the tail of docs
+    // ≡0 (mod 6) (within-doc repeat of a global dup), and docs ≡0 (mod 7)
+    // repeat their own first chunk (within-doc dup of a natural line). The
+    // oracle replays the plant string-keyed; keeper = lexicographic min
+    // (doc_id, idx) on both sides.
+    "q_line_dedup" -> ((s, dir) => {
+      val id = col("doc_id")
+      val none = array().cast("array<string>")
+      val boiler = array(lit(LineBoiler))
+      val words0 = split(lower(col("text")), " ")
+      val chunks = transform(
+        sequence(lit(0), ceil(size(words0) / 5.0).cast("int") - 1),
+        i => concat_ws(" ", slice(words0, i * 5 + 1, lit(5))))
+      val lines = concat(
+        when(id % 2 === 0, boiler).otherwise(none),
+        chunks,
+        when(id % 6 === 0, boiler).otherwise(none),
+        when(id % 7 === 0, slice(chunks, 1, 1)).otherwise(none))
+      LineDedup
+        .dropGlobalDuplicateLines(t(s, dir, "documents"), "doc_id", lines)
+        .select(id, col("text"), col("n_kept"), col("n_dropped"))
+    }),
+
+    // PII scrub (Pii.piiCount/redact): the corpus text is PII-free by
+    // construction, so deterministic emails / IPv4s / phones / AKIA tokens
+    // are planted per doc_id residue class (classes overlap, so docs carry
+    // 0-4 PII kinds); the oracle replays the plant and runs the IDENTICAL
+    // regex patterns in RE2 — the hash compare pins the full redacted text.
+    "q_pii" -> ((s, dir) => {
+      val id = col("doc_id")
+      val planted = concat(
+        col("text"),
+        when(id % 3 === 0, concat(lit(" contact user"), id, lit("@example"),
+          id % 7, lit(".org now"))).otherwise(lit("")),
+        when(id % 4 === 1, concat(lit(" from host 10."), id % 256, lit("."),
+          id % 100, lit("."), id % 250)).otherwise(lit("")),
+        when(id % 5 === 2, concat(lit(" call +1 555-01"), id % 10, lit("-"),
+          (id % 9000) + 1000)).otherwise(lit("")),
+        when(id % 37 === 5, concat(lit(" token AKIA"),
+          lpad(id.cast("string"), 16, "0"), lit(" end"))).otherwise(lit("")))
+      t(s, dir, "documents")
+        .select(id, planted.as("pt"))
+        .select(id,
+          Pii.emailCount(col("pt")).cast("long").as("n_emails"),
+          Pii.ipv4Count(col("pt")).cast("long").as("n_ipv4"),
+          Pii.phoneCount(col("pt")).cast("long").as("n_phones"),
+          Pii.keyCount(col("pt")).cast("long").as("n_keys"),
+          Pii.piiCount(col("pt")).cast("long").as("n_pii"),
+          Pii.redact(col("pt")).as("redacted"))
+    }),
+
     // ---------- multimodal ----------
 
     // Binary-asset metadata path: text → payload bytes → typed meta.
@@ -1430,6 +1488,70 @@ object SparkEntry {
          |         FROM tg JOIN eg USING (gram) GROUP BY 1)
          |SELECT tr.doc_id, CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits
          |FROM tr LEFT JOIN hits USING (doc_id)""".stripMargin,
+
+    // string-keyed replica of q_line_dedup's xxhash64-keyed plan (same
+    // plant); keeper = lexicographic min (doc_id, idx) via the two-step
+    // min(doc_id) then min(idx)-among-that-doc, = Spark's min(struct)
+    "q_line_dedup" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, CAST(ceil(len(words) / 5.0) AS BIGINT)),
+         |      i -> array_to_string(words[i*5+1 : i*5+5], ' ')) AS ch
+         |  FROM w),
+         |la AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN doc_id % 2 = 0 THEN ['$LineBoiler'] ELSE [] END)
+         |    || ch
+         |    || (CASE WHEN doc_id % 6 = 0 THEN ['$LineBoiler'] ELSE [] END)
+         |    || (CASE WHEN doc_id % 7 = 0 THEN ch[1:1] ELSE [] END) AS ls
+         |  FROM c),
+         |l AS (SELECT doc_id, i AS idx, ls[i+1] AS line
+         |      FROM la, unnest(range(0, len(ls))) t(i)),
+         |cnt AS (SELECT line, COUNT(*) AS cnt, MIN(doc_id) AS kid
+         |        FROM l GROUP BY 1),
+         |k AS (SELECT l.line, MIN(l.idx) AS kidx
+         |      FROM l JOIN cnt ON l.line = cnt.line AND l.doc_id = cnt.kid
+         |      GROUP BY 1),
+         |f AS (SELECT l.doc_id, l.idx, l.line,
+         |        (cnt.cnt = 1 OR (l.doc_id = cnt.kid AND l.idx = k.kidx)) AS kept
+         |      FROM l JOIN cnt ON l.line = cnt.line JOIN k ON l.line = k.line),
+         |r AS (SELECT doc_id,
+         |        COALESCE(string_agg(CASE WHEN kept THEN line END,
+         |                            chr(10) ORDER BY idx), '') AS text,
+         |        CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |        CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+         |      FROM f GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(r.text, '') AS text,
+         |       COALESCE(r.n_kept, 0) AS n_kept,
+         |       COALESCE(r.n_dropped, 0) AS n_dropped
+         |FROM documents d LEFT JOIN r USING (doc_id)""".stripMargin,
+
+    // identical regex patterns run in RE2 (common Java-regex/RE2 subset:
+    // no lookaround, no backreferences — leftmost matches agree); the
+    // redacted TEXT itself is hash-compared, not just the counts
+    "q_pii" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, text
+         |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id
+         |         || '@example' || (doc_id % 7) || '.org now' ELSE '' END
+         |    || CASE WHEN doc_id % 4 = 1 THEN ' from host 10.' || (doc_id % 256)
+         |         || '.' || (doc_id % 100) || '.' || (doc_id % 250) ELSE '' END
+         |    || CASE WHEN doc_id % 5 = 2 THEN ' call +1 555-01' || (doc_id % 10)
+         |         || '-' || (doc_id % 9000 + 1000) ELSE '' END
+         |    || CASE WHEN doc_id % 37 = 5 THEN ' token AKIA'
+         |         || lpad(CAST(doc_id AS VARCHAR), 16, '0') || ' end' ELSE '' END
+         |      AS pt
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(${Pii.countSql("pt", Pii.EmailPattern)} AS BIGINT) AS n_emails,
+         |  CAST(${Pii.countSql("pt", Pii.Ipv4Pattern)} AS BIGINT) AS n_ipv4,
+         |  CAST(${Pii.countSql("pt", Pii.PhonePattern)} AS BIGINT) AS n_phones,
+         |  CAST(${Pii.countSql("pt", Pii.AwsKeyPattern)} AS BIGINT) AS n_keys,
+         |  CAST(${Pii.piiCountSql("pt")} AS BIGINT) AS n_pii,
+         |  ${Pii.redactSql("pt")} AS redacted
+         |FROM p""".stripMargin,
 
     // StubDecoder: sample = ((byte & 0xff) − 128)/128, bin = ((s+1)/2·16)
     // clamped to [0,15] — algebraically bin = byte ÷ 16. Texts are ASCII

@@ -1,0 +1,80 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** C4-style global line deduplication (Raffel et al. 2020, "Exploring the
+  * Limits of Transfer Learning", §2.2: any line occurring more than once in
+  * the corpus is removed, keeping one occurrence) — the boilerplate scrub
+  * that strips cookie banners, navigation chrome, and license headers that
+  * repeat across millions of pages without the hosting documents being
+  * near-duplicates (the line-level complement of [[Passages]]' token-window
+  * passage dedup).
+  *
+  * Semantics (deterministic, engine-portable):
+  *  - a line is duplicated when its total occurrence count across the corpus
+  *    (within-document repeats included) exceeds 1 — exactly C4's rule;
+  *  - the single kept occurrence is the one with the lexicographically
+  *    smallest (doc id, line index) — a deterministic stand-in for C4's
+  *    unspecified "keep one";
+  *  - documents are rebuilt with surviving lines in original order.
+  *
+  * Scale design: lines shuffle as (id, idx, 8-byte xxhash64 key) — never
+  * line strings. Occurrence counts and the keeper choice are ONE partial-
+  * agg'd groupBy on the key (`count` + `min(struct(id, idx))` both combine
+  * map-side, so a cookie banner on 10^6 pages contributes one row per
+  * partition, not 10^6 shuffle rows); the keep decision is a join-back on
+  * the key (hash-join probe, AQE-splittable on hot keys — the same skew
+  * ladder as the pipeline's exact_edges stage, never a window over the
+  * corpus-wide key). The per-document rebuild groups on the doc id, bounded
+  * per-partition by document length. Collision note: 64-bit line keys, same
+  * birthday-bound acceptance as the MinHash stages; the oracle's
+  * string-keyed replica pins the hash-keyed plan at test scale.
+  */
+object LineDedup {
+
+  /** Documents rebuilt with globally duplicated lines removed (keeper
+    * occurrence retained): (id, text, n_kept, n_dropped). `lines` is the
+    * document's line array (caller chooses the split — '\n', sentence,
+    * paragraph); rebuilt text joins surviving lines with '\n'. Documents
+    * whose lines are all dropped still appear (empty text), via a
+    * column-pruned id-spine left join.
+    */
+  def dropGlobalDuplicateLines(
+      docs: DataFrame,
+      idCol: String,
+      lines: Column): DataFrame = {
+    val id = col(idCol)
+    val exploded = docs
+      .select(id, posexplode(lines).as(Seq("idx", "line")))
+      .select(id, col("idx"), col("line"), xxhash64(col("line")).as("key"))
+    val stats = exploded
+      .groupBy(col("key"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        min(struct(id.as("kid"), col("idx").as("kidx"))).as("keeper"))
+    val flagged = exploded
+      .join(stats, "key")
+      .select(id, col("idx"), col("line"),
+        (col("cnt") === 1 ||
+          (id === col("keeper.kid") && col("idx") === col("keeper.kidx")))
+          .as("kept"))
+    val rebuilt = flagged
+      .groupBy(id)
+      .agg(
+        concat_ws("\n",
+          transform(
+            sort_array(collect_list(when(col("kept"),
+              struct(col("idx"), col("line"))))),
+            w => w.getField("line"))).as("text"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"))
+    docs
+      .select(id)
+      .join(rebuilt, Seq(idCol), "left")
+      .select(id,
+        coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+  }
+}

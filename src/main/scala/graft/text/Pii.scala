@@ -1,0 +1,103 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** PII detection and redaction for training-data curation (graft-added op
+  * per the builder brief; no reference analog — the standard scrub pass of
+  * public web-corpus pipelines: emails, phone numbers, IP addresses, and
+  * cloud-credential-shaped tokens are detected per document and replaced
+  * with typed placeholders before pretraining).
+  *
+  * Everything is composed from built-in, codegen'd regexp functions (no
+  * UDFs) over patterns written in the common subset of Java regex (Spark)
+  * and RE2 (DuckDB): no backreferences, no lookaround — both engines then
+  * produce identical leftmost matches, so the DuckDB oracle can run the
+  * SAME patterns via the `*Sql` twins and the driver's hash compare pins
+  * the full redacted text, not just counts.
+  *
+  * Scale design: every op is a narrow per-row projection — no shuffle, no
+  * state; a PII scrub of a 100 TB corpus is exactly one codegen'd scan.
+  * The patterns are deliberately deterministic heuristics (documented
+  * false-positive surface: a standalone 10-digit run IS phone-shaped and
+  * matches; an 11+-digit run does not — the word-boundary anchors reject
+  * interior starts), matching how public pipelines trade recall for
+  * auditable behavior.
+  */
+object Pii {
+
+  /** RFC-5322-lite email: local part, then a domain that starts
+    * alphanumeric and ends in a ≥2-letter TLD.
+    */
+  val EmailPattern: String =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9][A-Za-z0-9.-]*\\.[A-Za-z]{2,}"
+
+  /** Strict dotted-quad IPv4 (octets 0–255), word-bounded so version
+    * strings like `v1.2.3.4` (no boundary inside `v1`) do not match.
+    */
+  val Ipv4Pattern: String =
+    "\\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\\.){3}" +
+      "(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\\b"
+
+  /** NANP-ish phone: optional +CC, then (NNN) or word-bounded NNN, then
+    * NNN[ .-]?NNNN with a closing word boundary. The interior `\b` before
+    * the bare area code is what rejects 11+-digit runs while keeping
+    * standalone 10-digit runs (which are genuinely phone-shaped).
+    */
+  val PhonePattern: String =
+    "(?:\\+[0-9]{1,2}[ .-]?)?(?:\\([0-9]{3}\\)|\\b[0-9]{3})" +
+      "[ .-]?[0-9]{3}[ .-]?[0-9]{4}\\b"
+
+  /** AWS-access-key-shaped credential token. */
+  val AwsKeyPattern: String = "\\bAKIA[0-9A-Z]{16}\\b"
+
+  /** Redaction placeholders, applied in [[redact]] order. */
+  val Redactions: Seq[(String, String)] = Seq(
+    EmailPattern -> "<EMAIL>",
+    AwsKeyPattern -> "<KEY>",
+    Ipv4Pattern -> "<IP>",
+    PhonePattern -> "<PHONE>")
+
+  private def count(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  def emailCount(text: Column): Column = count(text, EmailPattern)
+  def ipv4Count(text: Column): Column = count(text, Ipv4Pattern)
+  def phoneCount(text: Column): Column = count(text, PhonePattern)
+  def keyCount(text: Column): Column = count(text, AwsKeyPattern)
+
+  /** Total PII hits per document (emails + keys + IPs + phones, counted on
+    * the raw text independently, so an email whose domain embeds an IP-like
+    * quad counts once per pattern family — mirrored exactly by the oracle).
+    */
+  def piiCount(text: Column): Column =
+    emailCount(text) + keyCount(text) + ipv4Count(text) + phoneCount(text)
+
+  /** Text with every PII match replaced by its typed placeholder. Order is
+    * [[Redactions]] (emails before IPs/phones, so a digit-bearing email is
+    * consumed whole as `<EMAIL>` rather than partially as `<PHONE>`).
+    */
+  def redact(text: Column): Column =
+    Redactions.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
+  // ---- DuckDB twins (identical patterns; RE2 needs the explicit 'g'
+  // flag on regexp_replace where Spark replaces globally by default) ----
+
+  private def sqlLit(pattern: String): String =
+    "'" + pattern.replace("'", "''") + "'"
+
+  def countSql(c: String, pattern: String): String =
+    s"len(regexp_extract_all($c, ${sqlLit(pattern)}))"
+
+  def piiCountSql(c: String): String =
+    Seq(EmailPattern, AwsKeyPattern, Ipv4Pattern, PhonePattern)
+      .map(countSql(c, _))
+      .mkString(" + ")
+
+  def redactSql(c: String): String =
+    Redactions.foldLeft(c) { case (expr, (pat, repl)) =>
+      s"regexp_replace($expr, ${sqlLit(pat)}, '$repl', 'g')"
+    }
+}

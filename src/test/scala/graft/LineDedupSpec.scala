@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.LineDedup
+
+/** C4-style global duplicate-line removal. */
+class LineDedupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def run(docs: Seq[(Long, Seq[String])]): Map[Long, (String, Long, Long)] =
+    LineDedup
+      .dropGlobalDuplicateLines(
+        docs.toDF("id", "lines"), "id", col("lines"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+  test("cross-doc duplicate kept once at the smallest (id, idx)") {
+    val m = run(Seq(
+      1L -> Seq("unique a", "boiler", "unique b"),
+      2L -> Seq("boiler", "unique c"),
+      3L -> Seq("unique d")))
+    // keeper of "boiler" = (1, 1): doc 1 keeps all, doc 2 loses its copy
+    assert(m(1L) === (("unique a\nboiler\nunique b", 3L, 0L)))
+    assert(m(2L) === (("unique c", 1L, 1L)))
+    assert(m(3L) === (("unique d", 1L, 0L)))
+  }
+
+  test("within-doc repeats count as duplicates (C4 rule) and keep first") {
+    val m = run(Seq(1L -> Seq("x", "y", "x", "x")))
+    assert(m(1L) === (("x\ny", 2L, 2L)))
+  }
+
+  test("doc whose every line is dropped survives with empty text") {
+    val m = run(Seq(
+      1L -> Seq("b1", "b2"),
+      2L -> Seq("b1", "b2"))) // doc 2 loses both lines
+    assert(m(1L) === (("b1\nb2", 2L, 0L)))
+    assert(m(2L) === (("", 0L, 2L)))
+  }
+
+  test("original line order is preserved in the rebuilt text") {
+    val m = run(Seq(
+      1L -> Seq("z last", "a first", "m mid"),
+      2L -> Seq("nothing shared")))
+    assert(m(1L)._1 === "z last\na first\nm mid")
+  }
+
+  test("keeper choice is a partial-agg'd groupBy + join-back, no Window") {
+    val df = LineDedup.dropGlobalDuplicateLines(
+      Seq(1L -> Seq("a", "b")).toDF("id", "lines"), "id", col("lines"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_count") || plan.contains("partial_min") ||
+      plan.contains("HashAggregate"), plan)
+  }
+}

@@ -59,6 +59,27 @@ object SparkEntry {
     "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
   private val EvalMarker = "nu xi omicron pi rho sigma tau upsilon"
 
+  /** Shared fixture for the two decontamination queries: eval corpus = docs
+    * ≡0 (mod 37) with the 8-word eval marker appended; training corpus = the
+    * rest, marker planted on docs ≡3 (mod 11) — contaminated by
+    * construction, plus whatever natural 8-gram overlap exists (the oracle
+    * replays the identical plant).
+    */
+  private def decontamInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val marker = EvalMarker.split(" ").toSeq
+    val docs = t(s, dir, "documents")
+    val words0 = split(lower(col("text")), " ")
+    val evalDocs = docs
+      .filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id"), concat(words0, array(marker.map(lit): _*)).as("words"))
+    val train = docs
+      .filter(col("doc_id") % 37 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 3, concat(words0, array(marker.map(lit): _*)))
+          .otherwise(words0).as("words"))
+    (train, evalDocs)
+  }
+
   /** Constant boilerplate line planted by q_line_dedup (out-of-vocabulary
     * tokens, shared verbatim with the DuckDB oracle).
     */
@@ -793,18 +814,18 @@ object SparkEntry {
     // ≡3 (mod 11) — those train docs are contaminated by construction, plus
     // whatever natural 8-gram overlap exists (mirrored by the oracle).
     "q_decontaminate" -> ((s, dir) => {
-      val marker = EvalMarker.split(" ").toSeq
-      val docs = t(s, dir, "documents")
-      val words0 = split(lower(col("text")), " ")
-      val evalDocs = docs
-        .filter(col("doc_id") % 37 === 0)
-        .select(col("doc_id"), concat(words0, array(marker.map(lit): _*)).as("words"))
-      val train = docs
-        .filter(col("doc_id") % 37 =!= 0)
-        .select(col("doc_id"),
-          when(col("doc_id") % 11 === 3, concat(words0, array(marker.map(lit): _*)))
-            .otherwise(words0).as("words"))
+      val (train, evalDocs) = decontamInputs(s, dir)
       Passages.contaminationHits(train, evalDocs, "doc_id", "words", 8)
+    }),
+
+    // Same decontamination, large-eval-set regime: bloom pre-probe + exact
+    // shuffled confirm (Passages.contaminationHitsBloom). fpp = 0.3 is
+    // deliberately aggressive so the pre-filter passes real false positives
+    // at sf scale — the exact confirm must remove every one of them for the
+    // shared oracle to hash-match.
+    "q_decontam_bloom" -> ((s, dir) => {
+      val (train, evalDocs) = decontamInputs(s, dir)
+      Passages.contaminationHitsBloom(train, evalDocs, "doc_id", "words", 8, fpp = 0.3)
     }),
 
     // C4-style global line dedup (LineDedup.dropGlobalDuplicateLines):
@@ -1116,6 +1137,27 @@ object SparkEntry {
       CitationDedup.assignGroups(CitationDedup.preprocess(citations, opts), opts)
         .select(col("row_idx"), col("group_id"), col("is_unique"))
     }))
+
+  /** Exact n-gram decontamination in DuckDB — shared by `q_decontaminate`
+    * and `q_decontam_bloom` (the bloom variant's exact confirm join makes
+    * its output bit-identical to the broadcast path).
+    */
+  private val DecontamOracleSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS w0 FROM documents),
+       |ev AS (SELECT doc_id, w0 || string_split('$EvalMarker', ' ') AS words
+       |       FROM base WHERE doc_id % 37 = 0),
+       |tr AS (SELECT doc_id, CASE WHEN doc_id % 11 = 3
+       |         THEN w0 || string_split('$EvalMarker', ' ') ELSE w0 END AS words
+       |       FROM base WHERE doc_id % 37 <> 0),
+       |eg AS (SELECT DISTINCT array_to_string(words[i+1 : i+8], ' ') AS gram
+       |       FROM ev, unnest(range(0, len(words) - 7)) t(i) WHERE len(words) >= 8),
+       |tg AS (SELECT doc_id, array_to_string(words[i+1 : i+8], ' ') AS gram
+       |       FROM tr, unnest(range(0, len(words) - 7)) t(i) WHERE len(words) >= 8),
+       |hits AS (SELECT doc_id, COUNT(DISTINCT gram) AS n_hits
+       |         FROM tg JOIN eg USING (gram) GROUP BY 1)
+       |SELECT tr.doc_id, CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits
+       |FROM tr LEFT JOIN hits USING (doc_id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -1472,22 +1514,11 @@ object SparkEntry {
 
     // mirrors q_decontaminate's plant; COUNT(DISTINCT gram) vs the plan's
     // count_distinct(xxhash64(gram)) — identical absent 64-bit collisions
-    "q_decontaminate" ->
-      s"""WITH base AS (
-         |  SELECT doc_id, string_split(lower(text), ' ') AS w0 FROM documents),
-         |ev AS (SELECT doc_id, w0 || string_split('$EvalMarker', ' ') AS words
-         |       FROM base WHERE doc_id % 37 = 0),
-         |tr AS (SELECT doc_id, CASE WHEN doc_id % 11 = 3
-         |         THEN w0 || string_split('$EvalMarker', ' ') ELSE w0 END AS words
-         |       FROM base WHERE doc_id % 37 <> 0),
-         |eg AS (SELECT DISTINCT array_to_string(words[i+1 : i+8], ' ') AS gram
-         |       FROM ev, unnest(range(0, len(words) - 7)) t(i) WHERE len(words) >= 8),
-         |tg AS (SELECT doc_id, array_to_string(words[i+1 : i+8], ' ') AS gram
-         |       FROM tr, unnest(range(0, len(words) - 7)) t(i) WHERE len(words) >= 8),
-         |hits AS (SELECT doc_id, COUNT(DISTINCT gram) AS n_hits
-         |         FROM tg JOIN eg USING (gram) GROUP BY 1)
-         |SELECT tr.doc_id, CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits
-         |FROM tr LEFT JOIN hits USING (doc_id)""".stripMargin,
+    "q_decontaminate" -> DecontamOracleSql,
+
+    // the bloom pre-filter + exact confirm is output-identical to the
+    // broadcast path at ANY fpp — same oracle, by design
+    "q_decontam_bloom" -> DecontamOracleSql,
 
     // string-keyed replica of q_line_dedup's xxhash64-keyed plan (same
     // plant); keeper = lexicographic min (doc_id, idx) via the two-step

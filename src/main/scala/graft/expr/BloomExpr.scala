@@ -1,0 +1,50 @@
+package graft.expr
+
+import java.io.ByteArrayInputStream
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Membership probe of a 64-bit key against a pre-built, serialized
+  * [[org.apache.spark.util.sketch.BloomFilter]] (public Spark sketch API,
+  * same format `DataFrameStatFunctions.bloomFilter` produces).
+  *
+  * This is the scale lever for decontamination-style anti-joins: when the
+  * "needle" key set is too large to broadcast-hash-join cheaply (a full
+  * eval-suite n-gram inventory can run to 10⁸⁺ keys ≈ tens of GB as a hash
+  * relation, but ~1.2 GB as a 1%-fpp bloom), the probe runs as a NARROW
+  * codegen'd filter on the corpus scan and only survivors (true hits +
+  * ~fpp false positives) enter the exact confirming join. The bloom is a
+  * plan-embedded reference object, not a closure capture, so whole-stage
+  * codegen keeps the filter inline with the scan.
+  *
+  * False positives are expected and harmless by construction — callers MUST
+  * keep an exact join/filter downstream (see
+  * [[graft.text.Passages.contaminationHitsBloom]]); false negatives cannot
+  * occur, so the pre-filter never changes the final result.
+  */
+case class BloomMightContainLong(child: Expression, bloomBytes: Array[Byte])
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val filter: BloomFilter =
+    BloomFilter.readFrom(new ByteArrayInputStream(bloomBytes))
+
+  override def nullSafeEval(input: Any): Any =
+    filter.mightContainLong(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the deserialized filter rides the codegen reference array once per
+    // task, not once per row; mightContainLong is a few XORs + bit probes
+    val bloom = ctx.addReferenceObj("bloom", filter, classOf[BloomFilter].getName)
+    defineCodeGen(ctx, ev, c => s"$bloom.mightContainLong($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BloomMightContainLong =
+    copy(child = c)
+}

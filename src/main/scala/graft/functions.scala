@@ -48,6 +48,14 @@ object functions {
   def minhash(c: Column, numHashes: Int, seed: Long = Shingling.DefaultSeed): Column =
     col(MinHashSignature(ex(c), numHashes, seed))
   def simhash64(c: Column): Column = col(SimHash64(ex(c)))
+
+  /** Narrow membership probe of a long key against a serialized
+    * [[org.apache.spark.util.sketch.BloomFilter]] — see
+    * [[graft.expr.BloomMightContainLong]]. False positives possible
+    * (callers keep an exact confirm downstream), false negatives never.
+    */
+  def bloom_might_contain_long(c: Column, bloomBytes: Array[Byte]): Column =
+    col(BloomMightContainLong(ex(c), bloomBytes))
   def band_keys(c: Column, bands: Int, rows: Int, seed: Long = Shingling.DefaultSeed): Column =
     col(BandKeys(ex(c), bands, rows, seed))
   def minhash_bands(c: Column, bands: Int, rows: Int, seed: Long = Shingling.DefaultSeed): Column =

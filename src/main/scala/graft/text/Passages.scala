@@ -27,7 +27,9 @@ import org.apache.spark.sql.functions._
   * id (cardinality = corpus size, bounded per-partition by document length:
   * skew-safe). Decontamination broadcasts the evaluation key set (an eval
   * suite is small by definition) so the training side is scanned exactly
-  * once with no shuffle.
+  * once with no shuffle; when the needle set outgrows broadcast,
+  * [[contaminationHitsBloom]] swaps the broadcast for a codegen'd
+  * bloom-filter pre-probe plus a shuffled exact confirm.
   *
   * Collision note: keys are 64-bit hashes of the gram text; two different
   * grams colliding would merge unrelated passages. At 10^12 windows the
@@ -111,9 +113,59 @@ object Passages {
       .join(broadcast(evalKeys), "key")
       .groupBy(col(idCol))
       .agg(count_distinct(col("key")).as("n_hits"))
+    zeroFill(train, hits, idCol)
+  }
+
+  /** [[contaminationHits]] for evaluation sets too large to broadcast: the
+    * distinct eval keys are folded into a [[org.apache.spark.util.sketch
+    * .BloomFilter]] (distributed build via `stat.bloomFilter`), the training
+    * gram scan is pre-filtered by a narrow codegen'd membership probe
+    * ([[graft.expr.BloomMightContainLong]]), and only survivors — true hits
+    * plus ~`fpp` false positives — shuffle into the EXACT confirming join
+    * (shuffled-hash, eval side as build). Because the confirm join is exact,
+    * the result is bit-identical to [[contaminationHits]] at any `fpp`; the
+    * bloom only decides how much of the corpus-sized gram stream pays the
+    * shuffle. At 10⁸ eval keys the hash relation a broadcast join would ship
+    * is tens of GB; the 1%-fpp bloom is ~110 MB and rides the closure-free
+    * codegen reference array.
+    *
+    * Cost accounting: the eval side is scanned three times (count for
+    * sizing, bloom build, confirm join) — eval ≪ corpus is the regime this
+    * exists for, so those passes are noise next to the single pre-filtered
+    * corpus scan.
+    */
+  def contaminationHitsBloom(
+      train: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      wordsCol: String,
+      n: Int,
+      fpp: Double = 0.01): DataFrame = {
+    val evalKeys =
+      windowKeys(evalDocs, idCol, col(wordsCol), n).select(col("key")).distinct()
+    evalKeys.persist()
+    val bloomBytes =
+      try {
+        val nKeys = math.max(evalKeys.count(), 1L)
+        val bloom = evalKeys.stat.bloomFilter("key", nKeys, fpp)
+        val bos = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(bos)
+        bos.toByteArray
+      } finally evalKeys.unpersist(blocking = false)
+    val hits = windowKeys(train, idCol, col(wordsCol), n)
+      .where(graft.functions.bloom_might_contain_long(col("key"), bloomBytes))
+      .join(evalKeys.hint("shuffle_hash"), "key")
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("key")).as("n_hits"))
+    zeroFill(train, hits, idCol)
+  }
+
+  /** Left-join the per-doc hit counts back onto the full id spine so
+    * documents with no hits (or too few words for a window) carry 0.
+    */
+  private def zeroFill(train: DataFrame, hits: DataFrame, idCol: String): DataFrame =
     train
       .select(col(idCol))
       .join(hits, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
-  }
 }

@@ -111,4 +111,57 @@ class RepetitionSpec extends AnyFunSuite {
     val plan = hits.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("contaminationHitsBloom: bit-identical to the broadcast path at fpp 0.5") {
+    // 240 train docs with index-derived vocab; every doc ≡1 (mod 7) carries
+    // the 4-token eval passage. fpp = 0.5 makes bloom false positives near
+    // certain across the ~1,400 distinct clean grams — the exact confirm
+    // join must remove every one of them.
+    val evalDocs = Seq(
+      (9001L, Seq("ev1", "ev2", "ev3", "ev4", "ev5")),
+      (9002L, Seq("qq1", "qq2", "qq3", "qq4"))).toDF("id", "words")
+    val train = (0 until 240).map { i =>
+      val base = (0 until 8).map(j => s"w${i}_$j")
+      val words =
+        if (i % 7 == 1) base.take(3) ++ Seq("ev1", "ev2", "ev3", "ev4") ++ base.drop(3)
+        else base
+      (i.toLong, words)
+    }.toDF("id", "words")
+    val exact = Passages.contaminationHits(train, evalDocs, "id", "words", 4)
+    val bloom = Passages.contaminationHitsBloom(train, evalDocs, "id", "words", 4, fpp = 0.5)
+    val e = exact.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = bloom.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b === e)
+    assert(e.count(_._2 > 0L) === (0 until 240).count(_ % 7 == 1))
+    // plan contract for the large-eval regime: the pre-probe is a narrow
+    // Filter on the gram stream, and the confirm is a shuffled-hash join —
+    // no broadcast of the eval keys anywhere
+    // (the tiny zero-fill spine join on id may AQE-broadcast — that's fine;
+    // what must never broadcast is the eval KEY set)
+    val plan = bloom.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("bloommightcontainlong"), plan)
+    assert(plan.contains("ShuffledHashJoin [key"), plan)
+    assert(!plan.contains("BroadcastHashJoin [key"), plan)
+  }
+
+  test("bloom_might_contain_long: no false negatives; codegen and eval agree") {
+    val keys = spark.range(0, 2000).select(xxhash64(col("id")).as("key"))
+    val bloom = keys.stat.bloomFilter("key", 2000, 0.03)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val bytes = bos.toByteArray
+    val probe = spark.range(0, 4000)
+      .select(col("id"), xxhash64(col("id")).as("key"))
+      .select(col("id"), graft.functions.bloom_might_contain_long(col("key"), bytes).as("hit"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // inserted keys (id < 2000) must ALL probe true — bloom guarantees no
+    // false negatives; absent keys must be mostly false at fpp 0.03
+    assert((0L until 2000L).forall(probe(_)))
+    val fp = (2000L until 4000L).count(probe(_))
+    assert(fp < 200, s"false-positive count $fp implausible for fpp=0.03")
+    // interpreted eval (no codegen) must agree with the sketch itself
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val expr = graft.expr.BloomMightContainLong(Literal(123L), bytes)
+    assert(expr.eval(null).asInstanceOf[Boolean] === bloom.mightContainLong(123L))
+  }
 }

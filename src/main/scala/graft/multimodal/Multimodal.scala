@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   * format the JDK ships a codec for: images via [[ImageIoDecoder]]
   * (`javax.imageio` — PNG/JPEG/BMP/GIF), audio via [[AudioDecoder]]
   * (`javax.sound.sampled` — WAV/AIFF/AU, PCM/μ-law/a-law), multi-frame
-  * video-kind via [[GifFrameDecoder]] (animated GIF). Containers with no
-  * JDK codec (mp4/webm/mp3) decode to no-signal; a real codec is a
-  * one-class swap behind [[MediaDecoder]]. [[StubDecoder]] remains the
+  * video-kind via [[VideoContainerDecoder]] (animated GIF via
+  * [[GifFrameDecoder]]; MJPEG-in-AVI via [[AviMjpegDecoder]]'s RIFF walk
+  * + JDK JPEG codec). Containers with no JDK codec (mp4/webm/mp3) decode
+  * to no-signal; a real codec is a one-class swap behind
+  * [[MediaDecoder]]. [[StubDecoder]] remains the
   * deterministic text-payload decoder for synthetic fixtures.
   * [[KindDispatchDecoder]] routes per kind.
   */
@@ -311,14 +313,149 @@ object Multimodal {
       }
   }
 
+  /** REAL multi-frame decode for MJPEG-in-AVI video: the RIFF/AVI container
+    * is parsed directly (fourcc chunk walk — `LIST movi` / `rec ` groups,
+    * `??dc`/`??db` frame chunks) and each frame payload is a standalone
+    * JFIF JPEG the JDK's ImageIO codec decodes. MJPEG carries full frames
+    * (no inter-frame prediction), so no compositing canvas is needed —
+    * every frame emits exactly `perFrame = min(w₀·h₀, maxSamplesPerFrame)`
+    * grayscale-luma samples (dims from the first decodable frame), keeping
+    * [[sampleFrames]]' fixed-`frameLen` alignment contract; an
+    * undecodable/guarded-out frame re-emits the previous frame's samples
+    * (same index-preserving behavior as [[GifFrameDecoder]]'s canvas).
+    *
+    * Guards mirror the image path: chunk sizes are bounds-checked against
+    * the payload (a lying size field terminates the walk instead of
+    * reading out of bounds), frame count capped at `maxFrames`, per-frame
+    * header dims checked against `maxPixels` BEFORE pixel allocation.
+    * Non-AVI payloads decode to no-signal.
+    */
+  final class AviMjpegDecoder(maxFrames: Int = 64,
+      maxPixels: Long = 1L << 24,
+      maxSamplesPerFrame: Int = 4096) extends MediaDecoder {
+
+    override def decode(payload: Array[Byte], meta: MediaMeta): Array[Float] =
+      try {
+        if (payload.length < 12 || !fourccAt(payload, 0, "RIFF") ||
+          !fourccAt(payload, 8, "AVI ")) return Array.emptyFloatArray
+        val frames = new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+        collectFrames(payload, 12, payload.length, frames)
+        if (frames.isEmpty) return Array.emptyFloatArray
+        var perFrame = 0
+        var prev: Array[Float] = null
+        val out = new scala.collection.mutable.ArrayBuffer[Float]()
+        var f = 0
+        while (f < frames.length) {
+          val luma = decodeJpegLuma(frames(f))
+          if (perFrame == 0 && luma != null && luma.length > 0)
+            perFrame = math.min(luma.length, maxSamplesPerFrame)
+          if (perFrame > 0) {
+            val emit =
+              if (luma != null && luma.length >= perFrame)
+                java.util.Arrays.copyOf(luma, perFrame)
+              else if (prev != null) prev
+              else new Array[Float](perFrame)
+            out ++= emit
+            prev = emit
+          }
+          f += 1
+        }
+        out.toArray
+      } catch {
+        case scala.util.control.NonFatal(_) => Array.emptyFloatArray
+      }
+
+    /** Walk chunks in [off, end): descend into `LIST movi`/`LIST rec `,
+      * collect `??dc`/`??db` frame payloads, skip everything else. A size
+      * field pointing past `end` (malformed/truncated container) stops the
+      * walk — never reads out of bounds.
+      */
+    private def collectFrames(b: Array[Byte], off: Int, end: Int,
+        frames: scala.collection.mutable.ArrayBuffer[Array[Byte]]): Unit = {
+      var o = off
+      while (o + 8 <= end && frames.length < maxFrames) {
+        val size = le32(b, o + 4)
+        val body = o + 8
+        if (size < 0 || body + size > end) return // lying size field
+        if (fourccAt(b, o, "LIST")) {
+          if (size >= 4 && (fourccAt(b, body, "movi") || fourccAt(b, body, "rec ")))
+            collectFrames(b, body + 4, body + size, frames)
+        } else if (size > 0 && b(o + 2) == 'd' && (b(o + 3) == 'c' || b(o + 3) == 'b')) {
+          frames += java.util.Arrays.copyOfRange(b, body, body + size)
+        }
+        o = body + size + (size & 1) // chunks are word-aligned
+      }
+    }
+
+    /** One JPEG frame → row-major luma in [-1, 1], null on any failure
+      * (header-dims bomb guard identical to [[ImageIoDecoder]]).
+      */
+    private def decodeJpegLuma(bytes: Array[Byte]): Array[Float] =
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) return null
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            val w = reader.getWidth(0)
+            val h = reader.getHeight(0)
+            if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) return null
+            val img = reader.read(0)
+            val n = math.min(w.toLong * h, maxSamplesPerFrame.toLong).toInt
+            val out = new Array[Float](n)
+            var i = 0
+            while (i < n) {
+              val rgb = img.getRGB(i % w, i / w)
+              val luma = 0.299f * ((rgb >> 16) & 0xff) +
+                0.587f * ((rgb >> 8) & 0xff) + 0.114f * (rgb & 0xff)
+              out(i) = luma / 127.5f - 1.0f
+              i += 1
+            }
+            out
+          } finally reader.dispose()
+        } finally if (iis != null) iis.close()
+      } catch {
+        case scala.util.control.NonFatal(_) => null
+      }
+
+    private def fourccAt(b: Array[Byte], o: Int, cc: String): Boolean =
+      o + 4 <= b.length && b(o) == cc.charAt(0) && b(o + 1) == cc.charAt(1) &&
+        b(o + 2) == cc.charAt(2) && b(o + 3) == cc.charAt(3)
+
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  }
+
+  /** Container-sniffing video decoder: RIFF/AVI payloads route to
+    * [[AviMjpegDecoder]], everything else to [[GifFrameDecoder]] (which
+    * itself no-signals on payloads ImageIO cannot claim). mp4/webm remain
+    * the honest no-codec gap — the JDK ships neither an H.26x nor a VP
+    * decoder; adding one stays a one-class swap here.
+    */
+  final class VideoContainerDecoder(
+      gif: MediaDecoder = new GifFrameDecoder(),
+      avi: MediaDecoder = new AviMjpegDecoder()) extends MediaDecoder {
+    override def decode(payload: Array[Byte], meta: MediaMeta): Array[Float] =
+      if (payload.length >= 12 &&
+        payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F' &&
+        payload(8) == 'A' && payload(9) == 'V' && payload(10) == 'I' && payload(11) == ' ')
+        avi.decode(payload, meta)
+      else gif.decode(payload, meta)
+  }
+
   /** Per-kind decoder dispatch: real ImageIO for images, real
-    * javax.sound.sampled for audio, real GIF frame-stack decode for video.
-    * The production default for mixed asset tables; payloads a JDK codec
-    * cannot claim decode to no-signal rather than failing the task.
+    * javax.sound.sampled for audio, real GIF/MJPEG-AVI frame-stack decode
+    * for video. The production default for mixed asset tables; payloads a
+    * JDK codec cannot claim decode to no-signal rather than failing the
+    * task.
     */
   final class KindDispatchDecoder(image: MediaDecoder = new ImageIoDecoder(),
       audio: MediaDecoder = new AudioDecoder(),
-      video: MediaDecoder = new GifFrameDecoder()) extends MediaDecoder {
+      video: MediaDecoder = new VideoContainerDecoder()) extends MediaDecoder {
     override def decode(payload: Array[Byte], meta: MediaMeta): Array[Float] =
       meta.kind match {
         case "image" => image.decode(payload, meta)
@@ -425,6 +562,69 @@ object Multimodal {
     }
     bos.toByteArray
   }
+
+  /** Deterministic MJPEG-in-AVI: `frames` w×h grayscale splitmix frames
+    * (same per-frame seeding as [[syntheticGif]]), each JPEG-encoded with
+    * the JDK writer and wrapped in a hand-built RIFF/AVI container
+    * (`hdrl` with avih/strh/strf headers + `LIST movi` with `00dc`
+    * chunks). JPEG is lossy, so round-trip assertions compare the AVI
+    * decode against ImageIO's decode of the SAME embedded JPEG bytes, not
+    * against the source pattern.
+    */
+  def syntheticAvi(seed: Long, w: Int, h: Int, frames: Int): Array[Byte] = {
+    val jpegs = syntheticAviJpegFrames(seed, w, h, frames)
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def chunk(cc: String, body: Array[Byte]): Array[Byte] =
+      cc.getBytes("US-ASCII") ++ le32(body.length) ++ body ++
+        (if ((body.length & 1) == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(tp: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", tp.getBytes("US-ASCII") ++ body)
+    val avih = chunk("avih",
+      le32(33333) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(frames) ++
+        le32(0) ++ le32(1) ++ le32(0) ++ le32(w) ++ le32(h) ++
+        le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    val strh = chunk("strh",
+      "vids".getBytes("US-ASCII") ++ "MJPG".getBytes("US-ASCII") ++
+        le32(0) ++ le16(0) ++ le16(0) ++ le32(0) ++ le32(1) ++ le32(30) ++
+        le32(0) ++ le32(frames) ++ le32(0) ++ le32(0) ++ le32(0) ++
+        le16(0) ++ le16(0) ++ le16(w) ++ le16(h))
+    val strf = chunk("strf",
+      le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+        "MJPG".getBytes("US-ASCII") ++ le32(w * h * 3) ++
+        le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi", jpegs.flatMap(j => chunk("00dc", j)).toArray)
+    bos.write(chunk("RIFF", "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi))
+    bos.toByteArray
+  }
+
+  /** The exact JPEG frame payloads [[syntheticAvi]] embeds (for comparing
+    * container decode against direct per-frame JPEG decode).
+    */
+  def syntheticAviJpegFrames(seed: Long, w: Int, h: Int, frames: Int): Seq[Array[Byte]] =
+    (0 until frames).map { f =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val frameSeed = seed ^ (f.toLong * 0x9e3779b9L)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = (graft.kernel.Shingling.splitmix64(frameSeed ^ (y.toLong * w + x)) & 0xffL).toInt
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", b)
+      b.toByteArray
+    }
 
   final val FeatureDim = 16
 

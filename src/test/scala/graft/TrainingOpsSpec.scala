@@ -567,6 +567,58 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(frames.toSeq === Seq((9L, 0), (9L, 2), (9L, 4)))
   }
 
+  test("multimodal: MJPEG-AVI container decodes per-frame via the RIFF walk") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    import graft.multimodal.Multimodal.{AviMjpegDecoder, ImageIoDecoder,
+      KindDispatchDecoder, MediaAsset, MediaMeta, VideoContainerDecoder}
+    val (seed, w, h, nFrames) = (33L, 16, 12, 4)
+    val avi = Multimodal.syntheticAvi(seed, w, h, nFrames)
+    assert(new String(avi.take(4), "US-ASCII") === "RIFF")
+    assert(new String(avi.slice(8, 12), "US-ASCII") === "AVI ")
+    val meta = MediaMeta("video", w, h, 0L, 0, "mjpeg")
+    val dec = new AviMjpegDecoder()
+    val samples = dec.decode(avi, meta)
+    assert(samples.length === nFrames * w * h)
+    // JPEG is lossy, so the ground truth is ImageIO's decode of the SAME
+    // embedded JPEG bytes — container walk must reproduce it exactly
+    val jpegs = Multimodal.syntheticAviJpegFrames(seed, w, h, nFrames)
+    val img = new ImageIoDecoder()
+    for (f <- 0 until nFrames) {
+      val direct = img.decode(jpegs(f), meta)
+      assert(direct.length === w * h)
+      assert(samples.slice(f * w * h, (f + 1) * w * h).toSeq === direct.toSeq,
+        s"frame $f")
+    }
+    // maxFrames bounds the walk; truncation mid-movi degrades, never throws
+    assert(new AviMjpegDecoder(maxFrames = 2).decode(avi, meta).length === 2 * w * h)
+    assert(dec.decode(avi.take(avi.length / 2), meta).length < samples.length)
+    // non-AVI and corrupt-header payloads are no-signal
+    assert(dec.decode("nonsense".getBytes, meta).isEmpty)
+    val lying = avi.clone()
+    // blow up the movi LIST's size field far past the payload end: the
+    // bounds check must stop the walk, not read out of bounds
+    val moviAt = avi.indexOfSlice("movi".getBytes("US-ASCII"))
+    assert(moviAt > 0)
+    java.util.Arrays.fill(lying, moviAt - 4, moviAt, 0x7f.toByte)
+    val degraded = dec.decode(lying, meta) // must not throw
+    assert(degraded.length <= samples.length)
+
+    // the sniffing video decoder routes AVI → AviMjpeg, GIF → GifFrame,
+    // and KindDispatchDecoder's video default carries both
+    val viaSniff = new VideoContainerDecoder().decode(avi, meta)
+    assert(viaSniff.toSeq === samples.toSeq)
+    val gif = Multimodal.syntheticGif(7L, 8, 8, 3)
+    assert(new VideoContainerDecoder().decode(gif, meta).length === 3 * 8 * 8)
+    assert(new KindDispatchDecoder().decode(avi, meta).toSeq === samples.toSeq)
+
+    // distributed frame-sampling path over the AVI payload
+    val assets = Seq(MediaAsset(11L, avi, meta)).toDS()
+    val frames = Multimodal.sampleFrames(assets, frameLen = w * h, stride = 3, dec)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._2)
+    assert(frames.toSeq === Seq((11L, 0), (11L, 3)))
+  }
+
   test("multimodal: partial-frame animated GIF composes onto the full canvas at its offset") {
     import graft.multimodal.Multimodal.{GifFrameDecoder, MediaMeta}
     import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}

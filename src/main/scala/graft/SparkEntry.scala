@@ -9,7 +9,7 @@ import graft.cite.{CitationDedup, CsvParser, EndNoteXmlParser, FormatDetect, Pub
 import graft.dedup.ConnectedComponents
 import graft.functions._
 import graft.multimodal.Multimodal
-import graft.text.{LineDedup, Passages, Pii, Repetition, TextOps, UrlOps}
+import graft.text.{GopherGate, LineDedup, Passages, Pii, Repetition, TextOps, UrlOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -742,6 +742,32 @@ object SparkEntry {
         TextOps.qualityScore(col("text")).as("quality"))
     }),
 
+    // Gopher scalar quality gate (GopherGate): corpus text is single-line
+    // prose, so deterministic bullets / ellipsis lines / symbols / required
+    // stopwords are planted per doc_id residue and the oracle replays the
+    // identical concatenation before computing the same signals.
+    "q_quality_gopher" -> ((s, dir) => {
+      val ptext = concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          lit("\n- alpha bullet item\n- beta bullet item\nplain closing line"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit("\ntrailing thought...")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" ## # ###")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          lit(" the be to of and that have with")).otherwise(lit("")))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        GopherGate.nWords(ptext).cast("long").as("n_words"),
+        GopherGate.meanWordLen(ptext).as("mean_word_len"),
+        GopherGate.symbolWordRatio(ptext).as("symbol_word_ratio"),
+        GopherGate.bulletLineFrac(ptext).as("bullet_line_frac"),
+        GopherGate.ellipsisLineFrac(ptext).as("ellipsis_line_frac"),
+        GopherGate.alphaWordFrac(ptext).as("alpha_word_frac"),
+        GopherGate.stopHits(ptext).cast("long").as("stop_hits"),
+        GopherGate.pass(ptext).as("gopher_pass"))
+    }),
+
     // Composed corpus-cleaning pipeline: quality gate + language gate +
     // exact-dedup keep-first — the canonical pretraining filter chain, as
     // one declarative plan (filters fused into the scan, one shuffle for
@@ -1392,6 +1418,25 @@ object SparkEntry {
          |  ${TextOps.bpeTokenCountSql("text")} AS n_bpe,
          |  ${TextOps.qualityScoreSql("text")} AS quality
          |FROM documents""".stripMargin,
+
+    // replants q_quality_gopher's decorations, then the same signal formulas
+    "q_quality_gopher" -> {
+      val p = "(text" +
+        " || (CASE WHEN doc_id % 3 = 0 THEN chr(10) || '- alpha bullet item' || chr(10) || '- beta bullet item' || chr(10) || 'plain closing line' ELSE '' END)" +
+        " || (CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'trailing thought...' ELSE '' END)" +
+        " || (CASE WHEN doc_id % 5 = 0 THEN ' ## # ###' ELSE '' END)" +
+        " || (CASE WHEN doc_id % 7 = 0 THEN ' the be to of and that have with' ELSE '' END))"
+      s"""SELECT doc_id,
+         |  CAST(${GopherGate.nWordsSql(p)} AS BIGINT) AS n_words,
+         |  ${GopherGate.meanWordLenSql(p)} AS mean_word_len,
+         |  ${GopherGate.symbolWordRatioSql(p)} AS symbol_word_ratio,
+         |  ${GopherGate.bulletLineFracSql(p)} AS bullet_line_frac,
+         |  ${GopherGate.ellipsisLineFracSql(p)} AS ellipsis_line_frac,
+         |  ${GopherGate.alphaWordFracSql(p)} AS alpha_word_frac,
+         |  CAST(${GopherGate.stopHitsSql(p)} AS BIGINT) AS stop_hits,
+         |  ${GopherGate.passSql(p)} AS gopher_pass
+         |FROM documents""".stripMargin
+    },
 
     // closed forms of the constructed messy URLs (see the queries' comments)
     "q_url_canon" ->

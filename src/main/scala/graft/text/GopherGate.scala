@@ -1,0 +1,132 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The scalar document-quality rules of the Gopher filter family (Rae et
+  * al. 2021, "Scaling Language Models: Methods, Analysis & Insights from
+  * Training Gopher", appendix A1.1) as one composite, codegen'd gate —
+  * the per-document complement to [[Repetition]]'s duplicate-line/n-gram
+  * statistics. Every signal is a narrow built-in expression over the text
+  * column (no shuffle, no UDF), and each has an exactly-equivalent DuckDB
+  * form so the oracle pins the Spark formula to an independent engine.
+  *
+  * Signals and published thresholds (pass = all hold):
+  *  - n_words            ∈ [50, 100000]   (whitespace words)
+  *  - mean_word_len      ∈ [3, 10]        (characters per word)
+  *  - symbol_word_ratio  < 0.1            ('#' or '…'/'...' per word)
+  *  - bullet_line_frac   ≤ 0.9            (lines starting -, *, •)
+  *  - ellipsis_line_frac ≤ 0.3            (lines ending …/...)
+  *  - alpha_word_frac    ≥ 0.8            (words with ≥1 letter)
+  *  - stop_hits          ≥ 2              (distinct required stopwords)
+  *
+  * Fractions are round(·, 6) so the float compare is bit-stable across
+  * engines, matching [[Repetition]]'s convention.
+  */
+object GopherGate {
+
+  /** The paper's "required words" list (its rule: ≥ 2 distinct present). */
+  val RequiredStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  private def words(text: Column): Column = split(lower(text), " ")
+  private def lines(text: Column): Column = split(text, "\n")
+
+  def nWords(text: Column): Column = size(words(text))
+
+  def meanWordLen(text: Column): Column = {
+    val ws = words(text)
+    round(
+      aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double")
+        / greatest(size(ws), lit(1)),
+      6)
+  }
+
+  def symbolWordRatio(text: Column): Column = {
+    val hashes = length(text) - length(replace(text, lit("#"), lit("")))
+    val dots = (length(text) - length(replace(text, lit("..."), lit("")))) / 3
+    val uni = length(text) - length(replace(text, lit("…"), lit("")))
+    round((hashes + dots + uni).cast("double") / greatest(nWords(text), lit(1)), 6)
+  }
+
+  def bulletLineFrac(text: Column): Column = {
+    val ls = lines(text)
+    round(
+      size(filter(ls, l => trim(l).rlike("^[-*•]"))).cast("double")
+        / greatest(size(ls), lit(1)),
+      6)
+  }
+
+  def ellipsisLineFrac(text: Column): Column = {
+    val ls = lines(text)
+    round(
+      size(filter(ls, l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast("double")
+        / greatest(size(ls), lit(1)),
+      6)
+  }
+
+  def alphaWordFrac(text: Column): Column = {
+    val ws = words(text)
+    round(
+      size(filter(ws, w => w.rlike("[a-z]"))).cast("double")
+        / greatest(size(ws), lit(1)),
+      6)
+  }
+
+  def stopHits(text: Column): Column =
+    size(array_intersect(words(text), array(RequiredStopwords.map(lit): _*)))
+
+  /** The composite gate over the published thresholds. */
+  def pass(text: Column): Column =
+    nWords(text).between(50, 100000) &&
+      meanWordLen(text).between(3.0, 10.0) &&
+      (symbolWordRatio(text) < 0.1) &&
+      (bulletLineFrac(text) <= 0.9) &&
+      (ellipsisLineFrac(text) <= 0.3) &&
+      (alphaWordFrac(text) >= 0.8) &&
+      (stopHits(text) >= 2)
+
+  // ---- DuckDB replicas (same formulas, same rounding) ----
+
+  private def wordsSql(c: String) = s"string_split(lower($c), ' ')"
+  private def linesSql(c: String) = s"string_split($c, chr(10))"
+
+  def nWordsSql(c: String): String = s"len(${wordsSql(c)})"
+
+  def meanWordLenSql(c: String): String =
+    s"round(CAST(coalesce(list_sum(list_transform(${wordsSql(c)}, w -> len(w))), 0) AS DOUBLE)" +
+      s" / greatest(${nWordsSql(c)}, 1), 6)"
+
+  def symbolWordRatioSql(c: String): String = {
+    val hashes = s"(len($c) - len(replace($c, '#', '')))"
+    val dots = s"((len($c) - len(replace($c, '...', ''))) // 3)"
+    val uni = s"(len($c) - len(replace($c, '…', '')))"
+    s"round(CAST($hashes + $dots + $uni AS DOUBLE) / greatest(${nWordsSql(c)}, 1), 6)"
+  }
+
+  def bulletLineFracSql(c: String): String =
+    s"round(CAST(len(list_filter(${linesSql(c)}, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)" +
+      s" / greatest(len(${linesSql(c)}), 1), 6)"
+
+  def ellipsisLineFracSql(c: String): String =
+    s"round(CAST(len(list_filter(${linesSql(c)}, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$$'))) AS DOUBLE)" +
+      s" / greatest(len(${linesSql(c)}), 1), 6)"
+
+  def alphaWordFracSql(c: String): String =
+    s"round(CAST(len(list_filter(${wordsSql(c)}, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)" +
+      s" / greatest(${nWordsSql(c)}, 1), 6)"
+
+  def stopHitsSql(c: String): String = {
+    val list = RequiredStopwords.map(w => s"'$w'").mkString(", ")
+    s"len(list_intersect(${wordsSql(c)}, [$list]))"
+  }
+
+  def passSql(c: String): String =
+    s"(${nWordsSql(c)} BETWEEN 50 AND 100000" +
+      s" AND ${meanWordLenSql(c)} BETWEEN 3.0 AND 10.0" +
+      s" AND ${symbolWordRatioSql(c)} < 0.1" +
+      s" AND ${bulletLineFracSql(c)} <= 0.9" +
+      s" AND ${ellipsisLineFracSql(c)} <= 0.3" +
+      s" AND ${alphaWordFracSql(c)} >= 0.8" +
+      s" AND ${stopHitsSql(c)} >= 2)"
+}

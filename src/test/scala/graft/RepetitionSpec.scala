@@ -164,4 +164,35 @@ class RepetitionSpec extends AnyFunSuite {
     val expr = graft.expr.BloomMightContainLong(Literal(123L), bytes)
     assert(expr.eval(null).asInstanceOf[Boolean] === bloom.mightContainLong(123L))
   }
+
+  test("GopherGate: each published rule independently flips the gate") {
+    import graft.text.GopherGate
+    val passing =
+      (Seq.fill(8)("the quick brown fox jumps over that lazy dog with") :+ "energy")
+        .mkString(" ") // 81 words, mean len ~4, 3 required stopwords
+    val cases = Seq(
+      ("pass", passing, true),
+      ("n_words", "the of tiny", false),
+      ("mean_word_len",
+        (Seq.fill(60)("extraordinarily") ++ Seq("the", "of")).mkString(" "), false),
+      ("symbol_ratio", passing + " " + Seq.fill(9)("#").mkString(" "), false),
+      ("bullets",
+        Seq.fill(10)("- item line with the best of common and good words here")
+          .mkString("\n"), false),
+      ("ellipsis",
+        (Seq.fill(4)("a line that trails off into the distance...") ++
+          Seq.fill(6)("a line that ends with of and the firmly")).mkString("\n"), false),
+      ("alpha_words",
+        (Seq.fill(75)("12345") ++ Seq("the", "of", "and", "that", "with", "have"))
+          .mkString(" "), false),
+      ("stopwords",
+        Seq.fill(60)("zranks bolvik qustrel mindor").mkString(" "), false))
+    val df = cases.map { case (name, text, _) => (name, text) }.toDF("name", "text")
+      .select(col("name"), graft.text.GopherGate.pass(col("text")).as("p"))
+    val got = df.collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    cases.foreach { case (name, _, want) =>
+      assert(got(name) === want, s"case $name")
+    }
+    val _ = GopherGate.RequiredStopwords // referenced: the gate's word list is public API
+  }
 }

@@ -264,6 +264,24 @@ object PlanAudit {
         !ppii.contains("Window") &&
         (ppii.contains("WholeStageCodegen") || ppii.contains("*(")), ppii)
 
+    // Bloom decontamination (the broadcast-too-large regime): the bloom
+    // probe must sit as a narrow Filter on the gram stream, the exact
+    // confirm must be a shuffled-hash join on key, and the eval KEY set
+    // must never broadcast (the tiny zero-fill spine join on id may).
+    val pblo = plan("q_decontam_bloom")
+    check("q_decontam_bloom: bloom filter on scan + shuffled-hash confirm, no key broadcast",
+      pblo.toLowerCase.contains("bloommightcontainlong") &&
+        pblo.contains("ShuffledHashJoin [key") &&
+        !pblo.contains("BroadcastHashJoin [key"), pblo)
+
+    // Gopher scalar gate: per-row signals only — one codegen'd scan, no
+    // shuffle, no join, no window (same contract as q_pii).
+    val pgoph = plan("q_quality_gopher")
+    check("q_quality_gopher: narrow codegen'd scan (no Exchange/join/Window)",
+      !pgoph.contains("Exchange") && !pgoph.contains("Join") &&
+        !pgoph.contains("Window") &&
+        (pgoph.contains("WholeStageCodegen") || pgoph.contains("*(")), pgoph)
+
     println(s"PlanAudit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()
     if (failures > 0) sys.exit(1)

@@ -8,6 +8,7 @@ import graft.ann.Ann
 import graft.cite.{CitationDedup, CsvParser, EndNoteXmlParser, FormatDetect, PubMedParser, RisParser}
 import graft.dedup.ConnectedComponents
 import graft.functions._
+import graft.io.WarcSource
 import graft.multimodal.Multimodal
 import graft.text.{GopherGate, LineDedup, Passages, Pii, Repetition, TextOps, UrlOps}
 
@@ -341,6 +342,37 @@ object SparkEntry {
         lit("</p><!-- hidden --></body></html>"))
       t(s, dir, "documents").select(
         col("doc_id"), extract_html_text(html.cast("binary")).as("extracted"))
+    }),
+
+    // WARC ingestion round-trip: each partition of the documents table is
+    // encoded into a synthetic .warc.gz blob (per-record gzip members, a
+    // warcinfo record as noise — the Common Crawl layout) via the fixture
+    // writer, then parsed back by the REAL record walk + HTTP strip + html
+    // extraction. The oracle is the closed form of the round trip: url from
+    // doc_id, the pinned timestamp, the original text (byte-identical
+    // extraction), and the langId replica.
+    "q_warc" -> ((s, dir) => {
+      import s.implicits._
+      val ts = java.sql.Timestamp.from(java.time.Instant.parse("2026-08-18T00:00:00Z"))
+      val pages = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          val bos = new java.io.ByteArrayOutputStream()
+          bos.write(WarcSource.gzipMemberOf(WarcSource.buildWarcinfoRecord()))
+          var any = false
+          it.foreach { case (id, text) =>
+            any = true
+            bos.write(WarcSource.buildResponseRecord(
+              s"https://example.com/$id", ts,
+              s"<html><head><script>var x=1;</script></head><body><p>$text</p></body></html>",
+              gzipMember = true))
+          }
+          if (!any) Iterator.empty
+          else WarcSource.parseRecords(bos.toByteArray).iterator
+            .map(r => (r.url, r.ts, r.html))
+        }.toDF("url", "warc_ts", "html")
+      WarcSource.withExtractedText(pages, "warc")
+        .select(col("url"), col("warc_ts"), col("text"), col("lang"))
     }),
 
     // ---------- deduplication ops ----------
@@ -1721,6 +1753,15 @@ object SparkEntry {
 
     "q_html_extract" ->
       "SELECT doc_id, text AS extracted FROM documents",
+
+    // closed form of the WARC round trip (url/ts are the query's plant;
+    // text must come back byte-identical through encode→parse→extract)
+    "q_warc" ->
+      s"""SELECT 'https://example.com/' || CAST(doc_id AS VARCHAR) AS url,
+         |  TIMESTAMP '2026-08-18 00:00:00' AS warc_ts,
+         |  text,
+         |  ${TextOps.langIdSql("text")} AS lang
+         |FROM documents""".stripMargin,
 
     "q_connected_components" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,

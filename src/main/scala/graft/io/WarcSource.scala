@@ -1,0 +1,207 @@
+package graft.io
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, EOFException}
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+import java.sql.Timestamp
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WARC (ISO 28500) ingestion: the container Common Crawl actually ships,
+  * parsed into the pipeline's [[graft.schema.Page]] input shape
+  * (url, warc_ts, html, text, lang — `BASELINE.json.input_hint`).
+  *
+  * Scale design: WARC files are the parallelism unit — Common Crawl
+  * publishes ~1 GB segments, and one task per file is the standard
+  * processing model (the record stream inside a file is sequential by
+  * format: gzip members + Content-Length framing can't be split without an
+  * index). `readPages` loads files via Spark's `binaryFile` source and
+  * record-splits per partition; at 100 TB that is ~10⁵ files fanned across
+  * the cluster with NO shuffle — parsing is embarrassingly parallel and the
+  * downstream pipeline repartitions as its first shuffle anyway. Per-record
+  * gzip members (the CC layout) and whole-file gzip both decode through one
+  * concatenated-member stream; plain WARC is sniffed by magic.
+  *
+  * Parser contract (record framing per the spec, tolerant in the payload):
+  *  - records are split on `WARC/` version lines + Content-Length framing,
+  *    never on payload bytes (a payload containing "WARC/1.0" cannot split
+  *    a record);
+  *  - only `WARC-Type: response` records with an http payload yield pages;
+  *    warcinfo/request/metadata records are skipped;
+  *  - the HTTP envelope is stripped at its CRLFCRLF boundary; the body is
+  *    the html payload, returned as raw bytes (charset decoding is the
+  *    extractor's concern — the byte-identical-text invariant starts from
+  *    bytes);
+  *  - header names are case-insensitive; a record with a lying
+  *    Content-Length that overruns the buffer terminates the walk instead
+  *    of reading out of bounds (same defensive posture as the multimodal
+  *    container parsers).
+  */
+object WarcSource {
+
+  final case class WarcRecord(url: String, ts: Timestamp, html: Array[Byte])
+
+  /** Parse one WARC file's bytes (plain, whole-file gzip, or per-record
+    * gzip members) into response records.
+    */
+  def parseRecords(bytes: Array[Byte]): Seq[WarcRecord] = {
+    val raw =
+      if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
+        gunzipConcat(bytes)
+      else bytes
+    val out = scala.collection.mutable.ArrayBuffer[WarcRecord]()
+    var o = 0
+    while (o >= 0 && o < raw.length) {
+      o = nextRecord(raw, o, out)
+    }
+    out.toSeq
+  }
+
+  /** Parse the record starting at (or after) `o`; returns the offset just
+    * past it, or -1 when no further well-formed record exists.
+    */
+  private def nextRecord(b: Array[Byte], start: Int,
+      out: scala.collection.mutable.ArrayBuffer[WarcRecord]): Int = {
+    val at = indexOf(b, "WARC/".getBytes(ISO_8859_1), start)
+    if (at < 0) return -1
+    val headEnd = indexOf(b, "\r\n\r\n".getBytes(ISO_8859_1), at)
+    if (headEnd < 0) return -1
+    val headers = parseHeaders(new String(b, at, headEnd - at, ISO_8859_1))
+    val len = headers.get("content-length").flatMap(s => s.trim.toLongOption).getOrElse(-1L)
+    val body = headEnd + 4
+    if (len < 0 || body + len > b.length) return -1 // lying/truncated framing
+    val next = body + len.toInt
+    if (headers.get("warc-type").map(_.trim.toLowerCase).contains("response")) {
+      val url = headers.get("warc-target-uri").map(_.trim)
+      val ts = headers.get("warc-date").map(_.trim).flatMap(parseWarcDate)
+      if (url.nonEmpty && ts.nonEmpty) {
+        val payload = java.util.Arrays.copyOfRange(b, body, next)
+        out += WarcRecord(url.get, ts.get, stripHttpEnvelope(payload))
+      }
+    }
+    next
+  }
+
+  /** `key: value` header lines (first line is the WARC/x.y version). */
+  private def parseHeaders(head: String): Map[String, String] =
+    head.split("\r\n").iterator.drop(1).flatMap { line =>
+      val i = line.indexOf(':')
+      if (i <= 0) None else Some(line.substring(0, i).trim.toLowerCase -> line.substring(i + 1))
+    }.toMap
+
+  /** WARC-Date is W3C ISO-8601 UTC (e.g. 2026-08-18T07:00:00Z). */
+  private def parseWarcDate(s: String): Option[Timestamp] =
+    try Some(Timestamp.from(java.time.Instant.parse(s)))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Response payloads carry an HTTP envelope (status line + headers) ahead
+    * of the body; strip it at the CRLFCRLF boundary. Payloads without one
+    * (non-http response records) pass through whole.
+    */
+  private def stripHttpEnvelope(payload: Array[Byte]): Array[Byte] = {
+    val isHttp = payload.length >= 5 &&
+      new String(payload, 0, 5, ISO_8859_1).equalsIgnoreCase("HTTP/")
+    if (!isHttp) return payload
+    val split = indexOf(payload, "\r\n\r\n".getBytes(ISO_8859_1), 0)
+    if (split < 0) payload
+    else java.util.Arrays.copyOfRange(payload, split + 4, payload.length)
+  }
+
+  /** GZIPInputStream reads concatenated members transparently — exactly the
+    * CC per-record-member layout; a trailing corrupt member degrades to the
+    * bytes already read (truncated-file tolerance).
+    */
+  private def gunzipConcat(bytes: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(bytes.length * 4)
+    try {
+      val in = new GZIPInputStream(new ByteArrayInputStream(bytes))
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+    } catch { case _: EOFException | _: java.util.zip.ZipException => () }
+    out.toByteArray
+  }
+
+  private def indexOf(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
+    var i = math.max(0, from)
+    val last = hay.length - needle.length
+    while (i <= last) {
+      var j = 0
+      while (j < needle.length && hay(i + j) == needle(j)) j += 1
+      if (j == needle.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  // ---- distributed read ----
+
+  /** Read a directory of `.warc` / `.warc.gz` files into the pipeline input
+    * shape. One task per file (`binaryFile` source); `extractText` maps the
+    * html bytes to the text column — defaults to the pipeline's own
+    * byte-identical extractor. NO shuffle: parse is a flatMap over files.
+    */
+  def readPages(spark: SparkSession, path: String, source: String = "warc"): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc*").load(path)
+      .select(col("content"))
+    val parsed = files.as[Array[Byte]].flatMap { bytes =>
+      parseRecords(bytes).map(r => (r.url, r.ts, r.html))
+    }.toDF("url", "warc_ts", "html")
+    withExtractedText(parsed, source)
+  }
+
+  /** html bytes → (text, lang) columns via the pipeline's extractor chain
+    * (graft_html_text expression + langId), producing the full
+    * [[graft.schema.Page]] column set.
+    */
+  def withExtractedText(pages: DataFrame, source: String): DataFrame =
+    pages.select(
+      col("url"),
+      col("warc_ts"),
+      col("html"),
+      graft.functions.extract_html_text(col("html")).as("text"))
+      .withColumn("lang", graft.text.TextOps.langId(col("text")))
+      .withColumn("source", lit(source))
+
+  // ---- deterministic fixture writer (tests + closed-form oracle) ----
+
+  /** One spec-correct response record (plus framing) for `url`/`ts`/`body`.
+    * `gzipMember=true` wraps the record in its own gzip member — the CC
+    * layout, concatenable with other members into one `.warc.gz` file.
+    */
+  def buildResponseRecord(url: String, ts: Timestamp, htmlBody: String,
+      gzipMember: Boolean = false): Array[Byte] = {
+    val body = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + htmlBody)
+      .getBytes(UTF_8)
+    val head = ("WARC/1.0\r\n" +
+      "WARC-Type: response\r\n" +
+      s"WARC-Target-URI: $url\r\n" +
+      s"WARC-Date: ${ts.toInstant}\r\n" +
+      s"Content-Length: ${body.length}\r\n" +
+      "\r\n").getBytes(ISO_8859_1)
+    val rec = head ++ body ++ "\r\n\r\n".getBytes(ISO_8859_1)
+    if (!gzipMember) rec else gzipMemberOf(rec)
+  }
+
+  /** Wrap bytes in one gzip member (concatenable — the CC record layout). */
+  def gzipMemberOf(rec: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val gz = new GZIPOutputStream(bos)
+    gz.write(rec); gz.close()
+    bos.toByteArray
+  }
+
+  /** A warcinfo record (metadata, never a page) — fixture noise the parser
+    * must skip.
+    */
+  def buildWarcinfoRecord(): Array[Byte] = {
+    val body = "software: graft-fixture\r\n".getBytes(ISO_8859_1)
+    ("WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes(ISO_8859_1) ++
+      body ++ "\r\n\r\n".getBytes(ISO_8859_1)
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.charset.StandardCharsets.ISO_8859_1
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.WarcSource
+
+/** WARC container ingestion: record framing, gzip-member layout, HTTP
+  * envelope strip, hostile-framing tolerance, and the distributed read.
+  */
+class WarcSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val ts = Timestamp.from(java.time.Instant.parse("2026-08-18T07:00:00Z"))
+
+  private def requestRecord(url: String): Array[Byte] = {
+    val body = s"GET / HTTP/1.1\r\nHost: x\r\n\r\n".getBytes(ISO_8859_1)
+    ("WARC/1.0\r\nWARC-Type: request\r\n" +
+      s"WARC-Target-URI: $url\r\nWARC-Date: ${ts.toInstant}\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes(ISO_8859_1) ++
+      body ++ "\r\n\r\n".getBytes(ISO_8859_1)
+  }
+
+  test("plain WARC: responses parsed in order, warcinfo/request skipped, HTTP stripped") {
+    val file = WarcSource.buildWarcinfoRecord() ++
+      WarcSource.buildResponseRecord("https://a.com/1", ts, "<p>alpha</p>") ++
+      requestRecord("https://a.com/2") ++
+      WarcSource.buildResponseRecord("https://a.com/2", ts, "<p>beta</p>")
+    val recs = WarcSource.parseRecords(file)
+    assert(recs.map(_.url) === Seq("https://a.com/1", "https://a.com/2"))
+    assert(recs.forall(_.ts === ts))
+    // the HTTP envelope must be gone; only the html body remains
+    assert(recs.map(r => new String(r.html, "UTF-8")) ===
+      Seq("<p>alpha</p>", "<p>beta</p>"))
+  }
+
+  test("gzip members (the CC layout) and whole-file gzip both decode") {
+    val members =
+      WarcSource.gzipMemberOf(WarcSource.buildWarcinfoRecord()) ++
+        WarcSource.buildResponseRecord("https://b.com/x", ts, "<p>gz</p>", gzipMember = true) ++
+        WarcSource.buildResponseRecord("https://b.com/y", ts, "<p>gz2</p>", gzipMember = true)
+    val recs = WarcSource.parseRecords(members)
+    assert(recs.map(_.url) === Seq("https://b.com/x", "https://b.com/y"))
+    val whole = WarcSource.gzipMemberOf(
+      WarcSource.buildResponseRecord("https://b.com/z", ts, "<p>w</p>"))
+    assert(WarcSource.parseRecords(whole).map(_.url) === Seq("https://b.com/z"))
+  }
+
+  test("a payload containing a WARC version line cannot split its record") {
+    val evil = "pre WARC/1.0\r\nWARC-Type: response\r\n fake header post"
+    val recs = WarcSource.parseRecords(
+      WarcSource.buildResponseRecord("https://c.com/1", ts, evil) ++
+        WarcSource.buildResponseRecord("https://c.com/2", ts, "<p>ok</p>"))
+    assert(recs.map(_.url) === Seq("https://c.com/1", "https://c.com/2"))
+    assert(new String(recs.head.html, "UTF-8") === evil)
+  }
+
+  test("lying Content-Length / truncation degrade without throwing or overreading") {
+    val good = WarcSource.buildResponseRecord("https://d.com/1", ts, "<p>one</p>")
+    // lying length: blow the Content-Length far past the buffer
+    val lying = new String(good, ISO_8859_1)
+      .replaceFirst("Content-Length: \\d+", "Content-Length: 999999")
+      .getBytes(ISO_8859_1)
+    assert(WarcSource.parseRecords(lying).isEmpty) // stops, no OOB read
+    // truncated mid-body: the walk ends cleanly with what's complete
+    val two = good ++ WarcSource.buildResponseRecord("https://d.com/2", ts, "<p>two</p>")
+    val recs = WarcSource.parseRecords(two.dropRight(12))
+    assert(recs.map(_.url) === Seq("https://d.com/1"))
+    // corrupt gzip tail: bytes already inflated still parse
+    val gz = WarcSource.buildResponseRecord("https://d.com/3", ts, "<p>g</p>",
+      gzipMember = true)
+    val corrupt = gz ++ Array.fill(8)(0x55.toByte)
+    assert(WarcSource.parseRecords(corrupt).map(_.url) === Seq("https://d.com/3"))
+  }
+
+  test("readPages: distributed read of a .warc.gz directory into the Page shape") {
+    val dir = java.nio.file.Files.createTempDirectory("warc_spec").toString
+    val f1 =
+      WarcSource.gzipMemberOf(WarcSource.buildWarcinfoRecord()) ++
+        WarcSource.buildResponseRecord("https://e.com/1", ts,
+          "<html><body><p>the quick brown fox of the meadow</p></body></html>",
+          gzipMember = true)
+    val f2 = WarcSource.buildResponseRecord("https://e.com/2", ts,
+      "<html><body>der hund und die katze mit dem ball</body></html>")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.warc.gz"), f1)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b.warc"), f2)
+    val got = WarcSource.readPages(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(3), r.getString(4), r.getString(5)))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq === Seq("https://e.com/1", "https://e.com/2"))
+    assert(got(0)._2 === "the quick brown fox of the meadow")
+    assert(got(1)._2 === "der hund und die katze mit dem ball")
+    assert(got(0)._3 === "en")
+    assert(got(1)._3 === "de")
+    assert(got.forall(_._4 === "warc"))
+    // ingestion is shuffle-free: one flatMap over files, no Exchange
+    val plan = WarcSource.readPages(spark, dir).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}

@@ -1,9 +1,9 @@
 package graft.io
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream, EOFException}
+import java.io.{BufferedInputStream, ByteArrayInputStream, ByteArrayOutputStream, EOFException, InputStream, PushbackInputStream}
 import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
 import java.sql.Timestamp
-import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+import java.util.zip.{GZIPInputStream, GZIPOutputStream, ZipException}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -16,71 +16,162 @@ import org.apache.spark.sql.functions._
   * publishes ~1 GB segments, and one task per file is the standard
   * processing model (the record stream inside a file is sequential by
   * format: gzip members + Content-Length framing can't be split without an
-  * index). `readPages` loads files via Spark's `binaryFile` source and
-  * record-splits per partition; at 100 TB that is ~10⁵ files fanned across
-  * the cluster with NO shuffle — parsing is embarrassingly parallel and the
-  * downstream pipeline repartitions as its first shuffle anyway. Per-record
-  * gzip members (the CC layout) and whole-file gzip both decode through one
-  * concatenated-member stream; plain WARC is sniffed by magic.
+  * index). `readPages` fans files across the cluster via
+  * `sparkContext.binaryFiles` and STREAMS each one ([[parseStream]]): a
+  * task holds at most one header block (≤64 KB) plus one record payload
+  * (≤`maxPayload`) in memory, never the file — a ~1 GB gz segment that
+  * inflates to 4-5 GB parses in constant memory, where a whole-file
+  * byte-array design would exceed the JVM's 2 GB array limit before it
+  * exceeded executor memory. At 100 TB that is ~10⁵ files with NO shuffle —
+  * parsing is embarrassingly parallel and the downstream pipeline
+  * repartitions as its first shuffle anyway. (This is the repo's one
+  * justified RDD surface: record framing inside a container is sequential
+  * imperative logic; everything after the flatMap is DataFrame-native.)
+  * Per-record gzip members (the CC layout) and whole-file gzip both decode
+  * through one concatenated-member stream; plain WARC is sniffed by magic.
   *
-  * Parser contract (record framing per the spec, tolerant in the payload):
-  *  - records are split on `WARC/` version lines + Content-Length framing,
-  *    never on payload bytes (a payload containing "WARC/1.0" cannot split
-  *    a record);
+  * Parser contract (STRICT record framing per the spec, tolerant in the
+  * payload):
+  *  - records are delimited ONLY by Content-Length framing: after a
+  *    record's declared payload (+ the CRLF CRLF separator) the next
+  *    non-blank line MUST be a `WARC/` version line, or the walk
+  *    terminates. The parser never scans payload bytes for a record start,
+  *    so a payload containing "WARC/1.0" — or a record that understates
+  *    its own Content-Length, leaving payload bytes where the next header
+  *    would be — cannot fabricate phantom records;
   *  - only `WARC-Type: response` records with an http payload yield pages;
   *    warcinfo/request/metadata records are skipped;
   *  - the HTTP envelope is stripped at its CRLFCRLF boundary; the body is
   *    the html payload, returned as raw bytes (charset decoding is the
   *    extractor's concern — the byte-identical-text invariant starts from
   *    bytes);
-  *  - header names are case-insensitive; a record with a lying
-  *    Content-Length that overruns the buffer terminates the walk instead
-  *    of reading out of bounds (same defensive posture as the multimodal
-  *    container parsers).
+  *  - header names are case-insensitive; a record whose Content-Length
+  *    overruns the stream (truncated file) is dropped and the walk ends —
+  *    records already parsed are kept, same defensive posture as the
+  *    multimodal container parsers. A payload larger than `maxPayload`
+  *    (default 64 MB — Common Crawl truncates responses far below this) is
+  *    skipped by framing without being materialized.
   */
 object WarcSource {
 
   final case class WarcRecord(url: String, ts: Timestamp, html: Array[Byte])
 
+  /** Per-record payload cap: larger records are framing-skipped, not read. */
+  val DefaultMaxPayload: Int = 64 << 20
+
+  /** WARC header blocks are small; 64 KB is far beyond any real record. */
+  private val MaxHeaderBytes: Int = 64 << 10
+
   /** Parse one WARC file's bytes (plain, whole-file gzip, or per-record
-    * gzip members) into response records.
+    * gzip members) into response records — the bounded-input convenience
+    * wrapper over [[parseStream]] used by fixtures and tests.
     */
-  def parseRecords(bytes: Array[Byte]): Seq[WarcRecord] = {
-    val raw =
-      if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
-        gunzipConcat(bytes)
-      else bytes
-    val out = scala.collection.mutable.ArrayBuffer[WarcRecord]()
-    var o = 0
-    while (o >= 0 && o < raw.length) {
-      o = nextRecord(raw, o, out)
+  def parseRecords(bytes: Array[Byte]): Seq[WarcRecord] =
+    parseStream(new ByteArrayInputStream(bytes)).toSeq
+
+  /** Streaming record parser: records are consumed sequentially off `raw`
+    * (gzip sniffed by magic; concatenated members read transparently),
+    * holding at most one header block + one payload in memory. A truncated
+    * or corrupt tail (including a torn trailing gzip member) ends the
+    * iterator, keeping the records already emitted.
+    */
+  def parseStream(raw: InputStream,
+      maxPayload: Int = DefaultMaxPayload): Iterator[WarcRecord] = {
+    val pb = new PushbackInputStream(new BufferedInputStream(raw, 64 << 10), 2)
+    val b0 = pb.read()
+    val b1 = if (b0 >= 0) pb.read() else -1
+    if (b1 >= 0) pb.unread(b1)
+    if (b0 >= 0) pb.unread(b0)
+    val in: InputStream =
+      if (b0 == 0x1f && b1 == 0x8b) new GZIPInputStream(pb, 64 << 10) else pb
+    new Iterator[WarcRecord] {
+      private var nextRec: WarcRecord = advance()
+      override def hasNext: Boolean = nextRec != null
+      override def next(): WarcRecord = {
+        val r = nextRec; nextRec = advance(); r
+      }
+      /** Walk framing until the next response record (or clean/torn end). */
+      private def advance(): WarcRecord =
+        try {
+          while (true) {
+            val head = readHeaderBlock(in) match {
+              case Some(h) => h
+              case None => return null // clean EOF or broken framing: stop
+            }
+            val headers = parseHeaders(head)
+            val len = headers.get("content-length")
+              .flatMap(_.trim.toLongOption).getOrElse(-1L)
+            if (len < 0) return null // unframed record: cannot continue
+            val isResponse =
+              headers.get("warc-type").map(_.trim.toLowerCase).contains("response")
+            val url = headers.get("warc-target-uri").map(_.trim)
+            val ts = headers.get("warc-date").map(_.trim).flatMap(parseWarcDate)
+            if (isResponse && url.nonEmpty && ts.nonEmpty && len <= maxPayload) {
+              val payload = readFully(in, len.toInt)
+              if (payload == null) return null // truncated mid-payload
+              return WarcRecord(url.get, ts.get, stripHttpEnvelope(payload))
+            } else if (!skipFully(in, len)) return null // truncated skip
+          }
+          null // unreachable
+        } catch {
+          // torn trailing gzip member / corrupt tail: degrade to the
+          // records already emitted (truncated-file tolerance).
+          case _: EOFException | _: ZipException => null
+        }
     }
-    out.toSeq
   }
 
-  /** Parse the record starting at (or after) `o`; returns the offset just
-    * past it, or -1 when no further well-formed record exists.
+  /** Read one header block: skip inter-record CRLF/LF separators, then
+    * require the block to START with a `WARC/` version line and read up to
+    * its CRLFCRLF terminator. Returns None on clean EOF, on a block that
+    * does not open with `WARC/` (broken framing — resyncing by scanning
+    * would let payload bytes fabricate records), or on a block exceeding
+    * [[MaxHeaderBytes]].
     */
-  private def nextRecord(b: Array[Byte], start: Int,
-      out: scala.collection.mutable.ArrayBuffer[WarcRecord]): Int = {
-    val at = indexOf(b, "WARC/".getBytes(ISO_8859_1), start)
-    if (at < 0) return -1
-    val headEnd = indexOf(b, "\r\n\r\n".getBytes(ISO_8859_1), at)
-    if (headEnd < 0) return -1
-    val headers = parseHeaders(new String(b, at, headEnd - at, ISO_8859_1))
-    val len = headers.get("content-length").flatMap(s => s.trim.toLongOption).getOrElse(-1L)
-    val body = headEnd + 4
-    if (len < 0 || body + len > b.length) return -1 // lying/truncated framing
-    val next = body + len.toInt
-    if (headers.get("warc-type").map(_.trim.toLowerCase).contains("response")) {
-      val url = headers.get("warc-target-uri").map(_.trim)
-      val ts = headers.get("warc-date").map(_.trim).flatMap(parseWarcDate)
-      if (url.nonEmpty && ts.nonEmpty) {
-        val payload = java.util.Arrays.copyOfRange(b, body, next)
-        out += WarcRecord(url.get, ts.get, stripHttpEnvelope(payload))
+  private def readHeaderBlock(in: InputStream): Option[String] = {
+    var c = in.read()
+    while (c == '\r' || c == '\n') c = in.read()
+    if (c < 0) return None
+    val buf = new ByteArrayOutputStream(512)
+    buf.write(c)
+    var matched = if (c == '\r') 1 else 0
+    while (matched < 4) {
+      val x = in.read()
+      if (x < 0) return None // EOF inside a header block: truncated
+      buf.write(x)
+      matched = x match {
+        case '\r' => if (matched == 2) 3 else 1
+        case '\n' => if (matched == 1) 2 else if (matched == 3) 4 else 0
+        case _ => 0
       }
+      if (buf.size > MaxHeaderBytes) return None
     }
-    next
+    val head = new String(buf.toByteArray, ISO_8859_1)
+    if (head.startsWith("WARC/")) Some(head) else None
+  }
+
+  /** Exactly `n` bytes off the stream, or null on premature EOF. */
+  private def readFully(in: InputStream, n: Int): Array[Byte] = {
+    val buf = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val r = in.read(buf, off, n - off)
+      if (r < 0) return null
+      off += r
+    }
+    buf
+  }
+
+  /** Skip exactly `n` bytes (skip() may return short); false on EOF. */
+  private def skipFully(in: InputStream, n: Long): Boolean = {
+    var left = n
+    while (left > 0) {
+      val s = in.skip(left)
+      if (s > 0) left -= s
+      else if (in.read() < 0) return false
+      else left -= 1
+    }
+    true
   }
 
   /** `key: value` header lines (first line is the WARC/x.y version). */
@@ -108,22 +199,6 @@ object WarcSource {
     else java.util.Arrays.copyOfRange(payload, split + 4, payload.length)
   }
 
-  /** GZIPInputStream reads concatenated members transparently — exactly the
-    * CC per-record-member layout; a trailing corrupt member degrades to the
-    * bytes already read (truncated-file tolerance).
-    */
-  private def gunzipConcat(bytes: Array[Byte]): Array[Byte] = {
-    val out = new ByteArrayOutputStream(bytes.length * 4)
-    try {
-      val in = new GZIPInputStream(new ByteArrayInputStream(bytes))
-      val buf = new Array[Byte](64 * 1024)
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-      in.close()
-    } catch { case _: EOFException | _: java.util.zip.ZipException => () }
-    out.toByteArray
-  }
-
   private def indexOf(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
     var i = math.max(0, from)
     val last = hay.length - needle.length
@@ -139,18 +214,31 @@ object WarcSource {
   // ---- distributed read ----
 
   /** Read a directory of `.warc` / `.warc.gz` files into the pipeline input
-    * shape. One task per file (`binaryFile` source); `extractText` maps the
-    * html bytes to the text column — defaults to the pipeline's own
-    * byte-identical extractor. NO shuffle: parse is a flatMap over files.
+    * shape. One stream per file (`binaryFiles` + [[parseStream]]): parse is
+    * a flatMap over lazily-opened streams — NO shuffle, and memory per task
+    * is bounded by one record, not one file. `extractText` maps the html
+    * bytes to the text column — defaults to the pipeline's own
+    * byte-identical extractor.
     */
   def readPages(spark: SparkSession, path: String, source: String = "warc"): DataFrame = {
     import spark.implicits._
-    val files = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.warc*").load(path)
-      .select(col("content"))
-    val parsed = files.as[Array[Byte]].flatMap { bytes =>
-      parseRecords(bytes).map(r => (r.url, r.ts, r.html))
-    }.toDF("url", "warc_ts", "html")
+    val parsed = spark.sparkContext.binaryFiles(s"$path/*.warc*")
+      .flatMap { case (_, pds) =>
+        val in = pds.open()
+        val it = parseStream(in)
+        // close on exhaustion (idempotent — hasNext may be probed again)
+        new Iterator[(String, Timestamp, Array[Byte])] {
+          private var closed = false
+          override def hasNext: Boolean = {
+            val h = it.hasNext
+            if (!h && !closed) { closed = true; in.close() }
+            h
+          }
+          override def next(): (String, Timestamp, Array[Byte]) = {
+            val r = it.next(); (r.url, r.ts, r.html)
+          }
+        }
+      }.toDF("url", "warc_ts", "html")
     withExtractedText(parsed, source)
   }
 

@@ -35,6 +35,16 @@ object Multimodal {
 
   final case class MediaAsset(asset_id: Long, payload: Array[Byte], meta: MediaMeta)
 
+  /** The RIFF/AVI container signature — the ONE definition both the
+    * [[VideoContainerDecoder]] sniffer and [[AviMjpegDecoder]]'s own guard
+    * consult, so a future detection tweak (e.g. accepting `AVIX` extended
+    * RIFF) cannot leave them disagreeing.
+    */
+  private[multimodal] def isAviContainer(b: Array[Byte]): Boolean =
+    b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
+
   final case class MediaFeatures(
       asset_id: Long,
       kind: String,
@@ -321,8 +331,10 @@ object Multimodal {
     * every frame emits exactly `perFrame = min(w₀·h₀, maxSamplesPerFrame)`
     * grayscale-luma samples (dims from the first decodable frame), keeping
     * [[sampleFrames]]' fixed-`frameLen` alignment contract; an
-    * undecodable/guarded-out frame re-emits the previous frame's samples
-    * (same index-preserving behavior as [[GifFrameDecoder]]'s canvas).
+    * undecodable/guarded-out frame re-emits the previous frame's samples —
+    * a zero frame when nothing decoded yet — so container frame f always
+    * occupies samples [f·perFrame, (f+1)·perFrame) (same index-preserving
+    * behavior as [[GifFrameDecoder]]'s canvas).
     *
     * Guards mirror the image path: chunk sizes are bounds-checked against
     * the payload (a lying size field terminates the walk instead of
@@ -336,31 +348,35 @@ object Multimodal {
 
     override def decode(payload: Array[Byte], meta: MediaMeta): Array[Float] =
       try {
-        if (payload.length < 12 || !fourccAt(payload, 0, "RIFF") ||
-          !fourccAt(payload, 8, "AVI ")) return Array.emptyFloatArray
+        if (!Multimodal.isAviContainer(payload)) return Array.emptyFloatArray
         val frames = new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
         collectFrames(payload, 12, payload.length, frames)
         if (frames.isEmpty) return Array.emptyFloatArray
-        var perFrame = 0
+        // Two passes so container frame f always lands at out[f*perFrame]
+        // even when the FIRST frames are undecodable: perFrame comes from
+        // the first decodable frame, then every container frame emits —
+        // decodable ones their own luma, failed ones the previous frame's
+        // samples (a zero frame before any decode), mirroring
+        // GifFrameDecoder's whole-canvas-per-frame contract.
+        val lumas = frames.map(decodeJpegLuma)
+        val first = lumas.find(l => l != null && l.length > 0)
+        if (first.isEmpty) return Array.emptyFloatArray
+        val perFrame = math.min(first.get.length, maxSamplesPerFrame)
+        val out = new Array[Float](frames.length * perFrame)
         var prev: Array[Float] = null
-        val out = new scala.collection.mutable.ArrayBuffer[Float]()
         var f = 0
         while (f < frames.length) {
-          val luma = decodeJpegLuma(frames(f))
-          if (perFrame == 0 && luma != null && luma.length > 0)
-            perFrame = math.min(luma.length, maxSamplesPerFrame)
-          if (perFrame > 0) {
-            val emit =
-              if (luma != null && luma.length >= perFrame)
-                java.util.Arrays.copyOf(luma, perFrame)
-              else if (prev != null) prev
-              else new Array[Float](perFrame)
-            out ++= emit
-            prev = emit
-          }
+          val luma = lumas(f)
+          val emit =
+            if (luma != null && luma.length >= perFrame)
+              java.util.Arrays.copyOf(luma, perFrame)
+            else if (prev != null) prev
+            else new Array[Float](perFrame)
+          System.arraycopy(emit, 0, out, f * perFrame, perFrame)
+          prev = emit
           f += 1
         }
-        out.toArray
+        out
       } catch {
         case scala.util.control.NonFatal(_) => Array.emptyFloatArray
       }
@@ -376,7 +392,10 @@ object Multimodal {
       while (o + 8 <= end && frames.length < maxFrames) {
         val size = le32(b, o + 4)
         val body = o + 8
-        if (size < 0 || body + size > end) return // lying size field
+        // `size > end - body`, NOT `body + size > end`: the latter wraps
+        // negative for a lying size near Int.MaxValue and would pass the
+        // bound, then crash copyOfRange (discarding frames already walked).
+        if (size < 0 || size > end - body) return // lying size field
         if (fourccAt(b, o, "LIST")) {
           if (size >= 4 && (fourccAt(b, body, "movi") || fourccAt(b, body, "rec ")))
             collectFrames(b, body + 4, body + size, frames)
@@ -440,10 +459,7 @@ object Multimodal {
       gif: MediaDecoder = new GifFrameDecoder(),
       avi: MediaDecoder = new AviMjpegDecoder()) extends MediaDecoder {
     override def decode(payload: Array[Byte], meta: MediaMeta): Array[Float] =
-      if (payload.length >= 12 &&
-        payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F' &&
-        payload(8) == 'A' && payload(9) == 'V' && payload(10) == 'I' && payload(11) == ' ')
-        avi.decode(payload, meta)
+      if (Multimodal.isAviContainer(payload)) avi.decode(payload, meta)
       else gif.decode(payload, meta)
   }
 

@@ -29,7 +29,11 @@ object GopherGate {
   val RequiredStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
-  private def words(text: Column): Column = split(lower(text), " ")
+  // Words are WHITESPACE-delimited (the published rule): split on \s+ so
+  // newlines/tabs separate words instead of gluing them ("good\n- bullet"
+  // must not produce the word "good\n-"). trim first — a leading/trailing
+  // separator would otherwise contribute an empty word in both engines.
+  private def words(text: Column): Column = split(trim(lower(text)), "\\s+")
   private def lines(text: Column): Column = split(text, "\n")
 
   def nWords(text: Column): Column = size(words(text))
@@ -88,7 +92,8 @@ object GopherGate {
 
   // ---- DuckDB replicas (same formulas, same rounding) ----
 
-  private def wordsSql(c: String) = s"string_split(lower($c), ' ')"
+  private def wordsSql(c: String) =
+    s"regexp_split_to_array(trim(lower($c)), '\\s+')"
   private def linesSql(c: String) = s"string_split($c, chr(10))"
 
   def nWordsSql(c: String): String = s"len(${wordsSql(c)})"

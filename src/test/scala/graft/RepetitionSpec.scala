@@ -194,5 +194,14 @@ class RepetitionSpec extends AnyFunSuite {
       assert(got(name) === want, s"case $name")
     }
     val _ = GopherGate.RequiredStopwords // referenced: the gate's word list is public API
+
+    // words are WHITESPACE-delimited: a newline separates words (it must
+    // not glue "line\n-" into one 6-char pseudo-word)
+    val multi = Seq(Tuple1("good line\n- bullet item")).toDF("text")
+      .select(GopherGate.nWords(col("text")).as("n"),
+        GopherGate.meanWordLen(col("text")).as("m"))
+      .collect().head
+    assert(multi.getInt(0) === 5) // good, line, -, bullet, item
+    assert(multi.getDouble(1) === math.rint(19.0 / 5.0 * 1e6) / 1e6)
   }
 }

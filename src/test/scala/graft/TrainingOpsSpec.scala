@@ -619,6 +619,28 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(frames.toSeq === Seq((11L, 0), (11L, 3)))
   }
 
+  test("multimodal: AVI frames before the first decodable one keep their index (zero frame)") {
+    import graft.multimodal.Multimodal
+    import graft.multimodal.Multimodal.{AviMjpegDecoder, ImageIoDecoder, MediaMeta}
+    val (seed, w, h, nFrames) = (41L, 16, 12, 3)
+    val avi = Multimodal.syntheticAvi(seed, w, h, nFrames).clone()
+    // corrupt FRAME 0's JPEG payload (kill the SOI marker inside the first
+    // 00dc chunk): the decoder must still emit nFrames·w·h samples with
+    // frame 1/2 at their own offsets — not shift everything down one slot
+    val dc = avi.indexOfSlice("00dc".getBytes("US-ASCII"))
+    assert(dc > 0)
+    java.util.Arrays.fill(avi, dc + 8, dc + 12, 0x00.toByte)
+    val meta = MediaMeta("video", w, h, 0L, 0, "mjpeg")
+    val samples = new AviMjpegDecoder().decode(avi, meta)
+    assert(samples.length === nFrames * w * h)
+    assert(samples.slice(0, w * h).forall(_ === 0.0f)) // zero frame, not dropped
+    val jpegs = Multimodal.syntheticAviJpegFrames(seed, w, h, nFrames)
+    val img = new ImageIoDecoder()
+    for (f <- 1 until nFrames)
+      assert(samples.slice(f * w * h, (f + 1) * w * h).toSeq ===
+        img.decode(jpegs(f), meta).toSeq, s"frame $f")
+  }
+
   test("multimodal: partial-frame animated GIF composes onto the full canvas at its offset") {
     import graft.multimodal.Multimodal.{GifFrameDecoder, MediaMeta}
     import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}

@@ -81,6 +81,33 @@ class WarcSpec extends AnyFunSuite {
     assert(WarcSource.parseRecords(corrupt).map(_.url) === Seq("https://d.com/3"))
   }
 
+  test("understated Content-Length: no resync inside payload bytes, no phantom records") {
+    // The real payload embeds a complete fake response record, and the
+    // carrier record declares a length that stops short of it — the exact
+    // shape that made a scanning resync emit an attacker-controlled page.
+    val fake = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"WARC-Target-URI: https://evil.example/\r\nWARC-Date: ${ts.toInstant}\r\n" +
+      "Content-Length: 5\r\n\r\nabcde\r\n\r\n"
+    val realPayload = "0123456789 filler " + fake
+    val carrierHead = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"WARC-Target-URI: https://d.com/legit\r\nWARC-Date: ${ts.toInstant}\r\n" +
+      "Content-Length: 10\r\n\r\n").getBytes(ISO_8859_1) // 10 ≪ payload
+    val file = WarcSource.buildResponseRecord("https://d.com/first", ts, "<p>ok</p>") ++
+      carrierHead ++ realPayload.getBytes(ISO_8859_1) ++ "\r\n\r\n".getBytes(ISO_8859_1)
+    val recs = WarcSource.parseRecords(file)
+    // the walk stops at the broken framing; nothing fabricated from payload
+    assert(recs.map(_.url) === Seq("https://d.com/first", "https://d.com/legit"))
+    assert(!recs.exists(_.url.contains("evil")))
+  }
+
+  test("payloads over maxPayload are framing-skipped, later records still parse") {
+    val big = WarcSource.buildResponseRecord("https://big.com/1", ts, "x" * 1000)
+    val small = WarcSource.buildResponseRecord("https://small.com/2", ts, "<p>s</p>")
+    val recs = WarcSource.parseStream(
+      new java.io.ByteArrayInputStream(big ++ small), maxPayload = 256).toSeq
+    assert(recs.map(_.url) === Seq("https://small.com/2"))
+  }
+
   test("readPages: distributed read of a .warc.gz directory into the Page shape") {
     val dir = java.nio.file.Files.createTempDirectory("warc_spec").toString
     val f1 =

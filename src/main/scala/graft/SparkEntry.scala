@@ -10,7 +10,7 @@ import graft.dedup.ConnectedComponents
 import graft.functions._
 import graft.io.WarcSource
 import graft.multimodal.Multimodal
-import graft.text.{GopherGate, LineDedup, Passages, Pii, Repetition, TextOps, UrlOps}
+import graft.text.{C4Gate, GopherGate, LineDedup, Passages, Pii, Repetition, TextOps, UrlOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -800,6 +800,51 @@ object SparkEntry {
         GopherGate.pass(ptext).as("gopher_pass"))
     }),
 
+    // C4 line/page cleaning ladder (C4Gate): corpus text is single-line
+    // prose, so deterministic lines exercising each rule are planted per
+    // doc_id residue — structural skip (%3), javascript skip (%4), policy
+    // skip (%5), ellipsis skip (%6), lorem condemnation (%7), curly
+    // condemnation (%11), citation scrub (%13), bad word (%17) — and the
+    // oracle replays the identical concatenation through the SQL duals.
+    "q_quality_c4" -> ((s, dir) => {
+      val ptext = concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          lit("\nno punct line here\nthis added line has exactly enough words."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          lit("\nthe javascript line with enough words is skipped here."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          lit("\nwe use cookies and more words in this line."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 6 === 0,
+          lit("\ntrailing ellipsis line keeps going and going and going..."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          lit("\nlorem ipsum dolor sit amet consectetur adipiscing elit."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          lit("\nthis line holds a curly { bracket among many words."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          lit("\nsee the cited claim [12] in context of many words."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 17 === 0,
+          lit("\nthis sentence mentions badwordx clearly within many words."))
+          .otherwise(lit("")))
+      val clean = C4Gate.cleanText(ptext)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        C4Gate.nLines(ptext).cast("long").as("n_lines"),
+        C4Gate.nKeptLines(ptext).cast("long").as("n_kept"),
+        C4Gate.nSentences(clean).cast("long").as("n_sentences"),
+        length(clean).cast("long").as("clean_len"),
+        C4Gate.pageCondemned(ptext).as("condemned"),
+        C4Gate.hasBadWord(clean, Seq("badwordx")).as("bad_hit"),
+        C4Gate.pass(ptext, Seq("badwordx")).as("c4_pass"))
+    }),
+
     // Composed corpus-cleaning pipeline: quality gate + language gate +
     // exact-dedup keep-first — the canonical pretraining filter chain, as
     // one declarative plan (filters fused into the scan, one shuffle for
@@ -1467,6 +1512,29 @@ object SparkEntry {
          |  ${GopherGate.alphaWordFracSql(p)} AS alpha_word_frac,
          |  CAST(${GopherGate.stopHitsSql(p)} AS BIGINT) AS stop_hits,
          |  ${GopherGate.passSql(p)} AS gopher_pass
+         |FROM documents""".stripMargin
+    },
+
+    // replants q_quality_c4's rule-exercising lines, then the same ladder
+    "q_quality_c4" -> {
+      val p = "(text" +
+        " || (CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'no punct line here' || chr(10) || 'this added line has exactly enough words.' ELSE '' END)" +
+        " || (CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'the javascript line with enough words is skipped here.' ELSE '' END)" +
+        " || (CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'we use cookies and more words in this line.' ELSE '' END)" +
+        " || (CASE WHEN doc_id % 6 = 0 THEN chr(10) || 'trailing ellipsis line keeps going and going and going...' ELSE '' END)" +
+        " || (CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet consectetur adipiscing elit.' ELSE '' END)" +
+        " || (CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'this line holds a curly { bracket among many words.' ELSE '' END)" +
+        " || (CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'see the cited claim [12] in context of many words.' ELSE '' END)" +
+        " || (CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'this sentence mentions badwordx clearly within many words.' ELSE '' END))"
+      val clean = C4Gate.cleanTextSql(p)
+      s"""SELECT doc_id,
+         |  CAST(${C4Gate.nLinesSql(p)} AS BIGINT) AS n_lines,
+         |  CAST(${C4Gate.nKeptLinesSql(p)} AS BIGINT) AS n_kept,
+         |  CAST(${C4Gate.nSentencesSql(clean)} AS BIGINT) AS n_sentences,
+         |  CAST(len($clean) AS BIGINT) AS clean_len,
+         |  ${C4Gate.pageCondemnedSql(p)} AS condemned,
+         |  ${C4Gate.hasBadWordSql(clean, Seq("badwordx"))} AS bad_hit,
+         |  ${C4Gate.passSql(p, Seq("badwordx"))} AS c4_pass
          |FROM documents""".stripMargin
     },
 

@@ -1,0 +1,183 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The C4 line/page cleaning ladder (Raffel et al. 2020, "Exploring the
+  * Limits of Transfer Learning with a Unified Text-to-Text Transformer",
+  * §2.2) as narrow, codegen'd built-in expressions — the line-structural
+  * complement to [[GopherGate]]'s scalar document signals. Unlike Gopher
+  * (a boolean gate), C4 REWRITES the document: lines that fail structural
+  * checks are removed, certain line contents condemn the whole page, and
+  * the page survives only if enough sentences remain.
+  *
+  * Normative rule ladder of THIS implementation, per stripped line `l`
+  * (rules from the published recipe; the intra-line evaluation order is
+  * pinned here because it is observable — a line matching two rules takes
+  * the FIRST):
+  *  1. any word longer than `MaxWordLen` (1000) chars → skip line
+  *  2. scrub citation markers (`[12]`, `[edit]`, `[citation needed]`)
+  *  3. must end in terminal punctuation (`.` `?` `!` `"`) and NOT in
+  *     `...` → else skip line
+  *  4. fewer than `MinWordsPerLine` (5) whitespace words → skip line
+  *  5. contains "lorem ipsum" (case-insensitive) → DROP PAGE
+  *  6. contains "javascript" (case-insensitive) → skip line
+  *  7. contains `{` → DROP PAGE
+  *  8. contains a policy boilerplate substring ([[PolicySubstrings]]) →
+  *     skip line
+  * Kept lines are the scrubbed `l` (no re-trim after scrubbing — a
+  * citation removed at line end leaves the trailing space it exposed, and
+  * the terminal-punctuation check sees it; deterministic and mirrored in
+  * the DuckDB duals). Page survives iff not dropped, the cleaned text has
+  * ≥ `MinSentences` (3) sentences, and (optional) no bad word from a
+  * caller-supplied list appears among its tokens.
+  *
+  * Sentences are counted as runs of terminal marks `[.!?]+` in the
+  * cleaned text — a deterministic proxy for the recipe's NLTK tokenizer
+  * (which is neither available here nor expressible identically in two
+  * engines); the divergence only moves the ≥3 boundary on pathological
+  * punctuation. The bad-word list is a PARAMETER (default empty): the
+  * recipe's published list is external data this repo does not embed.
+  *
+  * Every signal is a narrow built-in over the text column (no UDF, no
+  * shuffle) with an exactly-equivalent DuckDB dual, same convention as
+  * [[GopherGate]].
+  */
+object C4Gate {
+
+  val MaxWordLen = 1000
+  val MinWordsPerLine = 5
+  val MinSentences = 3
+
+  /** Policy boilerplate substrings whose lines are dropped (recipe list). */
+  val PolicySubstrings: Seq[String] = Seq(
+    "terms of use", "privacy policy", "cookie policy",
+    "uses cookies", "use of cookies", "use cookies")
+
+  private val CitationRe = "\\[\\d*\\]|\\[edit\\]|\\[citation needed\\]"
+
+  private def lines(text: Column): Column = split(text, "\n")
+
+  /** Rules 1–2: stripped, citation-scrubbed line (null-safe passthrough). */
+  private def scrubbed(l: Column): Column =
+    regexp_replace(trim(l), CitationRe, "")
+
+  private def wordsOf(l: Column): Column = split(l, "\\s+")
+
+  /** Rules 1+3+4 on one line: structurally eligible for keeping. */
+  private def structural(l: Column): Column = {
+    val raw = trim(l)
+    val s = scrubbed(l)
+    (array_max(transform(wordsOf(raw), w => length(w))) <= MaxWordLen) &&
+      s.rlike("[.!?\"]$") && !s.endsWith("...") &&
+      (size(wordsOf(s)) >= MinWordsPerLine)
+  }
+
+  private def hasLorem(l: Column): Column = contains(lower(l), lit("lorem ipsum"))
+  private def hasJs(l: Column): Column = contains(lower(l), lit("javascript"))
+  private def hasCurly(l: Column): Column = contains(l, lit("{"))
+  private def hasPolicy(l: Column): Column =
+    PolicySubstrings.map(p => contains(lower(l), lit(p))).reduce(_ || _)
+
+  /** Rule 5/7 ladder: some structurally-valid line condemns the page
+    * ("lorem ipsum", or `{` on a line not already skipped as javascript).
+    */
+  def pageCondemned(text: Column): Column =
+    exists(lines(text), l =>
+      structural(l) && {
+        val s = scrubbed(l)
+        hasLorem(s) || (!hasJs(s) && hasCurly(s))
+      })
+
+  /** A single line survives the full ladder (rules 1–8). */
+  private def kept(l: Column): Column = {
+    val s = scrubbed(l)
+    structural(l) && !hasLorem(s) && !hasJs(s) && !hasCurly(s) && !hasPolicy(s)
+  }
+
+  /** The cleaned document: surviving scrubbed lines re-joined. */
+  def cleanText(text: Column): Column =
+    array_join(transform(filter(lines(text), l => kept(l)), l => scrubbed(l)), "\n")
+
+  def nLines(text: Column): Column = size(lines(text))
+
+  def nKeptLines(text: Column): Column = size(filter(lines(text), l => kept(l)))
+
+  /** Sentence-count proxy: runs of `[.!?]+` in the (cleaned) text. */
+  def nSentences(cleaned: Column): Column =
+    size(split(cleaned, "[.!?]+")) - 1
+
+  /** Optional page-level bad-word gate over the cleaned text's tokens
+    * (leading/trailing punctuation stripped before matching); empty list
+    * (the default — the recipe's list is external data) never fires.
+    */
+  def hasBadWord(cleaned: Column, badWords: Seq[String]): Column =
+    if (badWords.isEmpty) lit(false)
+    else {
+      val toks = transform(wordsOf(lower(cleaned)),
+        w => regexp_replace(w, "^[^a-z0-9]+|[^a-z0-9]+$", ""))
+      size(array_intersect(toks, array(badWords.map(w => lit(w.toLowerCase)): _*))) > 0
+    }
+
+  /** The composite page gate: not condemned, ≥3 sentences remain in the
+    * cleaned text, no bad word.
+    */
+  def pass(text: Column, badWords: Seq[String] = Nil): Column = {
+    val c = cleanText(text)
+    !pageCondemned(text) && (nSentences(c) >= MinSentences) &&
+      !hasBadWord(c, badWords)
+  }
+
+  // ---- DuckDB duals (same formulas; 'g' flag — DuckDB regexp_replace is
+  //      first-match-only by default where Spark's is global) ----
+
+  private def linesSql(c: String) = s"string_split($c, chr(10))"
+  private def scrubSql(l: String) =
+    s"regexp_replace(trim($l), '\\[\\d*\\]|\\[edit\\]|\\[citation needed\\]', '', 'g')"
+  private def structuralSql(l: String): String = {
+    val s = scrubSql(l)
+    s"(list_max(list_transform(regexp_split_to_array(trim($l), '\\s+'), w -> len(w))) <= $MaxWordLen" +
+      s" AND regexp_matches($s, '[.!?\"]$$') AND NOT ends_with($s, '...')" +
+      s" AND len(regexp_split_to_array($s, '\\s+')) >= $MinWordsPerLine)"
+  }
+  private def loremSql(s: String) = s"contains(lower($s), 'lorem ipsum')"
+  private def jsSql(s: String) = s"contains(lower($s), 'javascript')"
+  private def curlySql(s: String) = s"contains($s, '{')"
+  private def policySql(s: String) =
+    PolicySubstrings.map(p => s"contains(lower($s), '$p')").mkString("(", " OR ", ")")
+
+  def pageCondemnedSql(c: String): String = {
+    val s = scrubSql("l")
+    s"(len(list_filter(${linesSql(c)}, l -> " +
+      s"${structuralSql("l")} AND (${loremSql(s)} OR (NOT ${jsSql(s)} AND ${curlySql(s)})))) > 0)"
+  }
+
+  private def keptSql(l: String): String = {
+    val s = scrubSql(l)
+    s"(${structuralSql(l)} AND NOT ${loremSql(s)} AND NOT ${jsSql(s)}" +
+      s" AND NOT ${curlySql(s)} AND NOT ${policySql(s)})"
+  }
+
+  def cleanTextSql(c: String): String =
+    s"coalesce(list_aggregate(list_transform(list_filter(${linesSql(c)}, l -> ${keptSql("l")}), l -> ${scrubSql("l")}), 'string_agg', chr(10)), '')"
+
+  def nLinesSql(c: String): String = s"len(${linesSql(c)})"
+  def nKeptLinesSql(c: String): String =
+    s"len(list_filter(${linesSql(c)}, l -> ${keptSql("l")}))"
+  def nSentencesSql(cleaned: String): String =
+    s"(len(regexp_split_to_array($cleaned, '[.!?]+')) - 1)"
+
+  def hasBadWordSql(cleaned: String, badWords: Seq[String]): String =
+    if (badWords.isEmpty) "false"
+    else {
+      val list = badWords.map(w => s"'${w.toLowerCase}'").mkString(", ")
+      s"(len(list_intersect(list_transform(regexp_split_to_array(lower($cleaned), '\\s+')," +
+        s" w -> regexp_replace(w, '^[^a-z0-9]+|[^a-z0-9]+$$', '', 'g')), [$list])) > 0)"
+    }
+
+  def passSql(c: String, badWords: Seq[String] = Nil): String = {
+    val clean = cleanTextSql(c)
+    s"(NOT ${pageCondemnedSql(c)} AND ${nSentencesSql(clean)} >= $MinSentences" +
+      s" AND NOT ${hasBadWordSql(clean, badWords)})"
+  }
+}

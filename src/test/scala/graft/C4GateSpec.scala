@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.C4Gate
+
+/** C4 line/page cleaning ladder: per-rule behavior, evaluation order, and
+  * the composite gate (the DuckDB duals are pinned by `q_quality_c4`).
+  */
+class C4GateSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def eval(texts: String*): Seq[(Boolean, Long, Int, String, Boolean)] =
+    texts.toSeq.toDF("text")
+      .select(
+        C4Gate.pageCondemned(col("text")),
+        C4Gate.nKeptLines(col("text")).cast("long"),
+        C4Gate.nSentences(C4Gate.cleanText(col("text"))),
+        C4Gate.cleanText(col("text")),
+        C4Gate.pass(col("text")))
+      .collect().toSeq
+      .map(r => (r.getBoolean(0), r.getLong(1), r.getInt(2), r.getString(3), r.getBoolean(4)))
+
+  test("line ladder: structural skips, page condemnation, rule order") {
+    val Seq(threeSent, shortLine, lorem, curly, jsCurly, citePolicy, ellipsis) = eval(
+      "good first sentence here ok. good second sentence here ok! good third one right here?",
+      "short line\nthis kept line has enough words here.",
+      "lorem ipsum dolor sit amet consectetur adipiscing elit.",
+      "a fine line with a curly { bracket in it.",
+      "the javascript line with a curly { and words here.",
+      "see the cited claim [12] in context of many words.\nwe respect your privacy policy in all the ways.",
+      "trailing thought keeps going and going and going...")
+
+    assert(threeSent === ((false, 1L, 3,
+      "good first sentence here ok. good second sentence here ok! good third one right here?", true)))
+    // structural skip: no terminal punctuation / < 5 words
+    assert(shortLine === ((false, 1L, 1, "this kept line has enough words here.", false)))
+    // lorem ipsum on a structurally-valid line condemns the page
+    assert(lorem._1 && !lorem._5)
+    // '{' on a structurally-valid non-javascript line condemns the page
+    assert(curly._1 && !curly._5)
+    // RULE ORDER: javascript skip fires before the '{' page-drop
+    assert(jsCurly === ((false, 0L, 0, "", false)))
+    // citation markers scrubbed from kept lines; policy line skipped
+    assert(citePolicy._2 === 1L)
+    assert(citePolicy._4 === "see the cited claim  in context of many words.")
+    // ellipsis-terminated line is not "terminal punctuation"
+    assert(ellipsis === ((false, 0L, 0, "", false)))
+  }
+
+  test("lorem ipsum on a structurally-INVALID line does not condemn the page") {
+    // the ladder only reaches the page-drop checks after rules 1-4 pass
+    val Seq(r) = eval(
+      "lorem ipsum\n" + // < 5 words: skipped before the lorem check
+        "first full sentence with enough words. second one also counts here! third closes it now?")
+    assert(r === ((false, 1L, 3,
+      "first full sentence with enough words. second one also counts here! third closes it now?", true)))
+  }
+
+  test("too-long word skips the line (rule 1 precedes everything)") {
+    val big = "x" * (C4Gate.MaxWordLen + 1)
+    val Seq(r) = eval(
+      s"a lorem ipsum line with the giant word $big attached.\n" +
+        "one good sentence here stands. another good sentence stands! a third stands too?")
+    assert(!r._1) // the lorem line never reached the page-drop check
+    assert(r._3 === 3 && r._5)
+  }
+
+  test("bad-word gate: parameterized list over cleaned tokens, empty never fires") {
+    val df = Seq(
+      "this page mentions badwordx clearly among its many words. and more text follows here now! a third sentence too?",
+      "this page is perfectly clean throughout its span. and more text follows here now! a third sentence too?")
+      .toDF("text")
+    val got = df.select(
+      C4Gate.pass(col("text"), Seq("BadWordX")),
+      C4Gate.pass(col("text"))).collect().toSeq.map(r => (r.getBoolean(0), r.getBoolean(1)))
+    assert(got === Seq((false, true), (true, true)))
+  }
+}

@@ -10,7 +10,7 @@ import graft.dedup.ConnectedComponents
 import graft.functions._
 import graft.io.WarcSource
 import graft.multimodal.Multimodal
-import graft.text.{C4Gate, GopherGate, LineDedup, Passages, Pii, Repetition, TextOps, UrlOps}
+import graft.text.{C4Gate, GopherGate, HeavyHitters, LineDedup, Passages, Pii, Repetition, TextOps, UrlOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -845,6 +845,21 @@ object SparkEntry {
         C4Gate.pass(ptext, Seq("badwordx")).as("c4_pass"))
     }),
 
+    // Frequent n-gram mining (HeavyHitters.topNgramsSketched): a 25-word
+    // phrase planted on even doc_ids makes 24 known 2-grams of count ~250
+    // the corpus head; the CMS-prefiltered path must return the EXACT
+    // top-20 (its contract at minCount <= the k-th count), so the oracle is
+    // DuckDB's exact count/top-k over the same planted tokenization.
+    "q_heavy_hitters" -> ((s, dir) => {
+      val phrase = (0 until 25).map(i => s"ha$i").mkString(" ")
+      val ptext = concat(
+        col("text"),
+        when(col("doc_id") % 2 === 0, lit(" " + phrase)).otherwise(lit("")))
+      val docs = t(s, dir, "documents").select(ptext.as("ptext"))
+      HeavyHitters.topNgramsSketched(
+        docs, split(trim(lower(col("ptext"))), "\\s+"), n = 2, k = 20, minCount = 10)
+    }),
+
     // Composed corpus-cleaning pipeline: quality gate + language gate +
     // exact-dedup keep-first — the canonical pretraining filter chain, as
     // one declarative plan (filters fused into the scan, one shuffle for
@@ -1536,6 +1551,23 @@ object SparkEntry {
          |  ${C4Gate.hasBadWordSql(clean, Seq("badwordx"))} AS bad_hit,
          |  ${C4Gate.passSql(p, Seq("badwordx"))} AS c4_pass
          |FROM documents""".stripMargin
+    },
+
+    // exact top-k over the same planted gram stream — the sketched path's
+    // contract is bit-equality with this at minCount <= the k-th count
+    "q_heavy_hitters" -> {
+      val phrase = (0 until 25).map(i => s"ha$i").mkString(" ")
+      s"""WITH w AS (
+         |  SELECT regexp_split_to_array(trim(lower(
+         |    text || CASE WHEN doc_id % 2 = 0 THEN ' $phrase' ELSE '' END)),
+         |    '\\s+') AS ws
+         |  FROM documents),
+         |g AS (
+         |  SELECT unnest(list_transform(range(1, len(ws)),
+         |    i -> ws[i] || ' ' || ws[i+1])) AS gram
+         |  FROM w)
+         |SELECT gram, COUNT(*) AS cnt FROM g
+         |GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20""".stripMargin
     },
 
     // closed forms of the constructed messy URLs (see the queries' comments)

@@ -1,0 +1,49 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.util.sketch.CountMinSketch
+
+/** Frequency estimate of a 64-bit key against a pre-built, serialized
+  * [[org.apache.spark.util.sketch.CountMinSketch]] (public Spark sketch
+  * API, same format `DataFrameStatFunctions.countMinSketch` produces).
+  *
+  * This is the scale lever for heavy-hitter mining: an exact top-k over
+  * every n-gram of a 100-TB corpus shuffles its full distinct-gram
+  * inventory (≫10¹⁰ rows); the CMS estimate runs as a NARROW codegen'd
+  * filter on the gram stream so only grams whose estimate clears the
+  * caller's support threshold enter the exact counting shuffle. CMS never
+  * underestimates (`estimate ≥ true count`, Cormode & Muthukrishnan 2005),
+  * so a threshold at-or-below the true k-th count keeps every true
+  * heavy hitter; overestimates only admit extra grams, which the exact
+  * downstream count then ranks out — see
+  * [[graft.text.HeavyHitters.topNgramsSketched]] for the contract.
+  *
+  * The deserialized sketch rides the codegen reference array (one
+  * deserialization per task, not per row); `estimateCount` is depth-many
+  * hash-probe reads.
+  */
+case class CmsEstimateLong(child: Expression, cmsBytes: Array[Byte])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val sketch: CountMinSketch =
+    CountMinSketch.readFrom(cmsBytes)
+
+  override def nullSafeEval(input: Any): Any =
+    sketch.estimateCount(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // explicit Long.valueOf boxing: estimateCount takes Object and
+    // dispatches integrals to its long path; Janino can't autobox in casts
+    val cms = ctx.addReferenceObj("cms", sketch, classOf[CountMinSketch].getName)
+    defineCodeGen(ctx, ev, c => s"$cms.estimateCount(java.lang.Long.valueOf($c))")
+  }
+
+  override protected def withNewChildInternal(c: Expression): CmsEstimateLong =
+    copy(child = c)
+}

@@ -56,6 +56,12 @@ object functions {
     */
   def bloom_might_contain_long(c: Column, bloomBytes: Array[Byte]): Column =
     col(BloomMightContainLong(ex(c), bloomBytes))
+  /** Count-min-sketch frequency estimate of a 64-bit key; narrow codegen'd
+    * probe of [[graft.expr.CmsEstimateLong]]. Never underestimates —
+    * callers threshold on it and count survivors exactly.
+    */
+  def cms_estimate_long(c: Column, cmsBytes: Array[Byte]): Column =
+    col(CmsEstimateLong(ex(c), cmsBytes))
   def band_keys(c: Column, bands: Int, rows: Int, seed: Long = Shingling.DefaultSeed): Column =
     col(BandKeys(ex(c), bands, rows, seed))
   def minhash_bands(c: Column, bands: Int, rows: Int, seed: Long = Shingling.DefaultSeed): Column =

@@ -1,0 +1,94 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level frequent n-gram mining (heavy hitters) — the vocabulary/
+  * boilerplate-phrase analytics a training-data pipeline runs before
+  * choosing filters: which exact phrases dominate the corpus, at what
+  * support. Two paths with one contract:
+  *
+  *  - [[topNgramsExact]]: explode → partial-agg count → TakeOrderedAndProject.
+  *    Correct at any scale but the counting shuffle carries the corpus's
+  *    FULL distinct-gram inventory — at 100 TB that inventory (≫10¹⁰ gram
+  *    strings) is the bottleneck, and almost all of it is count-1 tail that
+  *    can never reach a top-k.
+  *  - [[topNgramsSketched]]: pass 1 folds the gram stream into a
+  *    count-min sketch (mergeable, built distributed via
+  *    `stat.countMinSketch`, a few MB at any corpus size); pass 2 re-scans
+  *    and keeps only grams whose CMS estimate clears `minCount` — a NARROW
+  *    codegen'd filter ([[graft.expr.CmsEstimateLong]]) on the scan, no
+  *    shuffle — then counts the survivors exactly and takes the top k.
+  *
+  * Exactness contract of the sketched path: CMS never underestimates, so
+  * every gram with true count ≥ `minCount` survives the pre-filter; the
+  * survivor counts are exact (counted from the real rows, not the sketch).
+  * Therefore the output is IDENTICAL to [[topNgramsExact]] whenever
+  * `minCount` ≤ the true k-th-highest count (and `minCount` is the caller's
+  * declared support floor precisely so that bound is checkable: if fewer
+  * than k grams clear it, the caller set the floor too high for that k —
+  * the result is then the exact top-however-many at that support).
+  * Overestimates (CMS collisions, plus the ~2⁻⁶⁴ xxhash64 gram-key
+  * collisions) only admit EXTRA tail grams into the exact count, which the
+  * final ranking removes; they can never evict a true heavy hitter.
+  *
+  * Ordering is a deterministic total order (count desc, gram asc) so top-k
+  * boundaries tie-break identically across engines and runs.
+  */
+object HeavyHitters {
+
+  /** All word n-grams of `words` as space-joined strings (empty array when
+    * the document is shorter than n words — `sequence(1,0)` would DESCEND).
+    */
+  def ngrams(words: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val grams = transform(
+      sequence(lit(1), size(words) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(words, i + lit(j))): _*))
+    when(size(words) >= n, grams).otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact top-k n-grams: (gram, cnt), count desc then gram asc. */
+  def topNgramsExact(docs: DataFrame, words: Column, n: Int, k: Int): DataFrame =
+    docs.select(explode(ngrams(words, n)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram").asc)
+      .limit(k)
+
+  /** CMS-prefiltered top-k at support floor `minCount` — identical to
+    * [[topNgramsExact]] whenever `minCount` ≤ the true k-th count (see
+    * object doc). `eps`/`confidence` size the sketch (width ≈ 2/eps;
+    * the 1e-4 default ≈ 1 MB): estimates exceed true counts by ≤ eps·N
+    * (N = total gram occurrences) with prob ≥ confidence — a conservative
+    * bound that skewed real-text distributions beat by orders of
+    * magnitude, but at 100-TB N the caller should still size
+    * eps ≲ minCount/(10·N) if the pre-filter is to stay selective;
+    * a too-loose sketch costs shuffle volume, never correctness.
+    */
+  def topNgramsSketched(
+      docs: DataFrame,
+      words: Column,
+      n: Int,
+      k: Int,
+      minCount: Long,
+      eps: Double = 1e-4,
+      confidence: Double = 0.99): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val grams = docs.select(explode(ngrams(words, n)).as("gram"))
+    val keyed = grams.select(xxhash64(col("gram")).as("key"))
+    val cms = keyed.stat.countMinSketch("key", eps, confidence, 0x9e3779b9.toInt)
+    val bos = new java.io.ByteArrayOutputStream()
+    cms.writeTo(bos)
+    val cmsBytes = bos.toByteArray
+    grams
+      .where(graft.functions.cms_estimate_long(xxhash64(col("gram")), cmsBytes) >= minCount)
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      // the sketch admits false positives below the floor; drop them so the
+      // "fewer than k survivors" case returns only true ≥minCount grams
+      .filter(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("gram").asc)
+      .limit(k)
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.HeavyHitters
+
+/** Frequent n-gram mining: exact path, CMS-prefiltered path, and their
+  * equivalence contract (the DuckDB dual is pinned by `q_heavy_hitters`).
+  */
+class HeavyHittersSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def words = split(col("text"), " ")
+
+  test("ngrams: windows, short-doc empty (sequence must not descend)") {
+    val got = Seq("a b c d", "a b", "solo").toDF("text")
+      .select(HeavyHitters.ngrams(words, 3).as("g"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(got === List(List("a b c", "b c d"), Nil, Nil))
+  }
+
+  test("topNgramsExact: hand-computed counts with deterministic tie-break") {
+    val docs = Seq("x y x y x", "x y z", "z q z q").toDF("text")
+    // 2-grams: "x y"×3, "y x"×2, "y z"×1, "z q"×2, "q z"×1
+    val got = HeavyHitters.topNgramsExact(docs, words, 2, 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    // ties at cnt=2 break on gram asc: "y x" < "z q"
+    assert(got === List(("x y", 3L), ("y x", 2L), ("z q", 2L)))
+  }
+
+  test("sketched == exact when minCount <= true k-th count (zipf-ish corpus)") {
+    val rnd = new scala.util.Random(7)
+    // zipf-ish: gram frequency ~ 1/rank over a 200-word vocab, 2000 docs
+    val docs = (0 until 2000).map { _ =>
+      val len = 8 + rnd.nextInt(8)
+      (0 until len).map { _ =>
+        val r = rnd.nextDouble()
+        val v = math.min((1.0 / (1.0 - r * 0.99) - 1.0).toInt, 199)
+        s"w$v"
+      }.mkString(" ")
+    }.toDF("text")
+    docs.persist()
+    val exact = HeavyHitters.topNgramsExact(docs, words, 2, 15)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    val kth = exact.last._2
+    assert(kth > 1L) // fixture sanity: a real head exists
+    val sketched = HeavyHitters
+      .topNgramsSketched(docs, words, 2, 15, minCount = kth, eps = 1e-4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(sketched === exact)
+    docs.unpersist()
+  }
+
+  test("support floor too high for k: exact top-however-many at that floor") {
+    val docs = Seq("a b a b a b", "c d").toDF("text")
+    // "a b"×3, "b a"×2, "c d"×1 — floor 2 leaves only two grams for k=5
+    val got = HeavyHitters.topNgramsSketched(docs, words, 2, 5, minCount = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(got === List(("a b", 3L), ("b a", 2L)))
+  }
+
+  test("CMS pre-filter is a narrow scan filter: no exchange below it") {
+    val docs = Seq("a b a b", "b c").toDF("text")
+    val grams = docs.select(explode(HeavyHitters.ngrams(words, 2)).as("gram"))
+    val keyed = grams.select(xxhash64(col("gram")).as("key"))
+    val cms = keyed.stat.countMinSketch("key", 0.001, 0.99, 42)
+    val bos = new java.io.ByteArrayOutputStream()
+    cms.writeTo(bos)
+    val filtered = grams.where(
+      graft.functions.cms_estimate_long(xxhash64(col("gram")), bos.toByteArray) >= 2L)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"pre-filter must not shuffle:\n$plan")
+    assert(filtered.collect().map(_.getString(0)).sorted.toList === List("a b", "a b"))
+  }
+}

@@ -10,7 +10,7 @@ import graft.dedup.ConnectedComponents
 import graft.functions._
 import graft.io.WarcSource
 import graft.multimodal.Multimodal
-import graft.text.{C4Gate, GopherGate, HeavyHitters, LineDedup, Passages, Pii, Repetition, TextOps, UrlOps}
+import graft.text.{C4Gate, Curation, GopherGate, HeavyHitters, LineDedup, Passages, Pii, Repetition, TextOps, UrlOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -85,6 +85,24 @@ object SparkEntry {
     * tokens, shared verbatim with the DuckDB oracle).
     */
   private val LineBoiler = "accept omega cookies psi continue phi"
+
+  /** q_curation's planted lines (shared verbatim with the DuckDB oracle):
+    * a 5-line, 61-word shared block that passes the C4 ladder and carries
+    * Gopher's word floor + required stopwords (identical across docs, so
+    * line dedup strips it everywhere but the keeper), a PII line, and a
+    * bad-word line that condemns its page via the parameterized C4 list.
+    */
+  private val CurationBlock: Seq[String] = Seq(
+    "the quick shared block begins here with many good words to read.",
+    "it continues with the second shared sentence and even more words of note!",
+    "that third shared sentence keeps the word total moving higher with ease?",
+    "have faith that the fourth sentence adds plenty of extra words here.",
+    "be sure of the fifth sentence closing the block with final words.")
+  private val CurationPiiLine =
+    "reach our team at ops@example.com for all support matters today."
+  private val CurationBadLine =
+    "this line quietly mentions badwordy among its many fine words."
+  private val CurationBadWords = Seq("badwordy")
 
   // embeddings corpus/queries used by the ANN entries
   private def annInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
@@ -860,6 +878,24 @@ object SparkEntry {
         docs, split(trim(lower(col("ptext"))), "\\s+"), n = 2, k = 20, minCount = 10)
     }),
 
+    // The full curation funnel (Curation.curate): C4 clean/gate → Gopher →
+    // langId → PII redact → global line dedup → exact keep-first, verified
+    // END-TO-END — the oracle replays the identical plants through every
+    // stage's SQL dual and the driver hash-compares the per-doc verdicts
+    // INCLUDING the final rewritten text.
+    "q_curation" -> ((s, dir) => {
+      val ptext = concat(
+        col("text"),
+        when(col("doc_id") % 2 === 0,
+          lit(CurationBlock.mkString("\n", "\n", ""))).otherwise(lit("")),
+        when(col("doc_id") % 10 === 0, lit("\n" + CurationPiiLine)).otherwise(lit("")),
+        when(col("doc_id") % 9 === 0, lit("\n" + CurationBadLine)).otherwise(lit("")))
+      Curation.curate(
+        t(s, dir, "documents").select(col("doc_id"), ptext.as("text")),
+        "doc_id", "text",
+        Curation.Config(badWords = CurationBadWords))
+    }),
+
     // Composed corpus-cleaning pipeline: quality gate + language gate +
     // exact-dedup keep-first — the canonical pretraining filter chain, as
     // one declarative plan (filters fused into the scan, one shuffle for
@@ -1551,6 +1587,49 @@ object SparkEntry {
          |  ${C4Gate.hasBadWordSql(clean, Seq("badwordx"))} AS bad_hit,
          |  ${C4Gate.passSql(p, Seq("badwordx"))} AS c4_pass
          |FROM documents""".stripMargin
+    },
+
+    // the full funnel replayed stage-by-stage in DuckDB: identical plants,
+    // C4/Gopher/lang duals gate, PII dual rewrites, the q_line_dedup
+    // string-keyed replica dedups lines, a window-min picks exact keepers
+    "q_curation" -> {
+      val block = CurationBlock.map(l => s"chr(10) || '$l'").mkString(" || ")
+      val p = "(text" +
+        s" || (CASE WHEN doc_id % 2 = 0 THEN $block ELSE '' END)" +
+        s" || (CASE WHEN doc_id % 10 = 0 THEN chr(10) || '$CurationPiiLine' ELSE '' END)" +
+        s" || (CASE WHEN doc_id % 9 = 0 THEN chr(10) || '$CurationBadLine' ELSE '' END))"
+      s"""WITH base AS (SELECT doc_id, $p AS text FROM documents),
+         |ann AS (SELECT doc_id, ${C4Gate.cleanTextSql("text")} AS ctext,
+         |  (NOT ${C4Gate.pageCondemnedSql("text")}) AS not_cond FROM base),
+         |gate AS (SELECT doc_id, ctext,
+         |  (not_cond AND ${C4Gate.nSentencesSql("ctext")} >= ${C4Gate.MinSentences}
+         |   AND NOT ${C4Gate.hasBadWordSql("ctext", CurationBadWords)}
+         |   AND ${GopherGate.passSql("ctext")}
+         |   AND ${TextOps.langIdSql("ctext")} = 'en') AS survived FROM ann),
+         |surv AS (SELECT doc_id, ${Pii.redactSql("ctext")} AS rtext
+         |         FROM gate WHERE survived),
+         |ls AS (SELECT doc_id, string_split(rtext, chr(10)) AS ls FROM surv),
+         |l AS (SELECT doc_id, i AS idx, ls[i+1] AS line
+         |      FROM ls, unnest(range(0, len(ls))) t(i)),
+         |cnt AS (SELECT line, COUNT(*) AS cnt, MIN(doc_id) AS kid
+         |        FROM l GROUP BY 1),
+         |k AS (SELECT l.line, MIN(l.idx) AS kidx
+         |      FROM l JOIN cnt ON l.line = cnt.line AND l.doc_id = cnt.kid
+         |      GROUP BY 1),
+         |f AS (SELECT l.doc_id, l.idx, l.line,
+         |        (cnt.cnt = 1 OR (l.doc_id = cnt.kid AND l.idx = k.kidx)) AS kept
+         |      FROM l JOIN cnt ON l.line = cnt.line JOIN k ON l.line = k.line),
+         |r AS (SELECT doc_id,
+         |        COALESCE(string_agg(CASE WHEN kept THEN line END,
+         |                            chr(10) ORDER BY idx), '') AS ftext
+         |      FROM f GROUP BY 1),
+         |x AS (SELECT doc_id, ftext,
+         |        (doc_id = MIN(doc_id) OVER (PARTITION BY ftext)) AS is_kept
+         |      FROM r)
+         |SELECT g.doc_id, g.survived,
+         |       COALESCE(x.ftext, '') AS final_text,
+         |       COALESCE(x.is_kept, false) AS is_kept
+         |FROM gate g LEFT JOIN x USING (doc_id)""".stripMargin
     },
 
     // exact top-k over the same planted gram stream — the sketched path's

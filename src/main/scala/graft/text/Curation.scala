@@ -1,0 +1,114 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The canonical pretraining curation funnel, composed from this repo's
+  * gate/rewrite operators in the order a production pipeline runs them —
+  * narrow per-document work first (so cheap filters shrink every later
+  * shuffle), global rewrites after:
+  *
+  *  1. C4 line ladder: clean the text, drop condemned / thin pages
+  *     ([[C4Gate]])
+  *  2. Gopher scalar gate over the CLEANED text ([[GopherGate]])
+  *  3. language gate over the cleaned text ([[TextOps.langId]])
+  *  4. PII redaction (rewrite, never drops — [[Pii.redact]])
+  *  5. global line dedup over survivors ([[LineDedup]], the funnel's first
+  *     shuffle; running it after the gates means boilerplate counting only
+  *     pays for pages that can still ship)
+  *  6. exact-duplicate keep-first on the FINAL text (hash-keyed partial-agg
+  *     min + join-back — the same skew-safe shape as the dedup pipeline's
+  *     exact stage, never a window)
+  *
+  * Stages 1–4 are ONE narrow projection ([[annotate]]): no shuffle, no
+  * action, every signal computed in a single pass over the text column, so
+  * the funnel adds exactly two shuffles (line dedup, exact dedup) beyond a
+  * scan. [[curate]] returns per-document verdicts — gate survival, the
+  * final rewritten text, and the keep-first decision — rather than a
+  * filtered corpus, so callers can audit removals (and the whole funnel is
+  * hash-compared against a DuckDB replica end-to-end in `q_curation`).
+  * [[funnel]] folds those verdicts into the stage-by-stage survivor counts.
+  */
+object Curation {
+
+  final case class Config(
+      badWords: Seq[String] = Nil,
+      lang: Option[String] = Some("en"),
+      redactPii: Boolean = true,
+      dropDuplicateLines: Boolean = true)
+
+  /** Stages 1–3 as one narrow projection: (id, text, ctext, c4_pass,
+    * gopher_pass, lang_ok, survived).
+    */
+  def annotate(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): DataFrame = {
+    val text = col(textCol)
+    docs.select(
+      col(idCol), text,
+      C4Gate.cleanText(text).as("ctext"),
+      C4Gate.pass(text, cfg.badWords).as("c4_pass"),
+      GopherGate.pass(C4Gate.cleanText(text)).as("gopher_pass"),
+      cfg.lang.map(l => TextOps.langId(C4Gate.cleanText(text)) === l)
+        .getOrElse(lit(true)).as("lang_ok"))
+      .withColumn("survived", col("c4_pass") && col("gopher_pass") && col("lang_ok"))
+  }
+
+  /** The full funnel's per-document verdicts: (id, survived, final_text,
+    * is_kept). `final_text` is the cleaned → redacted → line-deduped text
+    * for survivors ('' for non-survivors); `is_kept` marks the exact-dedup
+    * keeper among identical final texts (min id), false for non-survivors.
+    */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): DataFrame = {
+    val id = col(idCol)
+    val ann = annotate(docs, idCol, textCol, cfg)
+    val redacted: Column =
+      if (cfg.redactPii) Pii.redact(col("ctext")) else col("ctext")
+    val surv = ann.filter(col("survived")).select(id, redacted.as("rtext"))
+    val rebuilt =
+      if (cfg.dropDuplicateLines)
+        LineDedup.dropGlobalDuplicateLines(surv, idCol, split(col("rtext"), "\n"))
+          .select(id, col("text").as("final_text"))
+      else surv.select(id, col("rtext").as("final_text"))
+    // exact keep-first on the final text: 64-bit key shuffles, not strings;
+    // partial-agg min + join-back (no window), LineDedup's collision stance
+    val keyed = rebuilt.select(id, col("final_text"),
+      xxhash64(col("final_text")).as("tkey"))
+    val keepers = keyed.groupBy(col("tkey")).agg(min(id).as("kid"))
+    val flagged = keyed.join(keepers, "tkey")
+      .select(id, col("final_text"), (id === col("kid")).as("is_kept"))
+    ann.select(id, col("survived"))
+      .join(flagged, Seq(idCol), "left")
+      .select(id, col("survived"),
+        coalesce(col("final_text"), lit("")).as("final_text"),
+        coalesce(col("is_kept"), lit(false)).as("is_kept"))
+  }
+
+  /** Cumulative stage-by-stage survivor counts from the funnel's verdicts:
+    * rows (stage, docs) for input → c4 → gopher → lang → line_dedup
+    * (unchanged docs count is not a drop — line dedup rewrites) →
+    * exact_dedup. Two tiny aggregations (one over [[annotate]]'s narrow
+    * signals, one over [[curate]]'s verdicts).
+    */
+  def funnel(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ann = annotate(docs, idCol, textCol, cfg)
+    val gates = ann.agg(
+      count(lit(1)).as("input"),
+      sum(when(col("c4_pass"), 1L).otherwise(0L)).as("c4"),
+      sum(when(col("c4_pass") && col("gopher_pass"), 1L).otherwise(0L)).as("gopher"),
+      sum(when(col("survived"), 1L).otherwise(0L)).as("lang"))
+      .collect().head
+    val kept = curate(docs, idCol, textCol, cfg)
+      .agg(sum(when(col("is_kept"), 1L).otherwise(0L)).as("kept"))
+      .collect().head.getLong(0)
+    Seq(
+      ("1_input", gates.getLong(0)),
+      ("2_c4", gates.getLong(1)),
+      ("3_gopher", gates.getLong(2)),
+      ("4_lang", gates.getLong(3)),
+      ("5_exact_dedup", kept)).toDF("stage", "docs")
+  }
+}

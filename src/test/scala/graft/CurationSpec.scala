@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.Curation
+
+/** End-to-end curation funnel semantics on a hand-built corpus (the DuckDB
+  * end-to-end dual — final text included — is pinned by `q_curation`).
+  */
+class CurationSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  // a block that clears C4 (3+ sentences) and Gopher (61 words, stopwords)
+  private val goodBlock = Seq(
+    "the quick shared block begins here with many good words to read.",
+    "it continues with the second shared sentence and even more words of note!",
+    "that third shared sentence keeps the word total moving higher with ease?",
+    "have faith that the fourth sentence adds plenty of extra words here.",
+    "be sure of the fifth sentence closing the block with final words.").mkString("\n")
+
+  test("funnel verdicts: gates, pii rewrite, line dedup, exact keep-first") {
+    val docs = Seq(
+      // 1, 2: identical good docs -> both survive; line dedup strips the
+      // shared lines from doc 2; both collapse to the same final text only
+      // if their post-dedup texts match (they don't: doc 1 keeps the block)
+      (1L, goodBlock),
+      (2L, goodBlock),
+      // 3: good block + pii line -> survives, email redacted
+      (3L, goodBlock + "\nreach our team at ops@example.com for all support matters today."),
+      // 4: c4 fail (one sentence only)
+      (4L, "just one good sentence with enough words here."),
+      // 5: gopher fail (3 sentences but far below the 50-word floor)
+      (5L, "tiny first sentence sits here fine. tiny second sentence sits here too! tiny third sentence ends it now?"))
+      .toDF("doc_id", "text")
+
+    val got = Curation.curate(docs, "doc_id", "text",
+        Curation.Config(badWords = Seq("badwordy")))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getString(2), r.getBoolean(3)))).toMap
+
+    assert(got(1L) === ((true, goodBlock, true)))
+    // doc 2's lines all lost to the keeper (doc 1) -> empty final text
+    assert(got(2L)._1 && got(2L)._2 === "" && got(2L)._3)
+    // doc 3 keeps only its unique (redacted) pii line
+    assert(got(3L) === ((true,
+      "reach our team at <EMAIL> for all support matters today.", true)))
+    assert(got(4L) === ((false, "", false)))
+    assert(got(5L) === ((false, "", false)))
+  }
+
+  test("exact keep-first: identical final texts keep only the min id") {
+    // two docs whose post-dedup final texts BOTH collapse to '' (all lines
+    // shared with the keeper): '' is itself a dup family -> min id kept
+    val docs = Seq((7L, goodBlock), (8L, goodBlock), (9L, goodBlock))
+      .toDF("doc_id", "text")
+    val got = Curation.curate(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getBoolean(3)))).toMap
+    assert(got(7L) === ((goodBlock, true)))
+    assert(got(8L) === (("", true))) // first '' is the empty family's keeper
+    assert(got(9L) === (("", false)))
+  }
+
+  test("funnel counts: cumulative stage survivors") {
+    val docs = Seq(
+      (1L, goodBlock), (2L, goodBlock),
+      (3L, "just one good sentence with enough words here."))
+      .toDF("doc_id", "text")
+    val f = Curation.funnel(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(f === Map(
+      "1_input" -> 3L, "2_c4" -> 2L, "3_gopher" -> 2L, "4_lang" -> 2L,
+      "5_exact_dedup" -> 2L))
+  }
+
+  test("lang gate via config: wrong target language drops, lang=None passes") {
+    // (a non-English survivor can't isolate the lang gate here: Gopher's
+    // required-stopword rule is itself English by publication)
+    val docs = Seq((1L, goodBlock)).toDF("doc_id", "text")
+    def survived(cfg: Curation.Config) =
+      Curation.curate(docs, "doc_id", "text", cfg).collect().head.getBoolean(1)
+    assert(survived(Curation.Config()))
+    assert(!survived(Curation.Config(lang = Some("fr"))))
+    assert(survived(Curation.Config(lang = None)))
+  }
+}

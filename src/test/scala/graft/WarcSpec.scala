@@ -108,6 +108,29 @@ class WarcSpec extends AnyFunSuite {
     assert(recs.map(_.url) === Seq("https://small.com/2"))
   }
 
+  test("parseStream is lazy and constant-memory: take(1) reads ~one record, not the file") {
+    // 64 records x 1 MB payload = ~64 MB container; consuming one record
+    // must pull at most one payload + buffered readahead off the source
+    val big = "x" * (1 << 20)
+    val file = (0 until 64).map(i =>
+      WarcSource.buildResponseRecord(s"https://big.com/$i", ts, big))
+      .reduce(_ ++ _)
+    var consumed = 0L
+    val counting = new java.io.InputStream {
+      private val in = new java.io.ByteArrayInputStream(file)
+      override def read(): Int = { val r = in.read(); if (r >= 0) consumed += 1; r }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        val r = in.read(b, off, len); if (r > 0) consumed += r; r
+      }
+    }
+    val first = WarcSource.parseStream(counting).take(1).toSeq
+    assert(first.map(_.url) === Seq("https://big.com/0"))
+    // the iterator holds a one-record lookahead, so the bound is two
+    // payloads (record 1 + prefetched record 2) plus readahead slack
+    assert(consumed < (2L << 20) + (256 << 10),
+      s"take(1) consumed $consumed bytes of the ${file.length}-byte container")
+  }
+
   test("readPages: distributed read of a .warc.gz directory into the Page shape") {
     val dir = java.nio.file.Files.createTempDirectory("warc_spec").toString
     val f1 =

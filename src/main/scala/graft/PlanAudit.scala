@@ -282,6 +282,39 @@ object PlanAudit {
         !pgoph.contains("Window") &&
         (pgoph.contains("WholeStageCodegen") || pgoph.contains("*(")), pgoph)
 
+    // C4 cleaning ladder: per-row rewrite/gate signals only — the same
+    // narrow-scan contract as the Gopher gate.
+    val pc4 = plan("q_quality_c4")
+    check("q_quality_c4: narrow codegen'd scan (no Exchange/join/Window)",
+      !pc4.contains("Exchange") && !pc4.contains("Join") &&
+        !pc4.contains("Window") &&
+        (pc4.contains("WholeStageCodegen") || pc4.contains("*(")), pc4)
+
+    // Heavy hitters (sketched): the CMS pre-filter is a narrow scan filter,
+    // so the whole plan has exactly ONE exchange (the survivor count's
+    // partial-agg shuffle) and the top-k is TakeOrderedAndProject, not a
+    // global sort. (The CMS build pass is a separate collected job.)
+    val phh = plan("q_heavy_hitters").split("== Initial Plan ==")(0)
+    check("q_heavy_hitters: one exchange (pre-filtered count), TakeOrderedAndProject, partial agg",
+      "Exchange".r.findAllIn(phh).length == 1 &&
+        phh.contains("TakeOrderedAndProject") && phh.contains("partial_count"), phh)
+
+    // Curation funnel: gates are narrow (no exchange/window on the annotate
+    // plan); the full funnel has no window and no cartesian anywhere — line
+    // dedup and exact keep-first are partial-agg + join-back shapes.
+    val pann = {
+      val df = graft.text.Curation.annotate(
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text")), "doc_id", "text")
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    check("curation annotate: narrow gates (no Exchange/join/Window)",
+      !pann.contains("Exchange") && !pann.contains("Join") && !pann.contains("Window"), pann)
+    val pcur = plan("q_curation")
+    check("q_curation: no Window, no cartesian (partial-agg + join-back funnel)",
+      !pcur.contains("Window") && !pcur.toLowerCase.contains("cartesian"), pcur)
+
     println(s"PlanAudit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()
     if (failures > 0) sys.exit(1)

@@ -306,7 +306,9 @@ object PlanAudit {
       val df = graft.text.Curation.annotate(
         spark.read.parquet(s"$sfDir/documents.parquet")
           .select(col("doc_id"), col("text")), "doc_id", "text")
-      df.collect()
+      // no collect: a plan with no Exchange has nothing for AQE to
+      // finalize, and collecting 2x the corpus text to read a string
+      // is exactly the driver-side funnel this audit exists to catch
       df.queryExecution.executedPlan.toString
     }
     check("curation annotate: narrow gates (no Exchange/join/Window)",

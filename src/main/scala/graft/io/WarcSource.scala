@@ -34,11 +34,14 @@ import org.apache.spark.sql.functions._
   * payload):
   *  - records are delimited ONLY by Content-Length framing: after a
   *    record's declared payload (+ the CRLF CRLF separator) the next
-  *    non-blank line MUST be a `WARC/` version line, or the walk
-  *    terminates. The parser never scans payload bytes for a record start,
-  *    so a payload containing "WARC/1.0" — or a record that understates
-  *    its own Content-Length, leaving payload bytes where the next header
-  *    would be — cannot fabricate phantom records;
+  *    non-blank line (at most the spec's two CRLFs away) MUST be a `WARC/`
+  *    version line, or the walk terminates. The parser never scans payload
+  *    bytes for a record start, so "WARC/1.0" inside a payload can only be
+  *    parsed as a record if the payload places an exact spec-correct
+  *    boundary (≤2 CRLFs then the version line) at the declared
+  *    Content-Length cut — with length framing, bytes crafted to be
+  *    indistinguishable from a real boundary are a property of the format,
+  *    not recoverable by any parser;
   *  - only `WARC-Type: response` records with an http payload yield pages;
   *    warcinfo/request/metadata records are skipped;
   *  - the HTTP envelope is stripped at its CRLFCRLF boundary; the body is
@@ -62,6 +65,20 @@ object WarcSource {
   /** WARC header blocks are small; 64 KB is far beyond any real record. */
   private val MaxHeaderBytes: Int = 64 << 10
 
+  /** GZIPInputStream decides whether another concatenated member follows
+    * by probing `in.available()` (readTrailer: `available() > 0 || n > 26`);
+    * a source whose available() honestly returns 0 (several Hadoop
+    * FSInputStream subclasses keep InputStream's default) would make it
+    * report clean EOF at a member boundary MID-FILE, silently dropping
+    * every later record. Report ≥1 until proven empty: at true EOF the
+    * next-member header probe hits EOFException, which readTrailer
+    * catches and turns into a clean end.
+    */
+  private final class NonZeroAvailable(in: InputStream)
+      extends java.io.FilterInputStream(in) {
+    override def available(): Int = math.max(super.available(), 1)
+  }
+
   /** Parse one WARC file's bytes (plain, whole-file gzip, or per-record
     * gzip members) into response records — the bounded-input convenience
     * wrapper over [[parseStream]] used by fixtures and tests.
@@ -83,7 +100,9 @@ object WarcSource {
     if (b1 >= 0) pb.unread(b1)
     if (b0 >= 0) pb.unread(b0)
     val in: InputStream =
-      if (b0 == 0x1f && b1 == 0x8b) new GZIPInputStream(pb, 64 << 10) else pb
+      if (b0 == 0x1f && b1 == 0x8b)
+        new GZIPInputStream(new NonZeroAvailable(pb), 64 << 10)
+      else pb
     new Iterator[WarcRecord] {
       private var nextRec: WarcRecord = advance()
       override def hasNext: Boolean = nextRec != null
@@ -129,9 +148,15 @@ object WarcSource {
     * [[MaxHeaderBytes]].
     */
   private def readHeaderBlock(in: InputStream): Option[String] = {
+    // The spec's inter-record separator is exactly two CRLFs (4 bytes) —
+    // bound the skip so an overlong terminator run (payload bytes after an
+    // understated Content-Length) reads as broken framing, not as slack
+    // before a "next record".
     var c = in.read()
-    while (c == '\r' || c == '\n') c = in.read()
+    var sep = 0
+    while ((c == '\r' || c == '\n') && sep < 4) { sep += 1; c = in.read() }
     if (c < 0) return None
+    if (c == '\r' || c == '\n') return None // >2 CRLFs: broken framing
     val buf = new ByteArrayOutputStream(512)
     buf.write(c)
     var matched = if (c == '\r') 1 else 0
@@ -226,6 +251,14 @@ object WarcSource {
       .flatMap { case (_, pds) =>
         val in = pds.open()
         val it = parseStream(in)
+        // Close at task end regardless of how far the iterator was pulled:
+        // limit()/take()/an exception downstream stop consumption before
+        // exhaustion, and an un-closed remote stream leaks its socket/fd
+        // (plus the gzip Inflater's native memory) until GC.
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            try in.close() catch { case scala.util.control.NonFatal(_) => () }
+          })
         // close on exhaustion (idempotent — hasNext may be probed again)
         new Iterator[(String, Timestamp, Array[Byte])] {
           private var closed = false

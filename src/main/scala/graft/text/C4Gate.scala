@@ -62,7 +62,11 @@ object C4Gate {
   private def scrubbed(l: Column): Column =
     regexp_replace(trim(l), CitationRe, "")
 
-  private def wordsOf(l: Column): Column = split(l, "\\s+")
+  // trim() strips only spaces (0x20), so a line led by a tab would still
+  // contribute a phantom empty token to the word count — filter empties
+  // instead of trusting trim (mirrored in structuralSql).
+  private def wordsOf(l: Column): Column =
+    filter(split(l, "\\s+"), w => length(w) > 0)
 
   /** Rules 1+3+4 on one line: structurally eligible for keeping. */
   private def structural(l: Column): Column = {
@@ -122,11 +126,18 @@ object C4Gate {
   /** The composite page gate: not condemned, ≥3 sentences remain in the
     * cleaned text, no bad word.
     */
-  def pass(text: Column, badWords: Seq[String] = Nil): Column = {
-    val c = cleanText(text)
-    !pageCondemned(text) && (nSentences(c) >= MinSentences) &&
-      !hasBadWord(c, badWords)
-  }
+  def pass(text: Column, badWords: Seq[String] = Nil): Column =
+    passCleaned(text, cleanText(text), badWords)
+
+  /** [[pass]] for callers that already materialized [[cleanText]] as a
+    * column: the ladder is the plan's most expensive expression, and HOF
+    * lambdas get fresh exprIds per construction so subexpression
+    * elimination cannot unify independently-built copies — passing the
+    * computed column is the only way to evaluate it once.
+    */
+  def passCleaned(text: Column, cleaned: Column, badWords: Seq[String] = Nil): Column =
+    !pageCondemned(text) && (nSentences(cleaned) >= MinSentences) &&
+      !hasBadWord(cleaned, badWords)
 
   // ---- DuckDB duals (same formulas; 'g' flag — DuckDB regexp_replace is
   //      first-match-only by default where Spark's is global) ----
@@ -134,11 +145,13 @@ object C4Gate {
   private def linesSql(c: String) = s"string_split($c, chr(10))"
   private def scrubSql(l: String) =
     s"regexp_replace(trim($l), '\\[\\d*\\]|\\[edit\\]|\\[citation needed\\]', '', 'g')"
+  private def wordsOfSql(l: String): String =
+    s"list_filter(regexp_split_to_array($l, '\\s+'), w -> len(w) > 0)"
   private def structuralSql(l: String): String = {
     val s = scrubSql(l)
-    s"(list_max(list_transform(regexp_split_to_array(trim($l), '\\s+'), w -> len(w))) <= $MaxWordLen" +
+    s"(list_max(list_transform(${wordsOfSql(s"trim($l)")}, w -> len(w))) <= $MaxWordLen" +
       s" AND regexp_matches($s, '[.!?\"]$$') AND NOT ends_with($s, '...')" +
-      s" AND len(regexp_split_to_array($s, '\\s+')) >= $MinWordsPerLine)"
+      s" AND len(${wordsOfSql(s)}) >= $MinWordsPerLine)"
   }
   private def loremSql(s: String) = s"contains(lower($s), 'lorem ipsum')"
   private def jsSql(s: String) = s"contains(lower($s), 'javascript')"

@@ -43,13 +43,19 @@ object Curation {
   def annotate(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): DataFrame = {
     val text = col(textCol)
-    docs.select(
-      col(idCol), text,
-      C4Gate.cleanText(text).as("ctext"),
-      C4Gate.pass(text, cfg.badWords).as("c4_pass"),
-      GopherGate.pass(C4Gate.cleanText(text)).as("gopher_pass"),
-      cfg.lang.map(l => TextOps.langId(C4Gate.cleanText(text)) === l)
-        .getOrElse(lit(true)).as("lang_ok"))
+    // The C4 ladder is the plan's most expensive expression and HOF lambdas
+    // defeat subexpression elimination (fresh exprIds per construction), so
+    // ctext is materialized in a lower projection and every downstream
+    // signal reads the COLUMN. CollapseProject keeps the two projections
+    // separate (a non-cheap alias referenced >1x is never inlined), so the
+    // ladder runs once per row instead of once per consumer.
+    docs.select(col(idCol), text, C4Gate.cleanText(text).as("ctext"))
+      .select(
+        col(idCol), text, col("ctext"),
+        C4Gate.passCleaned(text, col("ctext"), cfg.badWords).as("c4_pass"),
+        GopherGate.pass(col("ctext")).as("gopher_pass"),
+        cfg.lang.map(l => TextOps.langId(col("ctext")) === l)
+          .getOrElse(lit(true)).as("lang_ok"))
       .withColumn("survived", col("c4_pass") && col("gopher_pass") && col("lang_ok"))
   }
 
@@ -77,9 +83,15 @@ object Curation {
     val keepers = keyed.groupBy(col("tkey")).agg(min(id).as("kid"))
     val flagged = keyed.join(keepers, "tkey")
       .select(id, col("final_text"), (id === col("kid")).as("is_kept"))
-    ann.select(id, col("survived"))
+    // Every survivor reaches `flagged` (line dedup rewrites, never drops a
+    // doc), so survival is reconstructed from MEMBERSHIP: join the verdicts
+    // back onto a column-pruned id spine instead of re-running the gate
+    // ladder in a second plan branch — the corpus pays ONE gate pass, and
+    // the spine scan reads only the id column.
+    docs.select(id)
       .join(flagged, Seq(idCol), "left")
-      .select(id, col("survived"),
+      .select(id,
+        col("is_kept").isNotNull.as("survived"),
         coalesce(col("final_text"), lit("")).as("final_text"),
         coalesce(col("is_kept"), lit(false)).as("is_kept"))
   }
@@ -95,14 +107,16 @@ object Curation {
     val spark = docs.sparkSession
     import spark.implicits._
     val ann = annotate(docs, idCol, textCol, cfg)
+    // sum() over zero rows is NULL — coalesce so an empty corpus audits as
+    // zeros instead of throwing on getLong.
     val gates = ann.agg(
       count(lit(1)).as("input"),
-      sum(when(col("c4_pass"), 1L).otherwise(0L)).as("c4"),
-      sum(when(col("c4_pass") && col("gopher_pass"), 1L).otherwise(0L)).as("gopher"),
-      sum(when(col("survived"), 1L).otherwise(0L)).as("lang"))
+      coalesce(sum(when(col("c4_pass"), 1L).otherwise(0L)), lit(0L)).as("c4"),
+      coalesce(sum(when(col("c4_pass") && col("gopher_pass"), 1L).otherwise(0L)), lit(0L)).as("gopher"),
+      coalesce(sum(when(col("survived"), 1L).otherwise(0L)), lit(0L)).as("lang"))
       .collect().head
     val kept = curate(docs, idCol, textCol, cfg)
-      .agg(sum(when(col("is_kept"), 1L).otherwise(0L)).as("kept"))
+      .agg(coalesce(sum(when(col("is_kept"), 1L).otherwise(0L)), lit(0L)).as("kept"))
       .collect().head.getLong(0)
     Seq(
       ("1_input", gates.getLong(0)),

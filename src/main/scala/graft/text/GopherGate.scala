@@ -31,9 +31,12 @@ object GopherGate {
 
   // Words are WHITESPACE-delimited (the published rule): split on \s+ so
   // newlines/tabs separate words instead of gluing them ("good\n- bullet"
-  // must not produce the word "good\n-"). trim first — a leading/trailing
-  // separator would otherwise contribute an empty word in both engines.
-  private def words(text: Column): Column = split(trim(lower(text)), "\\s+")
+  // must not produce the word "good\n-"). Empty tokens are FILTERED, not
+  // trimmed away: trim() strips only spaces (0x20), so text opening with a
+  // tab or newline — most scraped pages — would still contribute a phantom
+  // empty word to every count (both engines mirror the filter).
+  private def words(text: Column): Column =
+    filter(split(lower(text), "\\s+"), w => length(w) > 0)
   private def lines(text: Column): Column = split(text, "\n")
 
   def nWords(text: Column): Column = size(words(text))
@@ -93,7 +96,7 @@ object GopherGate {
   // ---- DuckDB replicas (same formulas, same rounding) ----
 
   private def wordsSql(c: String) =
-    s"regexp_split_to_array(trim(lower($c)), '\\s+')"
+    s"list_filter(regexp_split_to_array(lower($c), '\\s+'), w -> len(w) > 0)"
   private def linesSql(c: String) = s"string_split($c, chr(10))"
 
   def nWordsSql(c: String): String = s"len(${wordsSql(c)})"

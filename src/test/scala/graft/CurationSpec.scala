@@ -81,6 +81,14 @@ class CurationSpec extends AnyFunSuite {
       "5_exact_dedup" -> 2L))
   }
 
+  test("empty corpus: funnel audits as zeros instead of NPE on null sums") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val f = Curation.funnel(empty, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(f.values.forall(_ === 0L))
+    assert(Curation.curate(empty, "doc_id", "text").count() === 0L)
+  }
+
   test("lang gate via config: wrong target language drops, lang=None passes") {
     // (a non-English survivor can't isolate the lang gate here: Gopher's
     // required-stopword rule is itself English by publication)

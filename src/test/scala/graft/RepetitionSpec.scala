@@ -203,5 +203,16 @@ class RepetitionSpec extends AnyFunSuite {
       .collect().head
     assert(multi.getInt(0) === 5) // good, line, -, bullet, item
     assert(multi.getDouble(1) === math.rint(19.0 / 5.0 * 1e6) / 1e6)
+
+    // leading/trailing NON-SPACE whitespace must not mint a phantom empty
+    // word (trim strips only 0x20): a 49-word page opening with a tab
+    // stays under the 50-word floor
+    val tabbed = Seq(Tuple1("\t" + Seq.fill(49)("word").mkString(" ") + "\n"))
+      .toDF("text")
+      .select(GopherGate.nWords(col("text")).as("n"),
+        GopherGate.pass(col("text")).as("p"))
+      .collect().head
+    assert(tabbed.getInt(0) === 49)
+    assert(!tabbed.getBoolean(1))
   }
 }

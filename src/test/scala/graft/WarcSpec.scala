@@ -154,5 +154,22 @@ class WarcSpec extends AnyFunSuite {
     // ingestion is shuffle-free: one flatMap over files, no Exchange
     val plan = WarcSource.readPages(spark, dir).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
+    // early exit (limit) abandons the record iterator before exhaustion —
+    // the task-completion listener, not close-on-exhaustion, must close
+    // the file stream; a leak here surfaces as task failure noise
+    assert(WarcSource.readPages(spark, dir).limit(1).count() === 1L)
+  }
+
+  test("inter-record separator is bounded at the spec's two CRLFs") {
+    val a = WarcSource.buildResponseRecord("https://f.com/1", ts, "<p>a</p>")
+    val b = WarcSource.buildResponseRecord("https://f.com/2", ts, "<p>b</p>")
+    // exactly two CRLFs between records (a's own trailer): both parse
+    assert(WarcSource.parseRecords(a ++ b).map(_.url) ===
+      Seq("https://f.com/1", "https://f.com/2"))
+    // a longer terminator run is broken framing (leftover payload bytes
+    // after an understated length must not read as slack before the next
+    // record): the walk stops with what is already parsed
+    val extra = a ++ "\r\n\r\n\r\n".getBytes(ISO_8859_1) ++ b
+    assert(WarcSource.parseRecords(extra).map(_.url) === Seq("https://f.com/1"))
   }
 }

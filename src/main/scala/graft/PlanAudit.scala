@@ -317,6 +317,27 @@ object PlanAudit {
     check("q_curation: no Window, no cartesian (partial-agg + join-back funnel)",
       !pcur.contains("Window") && !pcur.toLowerCase.contains("cartesian"), pcur)
 
+    // Domain cap: the bounded top-k aggregate — per-group state capped at k
+    // on the map side (partial ObjectHashAggregate), never a row_number
+    // window over the hottest domain.
+    val pcap = plan("q_domain_cap")
+    check("q_domain_cap: partial top_k ObjectHashAggregate, no Window",
+      pcap.contains("ObjectHashAggregate") &&
+        pcap.toLowerCase.contains("partial_top_k") && !pcap.contains("Window"), pcap)
+
+    // Token-budget cutoff: after the bucketed cut-rank descent the output
+    // plan is ONE narrow filter — no Window, no Exchange at all.
+    val pmixb = plan("q_mix_token_budget")
+    check("q_mix_token_budget: narrow rank<=cut filter (no Window/Exchange)",
+      !pmixb.contains("Window") && !pmixb.contains("Exchange"), pmixb)
+
+    // Stratified sample: pure per-row decision — narrow codegen'd scan.
+    val pmixs = plan("q_mix_stratified")
+    check("q_mix_stratified: narrow codegen'd scan (no Exchange/join/Window)",
+      !pmixs.contains("Exchange") && !pmixs.contains("Join") &&
+        !pmixs.contains("Window") &&
+        (pmixs.contains("WholeStageCodegen") || pmixs.contains("*(")), pmixs)
+
     println(s"PlanAudit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()
     if (failures > 0) sys.exit(1)

@@ -10,7 +10,7 @@ import graft.dedup.ConnectedComponents
 import graft.functions._
 import graft.io.WarcSource
 import graft.multimodal.Multimodal
-import graft.text.{C4Gate, Curation, GopherGate, HeavyHitters, LineDedup, Passages, Pii, Repetition, TextOps, UrlOps}
+import graft.text.{C4Gate, Curation, GopherGate, HeavyHitters, LineDedup, Mixing, Passages, Pii, Repetition, TextOps, UrlOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -103,6 +103,11 @@ object SparkEntry {
   private val CurationBadLine =
     "this line quietly mentions badwordy among its many fine words."
   private val CurationBadWords = Seq("badwordy")
+
+  // mixing fixtures shared by the q_mix_* queries and their oracles
+  private val MixRates = Map("src0" -> 0.9, "src1" -> 0.25, "src5" -> 0.0)
+  private val MixWeights = Map("src0" -> 2.5, "src1" -> 0.5)
+  private val MixBudget = 12000L
 
   // embeddings corpus/queries used by the ANN entries
   private def annInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
@@ -1152,6 +1157,53 @@ object SparkEntry {
         .select("doc_id", "domain", "toks")
     }),
 
+    // ---------- deterministic data mixing (md5-hex-rank keyed) ----------
+
+    // Per-source stratified Bernoulli sample: keep/drop decided by each
+    // row's own md5 rank vs a per-stratum hex threshold, so the oracle
+    // replicates the exact keep set, not just its statistics.
+    "q_mix_stratified" -> ((s, dir) => {
+      Mixing.stratifiedSample(
+          t(s, dir, "documents").select("doc_id", "source"),
+          col("source"), col("doc_id"), MixRates, 0.5, "mixs")
+        .select("doc_id", "source")
+    }),
+
+    // Epoch-style oversampling: stratum weight 2.5 → 2 copies + a rank-
+    // decided 3rd; weight 0.5 → a rank-decided single copy; weight 1 →
+    // exactly one copy.
+    "q_mix_oversample" -> ((s, dir) => {
+      Mixing.oversample(
+          t(s, dir, "documents").select("doc_id", "source"),
+          col("source"), col("doc_id"), MixWeights, 1.0, "mixo")
+        .select("doc_id", "source", "copy_id")
+    }),
+
+    // Per-domain cap: at most 8 docs per source, chosen by md5 rank
+    // (deterministic uniform pick). Runs on the bounded TopKAgg — per-group
+    // state capped at k on the map side — NOT a row_number window; the
+    // oracle IS that window, so the hash compare pins the equivalence.
+    "q_domain_cap" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"),
+          struct(Mixing.hashRank("cap", col("doc_id")).as("r"), col("doc_id")).as("rd"))
+        .groupBy("source")
+        .agg(top_k(col("rd"), 8).as("kept"))
+        .select(col("source"), explode(col("kept")).as("rd"))
+        .select(col("source"), col("rd.doc_id").as("doc_id"))
+    }),
+
+    // Token-budget cutoff: fill MixBudget tokens from the md5-rank order.
+    // The operator finds the cut rank via bucketed histograms (no global
+    // window); the oracle IS the global window — the hash compare proves
+    // the two forms select the identical row set.
+    "q_mix_token_budget" -> ((s, dir) => {
+      val slim = t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("toks"))
+      Mixing.tokenBudget(slim, col("toks"), col("doc_id"), MixBudget, "mixb")
+        .select("doc_id", "toks")
+    }),
+
     // ---------- citation parsing (reference API surface) ----------
 
     // RIS round-trip: build a RIS blob per document row, parse it back with
@@ -1690,6 +1742,57 @@ object SparkEntry {
          |      OVER (PARTITION BY doc_id % 20) AS max_toks
          |  FROM documents)
          |WHERE toks * 2 >= max_toks""".stripMargin,
+
+    "q_mix_stratified" -> {
+      val cases = MixRates.map { case (s, r) =>
+        s"WHEN '$s' THEN '${Mixing.rateThresholdHex(r)}'"
+      }.mkString(" ")
+      s"""SELECT doc_id, source FROM documents
+         |WHERE substr(md5('mixs|' || CAST(doc_id AS VARCHAR)), 1, 8) <
+         |  CASE source $cases ELSE '${Mixing.rateThresholdHex(0.5)}' END""".stripMargin
+    },
+
+    "q_mix_oversample" -> {
+      def parts(w: Double) = (math.floor(w).toInt, Mixing.rateThresholdHex(w - math.floor(w)))
+      val baseCases = MixWeights.map { case (s, w) =>
+        s"WHEN '$s' THEN ${parts(w)._1}"
+      }.mkString(" ")
+      val fracCases = MixWeights.map { case (s, w) =>
+        s"WHEN '$s' THEN '${parts(w)._2}'"
+      }.mkString(" ")
+      s"""SELECT doc_id, source,
+         |  CAST(unnest(generate_series(1, copies)) AS INT) AS copy_id
+         |FROM (
+         |  SELECT doc_id, source,
+         |    (CASE source $baseCases ELSE ${parts(1.0)._1} END)
+         |    + (CASE WHEN substr(md5('mixo|' || CAST(doc_id AS VARCHAR)), 1, 8) <
+         |        CASE source $fracCases ELSE '${parts(1.0)._2}' END
+         |      THEN 1 ELSE 0 END) AS copies
+         |  FROM documents)
+         |WHERE copies >= 1""".stripMargin
+    },
+
+    // the oracle IS the per-group row_number window the Spark side avoids
+    "q_domain_cap" ->
+      """SELECT source, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('cap|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 8""".stripMargin,
+
+    // the oracle IS the naive global running-sum window the Spark side
+    // deliberately avoids — hash equality proves the bucketed cut-rank
+    // descent selects the identical row set
+    "q_mix_token_budget" ->
+      s"""SELECT doc_id, toks FROM (
+         |  SELECT doc_id,
+         |    CAST(${TextOps.tokenCountSql("text")} AS BIGINT) AS toks,
+         |    SUM(CAST(${TextOps.tokenCountSql("text")} AS BIGINT))
+         |      OVER (ORDER BY md5('mixb|' || CAST(doc_id AS VARCHAR))
+         |            ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM documents)
+         |WHERE cum <= $MixBudget""".stripMargin,
 
     "q_corpus_filter" ->
       s"""SELECT min(doc_id) AS doc_id, count(*) AS n_copies

@@ -1,0 +1,125 @@
+package graft.expr
+
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+import java.nio.ByteBuffer
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
+import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
+
+/** Bounded top-k aggregate: collects the k SMALLEST values of `child`
+  * (struct ordering is field-wise, so callers put the sort key first and
+  * the payload after) and evaluates to them as a sorted array.
+  *
+  * This is the skew-safe replacement for the `row_number() OVER
+  * (PARTITION BY g ORDER BY s) <= k` pattern: a window materializes and
+  * sorts EVERY row of the hottest group on one task (the funnel the
+  * pipeline already avoids for exact-dup edges and representative
+  * selection), while this aggregate's state is capped at k rows per group
+  * in BOTH the partial (map-side) and final aggregate — a 10⁶-row hot
+  * domain ships k rows per map task, not 10⁶ rows to one task.
+  *
+  * The buffer over-collects to 2k before each compaction (sort + truncate
+  * to k), amortizing the sort to O(log k) per row. Merge concatenates and
+  * compacts. No reference analog (the reference has no grouped top-k);
+  * ordering semantics match Spark's own struct comparator, which the
+  * DuckDB oracle replicates with ORDER BY on the same fields.
+  */
+case class TopKAgg(child: Expression, k: Int,
+                   mutableAggBufferOffset: Int = 0,
+                   inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[ArrayBuffer[InternalRow]] {
+
+  require(k >= 1, s"top-k needs k >= 1, got $k")
+
+  private def childStruct: StructType = child.dataType.asInstanceOf[StructType]
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
+
+  override def checkInputDataTypes() =
+    if (!child.dataType.isInstanceOf[StructType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"top_k expects a struct child (sort key fields first), got ${child.dataType}")
+    else TypeUtils.checkForOrderingExpr(child.dataType, "top_k")
+
+  @transient private lazy val ordering: Ordering[InternalRow] =
+    TypeUtils.getInterpretedOrdering(child.dataType)
+      .asInstanceOf[Ordering[InternalRow]]
+
+  override def createAggregationBuffer(): ArrayBuffer[InternalRow] =
+    new ArrayBuffer[InternalRow](k)
+
+  private def compact(buf: ArrayBuffer[InternalRow]): Unit =
+    if (buf.length > k) {
+      val kept = buf.sorted(ordering).take(k)
+      buf.clear()
+      buf ++= kept
+    }
+
+  override def update(buf: ArrayBuffer[InternalRow], input: InternalRow): ArrayBuffer[InternalRow] = {
+    val v = child.eval(input)
+    if (v != null) {
+      buf += v.asInstanceOf[InternalRow].copy()
+      if (buf.length >= 2 * k) compact(buf)
+    }
+    buf
+  }
+
+  override def merge(buf: ArrayBuffer[InternalRow], other: ArrayBuffer[InternalRow]): ArrayBuffer[InternalRow] = {
+    buf ++= other
+    compact(buf)
+    buf
+  }
+
+  override def eval(buf: ArrayBuffer[InternalRow]): Any =
+    new GenericArrayData(buf.sorted(ordering).take(k).toArray[Any])
+
+  @transient private lazy val proj = UnsafeProjection.create(Array[DataType](child.dataType))
+
+  override def serialize(buf: ArrayBuffer[InternalRow]): Array[Byte] = {
+    compact(buf)
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.length)
+    buf.foreach { row =>
+      val bytes = proj.apply(InternalRow(row)).getBytes
+      out.writeInt(bytes.length)
+      out.write(bytes)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[InternalRow] = {
+    val in = ByteBuffer.wrap(bytes)
+    val n = in.getInt
+    val buf = new ArrayBuffer[InternalRow](n)
+    val fields = childStruct.length
+    var i = 0
+    while (i < n) {
+      val size = in.getInt
+      val rowBytes = new Array[Byte](size)
+      in.get(rowBytes)
+      val u = new UnsafeRow(1)
+      u.pointTo(rowBytes, size)
+      buf += u.getStruct(0, fields).copy()
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): TopKAgg =
+    copy(child = c.head)
+
+  override def prettyName: String = "top_k"
+}

@@ -87,6 +87,15 @@ object functions {
     col(RhpSignature(ex(c), bits, seed))
   def fingerprint_set(c: Column, k: Int = 8, w: Int = 4): Column =
     col(FingerprintSet(ex(c), k, w))
+  /** Bounded grouped top-k: the k smallest values of a struct column
+    * (sort-key fields first, payload after), as a sorted array — the
+    * skew-safe replacement for `row_number() OVER (...) <= k`; per-group
+    * state is capped at k rows on the map side too. See
+    * [[graft.expr.TopKAgg]].
+    */
+  def top_k(sortedStruct: Column, k: Int): Column =
+    col(TopKAgg(ex(sortedStruct), k).toAggregateExpression())
+
   def fingerprint64(c: Column, k: Int = 8, w: Int = 4): Column =
     col(Fingerprint64(ex(c), k, w))
 

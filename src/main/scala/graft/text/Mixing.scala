@@ -1,0 +1,178 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic training-data mixing: stratified (per-domain/per-source)
+  * sampling, epoch-style oversampling, and token-budget cutoff (graft-added
+  * ops per the builder brief; no reference analog — the reference dedups a
+  * citation corpus but never re-weights it).
+  *
+  * Every decision is keyed on an md5-hex rank of (seed, key) — a pure
+  * function of the row, so runs are reproducible, partition-layout
+  * independent, and engine-portable: DuckDB computes the identical md5 hex
+  * string, so the oracle replicates the exact keep/drop/copy decisions, not
+  * just their statistics. Rates are compared in HEX-STRING space (first 8
+  * hex chars vs a precomputed threshold literal) rather than converting to
+  * numbers: fixed-width lowercase hex compares lexicographically exactly
+  * like the underlying 32-bit value in both engines.
+  *
+  * Scale notes (100 TB):
+  *  - [[stratifiedSample]] / [[oversample]] are narrow per-row ops plus one
+  *    broadcast join against the (tiny) weights table — no shuffle of the
+  *    corpus.
+  *  - [[tokenBudget]] is the interesting one: the naive form is a GLOBAL
+  *    running sum over rank order — a single-partition window, the classic
+  *    scale funnel. Instead we recurse over hex-prefix buckets: a 4096-way
+  *    partial-agg histogram per level (bytes of shuffle), driver-side
+  *    cumsum over ≤4096 rows, descend into the single boundary bucket.
+  *    Each level divides the candidate set by 4096; the final exact window
+  *    runs over one tiny bucket. The kept set is IDENTICAL to the global
+  *    window's (bucket order == rank order, by construction).
+  */
+object Mixing {
+
+  /** Reproducible per-row rank: md5 hex of "seed|key" (32 lowercase hex
+    * chars). DuckDB replica: `md5('seed|' || CAST(key AS VARCHAR))`.
+    */
+  def hashRank(seed: String, key: Column): Column =
+    md5(concat_ws("|", lit(seed), key.cast("string")))
+
+  /** Hex threshold such that `substr(rank,1,8) < threshold` keeps rows with
+    * probability `rate`. rate ≥ 1 → "g" (sorts after every hex digit: keep
+    * all); rate ≤ 0 → "00000000" (nothing sorts strictly below: keep none).
+    */
+  def rateThresholdHex(rate: Double): String =
+    if (rate >= 1.0) "g"
+    else if (rate <= 0.0) "00000000"
+    else f"${(rate * 4294967296.0).toLong}%08x"
+
+  /** Per-stratum deterministic Bernoulli sample. A row in stratum `s` is
+    * kept iff its 8-hex rank prefix sorts below the stratum's rate
+    * threshold — i.e. kept with probability `rates(s)` (or `defaultRate`),
+    * but decided by the row's own hash, so re-runs and different partition
+    * layouts keep the same rows.
+    */
+  def stratifiedSample(docs: DataFrame, stratum: Column, key: Column,
+                       rates: Map[String, Double], defaultRate: Double,
+                       seed: String): DataFrame = {
+    val rh = rates.foldLeft(lit(rateThresholdHex(defaultRate))) {
+      case (acc, (s, r)) => when(stratum === s, lit(rateThresholdHex(r))).otherwise(acc)
+    }
+    docs.filter(substring(hashRank(seed, key), 1, 8) < rh)
+  }
+
+  /** Epoch-style oversampling: stratum weight w emits floor(w) copies of
+    * every row plus one extra iff the row's rank falls below frac(w) — so
+    * the expected copy count is exactly w and the decision is per-row
+    * deterministic. Rows in strata with w < 1 become a subsample; w = 0
+    * drops the stratum. Adds `copy_id` (1-based).
+    */
+  def oversample(docs: DataFrame, stratum: Column, key: Column,
+                 weights: Map[String, Double], defaultWeight: Double,
+                 seed: String): DataFrame = {
+    def copiesOf(w: Double): (Int, String) = {
+      val base = math.floor(math.max(w, 0.0)).toInt
+      (base, rateThresholdHex(math.max(w, 0.0) - base))
+    }
+    val (db, dh) = copiesOf(defaultWeight)
+    val (baseCopies, fracHex) = weights.foldLeft((lit(db), lit(dh))) {
+      case ((accB, accH), (s, w)) =>
+        val (b, h) = copiesOf(w)
+        (when(stratum === s, lit(b)).otherwise(accB),
+          when(stratum === s, lit(h)).otherwise(accH))
+    }
+    val copies = baseCopies +
+      when(substring(hashRank(seed, key), 1, 8) < fracHex, 1).otherwise(0)
+    docs.withColumn("copy_id",
+        explode(when(copies >= 1, sequence(lit(1), copies))
+          .otherwise(array().cast("array<int>"))))
+  }
+
+  /** Keep rows in global md5-rank order while the running (inclusive) sum
+    * of `tok` stays ≤ `budget` — "fill the token budget from a reproducible
+    * shuffle of the corpus". Semantically identical to
+    * `SUM(tok) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) ≤ budget`
+    * but without the single-partition global window: the keep set in rank
+    * order is a lexicographic PREFIX of the rank space, so the whole
+    * operator reduces to finding the cut rank and filtering `rank ≤ cut` —
+    * a narrow, pushdown-friendly predicate. The cut is found by hex-prefix
+    * bucket descent: a 4096-way partial-agg histogram per level (bytes of
+    * shuffle, driver cumsum over ≤4096 rows), descending into the single
+    * boundary bucket until it is small enough to walk exactly on the
+    * driver. 3 levels fence a 10^12-row corpus down to a ≤windowLimit
+    * boundary bucket.
+    *
+    * Ranks are assumed distinct (md5 of a unique `key`, e.g. the doc id):
+    * rows sharing a full 32-hex rank share keep/drop fate, which can
+    * overshoot the budget by their token sum.
+    *
+    * Returns the input columns filtered to the kept set.
+    */
+  def tokenBudget(docs: DataFrame, tok: Column, key: Column, budget: Long,
+                  seed: String, hexPerLevel: Int = 3, maxDepth: Int = 4,
+                  windowLimit: Long = 100000L): DataFrame = {
+    require(hexPerLevel >= 1 && hexPerLevel <= 6, "hexPerLevel in [1,6]")
+    val rank = hashRank(seed, key)
+    val tokL = tok.cast("long")
+    // slim (rank, tok) projection drives the descent; persisted because
+    // each level re-reads it (at corpus scale this is a checkpoint-sized
+    // artifact — 40 bytes/row — not a re-scan of the raw table)
+    val slim = docs.select(rank.as("r"), tokL.as("t")).persist()
+    try {
+      var prefix = ""
+      var remaining = budget
+      var boundaryDone = false
+      var keepAll = false
+      while (!boundaryDone && !keepAll) {
+        val off = prefix.length
+        val hist = slim
+          .filter(if (off == 0) lit(true) else col("r").startsWith(prefix))
+          .groupBy(substring(col("r"), off + 1, hexPerLevel).as("bkt"))
+          .agg(sum("t").as("t"), count(lit(1)).as("n"))
+          .collect()
+          .map(row => (row.getString(0), row.getLong(1), row.getLong(2)))
+          .sortBy(_._1)
+        var cum = 0L
+        var boundary: Option[(String, Long)] = None
+        hist.foreach { case (bkt, t, n) =>
+          if (boundary.isEmpty && cum + t > remaining) boundary = Some((bkt, n))
+          if (boundary.isEmpty) cum += t
+        }
+        boundary match {
+          case None =>
+            // everything under this prefix fits (only reachable at the top
+            // level: a descended-into bucket overflows by construction)
+            keepAll = true
+          case Some((bkt, n)) =>
+            prefix = prefix + bkt
+            remaining -= cum
+            if (n <= windowLimit || prefix.length >= hexPerLevel * maxDepth)
+              boundaryDone = true
+        }
+      }
+      if (keepAll) docs
+      else {
+        // exact walk of the single boundary bucket on the driver
+        // (≤ windowLimit rows by the descent guard; a >windowLimit bucket
+        // at maxDepth needs ~10^10 rows sharing 48 rank bits — only
+        // possible with duplicate keys, documented above)
+        val boundaryRows = slim.filter(col("r").startsWith(prefix))
+          .collect().map(row => (row.getString(0), row.getLong(1)))
+          .sortBy(_._1)
+        var cum = 0L
+        var cut: String = null // inclusive cut; null → nothing in bucket fits
+        boundaryRows.foreach { case (r, t) =>
+          // window semantics: cum includes EVERY row up to here (no
+          // skipping an overflowing row), so overflow is permanent
+          cum += t
+          if (cum <= remaining) cut = r
+        }
+        // kept-by-bucket rows are exactly rank < prefix (all ranks are 32
+        // chars ≥ prefix length, so "sorts below prefix+…" ⟺ "< prefix")
+        val pred = if (cut == null) rank < lit(prefix) else rank <= lit(cut)
+        docs.filter(pred)
+      }
+    } finally slim.unpersist()
+  }
+}

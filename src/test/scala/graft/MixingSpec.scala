@@ -1,0 +1,124 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.Mixing
+
+/** Deterministic data mixing: stratified sampling, oversampling, and the
+  * bucketed token-budget cutoff vs a locally computed global running sum.
+  */
+class MixingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+
+  test("rateThresholdHex boundaries") {
+    assert(Mixing.rateThresholdHex(1.0) === "g")
+    assert(Mixing.rateThresholdHex(1.5) === "g")
+    assert(Mixing.rateThresholdHex(0.0) === "00000000")
+    assert(Mixing.rateThresholdHex(-0.1) === "00000000")
+    assert(Mixing.rateThresholdHex(0.5) === "80000000")
+    assert(Mixing.rateThresholdHex(0.25) === "40000000")
+  }
+
+  test("stratifiedSample: rate 0 drops, rate 1 keeps, default applies, deterministic") {
+    val docs = (0L until 600L).map(i => (i, s"s${i % 3}")).toDF("id", "stratum")
+    val out = Mixing.stratifiedSample(docs, col("stratum"), col("id"),
+      Map("s0" -> 1.0, "s1" -> 0.0), 0.5, "seedA")
+    val byStratum = out.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStratum("s0") === 200L)          // rate 1: all kept
+    assert(!byStratum.contains("s1"))         // rate 0: none kept
+    val s2 = byStratum("s2").toDouble / 200.0 // default 0.5 ± sampling noise
+    assert(s2 > 0.35 && s2 < 0.65, s"default-rate keep fraction $s2")
+    // per-row decision matches the local md5 replica (exact, not statistical)
+    val kept = out.filter(col("stratum") === "s2").select("id").as[Long].collect().toSet
+    val expected = (0L until 600L).filter(i => i % 3 == 2)
+      .filter(i => md5hex(s"seedA|$i").substring(0, 8) < "80000000").toSet
+    assert(kept === expected)
+  }
+
+  test("oversample: weights 2.5 / 0.5 / default 1.0, copy ids dense from 1") {
+    val docs = (0L until 300L).map(i => (i, s"s${i % 3}")).toDF("id", "stratum")
+    val out = Mixing.oversample(docs, col("stratum"), col("id"),
+      Map("s0" -> 2.5, "s1" -> 0.5), 1.0, "seedB").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val copies = out.groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).sorted).toMap
+    copies.foreach { case ((id, s), ids) =>
+      assert(ids === (1 to ids.size).toVector.map(identity), s"dense copy ids for $id")
+      s match {
+        case "s0" => assert(ids.size == 2 || ids.size == 3)
+        case "s1" => assert(ids.size == 1) // 0-copy rows don't appear at all
+        case _    => assert(ids.size == 1)
+      }
+    }
+    // every s0/default doc appears; s1 docs appear iff their rank bit says so
+    assert(copies.keys.count(_._2 == "s0") === 100)
+    assert(copies.keys.count(_._2 == "s2") === 100)
+    val s1Kept = copies.keys.filter(_._2 == "s1").map(_._1).toSet
+    val s1Expected = (0L until 300L).filter(_ % 3 == 1)
+      .filter(i => md5hex(s"seedB|$i").substring(0, 8) < "80000000").toSet
+    assert(s1Kept === s1Expected)
+    // expected copy count for s0 = 2 + P(rank < 0.5): exact per-row check
+    copies.foreach { case ((id, s), ids) =>
+      if (s == "s0") {
+        val extra = md5hex(s"seedB|$id").substring(0, 8) < "80000000"
+        assert(ids.size === (if (extra) 3 else 2))
+      }
+    }
+  }
+
+  private def expectedBudgetKeep(rows: Seq[(Long, Long)], seed: String,
+                                 budget: Long): Set[Long] = {
+    var cum = 0L
+    rows.map { case (id, t) => (md5hex(s"$seed|$id"), id, t) }
+      .sortBy(_._1)
+      .flatMap { case (_, id, t) =>
+        cum += t
+        if (cum <= budget) Some(id) else None
+      }.toSet
+  }
+
+  test("tokenBudget matches the global running-sum semantics exactly") {
+    // zero-token rows included: once the cum overflows, a later 0-token row
+    // must STILL be dropped (window semantics, no skipping)
+    val rows = (0L until 400L).map(i => (i, if (i % 7 == 0) 0L else (i % 23) + 1L))
+    val docs = rows.toDF("id", "toks")
+    for (budget <- Seq(0L, 37L, 500L, 2000L, 1000000L)) {
+      val kept = Mixing.tokenBudget(docs, col("toks"), col("id"), budget, "seedC")
+        .select("id").as[Long].collect().toSet
+      assert(kept === expectedBudgetKeep(rows, "seedC", budget), s"budget $budget")
+    }
+  }
+
+  test("tokenBudget multi-level descent (hexPerLevel=1, windowLimit=1) is identical") {
+    val rows = (0L until 400L).map(i => (i, (i % 13) + 1L))
+    val docs = rows.toDF("id", "toks")
+    val kept = Mixing.tokenBudget(docs, col("toks"), col("id"), 1100L, "seedD",
+      hexPerLevel = 1, maxDepth = 32, windowLimit = 1L)
+      .select("id").as[Long].collect().toSet
+    assert(kept === expectedBudgetKeep(rows, "seedD", 1100L))
+    assert(kept.nonEmpty && kept.size < 400)
+  }
+
+  test("tokenBudget output plan is a narrow filter: no Window, no extra Exchange") {
+    val docs = (0L until 100L).map(i => (i, i % 5 + 1L)).toDF("id", "toks")
+    val out = Mixing.tokenBudget(docs, col("toks"), col("id"), 50L, "seedE")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no window in:\n$plan")
+    assert(!plan.contains("Exchange"), s"no shuffle in:\n$plan")
+  }
+}

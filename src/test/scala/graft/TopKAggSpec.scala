@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.top_k
+
+/** Bounded grouped top-k aggregate ([[graft.expr.TopKAgg]]). */
+class TopKAggSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("k smallest per group, sorted, across partitions (serde exercised)") {
+    // 4 input partitions force partial buffers through serialize/merge
+    val df = spark.range(0, 1000, 1, 4)
+      .select((col("id") % 7).as("g"), col("id"))
+      .groupBy("g")
+      .agg(top_k(struct((col("id") * 37 % 101).as("s"), col("id")), 5).as("t"))
+      .select(col("g"), col("t"))
+    val got = df.collect().map(r => r.getLong(0) ->
+      r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getLong(0), x.getLong(1)))).toMap
+    val expected = (0L until 1000L).groupBy(_ % 7).view.mapValues(
+      _.map(id => (id * 37 % 101, id)).sorted.take(5).toSeq).toMap
+    (0L until 7L).foreach(g => assert(got(g) === expected(g), s"group $g"))
+  }
+
+  test("hot group: 200k-row group still returns exactly k, payload intact") {
+    val df = spark.range(0, 200000, 1, 8)
+      .select(lit("hot").as("g"), col("id"))
+      .union(spark.range(0, 3).select(lit("cold").as("g"), col("id") + 1000000L))
+      .groupBy("g")
+      .agg(top_k(struct(col("id").as("s"), (col("id") * 2).as("payload")), 4).as("t"))
+    val got = df.collect().map(r => r.getString(0) ->
+      r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getLong(0), x.getLong(1)))).toMap
+    assert(got("hot") === Seq((0L, 0L), (1L, 2L), (2L, 4L), (3L, 6L)))
+    assert(got("cold") === Seq((1000000L, 2000000L), (1000001L, 2000002L), (1000002L, 2000004L)))
+  }
+
+  test("plan: partial ObjectHashAggregate on the map side, no Window") {
+    val df = spark.range(0, 100, 1, 4)
+      .select((col("id") % 3).as("g"), col("id"))
+      .groupBy("g").agg(top_k(struct(col("id")), 2).as("t"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.toLowerCase.contains("partial_top_k"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("string sort keys and ties broken by later struct fields") {
+    val df = Seq(("g", "b", 1L), ("g", "a", 9L), ("g", "a", 3L), ("g", "c", 0L))
+      .toDF("g", "s", "id")
+      .groupBy("g").agg(top_k(struct(col("s"), col("id")), 3).as("t"))
+    val got = df.collect().head.getSeq[org.apache.spark.sql.Row](1)
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(got === Seq(("a", 3L), ("a", 9L), ("b", 1L)))
+  }
+
+  test("null structs are skipped; fewer than k rows returns all") {
+    val df = Seq((1L, Some(5L)), (1L, None), (1L, Some(2L)))
+      .toDF("g", "v")
+      .groupBy("g")
+      .agg(top_k(when(col("v").isNotNull, struct(col("v"))), 10).as("t"))
+    val got = df.collect().head.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0))
+    assert(got === Seq(2L, 5L))
+  }
+}

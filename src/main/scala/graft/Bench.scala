@@ -50,10 +50,12 @@ object Bench {
     // round-2's BENCH looked like a 26% regression until an idle-box rerun
     // showed it was tenancy noise.
     val burn = Burn.probe()
+    val diskMbs = Burn.diskWriteMBs()
     val effCores = Seq(2, 4, 8)
       .map(w => f""""effective_cores_$w":${burn.eff(w)}%.2f""")
       .mkString(",") +
-      f""","burn_r1_spread":${burn.r1Spread}%.3f,"burn_stable":${burn.stable}"""
+      f""","burn_r1_spread":${burn.r1Spread}%.3f,"burn_stable":${burn.stable}""" +
+      f""","disk_write_mb_s":$diskMbs%.0f"""
 
     // JVM/codegen warmup so the first measured query is not paying JIT cost
     spark.range(1000000).selectExpr("sum(id)").collect()

@@ -113,10 +113,43 @@ object Burn {
     */
   def effectiveCores(): Map[Int, Double] = probe().eff
 
+  /** Sequential-write throughput probe (MB/s, fsync'd): the box's OTHER
+    * drifting ceiling. The CPU burn reads clean while checkpoint-heavy
+    * bench entries run 1.5-2× slow whenever the single local disk is
+    * saturated or the page cache was just cycled by a multi-GB job (two
+    * same-code runs 40 min apart measured dedup_incremental at 21 s and
+    * 46 s under IDENTICAL stable ~8-core burns, 2026-08-18) — so the bench
+    * artifact carries write MB/s next to effective_cores, making an
+    * I/O-degraded window self-documenting the same way a steal window is.
+    */
+  def diskWriteMBs(dir: String = "/tmp", totalMb: Int = 128): Double = {
+    val p = java.nio.file.Files.createTempFile(
+      java.nio.file.Paths.get(dir), "graft-disk-", ".probe")
+    try {
+      val ch = java.nio.channels.FileChannel.open(
+        p, java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val arr = new Array[Byte](1 << 20)
+        new java.util.Random(42).nextBytes(arr) // incompressible-ish
+        val buf = java.nio.ByteBuffer.allocateDirect(1 << 20)
+        val t0 = System.nanoTime()
+        var i = 0
+        while (i < totalMb) {
+          buf.clear(); buf.put(arr); buf.flip()
+          while (buf.hasRemaining) ch.write(buf)
+          i += 1
+        }
+        ch.force(false) // charge the flush, not just the page-cache copy
+        totalMb / ((System.nanoTime() - t0) / 1e9)
+      } finally ch.close()
+    } finally { java.nio.file.Files.deleteIfExists(p); () }
+  }
+
   def main(args: Array[String]): Unit = {
     val p = probe()
     println(f"BURN effective_cores_2=${p.eff(2)}%.2f effective_cores_4=${p.eff(4)}%.2f " +
       f"effective_cores_8=${p.eff(8)}%.2f ceiling_2to8=${p.ceiling2to8}%.3f " +
-      f"burn_r1_spread=${p.r1Spread}%.3f burn_stable=${p.stable}")
+      f"burn_r1_spread=${p.r1Spread}%.3f burn_stable=${p.stable} " +
+      f"disk_write_mb_s=${diskWriteMBs()}%.0f")
   }
 }

@@ -338,6 +338,29 @@ object PlanAudit {
         !pmixs.contains("Window") &&
         (pmixs.contains("WholeStageCodegen") || pmixs.contains("*(")), pmixs)
 
+    // Range join: the binning rewrite must plan as an EQUI-join (hash or
+    // sort-merge on bin id), never the nested-loop/cartesian Spark picks
+    // for a raw inequality join.
+    val prj = plan("q_range_join")
+    check("q_range_join: equi-join on bin id (no BroadcastNestedLoopJoin/cartesian)",
+      !prj.contains("BroadcastNestedLoopJoin") &&
+        !prj.toLowerCase.contains("cartesian") &&
+        (prj.contains("ShuffledHashJoin") || prj.contains("SortMergeJoin") ||
+          prj.contains("BroadcastHashJoin")), prj)
+
+    // Token windowing: a narrow per-row explode — no shuffle, no window.
+    val pchk = plan("q_chunk_windows")
+    check("q_chunk_windows: narrow explode (no Exchange/join/Window)",
+      !pchk.contains("Exchange") && !pchk.contains("Join") &&
+        !pchk.contains("Window"), pchk)
+
+    // Split assignment: pure per-row label — narrow codegen'd scan.
+    val pspl = plan("q_mix_split")
+    check("q_mix_split: narrow codegen'd scan (no Exchange/join/Window)",
+      !pspl.contains("Exchange") && !pspl.contains("Join") &&
+        !pspl.contains("Window") &&
+        (pspl.contains("WholeStageCodegen") || pspl.contains("*(")), pspl)
+
     println(s"PlanAudit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()
     if (failures > 0) sys.exit(1)

@@ -10,7 +10,8 @@ import graft.dedup.ConnectedComponents
 import graft.functions._
 import graft.io.WarcSource
 import graft.multimodal.Multimodal
-import graft.text.{C4Gate, Curation, GopherGate, HeavyHitters, LineDedup, Mixing, Passages, Pii, Repetition, TextOps, UrlOps}
+import graft.operators.RangeJoin
+import graft.text.{C4Gate, Chunking, Curation, GopherGate, HeavyHitters, LineDedup, Mixing, Passages, Pii, Repetition, TextOps, UrlOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -108,6 +109,9 @@ object SparkEntry {
   private val MixRates = Map("src0" -> 0.9, "src1" -> 0.25, "src5" -> 0.0)
   private val MixWeights = Map("src0" -> 2.5, "src1" -> 0.5)
   private val MixBudget = 12000L
+  private val MixSplits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+  private val ChunkSize = 32
+  private val ChunkStride = 24
 
   // embeddings corpus/queries used by the ANN entries
   private def annInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
@@ -1193,6 +1197,23 @@ object SparkEntry {
         .select(col("source"), col("rd.doc_id").as("doc_id"))
     }),
 
+    // Deterministic n-way split assignment: stable under re-runs,
+    // repartitioning, and corpus growth (a new row never moves an old
+    // row's label).
+    "q_mix_split" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        Mixing.splitAssign(col("doc_id"), "split", MixSplits).as("split"))
+    }),
+
+    // Fixed-length token windowing (pretraining sequence prep): narrow
+    // explode of per-doc windows, exact boundaries pinned by the oracle.
+    "q_chunk_windows" -> ((s, dir) => {
+      Chunking.fixedTokenWindows(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          col("text"), ChunkSize, ChunkStride)
+        .select("doc_id", "chunk_id", "chunk_text", "chunk_tokens")
+    }),
+
     // Token-budget cutoff: fill MixBudget tokens from the md5-rank order.
     // The operator finds the cut rank via bucketed histograms (no global
     // window); the oracle IS the global window — the hash compare proves
@@ -1202,6 +1223,21 @@ object SparkEntry {
         .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("toks"))
       Mixing.tokenBudget(slim, col("toks"), col("doc_id"), MixBudget, "mixb")
         .select("doc_id", "toks")
+    }),
+
+    // Bucketed range join: events matched to enclosing 30-min intervals
+    // via interval binning — an EQUI-join on bin id plus an exact filter,
+    // never the BroadcastNestedLoopJoin Spark picks for raw inequality
+    // joins. The oracle is the raw inequality join, pinning equivalence.
+    "q_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val points = ev.select(col("event_id"), unix_timestamp(col("ts")).as("pts"))
+      val intervals = ev.filter(col("event_id") % 100 === 0)
+        .select(col("event_id").as("interval_id"),
+          unix_timestamp(col("ts")).as("lo"),
+          (unix_timestamp(col("ts")) + 1800).as("hi"))
+      RangeJoin.pointInInterval(points, "pts", intervals, "lo", "hi", 600L)
+        .select("interval_id", "event_id")
     }),
 
     // ---------- citation parsing (reference API surface) ----------
@@ -1771,6 +1807,25 @@ object SparkEntry {
          |  FROM documents)
          |WHERE copies >= 1""".stripMargin
     },
+
+    // the oracle IS the raw inequality join the Spark side avoids
+    "q_range_join" ->
+      """SELECT i.interval_id, p.event_id FROM
+        |  (SELECT event_id AS interval_id,
+        |          CAST(floor(epoch(ts)) AS BIGINT) AS lo,
+        |          CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS hi
+        |   FROM events WHERE event_id % 100 = 0) i
+        |JOIN (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS pts
+        |      FROM events) p
+        |  ON p.pts >= i.lo AND p.pts <= i.hi""".stripMargin,
+
+    "q_mix_split" ->
+      s"""SELECT doc_id,
+         |  ${Mixing.splitAssignSql("CAST(doc_id AS VARCHAR)", "split", MixSplits)} AS split
+         |FROM documents""".stripMargin,
+
+    "q_chunk_windows" ->
+      Chunking.fixedTokenWindowsSql("documents", "doc_id", "text", ChunkSize, ChunkStride),
 
     // the oracle IS the per-group row_number window the Spark side avoids
     "q_domain_cap" ->

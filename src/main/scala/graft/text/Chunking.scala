@@ -1,0 +1,69 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fixed-length token windowing — the "split every document into
+  * `size`-token training sequences with `stride` overlap" step of a
+  * pretraining pipeline (graft-added op per the builder brief; no
+  * reference analog).
+  *
+  * Pure narrow flatMap shape: tokens → window starts (`sequence` +
+  * `explode`) → `slice`/`array_join` per window — all codegen'd
+  * built-ins, no UDF, no shuffle, so the op scales as an embarrassingly
+  * parallel scan. Every formula is integer arithmetic with an exact
+  * DuckDB dual (emitted by [[fixedTokenWindowsSql]]), so the oracle pins
+  * the precise chunk boundaries, not just counts.
+  *
+  * Window rule: starts at 0, `stride`, 2·`stride`, …, with the LAST start
+  * chosen so the final window just covers the tail — i.e.
+  * `nChunks = ceil(max(0, n − size) / stride) + 1`. A doc with `n ≤ size`
+  * tokens yields exactly one (possibly short) window; empty docs yield
+  * none. No redundant tail window whose tokens are all covered already.
+  */
+object Chunking {
+
+  /** Explode `textCol` into (all original columns, chunk_id, chunk_text,
+    * chunk_tokens). Tokens are whitespace-split to match
+    * [[TextOps.tokenCount]].
+    */
+  def fixedTokenWindows(docs: DataFrame, textCol: Column,
+                        size: Int, stride: Int): DataFrame = {
+    require(size >= 1 && stride >= 1, s"size/stride >= 1, got $size/$stride")
+    val toks = split(textCol, " ")
+    val n = org.apache.spark.sql.functions.size(toks)
+    // ceil(max(0, n-size)/stride) in exact integer arithmetic (all terms
+    // nonnegative, so double-truncating cast == floor == integer div)
+    val lastStart =
+      floor((greatest(n - size, lit(0)) + (stride - 1)) / stride).cast("int") * stride
+    docs
+      .filter(length(trim(textCol)) > 0)
+      .withColumn("_toks", toks)
+      .withColumn("_start", explode(sequence(lit(0), lastStart, lit(stride))))
+      .withColumn("chunk_id", (col("_start") / stride).cast("int"))
+      .withColumn("chunk_text",
+        array_join(slice(col("_toks"), col("_start") + 1, lit(size)), " "))
+      .withColumn("chunk_tokens",
+        org.apache.spark.sql.functions.size(
+          slice(col("_toks"), col("_start") + 1, lit(size))))
+      .drop("_toks", "_start")
+  }
+
+  /** DuckDB dual of [[fixedTokenWindows]] over a table with columns
+    * `idCol` and `textCol`; emits (idCol, chunk_id, chunk_text,
+    * chunk_tokens).
+    */
+  def fixedTokenWindowsSql(table: String, idCol: String, textCol: String,
+                           size: Int, stride: Int): String =
+    s"""SELECT $idCol,
+       |  CAST(start // $stride AS INT) AS chunk_id,
+       |  array_to_string(toks[start + 1 : start + $size], ' ') AS chunk_text,
+       |  CAST(len(toks[start + 1 : start + $size]) AS INT) AS chunk_tokens
+       |FROM (
+       |  SELECT $idCol, toks,
+       |    unnest(generate_series(0,
+       |      ((greatest(len(toks) - $size, 0) + ${stride - 1}) // $stride) * $stride,
+       |      $stride)) AS start
+       |  FROM (SELECT $idCol, string_split($textCol, ' ') AS toks
+       |        FROM $table WHERE len(trim($textCol)) > 0))""".stripMargin
+}

@@ -89,6 +89,36 @@ object Mixing {
           .otherwise(array().cast("array<int>"))))
   }
 
+  /** Deterministic train/val/test (or any n-way) split assignment: the
+    * 32-bit rank space is cut at the cumulative-fraction boundaries and a
+    * row's label is the segment its own rank falls in — stable under
+    * re-runs, repartitioning, and corpus growth (a new row never moves an
+    * old row's label). The last label absorbs any rounding tail so every
+    * row is assigned. DuckDB dual: [[splitAssignSql]].
+    */
+  def splitAssign(key: Column, seed: String,
+                  fractions: Seq[(String, Double)]): Column = {
+    require(fractions.nonEmpty, "at least one split label")
+    val rank8 = substring(hashRank(seed, key), 1, 8)
+    val cum = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    fractions.init.zip(cum.init).foldRight(lit(fractions.last._1): Column) {
+      case (((label, _), c), acc) =>
+        when(rank8 < lit(rateThresholdHex(c)), lit(label)).otherwise(acc)
+    }
+  }
+
+  /** DuckDB replica of [[splitAssign]] over a SQL expression `keySql`
+    * (already a VARCHAR expression, e.g. `CAST(doc_id AS VARCHAR)`).
+    */
+  def splitAssignSql(keySql: String, seed: String,
+                     fractions: Seq[(String, Double)]): String = {
+    val cum = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    val whens = fractions.init.zip(cum.init).map { case ((label, _), c) =>
+      s"WHEN substr(md5('$seed|' || $keySql), 1, 8) < '${rateThresholdHex(c)}' THEN '$label'"
+    }.mkString(" ")
+    s"(CASE $whens ELSE '${fractions.last._1}' END)"
+  }
+
   /** Keep rows in global md5-rank order while the running (inclusive) sum
     * of `tok` stays ≤ `budget` — "fill the token budget from a reproducible
     * shuffle of the corpus". Semantically identical to

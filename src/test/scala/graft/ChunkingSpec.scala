@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.Chunking
+
+/** Fixed-length token windowing for pretraining sequence prep. */
+class ChunkingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def run(texts: Seq[(Long, String)], size: Int, stride: Int): Seq[(Long, Int, String, Int)] =
+    Chunking.fixedTokenWindows(texts.toDF("id", "text"), col("text"), size, stride)
+      .select("id", "chunk_id", "chunk_text", "chunk_tokens")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  test("overlapping windows: exact boundaries, full last window") {
+    // 10 tokens, size 4, stride 3 → starts 0,3,6
+    val got = run(Seq(1L -> "a b c d e f g h i j"), 4, 3)
+    assert(got === Seq(
+      (1L, 0, "a b c d", 4),
+      (1L, 1, "d e f g", 4),
+      (1L, 2, "g h i j", 4)))
+  }
+
+  test("non-overlapping windows: short tail window emitted") {
+    val got = run(Seq(1L -> "a b c d e f g h i j"), 4, 4)
+    assert(got === Seq(
+      (1L, 0, "a b c d", 4),
+      (1L, 1, "e f g h", 4),
+      (1L, 2, "i j", 2)))
+  }
+
+  test("doc shorter than window: one short chunk; empty/blank docs: none") {
+    val got = run(Seq(1L -> "x y", 2L -> "", 3L -> "   "), 4, 3)
+    assert(got === Seq((1L, 0, "x y", 2)))
+  }
+
+  test("exact fit produces exactly one window (no redundant tail)") {
+    val got = run(Seq(1L -> "a b c d"), 4, 2)
+    assert(got === Seq((1L, 0, "a b c d", 4)))
+  }
+
+  test("every token position is covered by at least one window") {
+    val n = 53
+    val text = (0 until n).map(i => s"t$i").mkString(" ")
+    for ((size, stride) <- Seq((8, 5), (8, 8), (16, 3), (60, 10))) {
+      val windows = run(Seq(1L -> text), size, stride)
+      val covered = windows.flatMap { case (_, cid, _, ctoks) =>
+        (cid * stride) until (cid * stride + ctoks)
+      }.toSet
+      assert(covered === (0 until n).toSet, s"size=$size stride=$stride")
+      // and the last window reaches the final token
+      assert(windows.last._3.endsWith(s"t${n - 1}"))
+    }
+  }
+
+  test("plan is a narrow explode: no Exchange, no Window") {
+    val df = Chunking.fixedTokenWindows(
+      Seq(1L -> "a b c").toDF("id", "text"), col("text"), 2, 1)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Window"), plan)
+  }
+}

@@ -114,6 +114,30 @@ class MixingSpec extends AnyFunSuite {
     assert(kept.nonEmpty && kept.size < 400)
   }
 
+  test("splitAssign: exact per-row labels, stable under corpus growth") {
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val small = (0L until 300L).toDF("id")
+      .select(col("id"), Mixing.splitAssign(col("id"), "sp", fr).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // local replica: first cumulative threshold the rank falls under
+    def expected(i: Long): String = {
+      val r = md5hex(s"sp|$i").substring(0, 8)
+      if (r < Mixing.rateThresholdHex(0.8)) "train"
+      else if (r < Mixing.rateThresholdHex(0.9)) "val"
+      else "test"
+    }
+    (0L until 300L).foreach(i => assert(small(i) === expected(i), s"id $i"))
+    // growth stability: the same ids keep their labels in a larger corpus
+    val big = (0L until 900L).toDF("id")
+      .select(col("id"), Mixing.splitAssign(col("id"), "sp", fr).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (0L until 300L).foreach(i => assert(big(i) === small(i)))
+    // fractions roughly respected at n=900
+    val counts = big.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 650 && counts("train") < 790, counts.toString)
+    assert(counts("val") > 50 && counts("val") < 140, counts.toString)
+  }
+
   test("tokenBudget output plan is a narrow filter: no Window, no extra Exchange") {
     val docs = (0L until 100L).map(i => (i, i % 5 + 1L)).toDF("id", "toks")
     val out = Mixing.tokenBudget(docs, col("toks"), col("id"), 50L, "seedE")

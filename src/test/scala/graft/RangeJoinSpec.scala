@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.RangeJoin
+
+/** Bucketed point-in-interval range join. */
+class RangeJoinSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def run(points: Seq[(Long, Long)], intervals: Seq[(Long, Long, Long)],
+                  width: Long): Set[(Long, Long)] =
+    RangeJoin.pointInInterval(
+        points.toDF("pid", "p"), "p",
+        intervals.toDF("iid", "lo", "hi"), "lo", "hi", width)
+      .select("iid", "pid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def expected(points: Seq[(Long, Long)],
+                       intervals: Seq[(Long, Long, Long)]): Set[(Long, Long)] =
+    (for {
+      (iid, lo, hi) <- intervals
+      (pid, p) <- points
+      if p >= lo && p <= hi
+    } yield (iid, pid)).toSet
+
+  test("inclusive endpoints, interval spanning many buckets, each pair once") {
+    val points = Seq((1L, 10L), (2L, 19L), (3L, 20L), (4L, 55L), (5L, 100L))
+    // interval 1 spans buckets 1..5 at width 10; endpoints 10 and 55 inclusive
+    val intervals = Seq((1L, 10L, 55L), (2L, 56L, 99L), (3L, 100L, 100L))
+    val got = RangeJoin.pointInInterval(
+        points.toDF("pid", "p"), "p",
+        intervals.toDF("iid", "lo", "hi"), "lo", "hi", 10L)
+      .select("iid", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // toSeq, not toSet: a pair emitted from two buckets would show as a dup
+    assert(got.size === got.distinct.size, s"duplicate pairs in $got")
+    assert(got.toSet === expected(points, intervals))
+    assert(got.toSet === Set((1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L), (3L, 5L)))
+  }
+
+  test("randomized cross-check vs the quadratic definition at several widths") {
+    val rnd = new scala.util.Random(7)
+    val points = (0L until 300L).map(i => (i, rnd.nextInt(1000).toLong))
+    val intervals = (0L until 60L).map { i =>
+      val lo = rnd.nextInt(1000).toLong
+      (i, lo, lo + rnd.nextInt(120).toLong)
+    }
+    val want = expected(points, intervals)
+    for (w <- Seq(1L, 7L, 64L, 1000L, 5000L))
+      assert(run(points, intervals, w) === want, s"width $w")
+  }
+
+  test("overlapping intervals each match; empty overlap yields nothing") {
+    val points = Seq((1L, 50L))
+    val intervals = Seq((1L, 0L, 60L), (2L, 40L, 55L), (3L, 51L, 99L))
+    assert(run(points, intervals, 16L) === Set((1L, 1L), (2L, 1L)))
+    assert(run(Seq((1L, 500L)), Seq((1L, 0L, 60L)), 16L) === Set.empty)
+  }
+
+  test("plan: equi-join on bin id — no BroadcastNestedLoopJoin, no cartesian") {
+    val df = RangeJoin.pointInInterval(
+      (0L until 100L).map(i => (i, i)).toDF("pid", "p"), "p",
+      (0L until 10L).map(i => (i, i * 10, i * 10 + 9)).toDF("iid", "lo", "hi"),
+      "lo", "hi", 10L)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.toLowerCase.contains("cartesian"), plan)
+  }
+}

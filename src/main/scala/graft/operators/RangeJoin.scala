@@ -38,6 +38,9 @@ object RangeJoin {
                       intervals: DataFrame, loCol: String, hiCol: String,
                       bucketWidth: Long): DataFrame = {
     require(bucketWidth >= 1, s"bucketWidth >= 1, got $bucketWidth")
+    require(!points.columns.contains("_rj_bkt") &&
+        !intervals.columns.contains("_rj_bkt"),
+      "_rj_bkt is this operator's working column; rename it upstream")
     val p = points.withColumn("_rj_bkt",
       floor(col(pointCol) / bucketWidth).cast("long"))
     val i = intervals.withColumn("_rj_bkt",

@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   * like the underlying 32-bit value in both engines.
   *
   * Scale notes (100 TB):
-  *  - [[stratifiedSample]] / [[oversample]] are narrow per-row ops plus one
-  *    broadcast join against the (tiny) weights table — no shuffle of the
-  *    corpus.
+  *  - [[stratifiedSample]] / [[oversample]] are narrow per-row ops — the
+  *    per-stratum rates/weights inline as a literal when/otherwise chain
+  *    (they are Scala maps, not a table), so there is no join and no
+  *    shuffle of the corpus at all.
   *  - [[tokenBudget]] is the interesting one: the naive form is a GLOBAL
   *    running sum over rank order — a single-partition window, the classic
   *    scale funnel. Instead we recurse over hex-prefix buckets: a 4096-way
@@ -34,9 +35,14 @@ object Mixing {
 
   /** Reproducible per-row rank: md5 hex of "seed|key" (32 lowercase hex
     * chars). DuckDB replica: `md5('seed|' || CAST(key AS VARCHAR))`.
+    * NULL-propagating like the dual (`concat`, NOT `concat_ws`, which
+    * would silently skip a null key and hash every null-key row to the
+    * same md5(seed) rank): a null key yields a null rank, and every
+    * rank comparison downstream is null ⇒ the row is dropped (sample /
+    * budget) or falls to the last label (split) — in BOTH engines.
     */
   def hashRank(seed: String, key: Column): Column =
-    md5(concat_ws("|", lit(seed), key.cast("string")))
+    md5(concat(lit(seed), lit("|"), key.cast("string")))
 
   /** Hex threshold such that `substr(rank,1,8) < threshold` keeps rows with
     * probability `rate`. rate ≥ 1 → "g" (sorts after every hex digit: keep
@@ -135,7 +141,12 @@ object Mixing {
     *
     * Ranks are assumed distinct (md5 of a unique `key`, e.g. the doc id):
     * rows sharing a full 32-hex rank share keep/drop fate, which can
-    * overshoot the budget by their token sum.
+    * overshoot the budget by their token sum. Null keys are NEVER kept
+    * (null rank ⇒ null comparison; see [[hashRank]]); null token counts
+    * contribute 0. The descent is capped at the 32 hex chars of the rank
+    * (`hexPerLevel · maxDepth ≤ 32` enforced — beyond it the prefix can't
+    * grow, and with > windowLimit duplicate-rank rows the loop would spin
+    * forever).
     *
     * Returns the input columns filtered to the kept set.
     */
@@ -143,12 +154,18 @@ object Mixing {
                   seed: String, hexPerLevel: Int = 3, maxDepth: Int = 4,
                   windowLimit: Long = 100000L): DataFrame = {
     require(hexPerLevel >= 1 && hexPerLevel <= 6, "hexPerLevel in [1,6]")
+    require(hexPerLevel * maxDepth <= 32,
+      s"hexPerLevel*maxDepth must be <= 32 (the rank's hex length), " +
+        s"got $hexPerLevel*$maxDepth")
     val rank = hashRank(seed, key)
-    val tokL = tok.cast("long")
+    val tokL = coalesce(tok.cast("long"), lit(0L))
     // slim (rank, tok) projection drives the descent; persisted because
     // each level re-reads it (at corpus scale this is a checkpoint-sized
     // artifact — 40 bytes/row — not a re-scan of the raw table)
-    val slim = docs.select(rank.as("r"), tokL.as("t")).persist()
+    // null ranks excluded: never keepable, and the driver-side hex walks
+    // can't order them
+    val slim = docs.select(rank.as("r"), tokL.as("t"))
+      .filter(col("r").isNotNull).persist()
     try {
       var prefix = ""
       var remaining = budget
@@ -181,7 +198,7 @@ object Mixing {
               boundaryDone = true
         }
       }
-      if (keepAll) docs
+      if (keepAll) docs.filter(rank.isNotNull) // null keys never kept
       else {
         // exact walk of the single boundary bucket on the driver
         // (≤ windowLimit rows by the descent guard; a >windowLimit bucket

@@ -138,6 +138,34 @@ class MixingSpec extends AnyFunSuite {
     assert(counts("val") > 50 && counts("val") < 140, counts.toString)
   }
 
+  test("null keys: dropped by sample/budget, last label in split (null-propagating rank)") {
+    val docs = Seq((Some(1L), "s0"), (None, "s0"), (Some(2L), "s0"))
+      .toDF("id", "stratum")
+    // rate 1.0 keeps every NON-null key; the null-key row's rank is null
+    // so every comparison is null → dropped (matches the DuckDB dual)
+    val kept = Mixing.stratifiedSample(docs, col("stratum"), col("id"),
+      Map("s0" -> 1.0), 1.0, "sN").select("id").collect().map(_.get(0)).toSet
+    assert(kept === Set(1L, 2L))
+    val b = Mixing.tokenBudget(docs.withColumn("t", lit(5L)), col("t"), col("id"),
+      1000L, "sN").select("id").collect().map(_.get(0)).toSet
+    assert(b === Set(1L, 2L))
+    val sp = docs.select(col("id"),
+      Mixing.splitAssign(col("id"), "sN", Seq("train" -> 0.99, "test" -> 0.01)).as("s"))
+      .collect().map(r => Option(r.get(0)) -> r.getString(1)).toMap
+    assert(sp(None) === "test") // falls through every WHEN → last label
+  }
+
+  test("tokenBudget: null token counts contribute 0; depth capped at rank length") {
+    val rows = Seq((1L, Some(10L)), (2L, None), (3L, Some(10L)), (4L, None))
+    val kept = Mixing.tokenBudget(rows.toDF("id", "toks"), col("toks"), col("id"),
+      1000L, "sZ").select("id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 3L, 4L)) // nulls cost nothing, all fit
+    assertThrows[IllegalArgumentException] {
+      Mixing.tokenBudget(rows.toDF("id", "toks"), col("toks"), col("id"),
+        10L, "sZ", hexPerLevel = 3, maxDepth = 20)
+    }
+  }
+
   test("tokenBudget output plan is a narrow filter: no Window, no extra Exchange") {
     val docs = (0L until 100L).map(i => (i, i % 5 + 1L)).toDF("id", "toks")
     val out = Mixing.tokenBudget(docs, col("toks"), col("id"), 50L, "seedE")

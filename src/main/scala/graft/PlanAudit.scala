@@ -348,6 +348,15 @@ object PlanAudit {
         (prj.contains("ShuffledHashJoin") || prj.contains("SortMergeJoin") ||
           prj.contains("BroadcastHashJoin")), prj)
 
+    // As-of join: the single-pass merge — a hash repartition + in-partition
+    // sort + mapPartitions scan; never a nested loop, a window, or a
+    // per-key re-aggregation.
+    val pao = plan("q_asof_join")
+    check("q_asof_join: merge shape (no BNLJ/cartesian/Window/HashAggregate)",
+      !pao.contains("BroadcastNestedLoopJoin") &&
+        !pao.toLowerCase.contains("cartesian") && !pao.contains("Window") &&
+        !pao.contains("HashAggregate"), pao)
+
     // Token windowing: a narrow per-row explode — no shuffle, no window.
     val pchk = plan("q_chunk_windows")
     check("q_chunk_windows: narrow explode (no Exchange/join/Window)",

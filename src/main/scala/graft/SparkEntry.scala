@@ -10,7 +10,7 @@ import graft.dedup.ConnectedComponents
 import graft.functions._
 import graft.io.WarcSource
 import graft.multimodal.Multimodal
-import graft.operators.RangeJoin
+import graft.operators.{AsOfJoin, RangeJoin}
 import graft.text.{C4Gate, Chunking, Curation, GopherGate, HeavyHitters, LineDedup, Mixing, Passages, Pii, Repetition, TextOps, UrlOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1240,6 +1240,23 @@ object SparkEntry {
         .select("interval_id", "event_id")
     }),
 
+    // As-of join: every event matched to the latest reference event (the
+    // ~6% event_id % 17 == 0 subset) at or before it, per user — the
+    // single-pass merge (one shuffle + linear scan), not a nested-loop or
+    // per-key re-aggregation. The oracle is DuckDB's native ASOF JOIN.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      // ts is TIMESTAMP_NTZ; the cast to (UTC-session) TIMESTAMP is an
+      // identity relabel, matching DuckDB's epoch_us on the naive value
+      val leftDf = ev.select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("pts"))
+      val rightDf = ev.filter(col("event_id") % 17 === 0)
+        .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("rts"),
+          col("event_id").as("ref_id"))
+      AsOfJoin.latestPrior(leftDf, rightDf, Seq("user_id"), "pts", "rts")
+        .select("event_id", "user_id", "pts", "ref_id", "asof_ts")
+    }),
+
     // ---------- citation parsing (reference API surface) ----------
 
     // RIS round-trip: build a RIS blob per document row, parse it back with
@@ -1807,6 +1824,15 @@ object SparkEntry {
          |  FROM documents)
          |WHERE copies >= 1""".stripMargin
     },
+
+    // the oracle is DuckDB's NATIVE ASOF JOIN — an independent engine's
+    // implementation of the operator, not a hand-rolled replica
+    "q_asof_join" ->
+      """SELECT l.event_id, l.user_id, l.pts, r.ref_id, r.rts AS asof_ts
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS pts FROM events) l
+        |ASOF JOIN (SELECT user_id, epoch_us(ts) AS rts, event_id AS ref_id
+        |           FROM events WHERE event_id % 17 = 0) r
+        |  ON l.user_id = r.user_id AND l.pts >= r.rts""".stripMargin,
 
     // the oracle IS the raw inequality join the Spark side avoids
     "q_range_join" ->

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+/** As-of join: attach to every left row the LATEST right row whose
+  * timestamp is ≤ the left row's, per key — the kdb/pandas `merge_asof` /
+  * DuckDB `ASOF JOIN` operator, which Spark has no built-in for. Webtext
+  * use: "which crawl snapshot / robots.txt / page-policy was in force
+  * when this capture happened" (graft-added op per the builder brief; the
+  * reference has no temporal joins).
+  *
+  * Spark-native design (brief's ladder: compose existing ops first): the
+  * naive forms are a BroadcastNestedLoopJoin on `l.ts >= r.ts` (quadratic)
+  * or an equi-join on key + `max_by` re-aggregation (shuffles every
+  * (left × matching-right) pair — quadratic per key when both sides are
+  * dense). This implementation is the single-pass MERGE instead: tag and
+  * union both sides, hash-repartition by key, sort within partitions by
+  * (key, ts, side) — Spark's spillable external sort, no per-key
+  * materialization — then stream each partition once, carrying only the
+  * last-seen right row per key (O(1) state; key groups are contiguous, so
+  * state resets at key boundaries). A right row at ts == left ts sorts
+  * BEFORE the left row (side 0 < 1), giving the ≤ semantics. Total cost:
+  * one shuffle of each side + a linear scan — the same shape as a
+  * sort-merge join, hot keys handled by the sort, not by per-key buffers.
+  *
+  * Contract: `keyCols` + both ts columns non-null (null-ts rows are
+  * dropped; a null ts has no place on a time axis), ts columns share a
+  * data type and sort numerically/chronologically, and non-key column
+  * names are disjoint across the two inputs. If the right side has
+  * duplicate (key, ts) rows the survivor among them is the last in sort
+  * order — make (key, ts) unique upstream for full determinism (DuckDB's
+  * ASOF has the same ambiguity).
+  */
+object AsOfJoin {
+
+  /** Inner as-of join (left rows with no prior right row are dropped —
+    * DuckDB `ASOF JOIN` default). Output: all left columns, then the
+    * right side's non-key non-ts columns, then the matched right ts as
+    * `asof_ts`.
+    */
+  def latestPrior(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                  leftTsCol: String, rightTsCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "as-of join needs at least one key column")
+    val spark = left.sparkSession
+    val tsType = left.schema(leftTsCol).dataType
+    require(right.schema(rightTsCol).dataType == tsType,
+      s"ts type mismatch: $tsType vs ${right.schema(rightTsCol).dataType}")
+
+    val leftOnly = left.columns.toSeq.filterNot(keyCols.contains).filterNot(_ == leftTsCol)
+    val rightOnly = right.columns.toSeq.filterNot(keyCols.contains).filterNot(_ == rightTsCol)
+    val clash = leftOnly.intersect(rightOnly)
+    require(clash.isEmpty, s"non-key columns must be disjoint, both sides have: $clash")
+    val reserved = Seq("_ao_ts", "_ao_side", "asof_ts")
+    require(!(left.columns ++ right.columns).exists(reserved.contains),
+      s"$reserved are this operator's working/output names; rename upstream")
+
+    val lu = left.filter(col(leftTsCol).isNotNull).select(
+      keyCols.map(col) ++
+        Seq(col(leftTsCol).as("_ao_ts"), lit(1).as("_ao_side")) ++
+        leftOnly.map(col) ++
+        rightOnly.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val ru = right.filter(col(rightTsCol).isNotNull).select(
+      keyCols.map(col) ++
+        Seq(col(rightTsCol).as("_ao_ts"), lit(0).as("_ao_side")) ++
+        leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightOnly.map(col): _*)
+    val u = lu.unionByName(ru)
+      .repartition(keyCols.map(col): _*)
+      .sortWithinPartitions(keyCols.map(col) ++ Seq(col("_ao_ts"), col("_ao_side")): _*)
+
+    val uSchema = u.schema
+    val nKeys = keyCols.length
+    val tsIdx = nKeys
+    val sideIdx = nKeys + 1
+    val leftIdx = leftOnly.map(uSchema.fieldIndex)
+    val rightIdx = rightOnly.map(uSchema.fieldIndex)
+    // output: left columns in their ORIGINAL order, right payload, asof_ts
+    val outSchema = StructType(
+      left.schema.fields.map(f => f.copy(nullable = true)) ++
+        rightOnly.map(c => right.schema(right.schema.fieldIndex(c)).copy(nullable = true)) :+
+        StructField("asof_ts", tsType, nullable = true))
+    val leftOutIdx: Array[Int] = left.columns.map { c =>
+      if (keyCols.contains(c)) keyCols.indexOf(c)
+      else if (c == leftTsCol) tsIdx
+      else uSchema.fieldIndex(c)
+    }
+
+    u.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var lastRight: Row = null
+      it.flatMap { row =>
+        val k = (0 until nKeys).map(row.get)
+        if (k != curKey) { curKey = k; lastRight = null }
+        if (row.getInt(sideIdx) == 0) { lastRight = row; Iterator.empty }
+        else if (lastRight == null) Iterator.empty
+        else {
+          val lr = lastRight
+          Iterator.single(Row.fromSeq(
+            leftOutIdx.map(row.get).toSeq ++
+              rightIdx.map(lr.get) :+ lr.get(tsIdx)))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+}

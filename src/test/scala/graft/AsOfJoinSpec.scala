@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.AsOfJoin
+
+/** Single-pass merge as-of join. */
+class AsOfJoinSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def run(left: Seq[(Long, Long, Long)], right: Seq[(Long, Long, String)]): Set[(Long, Long, Long, String, Long)] =
+    AsOfJoin.latestPrior(
+        left.toDF("k", "lts", "lid"), right.toDF("k", "rts", "tag"),
+        Seq("k"), "lts", "rts")
+      .select("k", "lts", "lid", "tag", "asof_ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+      .toSet
+
+  private def expected(left: Seq[(Long, Long, Long)], right: Seq[(Long, Long, String)]): Set[(Long, Long, Long, String, Long)] =
+    (for {
+      (k, lts, lid) <- left
+      prior = right.filter(r => r._1 == k && r._2 <= lts)
+      if prior.nonEmpty
+      best = prior.maxBy(_._2)
+    } yield (k, lts, lid, best._3, best._2)).toSet
+
+  test("latest prior per key; ties at equal ts match; unmatched lefts dropped") {
+    val left = Seq((1L, 10L, 100L), (1L, 20L, 101L), (1L, 5L, 102L), (2L, 7L, 103L))
+    val right = Seq((1L, 8L, "a"), (1L, 15L, "b"), (1L, 20L, "c"), (3L, 1L, "z"))
+    assert(run(left, right) === Set(
+      (1L, 10L, 100L, "a", 8L),   // 8 <= 10 < 15
+      (1L, 20L, 101L, "c", 20L))) // tie: rts == lts matches
+    // (1,5): no right <= 5; (2,7): key has no right side — both dropped
+  }
+
+  test("randomized cross-check vs the quadratic definition") {
+    val rnd = new scala.util.Random(11)
+    // distinct (k, ts) on the right side (determinism contract)
+    val right = rnd.shuffle((0L until 200L).toList).take(120)
+      .map(i => (i % 5, i * 3 + 1, s"r$i"))
+    val left = (0L until 400L).map(i => (rnd.nextInt(6).toLong, rnd.nextInt(600).toLong, i))
+    assert(run(left, right) === expected(left, right))
+  }
+
+  test("null timestamps are dropped from both sides") {
+    val left = Seq((Some(1L), Some(10L), 1L), (Some(1L), None, 2L))
+      .toDF("k", "lts", "lid")
+    val right = Seq((Some(1L), Some(5L), "a"), (Some(1L), None, "x"))
+      .toDF("k", "rts", "tag")
+    val got = AsOfJoin.latestPrior(left, right, Seq("k"), "lts", "rts")
+      .select("lid", "tag").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "a")))
+  }
+
+  test("reserved and clashing column names are rejected") {
+    val l = Seq((1L, 1L, 1L)).toDF("k", "lts", "v")
+    val r = Seq((1L, 1L, 1L)).toDF("k", "rts", "v")
+    assertThrows[IllegalArgumentException] {
+      AsOfJoin.latestPrior(l, r, Seq("k"), "lts", "rts") // v clashes
+    }
+    val r2 = Seq((1L, 1L, 1L)).toDF("k", "rts", "asof_ts")
+    assertThrows[IllegalArgumentException] {
+      AsOfJoin.latestPrior(l, r2, Seq("k"), "lts", "rts")
+    }
+  }
+
+  test("plan: one shuffle on key, linear merge — no nested loop, no window, no per-key agg") {
+    val l = (0L until 100L).map(i => (i % 4, i, i)).toDF("k", "lts", "lid")
+    val r = (0L until 40L).map(i => (i % 4, i * 2, s"r$i")).toDF("k", "rts", "tag")
+    val df = AsOfJoin.latestPrior(l, r, Seq("k"), "lts", "rts")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.toLowerCase.contains("cartesian"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("HashAggregate"), plan)
+  }
+}

@@ -357,6 +357,15 @@ object PlanAudit {
         !pao.toLowerCase.contains("cartesian") && !pao.contains("Window") &&
         !pao.contains("HashAggregate"), pao)
 
+    // LM frequency score: the bounded vocab must broadcast (the corpus
+    // side never shuffles against it) and be built as TakeOrdered, with
+    // partial-agg'd counting on both passes.
+    val plm = plan("q_lm_score")
+    check("q_lm_score: TakeOrdered vocab broadcast to the scan, partial-agg counts",
+      plm.contains("BroadcastHashJoin") && plm.contains("TakeOrderedAndProject") &&
+        plm.contains("partial_count") && !plm.contains("SortMergeJoin") &&
+        !plm.contains("ShuffledHashJoin"), plm)
+
     // Token windowing: a narrow per-row explode — no shuffle, no window.
     val pchk = plan("q_chunk_windows")
     check("q_chunk_windows: narrow explode (no Exchange/join/Window)",

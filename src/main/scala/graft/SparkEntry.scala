@@ -11,7 +11,7 @@ import graft.functions._
 import graft.io.WarcSource
 import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, RangeJoin}
-import graft.text.{C4Gate, Chunking, Curation, GopherGate, HeavyHitters, LineDedup, Mixing, Passages, Pii, Repetition, TextOps, UrlOps}
+import graft.text.{C4Gate, Chunking, Curation, GopherGate, HeavyHitters, LineDedup, LmScore, Mixing, Passages, Pii, Repetition, TextOps, UrlOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -112,6 +112,7 @@ object SparkEntry {
   private val MixSplits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
   private val ChunkSize = 32
   private val ChunkStride = 24
+  private val LmVocabSize = 300
 
   // embeddings corpus/queries used by the ANN entries
   private def annInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
@@ -1240,6 +1241,16 @@ object SparkEntry {
         .select("interval_id", "event_id")
     }),
 
+    // Corpus-frequency LM quality signal (CCNet idea) in integer-exact
+    // form: per-token weight floor(log2(corpus count))+1 via a bounded
+    // broadcast vocabulary; doc score = (n_toks, sum_w) integers.
+    "q_lm_score" -> ((s, dir) => {
+      val (_, scores) = LmScore.logFreqScore(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", LmVocabSize)
+      scores.select("doc_id", "n_toks", "sum_w")
+    }),
+
     // As-of join: every event matched to the latest reference event (the
     // ~6% event_id % 17 == 0 subset) at or before it, per user — the
     // single-pass merge (one shuffle + linear scan), not a nested-loop or
@@ -1824,6 +1835,9 @@ object SparkEntry {
          |  FROM documents)
          |WHERE copies >= 1""".stripMargin
     },
+
+    "q_lm_score" ->
+      LmScore.logFreqScoreSql("documents", "doc_id", "text", LmVocabSize),
 
     // the oracle is DuckDB's NATIVE ASOF JOIN — an independent engine's
     // implementation of the operator, not a hand-rolled replica

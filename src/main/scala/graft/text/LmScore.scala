@@ -1,0 +1,63 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-frequency language-model quality signal — the CCNet idea
+  * (Wenzek 2020: score text by how probable a corpus LM finds it; prose
+  * made of common words scores high, gibberish and boilerplate symbol
+  * soup score low), in an INTEGER-EXACT cross-engine form (graft-added op
+  * per the builder brief; no reference analog).
+  *
+  * A float implementation (mean ln p(w)) is not oracle-pinnable: ln and
+  * float summation order differ across engines in the last ulp, and a
+  * hash compare amplifies any boundary case. So the per-token weight is
+  * `floor(log2(corpus_count(w))) + 1` — log2 of an exact integer, whose
+  * floor both engines compute identically (IEEE log2 is exact at powers
+  * of two and the argument is an exact small integer) — and the doc score
+  * is the INTEGER pair (n_toks, sum_w): order-independent, bit-stable,
+  * hash-comparable. The mean weight is `sum_w / n_toks` for callers that
+  * want a float, derived outside the verified core.
+  *
+  * Scale shape: pass 1 (vocabulary) is a partial-agg'd word count plus a
+  * deterministic top-V TakeOrdered (count desc, word asc) — the vocab is
+  * BOUNDED at V rows, so pass 2 broadcasts it and the corpus-side scan
+  * never shuffles against the vocabulary; the per-doc reduce is one
+  * partial-agg'd groupBy on the doc id. Out-of-vocabulary tokens weigh 0.
+  */
+object LmScore {
+
+  /** (vocab DataFrame (w, c) — top `vocabSize` by (count desc, word asc),
+    * scores DataFrame (idCol, n_toks, sum_w)).
+    */
+  def logFreqScore(docs: DataFrame, idCol: String, textCol: String,
+                   vocabSize: Int): (DataFrame, DataFrame) = {
+    require(vocabSize >= 1, s"vocabSize >= 1, got $vocabSize")
+    val words = docs.select(col(idCol),
+      explode(split(lower(col(textCol)), " ")).as("w"))
+    val vocab = words.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(vocabSize)
+    val scores = words.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_toks"),
+        sum(coalesce(floor(log2(col("c"))).cast("long") + 1L, lit(0L))).as("sum_w"))
+    (vocab, scores)
+  }
+
+  /** DuckDB dual of the scores side of [[logFreqScore]]. */
+  def logFreqScoreSql(table: String, idCol: String, textCol: String,
+                      vocabSize: Int): String =
+    s"""WITH counts AS (
+       |  SELECT w, count(*) AS c FROM (
+       |    SELECT unnest(string_split(lower($textCol), ' ')) AS w FROM $table)
+       |  GROUP BY w),
+       |vocab AS (SELECT w, c FROM counts ORDER BY c DESC, w LIMIT $vocabSize),
+       |doc_words AS (
+       |  SELECT $idCol, unnest(string_split(lower($textCol), ' ')) AS w
+       |  FROM $table)
+       |SELECT $idCol, CAST(count(*) AS BIGINT) AS n_toks,
+       |  CAST(SUM(COALESCE(CAST(floor(log2(v.c)) AS BIGINT) + 1, 0)) AS BIGINT) AS sum_w
+       |FROM doc_words d LEFT JOIN vocab v USING (w)
+       |GROUP BY $idCol""".stripMargin
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.LmScore
+
+/** Integer-exact corpus-frequency quality signal. */
+class LmScoreSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("hand-computed weights, OOV zero, vocab boundary deterministic") {
+    // corpus counts: "the"×4, "cat"×2, "sat"×2, "rare"×1, "zz"×1
+    val docs = Seq(
+      (1L, "the cat sat"),
+      (2L, "the cat sat the"),
+      (3L, "the rare zz")).toDF("id", "text")
+    // vocabSize 4 with ties at c=1 broken by word asc: vocab = the(4),
+    // cat(2), sat(2), rare(1); zz(1) falls out → OOV weight 0
+    val (vocab, scores) = LmScore.logFreqScore(docs, "id", "text", 4)
+    val v = vocab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v === Map("the" -> 4L, "cat" -> 2L, "sat" -> 2L, "rare" -> 1L))
+    // weights: floor(log2(c))+1 → the=3, cat=2, sat=2, rare=1, OOV=0
+    val got = scores.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, 3L, 3L + 2L + 2L),      // the cat sat = 7
+      (2L, 4L, 3L + 2L + 2L + 3L), // = 10
+      (3L, 3L, 3L + 1L + 0L)))     // the rare zz(OOV) = 4
+  }
+
+  test("power-of-two counts: weight is exact at the log2 boundary") {
+    // one word with count exactly 8 → floor(log2(8))+1 = 4, not 3
+    val docs = (0L until 8L).map(i => (i, "boundaryword")).toDF("id", "text")
+    val (_, scores) = LmScore.logFreqScore(docs, "id", "text", 10)
+    scores.collect().foreach(r => assert(r.getLong(2) === 4L, r.toString))
+  }
+
+  test("plan: vocab is TakeOrdered + broadcast; doc side never shuffles against it") {
+    val docs = (0L until 500L).map(i => (i, s"w${i % 40} common tok")).toDF("id", "text")
+    val (_, scores) = LmScore.logFreqScore(docs, "id", "text", 20)
+    scores.collect()
+    val plan = scores.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+}

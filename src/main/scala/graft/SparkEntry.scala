@@ -931,11 +931,16 @@ object SparkEntry {
       val words = concat(words0, slice(words0, 1, 10))
       val denom = length(
         concat(lower(col("text")), lit(" "), concat_ws(" ", slice(words0, 1, 10))))
+      // words/chunks materialized stepwise: the chunk lambda reads the
+      // outer words array per element and `lines` reads chunks twice — as
+      // raw expressions each read would re-run the split (O(n²) per doc)
       val chunks = transform(
-        sequence(lit(0), ceil(size(words) / 5.0).cast("int") - 1),
-        i => concat_ws(" ", slice(words, i * 5 + 1, lit(5))))
-      val lines = concat(chunks, slice(chunks, 1, 2))
-      val lineRows = docs.select(col("doc_id"), explode(lines).as("line"))
+        sequence(lit(0), ceil(size(col("_w")) / 5.0).cast("int") - 1),
+        i => concat_ws(" ", slice(col("_w"), i * 5 + 1, lit(5))))
+      val lines = concat(col("_chunks"), slice(col("_chunks"), 1, 2))
+      val lineRows = docs.select(col("doc_id"), words.as("_w"))
+        .select(col("doc_id"), chunks.as("_chunks"))
+        .select(col("doc_id"), explode(lines).as("line"))
       val lm = Repetition.lineStats(lineRows, "doc_id", "line")
       val m2 = Repetition
         .ngramStats(docs, "doc_id", words, denom, 2)

@@ -70,7 +70,17 @@ object Curation {
     val ann = annotate(docs, idCol, textCol, cfg)
     val redacted: Column =
       if (cfg.redactPii) Pii.redact(col("ctext")) else col("ctext")
+    // PERSIST the two slim fan-out points: line dedup consumes its input
+    // three times (stats, join-back, id spine) and the exact-dedup self-
+    // join twice more — without a materialization barrier each consumer
+    // re-runs the whole gate/regex ladder (measured: 7 parquet scans, 5
+    // exchanges, ZERO AQE exchange reuse — the subplans differ by pruning,
+    // so Spark cannot dedup them; the funnel ran ~2.5× slower than one
+    // ladder pass). MEMORY_AND_DISK and 2-3 slim columns per row; the
+    // production-scale analog is the pipeline's durable StageStore
+    // checkpoint between stages.
     val surv = ann.filter(col("survived")).select(id, redacted.as("rtext"))
+      .persist()
     val rebuilt =
       if (cfg.dropDuplicateLines)
         LineDedup.dropGlobalDuplicateLines(surv, idCol, split(col("rtext"), "\n"))
@@ -80,6 +90,7 @@ object Curation {
     // partial-agg min + join-back (no window), LineDedup's collision stance
     val keyed = rebuilt.select(id, col("final_text"),
       xxhash64(col("final_text")).as("tkey"))
+      .persist()
     val keepers = keyed.groupBy(col("tkey")).agg(min(id).as("kid"))
     val flagged = keyed.join(keepers, "tkey")
       .select(id, col("final_text"), (id === col("kid")).as("is_kept"))

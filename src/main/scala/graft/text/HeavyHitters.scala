@@ -48,9 +48,22 @@ object HeavyHitters {
     when(size(words) >= n, grams).otherwise(array().cast("array<string>"))
   }
 
+  /** The gram stream (one row per n-gram occurrence). `words` is
+    * materialized in a LOWER projection before [[ngrams]] references it:
+    * the transform lambda reads `words` 2n+1 times per gram, and a raw
+    * expression (e.g. a regex split of the text) would be RE-EVALUATED at
+    * each read — O(doc_words²) regex splits per document (measured 5-7×
+    * the whole stage's runtime at bench scale). As a non-cheap alias
+    * referenced more than once, the column survives CollapseProject, so
+    * the split runs once per document.
+    */
+  private def gramStream(docs: DataFrame, words: Column, n: Int): DataFrame =
+    docs.select(words.as("_hh_words"))
+      .select(explode(ngrams(col("_hh_words"), n)).as("gram"))
+
   /** Exact top-k n-grams: (gram, cnt), count desc then gram asc. */
   def topNgramsExact(docs: DataFrame, words: Column, n: Int, k: Int): DataFrame =
-    docs.select(explode(ngrams(words, n)).as("gram"))
+    gramStream(docs, words, n)
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("gram").asc)
@@ -75,7 +88,7 @@ object HeavyHitters {
       eps: Double = 1e-4,
       confidence: Double = 0.99): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
-    val grams = docs.select(explode(ngrams(words, n)).as("gram"))
+    val grams = gramStream(docs, words, n)
     val keyed = grams.select(xxhash64(col("gram")).as("key"))
     val cms = keyed.stat.countMinSketch("key", eps, confidence, 0x9e3779b9.toInt)
     val bos = new java.io.ByteArrayOutputStream()

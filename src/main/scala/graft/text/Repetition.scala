@@ -55,8 +55,14 @@ object Repetition {
       idCol: String,
       words: Column,
       n: Int): DataFrame =
+    // `words` is materialized in a lower projection: the transform lambda
+    // reads it n+2 times per window, and a raw expression (a regex split of
+    // the text) would re-evaluate at EACH read — O(doc_words²) splits per
+    // document. As a non-cheap alias referenced >1×, the column survives
+    // CollapseProject, so the split runs once per document.
     docs
-      .select(col(idCol), explode(ngramStructs(words, n)).as("w"))
+      .select(col(idCol), words.as("_rep_words"))
+      .select(col(idCol), explode(ngramStructs(col("_rep_words"), n)).as("w"))
       .select(col(idCol), col("w.pos").as("pos"), col("w.gram").as("gram"))
 
   /** Per-document duplicate-line stats over (id, line) unit rows:
@@ -88,7 +94,9 @@ object Repetition {
       denom: Column,
       n: Int): DataFrame =
     docs
-      .select(col(idCol), denom.as("__denom"), explode(ngramStructs(words, n)).as("w"))
+      .select(col(idCol), denom.as("__denom"), words.as("_rep_words"))
+      .select(col(idCol), col("__denom"),
+        explode(ngramStructs(col("_rep_words"), n)).as("w"))
       .select(col(idCol), col("__denom"), col("w.gram").as("gram"))
       .groupBy(col(idCol), col("gram"))
       .agg(count(lit(1)).as("cnt"), max("__denom").as("denom"))

@@ -1,0 +1,41 @@
+package graft.io
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Curated-corpus output sink: the layout a downstream training reader
+  * wants from a 100-TB curation job (graft-added surface per the builder
+  * brief; the reference writes flat result lists).
+  *
+  *  - Hive-partitioned by the routing columns (e.g. `lang`, `split`), so
+  *    readers prune whole directories (`PartitionFilters`);
+  *  - rows sorted WITHIN each file by the sort columns (e.g. a quality
+  *    score or the [[graft.text.Mixing]] rank), so parquet row-group
+  *    min/max stats make range predicates skip row groups, and
+  *    sequential readers see a deterministic, reproducible order;
+  *  - file sizes bounded by `maxRecordsPerFile`, so one hot partition
+  *    (one dominant language) becomes many bounded files, not one
+  *    unsplittable giant.
+  *
+  * Plan shape: ONE shuffle (hash repartition on the partition columns) +
+  * an in-partition spillable sort keyed (partitionCols ++ sortCols) — the
+  * prefix keying writes each Hive partition contiguously per task (one
+  * open file per partition at a time, not one per (task × partition)) and
+  * leaves rows sorted inside every file. A hot routing key is bounded by
+  * the external sort, never by per-key memory.
+  */
+object CorpusSink {
+
+  def writeSorted(df: DataFrame, path: String, partitionCols: Seq[String],
+                  sortCols: Seq[String], maxRecordsPerFile: Long): Unit = {
+    require(partitionCols.nonEmpty, "at least one partition column")
+    require(sortCols.nonEmpty, "at least one sort column")
+    require(maxRecordsPerFile >= 1, s"maxRecordsPerFile >= 1, got $maxRecordsPerFile")
+    df.repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+}

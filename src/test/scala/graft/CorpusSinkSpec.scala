@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.CorpusSink
+
+/** Partitioned, sorted, size-bounded corpus output. */
+class CorpusSinkSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def parquetFiles(root: Path): Seq[Path] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Path]
+    def walk(p: Path): Unit =
+      if (Files.isDirectory(p))
+        scala.util.Using.resource(Files.list(p))(
+          _.toArray.map(_.asInstanceOf[Path])).foreach(walk)
+      else if (p.getFileName.toString.endsWith(".parquet")) out += p
+    walk(root)
+    out.toSeq
+  }
+
+  test("hive partitions, per-file sort, bounded file sizes, nothing lost") {
+    val dir = Files.createTempDirectory("graft-sink-")
+    try {
+      val docs = (0L until 1000L)
+        .map(i => (i, s"l${i % 3}", (i * 37) % 101, s"text $i"))
+        .toDF("doc_id", "lang", "quality", "text")
+      CorpusSink.writeSorted(docs, dir.toString,
+        Seq("lang"), Seq("quality", "doc_id"), maxRecordsPerFile = 100L)
+
+      // partition directories exist for each routing value
+      val dirs = scala.util.Using.resource(Files.list(dir))(
+        _.toArray.map(_.toString)).filter(_.contains("lang=")).sorted
+      assert(dirs.map(_.split("lang=").last).toSeq == Seq("l0", "l1", "l2"))
+
+      // every file: bounded row count AND internally sorted by (quality, doc_id)
+      val files = parquetFiles(dir)
+      assert(files.nonEmpty)
+      files.foreach { f =>
+        val rows = spark.read.parquet(f.toString)
+          .select("quality", "doc_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(rows.size <= 100, s"file $f has ${rows.size} rows")
+        assert(rows == rows.sorted, s"file $f not sorted")
+      }
+      // a 334-row partition at cap 100 must split into >= 4 files
+      assert(files.count(_.toString.contains("lang=l0")) >= 4)
+
+      // round trip: nothing lost, partition column restored
+      val back = spark.read.parquet(dir.toString)
+      assert(back.count() === 1000L)
+      assert(back.select(sum(col("doc_id"))).head.getLong(0) === (0L until 1000L).sum)
+
+      // partition pruning: a lang filter must reach PartitionFilters
+      val pruned = spark.read.parquet(dir.toString).filter(col("lang") === "l1")
+      pruned.collect()
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan)
+    } finally {
+      def rm(p: Path): Unit = {
+        if (Files.isDirectory(p))
+          scala.util.Using.resource(Files.list(p))(
+            _.toArray.map(_.asInstanceOf[Path])).foreach(rm)
+        Files.deleteIfExists(p); ()
+      }
+      rm(dir)
+    }
+  }
+}

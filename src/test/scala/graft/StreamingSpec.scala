@@ -250,4 +250,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // committed batch not replayed: (1,2) is not re-emitted
     assert(!run2.contains(CandidatePair(1, 2)))
   }
+  test("curation gates, split assignment, and chunking are streaming-valid (narrow exprs)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "This is a fine first sentence. It has plenty of words in it. And a third sentence closes it."),
+      (2L, "short"),
+      (3L, "Another good document sentence here today friends. More of the same kind follows now. The end arrives with this one."))
+
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(rows: _*)
+    val annotated = graft.text.Curation
+      .annotate(stream.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        graft.text.Curation.Config(lang = None))
+      .withColumn("split",
+        graft.text.Mixing.splitAssign(col("doc_id"), "st", Seq("train" -> 0.5, "test" -> 0.5)))
+    val chunked = graft.text.Chunking.fixedTokenWindows(annotated, col("ctext"), 8, 6)
+      .select("doc_id", "survived", "split", "chunk_id", "chunk_tokens")
+    val q = chunked.writeStream.format("memory").queryName("cur_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val streamed = spark.table("cur_stream").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getString(2), r.getInt(3), r.getInt(4))).toSet
+    // identical rows from the batch plan over the same input
+    val batchAnn = graft.text.Curation
+      .annotate(rows.toDF("doc_id", "text"), "doc_id", "text",
+        graft.text.Curation.Config(lang = None))
+      .withColumn("split",
+        graft.text.Mixing.splitAssign(col("doc_id"), "st", Seq("train" -> 0.5, "test" -> 0.5)))
+    val batch = graft.text.Chunking.fixedTokenWindows(batchAnn, col("ctext"), 8, 6)
+      .select("doc_id", "survived", "split", "chunk_id", "chunk_tokens").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getString(2), r.getInt(3), r.getInt(4))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
 }

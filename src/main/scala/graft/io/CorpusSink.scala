@@ -1,7 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
 
 /** Curated-corpus output sink: the layout a downstream training reader
   * wants from a 100-TB curation job (graft-added surface per the builder
@@ -17,21 +17,33 @@ import org.apache.spark.sql.functions.col
   *    (one dominant language) becomes many bounded files, not one
   *    unsplittable giant.
   *
-  * Plan shape: ONE shuffle (hash repartition on the partition columns) +
-  * an in-partition spillable sort keyed (partitionCols ++ sortCols) — the
-  * prefix keying writes each Hive partition contiguously per task (one
-  * open file per partition at a time, not one per (task × partition)) and
-  * leaves rows sorted inside every file. A hot routing key is bounded by
-  * the external sort, never by per-key memory.
+  * Plan shape: ONE shuffle (hash repartition on the partition columns
+  * PLUS a deterministic per-row write-group salt) + an in-partition
+  * spillable sort keyed (partitionCols ++ sortCols). The salt matters at
+  * scale: repartitioning on the routing columns alone hashes EVERY row of
+  * a hot partition (one dominant language at 40% of 100 TB) into one
+  * shuffle partition, so a single task writes that language serially no
+  * matter the cluster size. With the salt, each Hive partition spreads
+  * over up to `writeGroups` parallel writer tasks; the sort prefix still
+  * writes each Hive partition contiguously per task, and every file stays
+  * internally sorted. (Files of one partition from different groups cover
+  * interleaved sort-key ranges — per-file row-group min/max skipping and
+  * deterministic in-file order are preserved; a single global order per
+  * partition is not, and is not claimed.)
   */
 object CorpusSink {
 
   def writeSorted(df: DataFrame, path: String, partitionCols: Seq[String],
-                  sortCols: Seq[String], maxRecordsPerFile: Long): Unit = {
+                  sortCols: Seq[String], maxRecordsPerFile: Long,
+                  writeGroups: Int = 16): Unit = {
     require(partitionCols.nonEmpty, "at least one partition column")
     require(sortCols.nonEmpty, "at least one sort column")
     require(maxRecordsPerFile >= 1, s"maxRecordsPerFile >= 1, got $maxRecordsPerFile")
-    df.repartition(partitionCols.map(col): _*)
+    require(writeGroups >= 1, s"writeGroups >= 1, got $writeGroups")
+    // deterministic near-uniform salt from the whole row (not the sort
+    // keys alone, which may tie heavily)
+    val salt = pmod(xxhash64(df.columns.map(col): _*), lit(writeGroups))
+    df.repartition(partitionCols.map(col) :+ salt: _*)
       .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)

@@ -25,8 +25,9 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
   * one shuffle of each side + a linear scan — the same shape as a
   * sort-merge join, hot keys handled by the sort, not by per-key buffers.
   *
-  * Contract: `keyCols` + both ts columns non-null (null-ts rows are
-  * dropped; a null ts has no place on a time axis), ts columns share a
+  * Contract: rows with a null key or null ts are dropped from both sides
+  * (SQL equality never matches NULL = NULL, and a null ts has no place on
+  * a time axis), ts columns share a
   * data type and sort numerically/chronologically, and non-key column
   * names are disjoint across the two inputs. If the right side has
   * duplicate (key, ts) rows the survivor among them is the last in sort
@@ -56,12 +57,17 @@ object AsOfJoin {
     require(!(left.columns ++ right.columns).exists(reserved.contains),
       s"$reserved are this operator's working/output names; rename upstream")
 
-    val lu = left.filter(col(leftTsCol).isNotNull).select(
+    // null KEYS are dropped too: SQL equality (and DuckDB's ASOF ON
+    // l.k = r.k) never matches NULL = NULL, but the merge's Seq equality
+    // would — filtering restores SQL semantics instead of phantom-matching
+    // null-key rows to each other
+    val keysNotNull = keyCols.map(col(_).isNotNull).reduce(_ && _)
+    val lu = left.filter(keysNotNull && col(leftTsCol).isNotNull).select(
       keyCols.map(col) ++
         Seq(col(leftTsCol).as("_ao_ts"), lit(1).as("_ao_side")) ++
         leftOnly.map(col) ++
         rightOnly.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
-    val ru = right.filter(col(rightTsCol).isNotNull).select(
+    val ru = right.filter(keysNotNull && col(rightTsCol).isNotNull).select(
       keyCols.map(col) ++
         Seq(col(rightTsCol).as("_ao_ts"), lit(0).as("_ao_side")) ++
         leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++

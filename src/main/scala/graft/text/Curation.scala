@@ -31,6 +31,23 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  // the two MEMORY_AND_DISK caches a curate() call creates (see below)
+  // cannot be unpersisted by callers — they only receive the final joined
+  // plan — so each new curate() call releases the PREVIOUS call's caches:
+  // the leak is bounded at one call's worth instead of growing for the
+  // SparkSession's lifetime (a long session benching q_curation and then
+  // the dedup corpus would otherwise have stale curation caches competing
+  // with the bench's own persists). releaseCaches() frees the last pair
+  // explicitly.
+  private val lastCaches =
+    new java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]](Nil)
+
+  private def swapCaches(next: Seq[DataFrame]): Unit =
+    lastCaches.getAndSet(next).foreach(_.unpersist(blocking = false))
+
+  /** Unpersist the caches left by the most recent [[curate]] call. */
+  def releaseCaches(): Unit = swapCaches(Nil)
+
   final case class Config(
       badWords: Seq[String] = Nil,
       lang: Option[String] = Some("en"),
@@ -81,6 +98,7 @@ object Curation {
     // checkpoint between stages.
     val surv = ann.filter(col("survived")).select(id, redacted.as("rtext"))
       .persist()
+    val cachesToRegister = scala.collection.mutable.ArrayBuffer[DataFrame](surv)
     val rebuilt =
       if (cfg.dropDuplicateLines)
         LineDedup.dropGlobalDuplicateLines(surv, idCol, split(col("rtext"), "\n"))
@@ -91,6 +109,8 @@ object Curation {
     val keyed = rebuilt.select(id, col("final_text"),
       xxhash64(col("final_text")).as("tkey"))
       .persist()
+    cachesToRegister += keyed
+    swapCaches(cachesToRegister.toSeq)
     val keepers = keyed.groupBy(col("tkey")).agg(min(id).as("kid"))
     val flagged = keyed.join(keepers, "tkey")
       .select(id, col("final_text"), (id === col("kid")).as("is_kept"))

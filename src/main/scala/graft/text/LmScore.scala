@@ -33,8 +33,13 @@ object LmScore {
   def logFreqScore(docs: DataFrame, idCol: String, textCol: String,
                    vocabSize: Int): (DataFrame, DataFrame) = {
     require(vocabSize >= 1, s"vocabSize >= 1, got $vocabSize")
+    // empty tokens (ragged/leading/trailing whitespace) are excluded: an
+    // "" pseudo-word would otherwise claim a top-vocab slot and award
+    // weight to whitespace-padded gibberish — the opposite of the signal's
+    // intent. Docs with NO non-empty tokens are absent from the output.
     val words = docs.select(col(idCol),
-      explode(split(lower(col(textCol)), " ")).as("w"))
+        explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
     val vocab = words.groupBy("w").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w"))
       .limit(vocabSize)
@@ -50,12 +55,15 @@ object LmScore {
                       vocabSize: Int): String =
     s"""WITH counts AS (
        |  SELECT w, count(*) AS c FROM (
-       |    SELECT unnest(string_split(lower($textCol), ' ')) AS w FROM $table)
-       |  GROUP BY w),
+       |    SELECT unnest(regexp_split_to_array(lower($textCol), '\\s+')) AS w
+       |    FROM $table)
+       |  WHERE w <> '' GROUP BY w),
        |vocab AS (SELECT w, c FROM counts ORDER BY c DESC, w LIMIT $vocabSize),
        |doc_words AS (
-       |  SELECT $idCol, unnest(string_split(lower($textCol), ' ')) AS w
-       |  FROM $table)
+       |  SELECT $idCol, w FROM (
+       |    SELECT $idCol, unnest(regexp_split_to_array(lower($textCol), '\\s+')) AS w
+       |    FROM $table)
+       |  WHERE w <> '')
        |SELECT $idCol, CAST(count(*) AS BIGINT) AS n_toks,
        |  CAST(SUM(COALESCE(CAST(floor(log2(v.c)) AS BIGINT) + 1, 0)) AS BIGINT) AS sum_w
        |FROM doc_words d LEFT JOIN vocab v USING (w)

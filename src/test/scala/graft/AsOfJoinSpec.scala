@@ -51,14 +51,16 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(run(left, right) === expected(left, right))
   }
 
-  test("null timestamps are dropped from both sides") {
-    val left = Seq((Some(1L), Some(10L), 1L), (Some(1L), None, 2L))
+  test("null timestamps AND null keys are dropped from both sides (SQL semantics)") {
+    val left = Seq((Some(1L), Some(10L), 1L), (Some(1L), None, 2L),
+        (None, Some(10L), 3L)) // null KEY: NULL = NULL never matches in SQL
       .toDF("k", "lts", "lid")
-    val right = Seq((Some(1L), Some(5L), "a"), (Some(1L), None, "x"))
+    val right = Seq((Some(1L), Some(5L), "a"), (Some(1L), None, "x"),
+        (None, Some(5L), "phantom"))
       .toDF("k", "rts", "tag")
     val got = AsOfJoin.latestPrior(left, right, Seq("k"), "lts", "rts")
       .select("lid", "tag").collect().map(r => (r.getLong(0), r.getString(1))).toSet
-    assert(got === Set((1L, "a")))
+    assert(got === Set((1L, "a"))) // no (3, "phantom") null-to-null match
   }
 
   test("reserved and clashing column names are rejected") {

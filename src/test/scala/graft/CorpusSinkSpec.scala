@@ -77,4 +77,37 @@ class CorpusSinkSpec extends AnyFunSuite {
       rm(dir)
     }
   }
+
+  test("write-group salt spreads a hot partition over parallel writer tasks") {
+    val dir = Files.createTempDirectory("graft-sink-salt-")
+    // AQE would (correctly) coalesce this KB-sized test shuffle into one
+    // partition — at corpus scale it SPLITS a hot language by bytes
+    // instead; disable coalescing here so the salt's spread is observable
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      // ONE routing value, no file-size cap: without the salt this would
+      // be a single shuffle partition → a single writer task → one file
+      val docs = (0L until 2000L).map(i => (i, "en", i % 50)).toDF("doc_id", "lang", "q")
+      CorpusSink.writeSorted(docs, dir.toString, Seq("lang"), Seq("q", "doc_id"),
+        maxRecordsPerFile = 1000000L, writeGroups = 8)
+      val files = parquetFiles(dir)
+      assert(files.size >= 2, s"hot partition written by one task: $files")
+      // still lossless and per-file sorted
+      files.foreach { f =>
+        val rows = spark.read.parquet(f.toString).select("q", "doc_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(rows == rows.sorted, s"file $f not sorted")
+      }
+      assert(spark.read.parquet(dir.toString).count() === 2000L)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      def rm(p: Path): Unit = {
+        if (Files.isDirectory(p))
+          scala.util.Using.resource(Files.list(p))(
+            _.toArray.map(_.asInstanceOf[Path])).foreach(rm)
+        Files.deleteIfExists(p); ()
+      }
+      rm(dir)
+    }
+  }
 }

@@ -6,6 +6,9 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.text.Curation
 
+// (cache-bounding test for curate()'s internal persists lives at the
+// bottom of CurationSpec)
+
 /** End-to-end curation funnel semantics on a hand-built corpus (the DuckDB
   * end-to-end dual — final text included — is pinned by `q_curation`).
   */
@@ -98,5 +101,19 @@ class CurationSpec extends AnyFunSuite {
     assert(survived(Curation.Config()))
     assert(!survived(Curation.Config(lang = Some("fr"))))
     assert(survived(Curation.Config(lang = None)))
+  }
+
+  test("curate's internal caches are bounded: each call releases the previous pair") {
+    Curation.releaseCaches()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    (1 to 4).foreach { i =>
+      val docs = Seq((i.toLong, goodBlock)).toDF("doc_id", "text")
+      Curation.curate(docs, "doc_id", "text").count()
+      // at most the CURRENT call's two caches beyond the baseline
+      assert(spark.sparkContext.getPersistentRDDs.size <= before + 2,
+        s"cache leak after call $i: ${spark.sparkContext.getPersistentRDDs.size}")
+    }
+    Curation.releaseCaches()
+    assert(spark.sparkContext.getPersistentRDDs.size <= before)
   }
 }

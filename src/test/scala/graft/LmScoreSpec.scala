@@ -43,6 +43,19 @@ class LmScoreSpec extends AnyFunSuite {
     scores.collect().foreach(r => assert(r.getLong(2) === 4L, r.toString))
   }
 
+  test("ragged whitespace: empty tokens excluded from vocab, counts, and weights") {
+    val docs = Seq(
+      (1L, "  the   cat  "),     // leading/trailing/double spaces
+      (2L, "the\tcat"),          // tab separator
+      (3L, "   ")).toDF("id", "text") // whitespace-only doc: absent from output
+    val (vocab, scores) = LmScore.logFreqScore(docs, "id", "text", 10)
+    val v = vocab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v === Map("the" -> 2L, "cat" -> 2L)) // no "" pseudo-word
+    val got = scores.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got === Seq((1L, 2L, 4L), (2L, 2L, 4L))) // weight 2 each; doc 3 absent
+  }
+
   test("plan: vocab is TakeOrdered + broadcast; doc side never shuffles against it") {
     val docs = (0L until 500L).map(i => (i, s"w${i % 40} common tok")).toDF("id", "text")
     val (_, scores) = LmScore.logFreqScore(docs, "id", "text", 20)

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.QualityModel
+
+/** Trained quality classifier: planted prose vs gibberish separation. */
+class QualityModelSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+  private val proseWords = Seq("the", "of", "and", "a", "in", "is", "house",
+    "river", "story", "morning", "window", "quietly", "travel", "garden")
+  private def prose(i: Int): String =
+    (0 until 40).map(_ => proseWords(rnd.nextInt(proseWords.size))).mkString(" ") + "."
+  private def gibberish(i: Int): String =
+    (0 until 40).map(_ => rnd.alphanumeric.take(3).mkString + "#$%").mkString(" ")
+
+  test("learned scorer separates held-out prose from gibberish") {
+    val rows = (0 until 120).map { i =>
+      if (i % 2 == 0) (i.toLong, prose(i), 1.0) else (i.toLong, gibberish(i), 0.0)
+    }
+    val df = rows.toDF("id", "text", "label")
+    val train = df.filter(col("id") < 60)
+    val heldOut = df.filter(col("id") >= 60)
+
+    val model = QualityModel.train(train, col("text"), "label")
+    val scored = QualityModel.score(model, heldOut, col("text"))
+      .select("id", "label", "quality_prob").collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+    val good = scored.filter(_._1 == 1.0).map(_._2)
+    val bad = scored.filter(_._1 == 0.0).map(_._2)
+    assert(good.nonEmpty && bad.nonEmpty)
+    // full separation on held-out data, with margin
+    assert(good.min > 0.7, s"worst prose prob ${good.min}")
+    assert(bad.max < 0.3, s"best gibberish prob ${bad.max}")
+    // output schema: helper columns dropped, input columns + prob kept
+    val outCols = QualityModel.score(model, heldOut, col("text")).columns.toSeq
+    assert(outCols === Seq("id", "text", "label", "quality_prob"))
+  }
+
+  test("feature extraction is a narrow codegen'd projection (no shuffle)") {
+    val df = QualityModel.withFeatures(
+      Seq((1L, "some plain text here")).toDF("id", "text"), col("text"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join") &&
+      !plan.contains("Window"), plan)
+  }
+}

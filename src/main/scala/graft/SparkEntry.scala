@@ -11,7 +11,7 @@ import graft.functions._
 import graft.io.WarcSource
 import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, RangeJoin}
-import graft.text.{C4Gate, Chunking, Curation, GopherGate, HeavyHitters, LineDedup, LmScore, Mixing, Passages, Pii, Repetition, TextOps, UrlOps}
+import graft.text.{C4Gate, Chunking, Curation, GopherGate, HeavyHitters, LineDedup, LmScore, Mixing, Passages, Pii, QualityModel, Repetition, TextOps, UrlOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1246,6 +1246,42 @@ object SparkEntry {
         .select("interval_id", "event_id")
     }),
 
+    // Sink round trip: write documents through CorpusSink (lang-
+    // partitioned, sorted, size-capped, write-group salted) and aggregate
+    // what comes back — the oracle aggregates the source table directly,
+    // so the hash compare proves the sink loses/duplicates nothing.
+    "q_sink_roundtrip" -> ((s, dir) => {
+      val out = "/tmp/graft-sink-roundtrip"
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p))
+          scala.util.Using.resource(java.nio.file.Files.list(p))(
+            _.toArray.map(_.asInstanceOf[java.nio.file.Path])).foreach(rm)
+        java.nio.file.Files.deleteIfExists(p); ()
+      }
+      rm(java.nio.file.Paths.get(out))
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        TextOps.tokenCount(col("text")).cast("long").as("toks"))
+      graft.io.CorpusSink.writeSorted(docs, out, Seq("lang"),
+        Seq("toks", "doc_id"), maxRecordsPerFile = 100L)
+      s.read.parquet(out).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"),
+          sum("toks").as("sum_toks"))
+    }),
+
+    // Trained quality scorer (rows-only: iterative float optimization has
+    // no closed DuckDB form — separation semantics pinned in
+    // QualityModelSpec): weak-label on the quality ratio, train on the
+    // even-id half, score everything.
+    "q_quality_model" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val labeled = docs.withColumn("label",
+        (TextOps.qualityScore(col("text")) >= 0.5).cast("double"))
+      val model = QualityModel.train(
+        labeled.filter(col("doc_id") % 2 === 0), col("text"), "label")
+      QualityModel.score(model, docs, col("text"))
+        .select("doc_id", "quality_prob")
+    }),
+
     // Corpus-frequency LM quality signal (CCNet idea) in integer-exact
     // form: per-token weight floor(log2(corpus count))+1 via a bounded
     // broadcast vocabulary; doc score = (n_toks, sum_w) integers.
@@ -1843,6 +1879,15 @@ object SparkEntry {
 
     "q_lm_score" ->
       LmScore.logFreqScoreSql("documents", "doc_id", "text", LmVocabSize),
+
+    // aggregates the SOURCE table — equality with the Spark side (which
+    // aggregates what it reads back out of the sink) is the lossless-
+    // round-trip proof
+    "q_sink_roundtrip" ->
+      s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+         |  CAST(SUM(CAST(${TextOps.tokenCountSql("text")} AS BIGINT)) AS BIGINT) AS sum_toks
+         |FROM documents GROUP BY lang""".stripMargin,
 
     // the oracle is DuckDB's NATIVE ASOF JOIN — an independent engine's
     // implementation of the operator, not a hand-rolled replica

@@ -1251,14 +1251,12 @@ object SparkEntry {
     // what comes back — the oracle aggregates the source table directly,
     // so the hash compare proves the sink loses/duplicates nothing.
     "q_sink_roundtrip" -> ((s, dir) => {
-      val out = "/tmp/graft-sink-roundtrip"
-      def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p))
-          scala.util.Using.resource(java.nio.file.Files.list(p))(
-            _.toArray.map(_.asInstanceOf[java.nio.file.Path])).foreach(rm)
-        java.nio.file.Files.deleteIfExists(p); ()
-      }
-      rm(java.nio.file.Paths.get(out))
+      // per-scale path so a bench (sf0.1) overlapping a verify (sf0.01)
+      // can't clobber the other's files; mode("overwrite") inside the
+      // sink clears stale contents, so the leak is bounded at one dir
+      // per scale factor
+      val out = "/tmp/graft-sink-roundtrip-" +
+        java.nio.file.Paths.get(dir).getFileName.toString
       val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
         TextOps.tokenCount(col("text")).cast("long").as("toks"))
       graft.io.CorpusSink.writeSorted(docs, out, Seq("lang"),
@@ -1270,12 +1268,14 @@ object SparkEntry {
 
     // Trained quality scorer (rows-only: iterative float optimization has
     // no closed DuckDB form — separation semantics pinned in
-    // QualityModelSpec): weak-label on the quality ratio, train on the
-    // even-id half, score everything.
+    // QualityModelSpec): weak-label at the corpus's ~median quality ratio
+    // (0.78 splits the synthetic corpus ≈50/50 at every sf — a 0.5
+    // threshold would label EVERYTHING 1.0 and the fit would degenerate
+    // to a constant model), train on the even-id half, score everything.
     "q_quality_model" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val labeled = docs.withColumn("label",
-        (TextOps.qualityScore(col("text")) >= 0.5).cast("double"))
+        (TextOps.qualityScore(col("text")) >= 0.78).cast("double"))
       val model = QualityModel.train(
         labeled.filter(col("doc_id") % 2 === 0), col("text"), "label")
       QualityModel.score(model, docs, col("text"))

@@ -2,7 +2,6 @@ package graft.text
 
 import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
 import org.apache.spark.ml.feature.VectorAssembler
-import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -45,8 +44,16 @@ object QualityModel {
     "f_stop_hits" -> GopherGate.stopHits(text).cast("double"),
     "f_quality_score" -> TextOps.qualityScore(text))
 
+  private val ReservedCols =
+    Seq("features", "probability", "rawPrediction", "prediction")
+
   /** (input columns ++ the feature columns ++ `features` vector). */
   def withFeatures(docs: DataFrame, text: Column): DataFrame = {
+    val clash = docs.columns.filter(c =>
+      c.startsWith("f_") || ReservedCols.contains(c))
+    require(clash.isEmpty,
+      s"f_*-prefixed and ${ReservedCols.mkString("/")} columns are this " +
+        s"operator's working names; rename upstream: ${clash.mkString(", ")}")
     val withCols = featureColumns(text).foldLeft(docs) {
       case (df, (name, c)) => df.withColumn(name, coalesce(c, lit(0.0)))
     }
@@ -69,9 +76,10 @@ object QualityModel {
     * feature/helper columns dropped.
     */
   def score(model: LogisticRegressionModel, docs: DataFrame, text: Column): DataFrame = {
-    val p1 = udf((v: Vector) => v(1))
     val scored = model.transform(withFeatures(docs, text))
-      .withColumn("quality_prob", p1(col(model.getProbabilityCol)))
+      .withColumn("quality_prob", element_at(
+        org.apache.spark.ml.functions.vector_to_array(
+          col(model.getProbabilityCol)), 2))
     val helper = featureColumns(text).map(_._1) ++
       Seq("features", model.getRawPredictionCol, model.getProbabilityCol,
         model.getPredictionCol)

@@ -48,6 +48,23 @@ class QualityModelSpec extends AnyFunSuite {
     assert(outCols === Seq("id", "text", "label", "quality_prob"))
   }
 
+  test("q_quality_model is NON-degenerate: both classes trained, probs spread") {
+    // guards the weak-label threshold: at >= 0.5 every corpus doc was
+    // labeled 1.0 and LogisticRegression silently skipped training,
+    // emitting quality_prob = 1.0 for every row
+    val probs = SparkEntry.queries("q_quality_model")(spark, "/root/testdata/sf0.001")
+      .select("quality_prob").collect().map(_.getDouble(0))
+    assert(probs.min < 0.5, s"no low-quality probabilities: min ${probs.min}")
+    assert(probs.max > 0.5, s"no high-quality probabilities: max ${probs.max}")
+  }
+
+  test("clashing f_*/reserved columns are rejected instead of silently clobbered") {
+    val bad = Seq((1L, "text", 0.0)).toDF("id", "text", "prediction")
+    assertThrows[IllegalArgumentException] {
+      QualityModel.withFeatures(bad, col("text"))
+    }
+  }
+
   test("feature extraction is a narrow codegen'd projection (no shuffle)") {
     val df = QualityModel.withFeatures(
       Seq((1L, "some plain text here")).toDF("id", "text"), col("text"))

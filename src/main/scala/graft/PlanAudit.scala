@@ -366,6 +366,13 @@ object PlanAudit {
         plm.contains("partial_count") && !plm.contains("SortMergeJoin") &&
         !plm.contains("ShuffledHashJoin"), plm)
 
+    // Passage removal: partial-agg ownership + anti-join + grouped
+    // rebuild — never a window over the corpus-wide key, no cartesian.
+    val ppd = plan("q_passage_dedup")
+    check("q_passage_dedup: no Window, no cartesian, partial-agg ownership",
+      !ppd.contains("Window") && !ppd.toLowerCase.contains("cartesian") &&
+        ppd.contains("partial_min"), ppd)
+
     // Token windowing: a narrow per-row explode — no shuffle, no window.
     val pchk = plan("q_chunk_windows")
     check("q_chunk_windows: narrow explode (no Exchange/join/Window)",

@@ -977,6 +977,22 @@ object SparkEntry {
           col("end_tok").cast("long").as("end_tok"), col("n_windows"))
     }),
 
+    // Exact-substring REMOVAL (Passages.removeSharedPassages, n = 8):
+    // same plant as q_passage_spans; every duplicated-passage occurrence
+    // is cut except the minimum-id owner's copy, and the oracle replays
+    // the identical keeper/anti-join/rebuild over string grams — the hash
+    // compare pins the full rebuilt texts, not just span counts.
+    "q_passage_dedup" -> ((s, dir) => {
+      val plant = PassagePlant.split(" ").toSeq
+      val words0 = split(lower(col("text")), " ")
+      val planted = when(col("doc_id") % 3 === 0, concat(array(plant.map(lit): _*), words0))
+        .when(col("doc_id") % 3 === 1, concat(words0, array(plant.map(lit): _*)))
+        .otherwise(words0)
+      Passages.removeSharedPassages(t(s, dir, "documents"), "doc_id", planted, 8)
+        .select(col("doc_id"), col("text"),
+          col("n_kept"), col("n_dropped").cast("long").as("n_dropped"))
+    }),
+
     // Benchmark decontamination (Passages.contaminationHits, n = 8): eval
     // corpus = docs ≡0 (mod 37) with a planted 8-word eval marker appended;
     // training corpus = the rest, with the same marker planted on docs
@@ -2015,6 +2031,35 @@ object SparkEntry {
          |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_tok,
          |       CAST(MAX(pos) + 7 AS BIGINT) AS end_tok, COUNT(*) AS n_windows
          |FROM grp GROUP BY doc_id, isle""".stripMargin,
+
+    // string-gram replica of the keeper/anti-join/rebuild removal
+    "q_passage_dedup" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, CASE doc_id % 3
+         |    WHEN 0 THEN string_split('$PassagePlant', ' ')
+         |      || string_split(lower(text), ' ')
+         |    WHEN 1 THEN string_split(lower(text), ' ')
+         |      || string_split('$PassagePlant', ' ')
+         |    ELSE string_split(lower(text), ' ') END AS words
+         |  FROM documents),
+         |g AS (SELECT doc_id, i AS pos, array_to_string(words[i+1 : i+8], ' ') AS gram
+         |      FROM w, unnest(range(0, len(words) - 7)) t(i) WHERE len(words) >= 8),
+         |own AS (SELECT gram, MIN(doc_id) AS keeper FROM g
+         |        GROUP BY gram HAVING MIN(doc_id) <> MAX(doc_id)),
+         |dropped AS (SELECT DISTINCT g.doc_id, g.pos + k.k AS tok_idx
+         |            FROM g JOIN own USING (gram), unnest(range(0, 8)) k(k)
+         |            WHERE g.doc_id <> own.keeper),
+         |tok AS (SELECT doc_id, i AS tok_idx, words[i+1] AS token
+         |        FROM w, unnest(range(0, len(words))) t(i)),
+         |kept AS (SELECT tok.doc_id, tok.tok_idx, tok.token
+         |         FROM tok ANTI JOIN dropped USING (doc_id, tok_idx)),
+         |reb AS (SELECT doc_id, string_agg(token, ' ' ORDER BY tok_idx) AS text,
+         |               COUNT(*) AS n_kept
+         |        FROM kept GROUP BY doc_id)
+         |SELECT w.doc_id, COALESCE(reb.text, '') AS text,
+         |  CAST(COALESCE(reb.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(len(w.words) - COALESCE(reb.n_kept, 0) AS BIGINT) AS n_dropped
+         |FROM w LEFT JOIN reb USING (doc_id)""".stripMargin,
 
     // mirrors q_decontaminate's plant; COUNT(DISTINCT gram) vs the plan's
     // count_distinct(xxhash64(gram)) — identical absent 64-bit collisions

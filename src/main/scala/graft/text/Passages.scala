@@ -90,6 +90,62 @@ object Passages {
       .drop("grp")
   }
 
+  /** The REMOVAL half of exact-substring dedup (Lee 2022 cuts duplicated
+    * passages, it doesn't just report them): rebuild every document with
+    * each duplicated-passage occurrence removed EXCEPT the one in its
+    * minimum-id owner. Per-window keeper rule: for each cross-document
+    * window key, keeper = min owner id; a token is dropped from a doc iff
+    * a matched window whose keeper is some OTHER doc covers it. The min-id
+    * owner keeps its copy intact; every other owner loses exactly the
+    * covered tokens, conservative at span edges (a token covered by any
+    * non-keeper window goes). Returns (id, text, n_kept, n_dropped);
+    * fully-deduplicated docs survive with empty text via the id spine.
+    *
+    * Scale shape: the same windowed machinery as [[sharedPassageSpans]]
+    * (8-byte keys, partial-agg'd min/max ownership), token-index explosion
+    * bounded by n per matched window, an anti-join on (id, tok_idx), and
+    * the per-document ordered rebuild of [[LineDedup]] (grouped on the doc
+    * id, bounded per-partition by document length). No window functions at
+    * all on this path.
+    */
+  def removeSharedPassages(
+      docs: DataFrame,
+      idCol: String,
+      words: Column,
+      n: Int): DataFrame = {
+    val win = windowKeys(docs, idCol, words, n)
+    val owners = win
+      .groupBy(col("key"))
+      .agg(min(col(idCol)).as("keeper"), max(col(idCol)).as("_hi"))
+      .filter(col("keeper") =!= col("_hi"))
+      .select(col("key"), col("keeper"))
+    val droppedIdx = win
+      .join(owners, "key")
+      .filter(col(idCol) =!= col("keeper"))
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("tok_idx"))
+      .distinct()
+    val toks = docs
+      .select(col(idCol), words.as("_psg_words"))
+      .select(col(idCol), posexplode(col("_psg_words")).as(Seq("tok_idx", "token")))
+    val rebuilt = toks
+      .join(droppedIdx, Seq(idCol, "tok_idx"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ",
+          transform(
+            sort_array(collect_list(struct(col("tok_idx"), col("token")))),
+            w => w.getField("token"))).as("text"),
+        count(lit(1)).as("n_kept"))
+    docs
+      .select(col(idCol), size(words).as("_n_toks"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("_n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   /** Per-training-document contamination against an evaluation corpus:
     * (id, n_hits) where n_hits = distinct n-grams shared with ANY eval
     * document. Training documents with no hits carry n_hits = 0. The eval

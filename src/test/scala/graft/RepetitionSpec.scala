@@ -95,6 +95,35 @@ class RepetitionSpec extends AnyFunSuite {
     assert(spans === Array((1L, 0, 3), (1L, 9, 12), (2L, 0, 3), (2L, 9, 12)))
   }
 
+  test("removeSharedPassages: min-id owner keeps its copy, others lose covered tokens") {
+    // docs 1 and 2 share "a b c d" (two 3-gram windows in each); doc 1 is
+    // the keeper of both windows, so doc 2 loses tokens covered by its
+    // matched windows (positions 2..4 and 3..5 → a b c d) and keeps x y z
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y a b c d z"),
+      (3L, "u1 u2 u3 u4")).toDF("id", "text")
+    val out = Passages.removeSharedPassages(docs, "id", split(col("text"), " "), 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) === (("a b c d e f", 6L, 0L))) // keeper: intact
+    assert(out(2L) === (("x y z", 3L, 4L)))
+    assert(out(3L) === (("u1 u2 u3 u4", 4L, 0L))) // no shared grams
+  }
+
+  test("removeSharedPassages: fully duplicated doc empties but survives; no Window in plan") {
+    val docs = Seq(
+      (1L, "p q r s"),
+      (2L, "p q r s")).toDF("id", "text")
+    val df = Passages.removeSharedPassages(docs, "id", split(col("text"), " "), 4)
+    val out = df.collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) === (("p q r s", 4L)))
+    assert(out(2L) === (("", 0L))) // emptied, but present via the id spine
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.toLowerCase.contains("cartesian"), plan)
+  }
+
   test("contaminationHits: planted eval overlap counted, clean docs zero") {
     val evalDocs = Seq((100L, Seq("e1", "e2", "e3", "e4", "e5")))
       .toDF("id", "words")

@@ -11,7 +11,7 @@ import graft.functions._
 import graft.io.WarcSource
 import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, RangeJoin}
-import graft.text.{C4Gate, Chunking, Curation, GopherGate, HeavyHitters, LineDedup, LmScore, Mixing, Passages, Pii, QualityModel, Repetition, TextOps, UrlOps}
+import graft.text.{C4Gate, Chunking, Curation, EncodingFix, GopherGate, HeavyHitters, LineDedup, LmScore, Mixing, Passages, Pii, QualityModel, Repetition, TextOps, UrlOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -60,6 +60,14 @@ object SparkEntry {
   private val PassagePlant =
     "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
   private val EvalMarker = "nu xi omicron pi rho sigma tau upsilon"
+
+  /** Corrupted phrase planted by q_fix_mojibake: the sloppy-cp1252 mojibake
+    * image of a phrase whose non-ASCII characters are all in
+    * [[EncodingFix.Table]], so the chain repairs it back exactly.
+    */
+  private val MojibakeCleanPhrase =
+    " the café’s résumé — “naïve” costs €9… «Olé» ±5°"
+  private val MojibakePlant = EncodingFix.mojibake(MojibakeCleanPhrase)
 
   /** Shared fixture for the two decontamination queries: eval corpus = docs
     * ≡0 (mod 37) with the 8-word eval marker appended; training corpus = the
@@ -800,6 +808,22 @@ object SparkEntry {
         TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
         TextOps.bpeTokenCount(col("text")).cast("long").as("n_bpe"),
         TextOps.qualityScore(col("text")).as("quality"))
+    }),
+
+    // Mojibake repair (EncodingFix): corpus text is clean, so UTF-8-read-
+    // as-cp1252 corruption is planted per doc_id residue with the SAME
+    // sloppy-cp1252 model the chain inverts; the oracle replays the plant
+    // (as chr() concatenation — the SQL stays pure ASCII) and the identical
+    // replacement chain, and the hash compare pins the FULL repaired text.
+    "q_fix_mojibake" -> ((s, dir) => {
+      val corrupted = concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(MojibakePlant)).otherwise(lit("")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), corrupted.as("_corrupted"),
+          EncodingFix.fixMojibake(corrupted).as("fixed_text"))
+        .select(col("doc_id"), col("fixed_text"),
+          (length(col("_corrupted")) - length(col("fixed_text")))
+            .cast("long").as("n_removed"))
     }),
 
     // Gopher scalar quality gate (GopherGate): corpus text is single-line
@@ -1719,6 +1743,20 @@ object SparkEntry {
          |  ${TextOps.bpeTokenCountSql("text")} AS n_bpe,
          |  ${TextOps.qualityScoreSql("text")} AS quality
          |FROM documents""".stripMargin,
+
+    // replants q_fix_mojibake's corruption (as ASCII-safe chr() concat),
+    // then runs the IDENTICAL ordered replacement chain
+    "q_fix_mojibake" -> {
+      val plant = EncodingFix.chrConcat(MojibakePlant)
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    text || (CASE WHEN doc_id % 3 = 0 THEN $plant ELSE '' END) AS t
+         |  FROM documents),
+         |f AS (SELECT doc_id, t, ${EncodingFix.fixMojibakeSql("t")} AS ft FROM c)
+         |SELECT doc_id, ft AS fixed_text,
+         |  CAST(len(t) - len(ft) AS BIGINT) AS n_removed
+         |FROM f""".stripMargin
+    },
 
     // replants q_quality_gopher's decorations, then the same signal formulas
     "q_quality_gopher" -> {

@@ -1,0 +1,79 @@
+package graft.expr
+
+import java.util.zip.Deflater
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DEFLATE-compressed byte length of a string's UTF-8 bytes — the raw
+  * material of the compression-ratio quality signal used by published
+  * web-corpus curation pipelines (Dolma's and RedPajama-v2's
+  * "gzip/zlib compression ratio" quality annotations; highly compressible
+  * pages are boilerplate/repetition, incompressible ones are often
+  * binary-ish noise — both tails get gated).
+  *
+  * Determinism contract: fixed algorithm parameters (level 6, raw deflate,
+  * default strategy) make the output a pure function of the input bytes for
+  * a given zlib implementation. The JDK bundles its own zlib, so results
+  * are stable across executors of one cluster (same JDK everywhere — the
+  * standard Spark deployment model); the spec additionally pins expression
+  * output == direct library output so a drift would fail loudly.
+  *
+  * Scale shape: a narrow per-row scalar inside whole-stage codegen. The
+  * [[Deflater]] carries native memory and is NOT allocated per row: each
+  * task thread reuses one thread-local instance via `reset()` (allocation
+  * cost and native-memory churn are the reason Spark's own codecs pool
+  * these). Thread-locals live as long as the executor's task threads — a
+  * bounded pool — so the native footprint is bounded at
+  * threads × ~256 KB.
+  */
+case class DeflateLen(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    DeflateLen.compressedLength(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.DeflateLen.compressedLength($c)")
+
+  override protected def withNewChildInternal(c: Expression): DeflateLen =
+    copy(child = c)
+}
+
+object DeflateLen {
+
+  /** Compression level pinned for determinism (6 = zlib default: the
+    * published pipelines' choice; ratio ordering is insensitive to level
+    * but the exact byte count is not).
+    */
+  val Level = 6
+
+  private val buffers = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](64 * 1024)
+  }
+  private val deflaters = new ThreadLocal[Deflater] {
+    // nowrap=true: raw deflate, no 2-byte zlib header / 4-byte checksum —
+    // the signal is the entropy estimate, not a container format
+    override def initialValue(): Deflater = new Deflater(Level, true)
+  }
+
+  /** Deflated byte count of `s`'s UTF-8 bytes. Empty input deflates to the
+    * 2-byte empty block — never 0 — so ratio consumers must guard the
+    * denominator (raw length), not this.
+    */
+  def compressedLength(s: UTF8String): Int = {
+    val bytes = s.getBytes
+    val d = deflaters.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = buffers.get()
+    var total = 0
+    while (!d.finished()) total += d.deflate(buf)
+    total
+  }
+}

@@ -99,6 +99,23 @@ object functions {
   def fingerprint64(c: Column, k: Int = 8, w: Int = 4): Column =
     col(Fingerprint64(ex(c), k, w))
 
+  /** DEFLATE-compressed byte length of a string (level 6, raw deflate) —
+    * see [[graft.expr.DeflateLen]].
+    */
+  def deflate_len(c: Column): Column = col(DeflateLen(ex(c)))
+
+  /** Compression-ratio quality signal: deflated bytes / raw UTF-8 bytes,
+    * rounded to 6 places; NULL-safe via the expression, 0-length text →
+    * NULL (no meaningful ratio). Low ⇒ repetitive boilerplate, ~1 ⇒
+    * incompressible noise.
+    */
+  def compression_ratio(c: Column): Column = {
+    import org.apache.spark.sql.functions.{octet_length, round, when, lit}
+    val raw = octet_length(c)
+    when(raw === 0, lit(null).cast("double"))
+      .otherwise(round(deflate_len(c).cast("double") / raw.cast("double"), 6))
+  }
+
   /** Register every kernel function for SQL use (graft_* names). */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -149,5 +166,6 @@ object functions {
       Fingerprint64(es(0),
         if (es.length > 1) intLit(es(1)) else 8,
         if (es.length > 2) intLit(es(2)) else 4))
+    one("graft_deflate_len", es => DeflateLen(es.head))
   }
 }

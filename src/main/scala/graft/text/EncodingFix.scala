@@ -1,0 +1,140 @@
+package graft.text
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Mojibake repair for web-crawled text — the "fix the encoding before you
+  * filter" step of published curation recipes (Speer 2012's ftfy is the
+  * canonical public implementation; Dolma and CCNet both run an
+  * encoding-repair pass before quality gating).
+  *
+  * The single dominant real-world corruption is UTF-8 bytes decoded as
+  * Windows-1252/Latin-1: a server emits `é` as the UTF-8 bytes `C3 A9`, a
+  * buggy reader decodes each byte as cp1252 and stores `Ã©`. The repair is
+  * the inverse substitution. This operator is the TABLE-DRIVEN form: an
+  * ordered chain of exact-string replacements over the mojibake images of
+  * the most common Latin-1/General-Punctuation characters — each step a
+  * codegen'd built-in `replace`, no UDF, no shuffle, and exactly
+  * replayable in ANSI SQL (the DuckDB oracle runs the identical chain via
+  * [[fixMojibakeSql]]).
+  *
+  * Byte→char model: "sloppy windows-1252" (ftfy's published codec) — bytes
+  * 0x80–0x9F take the cp1252 glyphs where defined and fall back to the
+  * ISO-8859-1 C1 controls for the five undefined code points
+  * (0x81 0x8D 0x8F 0x90 0x9D), all other bytes are ISO-8859-1. That is what
+  * lenient real-world decoders produce, and unlike the JDK's strict cp1252
+  * decoder it is total, so the mojibake image of every character is
+  * well-defined and deterministic.
+  *
+  * Chain-order contract: keys are applied longest-first (3-byte UTF-8
+  * images before 2-byte ones), ties broken by codepoint — both engines
+  * apply the IDENTICAL order, so outputs agree even on pathological inputs
+  * where one replacement's output abuts another key. No key starts with a
+  * chain output and no key shadows another (spec-pinned), so clean text and
+  * singly-corrupted text are fixed points after one pass; DOUBLY-corrupted
+  * input (mojibake of mojibake) may need a second application — both
+  * engines treat it identically either way, it is a semantic note, not a
+  * parity risk.
+  *
+  * Scale shape: one narrow per-row projection over the text column —
+  * embarrassingly parallel, stays inside whole-stage codegen, nothing
+  * shuffles.
+  */
+object EncodingFix {
+
+  /** cp1252 glyphs for bytes 0x80–0x9F (the five undefined bytes fall back
+    * to their C1 controls — the "sloppy" part).
+    */
+  private val Cp1252High: Map[Int, Char] = Map(
+    0x80 -> '€', 0x82 -> '‚', 0x83 -> 'ƒ', 0x84 -> '„',
+    0x85 -> '…', 0x86 -> '†', 0x87 -> '‡', 0x88 -> 'ˆ',
+    0x89 -> '‰', 0x8A -> 'Š', 0x8B -> '‹', 0x8C -> 'Œ',
+    0x8E -> 'Ž', 0x91 -> '‘', 0x92 -> '’', 0x93 -> '“',
+    0x94 -> '”', 0x95 -> '•', 0x96 -> '–', 0x97 -> '—',
+    0x98 -> '˜', 0x99 -> '™', 0x9A -> 'š', 0x9B -> '›',
+    0x9C -> 'œ', 0x9E -> 'ž')
+
+  /** One byte through the sloppy-windows-1252 decoder. */
+  def sloppyCp1252Char(b: Int): Char = {
+    val v = b & 0xFF
+    if (v >= 0x80 && v < 0xA0) Cp1252High.getOrElse(v, v.toChar) else v.toChar
+  }
+
+  /** The mojibake image of `s`: encode as UTF-8, decode each byte as
+    * sloppy-windows-1252. This is the corruption the table inverts; exposed
+    * so tests and fixtures plant corruption with the exact same model.
+    */
+  def mojibake(s: String): String = {
+    val bytes = s.getBytes(UTF_8)
+    val sb = new java.lang.StringBuilder(bytes.length)
+    var i = 0
+    while (i < bytes.length) { sb.append(sloppyCp1252Char(bytes(i))); i += 1 }
+    sb.toString
+  }
+
+  /** Characters the chain repairs: General Punctuation (curly quotes,
+    * dashes, ellipsis, bullet, euro, trademark — the "â€™"-family everyone
+    * has seen) plus the Latin-1 letters and symbols that dominate western
+    * web text. A bounded, auditable list — the table-driven form trades
+    * completeness for SQL-expressibility; characters outside the table pass
+    * through untouched (repair, never delete).
+    */
+  val FixedChars: Seq[Char] = Seq(
+    // 3-byte UTF-8 images (applied first)
+    '‘', '’', '‚', '“', '”', '„', '–',
+    '—', '†', '‡', '•', '…', '‰', '€',
+    '™',
+    // 2-byte images: Latin-1 letters
+    'à', 'á', 'â', 'ã', 'ä', 'å', 'æ',
+    'ç', 'è', 'é', 'ê', 'ë', 'ì', 'í',
+    'î', 'ï', 'ñ', 'ò', 'ó', 'ô', 'õ',
+    'ö', 'ø', 'ù', 'ú', 'û', 'ü', 'ý',
+    'ÿ', 'ß',
+    'À', 'Á', 'Ä', 'Ç', 'È', 'É', 'Í',
+    'Ñ', 'Ó', 'Ö', 'Ú', 'Ü',
+    // 2-byte images: Latin-1 punctuation / symbols
+    '¡', '£', '©', '«', '®', '°', '±',
+    'µ', '·', '»', '¿')
+
+  /** The ordered (mojibake, fixed) replacement table: longest keys first,
+    * codepoint tie-break. Both the Column chain and the SQL chain iterate
+    * THIS sequence, so the two engines' outputs are equal by construction.
+    */
+  val Table: Seq[(String, String)] = FixedChars
+    .map(ch => (mojibake(ch.toString), ch.toString))
+    .sortBy { case (k, v) => (-k.length, v.codePointAt(0)) }
+
+  /** Repair `text` by the ordered replacement chain — built-in `replace`
+    * steps only (codegen'd, null-safe, no UDF).
+    */
+  def fixMojibake(text: Column): Column =
+    Table.foldLeft(text) { case (c, (moj, fixed)) =>
+      replace(c, lit(moj), lit(fixed))
+    }
+
+  /** Count of repaired characters: each table hit shrinks the string by
+    * (key length − 1) chars, and no other length change happens, so the
+    * length delta divided by nothing is already the char count — we report
+    * the raw delta (2-byte fixes contribute 1, 3-byte fixes 2); a pure
+    * function of (text, fixed) both engines compute identically.
+    */
+  def mojibakeCharsRemoved(text: Column): Column =
+    (length(text) - length(fixMojibake(text))).cast("long")
+
+  /** DuckDB chr(codepoint) concatenation for `s` — keeps the oracle SQL
+    * pure ASCII (no raw C1 controls or multibyte literals in the SQL text).
+    * Public so query fixtures can plant corruption literals the same way.
+    */
+  def chrConcat(s: String): String =
+    s.codePoints().toArray.map(cp => s"chr($cp)").mkString("(", " || ", ")")
+
+  /** DuckDB SQL replica of [[fixMojibake]] over a column expression `c` —
+    * the identical chain in the identical order.
+    */
+  def fixMojibakeSql(c: String): String =
+    Table.foldLeft(c) { case (sql, (moj, fixed)) =>
+      s"replace($sql, ${chrConcat(moj)}, ${chrConcat(fixed)})"
+    }
+}

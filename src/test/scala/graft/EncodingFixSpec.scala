@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.EncodingFix
+
+/** Mojibake repair: the table-driven UTF-8-read-as-cp1252 inverse chain. */
+class EncodingFixSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def fixOne(s: String): String =
+    Seq(s).toDF("t").select(EncodingFix.fixMojibake(col("t"))).head().getString(0)
+
+  test("sloppy-cp1252 byte model matches the published table") {
+    // cp1252 glyph bytes
+    assert(EncodingFix.sloppyCp1252Char(0x80) === '€') // €
+    assert(EncodingFix.sloppyCp1252Char(0x92) === '’') // ’
+    assert(EncodingFix.sloppyCp1252Char(0x9C) === 'œ') // œ
+    // the five undefined bytes fall back to C1 controls
+    for (b <- Seq(0x81, 0x8D, 0x8F, 0x90, 0x9D))
+      assert(EncodingFix.sloppyCp1252Char(b) === b.toChar)
+    // latin-1 ranges are identity
+    assert(EncodingFix.sloppyCp1252Char(0x41) === 'A')
+    assert(EncodingFix.sloppyCp1252Char(0xE9) === 'é') // é
+  }
+
+  test("every table entry round-trips: fix(mojibake(ch)) == ch") {
+    val inputs = EncodingFix.FixedChars.map(_.toString)
+    val df = inputs.map(EncodingFix.mojibake).toDF("t")
+    val fixed = df.select(EncodingFix.fixMojibake(col("t"))).collect().map(_.getString(0))
+    assert(fixed.toSeq === inputs)
+  }
+
+  test("full-phrase round trip through the corruption model") {
+    val phrase = "the café’s naïve “résumé” " +
+      "— 20°, ±5… €9 «Olé»"
+    val corrupted = EncodingFix.mojibake(phrase)
+    assert(corrupted !== phrase) // the plant actually corrupts
+    assert(fixOne(corrupted) === phrase)
+  }
+
+  test("idempotent and conservative") {
+    // clean ASCII untouched
+    val ascii = "plain ascii text, nothing to fix (42)."
+    assert(fixOne(ascii) === ascii)
+    // already-repaired text untouched (outputs are never keys)
+    val phrase = "café — “ok”"
+    assert(fixOne(phrase) === phrase)
+    // double application == single application on corrupted input
+    val corrupted = EncodingFix.mojibake(phrase)
+    assert(fixOne(fixOne(corrupted)) === fixOne(corrupted))
+  }
+
+  test("characters outside the table pass through (repair, never delete)") {
+    // CJK mojibake is not in the table; its bytes must survive unchanged
+    val moj = EncodingFix.mojibake("你好")
+    assert(fixOne(moj) === moj)
+  }
+
+  test("chars-removed counter counts the length delta") {
+    val df = Seq(
+      EncodingFix.mojibake("’"), // 3-char key → 1 char: delta 2
+      EncodingFix.mojibake("é"), // 2-char key → 1 char: delta 1
+      "clean").toDF("t")
+    val got = df.select(EncodingFix.mojibakeCharsRemoved(col("t")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(2L, 1L, 0L))
+  }
+
+  test("table invariants: longest-first, unique, no key shadows another") {
+    val keys = EncodingFix.Table.map(_._1)
+    val lens = keys.map(_.length)
+    assert(lens === lens.sortBy(-(_: Int)))
+    assert(keys.distinct.size === keys.size)
+    // no key is a substring of a different key — with longest-first order
+    // this guarantees every key can actually match (nothing is shadowed)
+    for (a <- keys; b <- keys if a != b)
+      assert(!b.contains(a), s"key '$a' is inside key '$b'")
+  }
+
+  test("property: any singly-corrupted string over table+ASCII round-trips") {
+    // UTF-8 lead/continuation-byte structure means key matches in a
+    // singly-corrupted stream always align with character-image
+    // boundaries; this pins that argument empirically over random mixes
+    val rng = new scala.util.Random(20260819L)
+    val table = EncodingFix.FixedChars.toSet
+    val alphabet: IndexedSeq[String] = (
+      EncodingFix.FixedChars.map(_.toString) ++
+        "abc XYZ 09.,!?".map(_.toString) ++
+        Seq("你", "好", "Ω") // non-table multibyte: stay corrupted, but
+                              // must never disturb neighboring repairs
+      ).toIndexedSeq
+    val cleans = Seq.tabulate(200) { _ =>
+      Seq.fill(1 + rng.nextInt(30))(alphabet(rng.nextInt(alphabet.size))).mkString
+    }
+    // expected repair: table chars come back clean, everything else keeps
+    // its corruption image (repair, never delete)
+    val expected = cleans.map(_.map { ch =>
+      if (table(ch) || ch < 0x80) ch.toString else EncodingFix.mojibake(ch.toString)
+    }.mkString)
+    val fixed = cleans.map(EncodingFix.mojibake).toDF("t")
+      .select(EncodingFix.fixMojibake(col("t")))
+      .collect().map(_.getString(0)).toSeq
+    assert(fixed === expected)
+  }
+
+  test("plan is one narrow codegen'd projection: no exchange, no UDF") {
+    // spark.range keeps a real codegen'd scan under the projection (a local
+    // Seq would constant-fold into a LocalTableScan)
+    val df = spark.range(64)
+      .select(col("id"),
+        EncodingFix.fixMojibake(concat(lit("text Ã© "), col("id"))).as("fixed"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // "*(n)" is the WholeStageCodegen marker in the plan string
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("), plan)
+    assert(!plan.toLowerCase.contains("batchevalpython") && !plan.contains("ScalaUDF"), plan)
+  }
+}

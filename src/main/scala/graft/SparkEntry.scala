@@ -810,6 +810,43 @@ object SparkEntry {
         TextOps.qualityScore(col("text")).as("quality"))
     }),
 
+    // Corpus length-distribution stats: exact interpolated percentiles of
+    // per-doc token counts by predicted language — the report a curation
+    // run ends with (and the input to picking gate thresholds). Spark's
+    // exact `percentile` aggregate partial-aggregates a value→count
+    // histogram (state bounded by DISTINCT lengths, not rows), and DuckDB's
+    // quantile_cont implements the identical p*(n-1) linear interpolation;
+    // round(·,6) absorbs float noise on both sides.
+    "q_corpus_quantiles" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(TextOps.langId(col("text")).as("lang"),
+          TextOps.tokenCount(col("text")).cast("double").as("ntok"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(percentile(col("ntok"), lit(0.10)), 6).as("p10"),
+          round(percentile(col("ntok"), lit(0.50)), 6).as("p50"),
+          round(percentile(col("ntok"), lit(0.90)), 6).as("p90"),
+          round(percentile(col("ntok"), lit(0.99)), 6).as("p99"),
+          max(col("ntok")).cast("long").as("ntok_max"))
+    }),
+
+    // Compression-ratio quality signal (rows-only: DuckDB exposes no
+    // scalar compression function, so the signal is genuinely
+    // non-oracle-expressible; DeflateSpec pins the expression byte-exact
+    // against direct java.util.zip output and the ratio ordering on
+    // planted boilerplate/noise/prose). Repetition is planted per doc_id
+    // residue so the output exercises the full signal range.
+    "q_compress_ratio" -> ((s, dir) => {
+      val planted = concat(col("text"),
+        repeat(lit(" win a prize click here"), (col("doc_id") % 6).cast("int") * 40))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        octet_length(planted).cast("long").as("n_bytes"),
+        deflate_len(planted).cast("long").as("n_deflate"),
+        compression_ratio(planted).as("ratio"))
+    }),
+
     // Mojibake repair (EncodingFix): corpus text is clean, so UTF-8-read-
     // as-cp1252 corruption is planted per doc_id residue with the SAME
     // sloppy-cp1252 model the chain inverts; the oracle replays the plant
@@ -1743,6 +1780,21 @@ object SparkEntry {
          |  ${TextOps.bpeTokenCountSql("text")} AS n_bpe,
          |  ${TextOps.qualityScoreSql("text")} AS quality
          |FROM documents""".stripMargin,
+
+    // the identical langId/tokenCount formulas feed DuckDB's exact
+    // quantile_cont — the same p*(n-1) interpolation as Spark's percentile
+    "q_corpus_quantiles" ->
+      s"""SELECT lang,
+         |  COUNT(*) AS n_docs,
+         |  round(quantile_cont(ntok, 0.10), 6) AS p10,
+         |  round(quantile_cont(ntok, 0.50), 6) AS p50,
+         |  round(quantile_cont(ntok, 0.90), 6) AS p90,
+         |  round(quantile_cont(ntok, 0.99), 6) AS p99,
+         |  CAST(max(ntok) AS BIGINT) AS ntok_max
+         |FROM (SELECT ${TextOps.langIdSql("text")} AS lang,
+         |        CAST(${TextOps.tokenCountSql("text")} AS DOUBLE) AS ntok
+         |      FROM documents)
+         |GROUP BY lang""".stripMargin,
 
     // replants q_fix_mojibake's corruption (as ASCII-safe chr() concat),
     // then runs the IDENTICAL ordered replacement chain

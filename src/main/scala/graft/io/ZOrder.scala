@@ -1,0 +1,122 @@
+package graft.io
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) interleaving for multi-dimensional write clustering —
+  * the standard data-skipping layout for scans that filter on MORE than one
+  * column (Morton 1966; the technique behind Delta/Iceberg `OPTIMIZE
+  * ZORDER BY`). Sorting a table by one column gives perfect row-group
+  * min/max pruning on that column and none on any other; sorting by the
+  * interleaved key gives useful pruning on EVERY participating column,
+  * because a z-sorted file covers a compact hyper-rectangle of the key
+  * space and its per-column min/max stats stay narrow.
+  *
+  * Composition with [[CorpusSink.writeSorted]]: compute
+  * `mortonKey(...)` as a column and pass it as the sort column — the sink
+  * already does the one-shuffle + in-partition-sort + bounded-file write;
+  * this object only supplies the key.
+  *
+  * Everything here is integer arithmetic over built-in, codegen'd
+  * functions (shift / AND / multiply-accumulate) with an exactly-equivalent
+  * SQL form ([[mortonKeySql]]) so the DuckDB oracle replays the identical
+  * key. No UDF, no shuffle — the key is a narrow per-row projection.
+  *
+  * Inputs are pre-bucketed fixed-width non-negative ints (use [[bucket]]
+  * for continuous values). At 100 TB the range bounds for bucketing come
+  * from the stats pass a curation run already does (`q_corpus_quantiles`-
+  * style min/max or quantiles) — they are parameters here, never a hidden
+  * extra corpus scan.
+  */
+object ZOrder {
+
+  /** Clamped linear bucketing of `c` into [0, 2^bits): lo ↦ 0,
+    * hi ↦ 2^bits − 1, values outside [lo, hi] clamp to the edge buckets.
+    * Integer arithmetic only (floor division), deterministic given the
+    * bounds.
+    */
+  def bucket(c: Column, lo: Long, hi: Long, bits: Int): Column = {
+    require(hi > lo, s"bucket needs hi > lo, got [$lo, $hi]")
+    require(bits >= 1 && bits <= 20, s"bits out of range: $bits")
+    val buckets = 1L << bits
+    val clamped = least(greatest(c.cast("long"), lit(lo)), lit(hi))
+    // (x - lo) * buckets intdiv (hi - lo + 1) maps the range onto
+    // [0, buckets). Column./ is DOUBLE division, so exact integer division
+    // is built as (num - num mod den) / den — the numerator is then exactly
+    // divisible and the double quotient is the exact integer (both fit in
+    // 53 bits for ranges up to ~2^40).
+    val num = (clamped - lit(lo)) * lit(buckets)
+    val den = lit(hi - lo + 1)
+    ((num - pmod(num, den)) / den).cast("long")
+  }
+
+  /** DuckDB SQL replica of [[bucket]] over column expression `c`. */
+  def bucketSql(c: String, lo: Long, hi: Long, bits: Int): String = {
+    val buckets = 1L << bits
+    s"((least(greatest(CAST($c AS BIGINT), $lo), $hi) - $lo) * $buckets // ${hi - lo + 1})"
+  }
+
+  /** Morton key of d pre-bucketed dimensions: bit i of dimension j lands at
+    * key position i*d + j. `bits` per dimension; d*bits must fit a long
+    * (≤ 62). Dimension order matters (earlier columns take lower bit
+    * positions) and is part of the key contract.
+    */
+  def mortonKey(dims: Seq[Column], bits: Int): Column = {
+    require(dims.nonEmpty, "mortonKey needs at least one dimension")
+    require(bits * dims.size <= 62, s"key would overflow a long: $bits bits × ${dims.size} dims")
+    val d = dims.size
+    val terms = for {
+      (dim, j) <- dims.zipWithIndex
+      i <- 0 until bits
+    } yield (shiftright(dim.cast("long"), i).bitwiseAND(lit(1L))) * lit(1L << (i * d + j))
+    terms.reduce(_ + _)
+  }
+
+  /** DuckDB SQL replica of [[mortonKey]] over column expressions `dims`. */
+  def mortonKeySql(dims: Seq[String], bits: Int): String = {
+    val d = dims.size
+    val terms = for {
+      (dim, j) <- dims.zipWithIndex
+      i <- 0 until bits
+    } yield s"(((CAST($dim AS BIGINT) >> $i) & 1) * ${1L << (i * d + j)})"
+    terms.mkString("(", " + ", ")")
+  }
+
+  /** Write `df` clustered by the Morton key of `dims`: range-repartition on
+    * the key (each task owns a CONTIGUOUS key interval — a hash salt like
+    * [[CorpusSink.writeSorted]]'s would hand every task the full key range
+    * and widen every file's column stats to the whole domain), sort within
+    * partitions, bound file sizes. The z key is kept in the output as
+    * `zkey`; data skipping itself rides the parquet min/max stats of the
+    * ORIGINAL dimension columns, which a z-sorted layout keeps narrow in
+    * every file.
+    *
+    * One shuffle (the range exchange) + in-partition sort — the same write
+    * cost as any clustered sink pass at 100 TB; `numPartitions` is the
+    * write parallelism (range sampling is one extra lightweight pass).
+    */
+  def writeZOrdered(
+      df: org.apache.spark.sql.DataFrame,
+      path: String,
+      dims: Seq[Column],
+      bits: Int,
+      numPartitions: Int,
+      maxRecordsPerFile: Long): Unit = {
+    require(numPartitions >= 1 && maxRecordsPerFile >= 1)
+    df.withColumn("zkey", mortonKey(dims, bits))
+      .repartitionByRange(numPartitions, col("zkey"))
+      .sortWithinPartitions("zkey")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+  }
+
+  /** Plain-Scala reference implementation (test pin). */
+  def mortonRef(values: Seq[Long], bits: Int): Long = {
+    val d = values.size
+    var key = 0L
+    for ((v, j) <- values.zipWithIndex; i <- 0 until bits)
+      key |= ((v >> i) & 1L) << (i * d + j)
+    key
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.expr.DeflateLen
+import graft.functions.{compression_ratio, deflate_len}
+
+/** Compression-ratio quality signal: deflate length expression. */
+class DeflateSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("expression output == direct library output") {
+    val rng = new scala.util.Random(7L)
+    val inputs = Seq("", "a", "hello world", "aaaaaaaaaaaaaaaaaaaaaa",
+      "the quick brown fox jumps over the lazy dog",
+      "café’s naïve résumé", "你好世界") ++
+      Seq.tabulate(20)(_ => rng.alphanumeric.take(1 + rng.nextInt(500)).mkString)
+    val viaDf = inputs.toDF("t").select(deflate_len(col("t")))
+      .collect().map(_.getInt(0)).toSeq
+    val direct = inputs.map(s => DeflateLen.compressedLength(UTF8String.fromString(s)))
+    assert(viaDf === direct)
+  }
+
+  test("signal ordering: repetition compresses, noise does not") {
+    val repetitive = "click here to win! " * 200
+    val rng = new scala.util.Random(11L)
+    val noisy = Seq.fill(repetitive.length)((33 + rng.nextInt(90)).toChar).mkString
+    val prose = ("the quick brown fox jumps over the lazy dog and then " +
+      "discusses entropy coding with a passing squirrel. ") * 40
+    val got = Seq(("rep", repetitive), ("noise", noisy), ("prose", prose))
+      .toDF("k", "t")
+      .select(col("k"), compression_ratio(col("t")).as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("rep") < 0.05, got.toString)   // boilerplate: tiny ratio
+    assert(got("noise") > 0.7, got.toString)  // noise: near-incompressible
+    assert(got("prose") > got("rep") && got("prose") < got("noise"), got.toString)
+  }
+
+  test("null and empty semantics") {
+    val got = Seq((1L, ""), (2L, null.asInstanceOf[String]), (3L, "x"))
+      .toDF("id", "t")
+      .select(col("id"), deflate_len(col("t")).as("n"), compression_ratio(col("t")).as("r"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1 else r.getInt(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).sortBy(_._1)
+    // empty text: deflate emits the 2-byte empty block, ratio is NULL
+    assert(got(0)._2 > 0 && got(0)._3.isNaN)
+    // null text: both NULL
+    assert(got(1)._2 === -1 && got(1)._3.isNaN)
+    assert(got(2)._2 > 0 && !got(2)._3.isNaN)
+  }
+
+  test("deterministic across partitions and repeated evaluation") {
+    val distinctVals = spark.range(1000).repartition(16)
+      .select(deflate_len(lit("the same sixty-four byte payload, repeated " +
+        "across every partition")).as("n"))
+      .distinct().collect().map(_.getInt(0))
+    assert(distinctVals.length === 1)
+  }
+
+  test("plan: narrow codegen'd projection, no exchange, no UDF") {
+    val df = spark.range(64)
+      .select(col("id"), compression_ratio(concat(lit("body "), col("id"))).as("r"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+}

@@ -8,7 +8,7 @@ import graft.ann.Ann
 import graft.cite.{CitationDedup, CsvParser, EndNoteXmlParser, FormatDetect, PubMedParser, RisParser}
 import graft.dedup.ConnectedComponents
 import graft.functions._
-import graft.io.WarcSource
+import graft.io.{WarcSource, ZOrder}
 import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, RangeJoin}
 import graft.text.{C4Gate, Chunking, Curation, EncodingFix, GopherGate, HeavyHitters, LineDedup, LmScore, Mixing, Passages, Pii, QualityModel, Repetition, TextOps, UrlOps}
@@ -808,6 +808,19 @@ object SparkEntry {
         TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
         TextOps.bpeTokenCount(col("text")).cast("long").as("n_bpe"),
         TextOps.qualityScore(col("text")).as("quality"))
+    }),
+
+    // Z-order (Morton) clustering key: bucketed token count × source
+    // residue interleaved bit-by-bit — the multi-column data-skipping sort
+    // key for the curated-corpus sink (ZOrder.writeZOrdered). Pure integer
+    // built-ins; the oracle replays the identical bucket + interleave
+    // arithmetic.
+    "q_zorder" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val x = ZOrder.bucket(TextOps.tokenCount(col("text")), 0L, 511L, 8)
+      val y = col("doc_id") % 256
+      docs.select(col("doc_id"), x.as("xb"), y.cast("long").as("yb"),
+        ZOrder.mortonKey(Seq(x, y), 8).as("zkey"))
     }),
 
     // Corpus length-distribution stats: exact interpolated percentiles of
@@ -1780,6 +1793,17 @@ object SparkEntry {
          |  ${TextOps.bpeTokenCountSql("text")} AS n_bpe,
          |  ${TextOps.qualityScoreSql("text")} AS quality
          |FROM documents""".stripMargin,
+
+    // the identical bucket + bit-interleave integer arithmetic
+    "q_zorder" -> {
+      val xb = graft.io.ZOrder.bucketSql(TextOps.tokenCountSql("text"), 0L, 511L, 8)
+      val yb = "(doc_id % 256)"
+      s"""SELECT doc_id,
+         |  CAST($xb AS BIGINT) AS xb,
+         |  CAST($yb AS BIGINT) AS yb,
+         |  CAST(${graft.io.ZOrder.mortonKeySql(Seq(xb, yb), 8)} AS BIGINT) AS zkey
+         |FROM documents""".stripMargin
+    },
 
     // the identical langId/tokenCount formulas feed DuckDB's exact
     // quantile_cont — the same p*(n-1) interpolation as Spark's percentile

@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.ZOrder
+
+/** Z-order write clustering: Morton key correctness + the data-skipping
+  * property it exists for.
+  */
+class ZOrderSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("mortonKey matches the plain-Scala reference (2-D and 3-D)") {
+    val rng = new scala.util.Random(3L)
+    val pairs = Seq.tabulate(300)(_ => (rng.nextInt(256).toLong, rng.nextInt(256).toLong)) ++
+      Seq((0L, 0L), (255L, 255L), (255L, 0L), (0L, 255L))
+    val got2 = pairs.toDF("x", "y")
+      .select(ZOrder.mortonKey(Seq(col("x"), col("y")), 8))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got2 === pairs.map(p => ZOrder.mortonRef(Seq(p._1, p._2), 8)))
+
+    val triples = Seq.tabulate(100)(_ =>
+      (rng.nextInt(16).toLong, rng.nextInt(16).toLong, rng.nextInt(16).toLong))
+    val got3 = triples.toDF("x", "y", "z")
+      .select(ZOrder.mortonKey(Seq(col("x"), col("y"), col("z")), 4))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got3 === triples.map(t => ZOrder.mortonRef(Seq(t._1, t._2, t._3), 4)))
+  }
+
+  test("morton bit layout: dimension j bit i lands at position i*d + j") {
+    assert(ZOrder.mortonRef(Seq(1L, 0L), 4) === 1L)      // x bit0 -> pos 0
+    assert(ZOrder.mortonRef(Seq(0L, 1L), 4) === 2L)      // y bit0 -> pos 1
+    assert(ZOrder.mortonRef(Seq(2L, 0L), 4) === 4L)      // x bit1 -> pos 2
+    assert(ZOrder.mortonRef(Seq(3L, 3L), 4) === 15L)     // full low quad
+    assert(ZOrder.mortonRef(Seq(0L, 0L, 1L), 4) === 4L)  // d=3: z bit0 -> pos 2
+  }
+
+  test("bucket: endpoints, clamping, exact integer division") {
+    val vals = Seq(-50L, 0L, 1L, 499L, 500L, 999L, 1000L, 5000L)
+    val got = vals.toDF("v")
+      .select(ZOrder.bucket(col("v"), 0L, 999L, 4))
+      .collect().map(_.getLong(0)).toSeq
+    // 16 buckets over [0,999]: width 62.5 -> floor((v*16)/1000)
+    assert(got === vals.map(v => math.max(0L, math.min(999L, v)) * 16 / 1000))
+    assert(got.head === 0L && got.last === 15L) // clamped edges
+  }
+
+  /** Per-file (min,max) of a column after reading `path` back. */
+  private def fileRanges(path: String, c: String): Map[String, (Long, Long)] =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(c)).as("lo"), max(col(c)).as("hi"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+
+  private def touched(ranges: Map[String, (Long, Long)], lo: Long, hi: Long): Int =
+    ranges.count { case (_, (a, b)) => a <= hi && b >= lo }
+
+  test("data skipping: z-layout prunes on BOTH dims, 1-D sort on one") {
+    // 64x64 grid; 16 files of 256 rows each
+    val grid = spark.range(64L * 64)
+      .select((col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+
+    val zDir = Files.createTempDirectory("zorder").toString + "/z"
+    ZOrder.writeZOrdered(grid, zDir, Seq(col("x"), col("y")), 6,
+      numPartitions = 4, maxRecordsPerFile = 256)
+    val zX = fileRanges(zDir, "x"); val zY = fileRanges(zDir, "y")
+    val nFiles = zX.size
+    assert(nFiles >= 12, s"expected ~16 files, got $nFiles")
+
+    // x-major layout (classic single-column sort), same file budget
+    val xDir = Files.createTempDirectory("zorder").toString + "/x"
+    grid.repartitionByRange(4, col("x"), col("y"))
+      .sortWithinPartitions("x", "y")
+      .write.option("maxRecordsPerFile", 256).parquet(xDir)
+    val xX = fileRanges(xDir, "x"); val xY = fileRanges(xDir, "y")
+
+    // box predicate x<16 AND y<16 -> z-layout: ~1 contiguous key block
+    val zBothTouched = zX.keySet.count(f => zX(f)._1 <= 15 && zY(f)._1 <= 15)
+    assert(zBothTouched <= 3, s"z layout touched $zBothTouched files for the 16x16 box")
+
+    // y-only predicate y<16: z-layout prunes (y bits are in the key);
+    // the x-major layout cannot (every x-stripe spans all y)
+    val zYTouched = touched(zY, 0, 15)
+    val xYTouched = touched(xY, 0, 15)
+    assert(zYTouched <= nFiles / 2, s"z: $zYTouched of $nFiles")
+    // x-major can only skip the few mid-stripe files that happen to cut at
+    // a y boundary; it must touch the large majority while z skips most
+    assert(xYTouched >= (xY.size * 3) / 4, s"x-major: $xYTouched of ${xY.size}")
+    assert(zYTouched.toDouble / nFiles < 0.75 * xYTouched.toDouble / xY.size,
+      s"z $zYTouched/$nFiles vs x-major $xYTouched/${xY.size}")
+
+    // x-only predicate: the 1-D layout wins outright, z still prunes
+    assert(touched(xX, 0, 15) <= math.max(2, xX.size / 3))
+    assert(touched(zX, 0, 15) <= nFiles / 2)
+  }
+}

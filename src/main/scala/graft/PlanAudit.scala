@@ -386,6 +386,40 @@ object PlanAudit {
         !pspl.contains("Window") &&
         (pspl.contains("WholeStageCodegen") || pspl.contains("*(")), pspl)
 
+    // Mojibake repair: the replace chain is one narrow codegen'd scan.
+    val pmoj = plan("q_fix_mojibake")
+    check("q_fix_mojibake: narrow codegen'd scan (no Exchange/join/Window/UDF)",
+      !pmoj.contains("Exchange") && !pmoj.contains("Join") &&
+        !pmoj.contains("Window") && !pmoj.contains("ScalaUDF") &&
+        (pmoj.contains("WholeStageCodegen") || pmoj.contains("*(")), pmoj)
+
+    // Compression ratio: per-row expression, narrow scan.
+    val pcmp = plan("q_compress_ratio")
+    check("q_compress_ratio: narrow scan (no Exchange/join/Window/UDF)",
+      !pcmp.contains("Exchange") && !pcmp.contains("Join") &&
+        !pcmp.contains("Window") && !pcmp.contains("ScalaUDF"), pcmp)
+
+    // Z-order key: pure integer projection, narrow scan.
+    val pzo = plan("q_zorder")
+    check("q_zorder: narrow codegen'd scan (no Exchange/join/Window)",
+      !pzo.contains("Exchange") && !pzo.contains("Join") &&
+        !pzo.contains("Window") &&
+        (pzo.contains("WholeStageCodegen") || pzo.contains("*(")), pzo)
+
+    // Corpus quantiles: exact percentile partial-aggregates its histogram
+    // state map-side (no global sort, no window).
+    val pqt = plan("q_corpus_quantiles")
+    check("q_corpus_quantiles: partial percentile agg, no Window/Sort",
+      pqt.contains("partial_percentile") && !pqt.contains("Window"), pqt)
+
+    // BPE round-1 pair counts: two partial-agg'd shuffles (word count,
+    // pair sum) + TakeOrdered — no Window, no cartesian.
+    val pbpe = plan("q_bpe_pairs")
+    check("q_bpe_pairs: partial-agg'd counts + TakeOrdered, no Window/cartesian",
+      pbpe.contains("partial_count") && pbpe.contains("partial_sum") &&
+        pbpe.contains("TakeOrderedAndProject") && !pbpe.contains("Window") &&
+        !pbpe.contains("Cartesian"), pbpe)
+
     println(s"PlanAudit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()
     if (failures > 0) sys.exit(1)

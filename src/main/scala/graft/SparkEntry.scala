@@ -11,7 +11,7 @@ import graft.functions._
 import graft.io.{WarcSource, ZOrder}
 import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, RangeJoin}
-import graft.text.{C4Gate, Chunking, Curation, EncodingFix, GopherGate, HeavyHitters, LineDedup, LmScore, Mixing, Passages, Pii, QualityModel, Repetition, TextOps, UrlOps}
+import graft.text.{BpeTrain, C4Gate, Chunking, Curation, EncodingFix, GopherGate, HeavyHitters, LineDedup, LmScore, Mixing, Passages, Pii, QualityModel, Repetition, TextOps, UrlOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -808,6 +808,51 @@ object SparkEntry {
         TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
         TextOps.bpeTokenCount(col("text")).cast("long").as("n_bpe"),
         TextOps.qualityScore(col("text")).as("quality"))
+    }),
+
+    // Adaptive per-language gate: cut each language's shortest quartile —
+    // thresholds from the exact percentile aggregate, applied by a
+    // groupBy + join-back (skew-safe: no window). The signal is the
+    // INTEGER token count, so the p*(n-1) interpolation lands on exact
+    // quarter fractions both engines represent identically.
+    "q_adaptive_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.langId(col("text")).as("lang"),
+        TextOps.tokenCount(col("text")).cast("double").as("ntok"))
+      val thresholds = docs.groupBy("lang")
+        .agg(percentile(col("ntok"), lit(0.25)).as("p25"))
+      docs.join(thresholds, "lang")
+        .filter(col("ntok") >= col("p25"))
+        .select(col("doc_id"), col("lang"), col("ntok").cast("long").as("n_tokens"))
+    }),
+
+    // BPE vocabulary training, round-1 surface: frequency-weighted
+    // adjacent-symbol pair counts over the deterministic top-100k word
+    // table — the exact statistic every merge round argmaxes over. The
+    // oracle replays it independently (DuckDB lateral unnest over
+    // character positions); multi-round training and encoding are
+    // iterative (spec-pinned on the hand-derived Sennrich fixture).
+    "q_bpe_pairs" -> ((s, dir) => {
+      val wc = BpeTrain.wordCounts(t(s, dir, "documents"), col("text"), 100000)
+      BpeTrain.pairCounts(wc.select(char_symbols(col("word")).as("syms"), col("cnt")))
+        .orderBy(desc("cnt"), col("a"), col("b"))
+        .limit(20)
+    }),
+
+    // End-to-end tokenizer demo (rows-only: BPE application is an
+    // iterative greedy algorithm with no closed SQL form; BpeSpec pins
+    // training on the hand-derived merge sequence and encoding on the
+    // classic "lowest" -> [low, est] fixture plus a lossless property):
+    // learn 12 merges from the corpus itself, subword-tokenize every doc.
+    "q_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = BpeTrain.learnMerges(docs, col("text"), numMerges = 12,
+        maxWords = 20000)
+      docs.select(col("doc_id"), bpe_encode(col("text"), merges).as("_sub"))
+        .select(col("doc_id"),
+          size(col("_sub")).cast("long").as("n_subwords"),
+          concat_ws(" ", slice(col("_sub"), 1, 12)).as("head_subwords"))
     }),
 
     // Z-order (Morton) clustering key: bucketed token count × source
@@ -1793,6 +1838,36 @@ object SparkEntry {
          |  ${TextOps.bpeTokenCountSql("text")} AS n_bpe,
          |  ${TextOps.qualityScoreSql("text")} AS quality
          |FROM documents""".stripMargin,
+
+    // identical per-language quartile threshold + join-back gate
+    "q_adaptive_gate" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, ${TextOps.langIdSql("text")} AS lang,
+         |         CAST(${TextOps.tokenCountSql("text")} AS DOUBLE) AS ntok
+         |  FROM documents),
+         |th AS (SELECT lang, quantile_cont(ntok, 0.25) AS p25
+         |       FROM scored GROUP BY lang)
+         |SELECT doc_id, lang, CAST(ntok AS BIGINT) AS n_tokens
+         |FROM scored JOIN th USING (lang)
+         |WHERE ntok >= p25""".stripMargin,
+
+    // the identical word-count cap + per-position pair explode (lateral
+    // unnest over character positions; round-1 symbols are single chars so
+    // the pair is the 2-char substring)
+    "q_bpe_pairs" ->
+      """WITH wc AS (
+        |  SELECT w AS word, count(*) AS cnt
+        |  FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+        |        FROM documents)
+        |  WHERE len(w) > 0 GROUP BY w ORDER BY cnt DESC, word ASC LIMIT 100000
+        |),
+        |pairs AS (
+        |  SELECT substring(word, i, 1) AS a, substring(word, i+1, 1) AS b, cnt
+        |  FROM wc, unnest(generate_series(1, len(word)-1)) AS t(i)
+        |  WHERE len(word) >= 2
+        |)
+        |SELECT a, b, CAST(sum(cnt) AS BIGINT) AS cnt FROM pairs GROUP BY a, b
+        |ORDER BY cnt DESC, a, b LIMIT 20""".stripMargin,
 
     // the identical bucket + bit-interleave integer arithmetic
     "q_zorder" -> {

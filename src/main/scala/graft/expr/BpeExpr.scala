@@ -1,0 +1,54 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.kernel.Bpe
+
+/** One symbol per Unicode codepoint (the BPE training start state). */
+case class CharSymbols(child: Expression)
+    extends UnaryExpression with SimpleCodegen {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      Bpe.charSymbols(input.asInstanceOf[UTF8String].toString)
+        .map(UTF8String.fromString(_): Any))
+  override protected def withNewChildInternal(c: Expression): CharSymbols =
+    copy(child = c)
+}
+
+/** Merge every adjacent (a, b) occurrence in a symbol array — one BPE
+  * training round's transform, applied distributively to the word table.
+  */
+case class MergePair(child: Expression, a: String, b: String)
+    extends UnaryExpression with SimpleCodegen {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val syms = Array.tabulate(arr.numElements())(i => arr.getUTF8String(i).toString)
+    new GenericArrayData(Bpe.mergeOnce(syms, a, b).map(UTF8String.fromString(_): Any))
+  }
+  override protected def withNewChildInternal(c: Expression): MergePair =
+    copy(child = c)
+}
+
+/** Subword-tokenize text with a learned merge list: whitespace words, each
+  * encoded by standard lowest-rank-first BPE application. The merge table
+  * rides the expression (broadcast with the plan, built into a rank map
+  * once per task), so tokenizing a 100-TB corpus is one narrow scan with
+  * no shuffle and no driver round-trips.
+  */
+case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with SimpleCodegen {
+  @transient private lazy val rank: Map[(String, String), Int] =
+    merges.zipWithIndex.toMap
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      Bpe.encodeText(input.asInstanceOf[UTF8String].toString, rank)
+        .map(UTF8String.fromString(_): Any))
+  override protected def withNewChildInternal(c: Expression): BpeEncode =
+    copy(child = c)
+}

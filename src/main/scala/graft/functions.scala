@@ -104,6 +104,13 @@ object functions {
     */
   def deflate_len(c: Column): Column = col(DeflateLen(ex(c)))
 
+  // ---- BPE subword tokenization (kernel/Bpe.scala) ----
+  def char_symbols(c: Column): Column = col(CharSymbols(ex(c)))
+  def merge_pair(c: Column, a: String, b: String): Column = col(MergePair(ex(c), a, b))
+  /** Subword-tokenize with a learned merge list — see [[graft.expr.BpeEncode]]. */
+  def bpe_encode(c: Column, merges: Seq[(String, String)]): Column =
+    col(BpeEncode(ex(c), merges))
+
   /** Compression-ratio quality signal: deflated bytes / raw UTF-8 bytes,
     * rounded to 6 places; NULL-safe via the expression, 0-length text →
     * NULL (no meaningful ratio). Low ⇒ repetitive boilerplate, ~1 ⇒

@@ -1,0 +1,91 @@
+package graft.kernel
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Byte-pair-encoding kernel (Sennrich, Haddow & Birch 2016, "Neural
+  * Machine Translation of Rare Words with Subword Units") — the plain-Scala
+  * core the Catalyst expressions and the distributed trainer
+  * ([[graft.text.BpeTrain]]) delegate to.
+  *
+  * Variant notes (pinned, since every published tokenizer differs
+  * slightly): character-level symbols (one symbol per Unicode codepoint —
+  * surrogate-pair safe), word-internal merges only (words are whitespace
+  * tokens; no end-of-word marker, no cross-word merges), and the standard
+  * apply rule: repeatedly merge ALL occurrences of the lowest-rank adjacent
+  * pair present until no learned pair remains.
+  */
+object Bpe {
+
+  /** One symbol per Unicode codepoint (never splits surrogate pairs). */
+  def charSymbols(word: String): Array[String] = {
+    val out = new ArrayBuffer[String](word.length)
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      val n = Character.charCount(cp)
+      out += word.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
+  /** Merge every (leftmost-first, non-overlapping) occurrence of the
+    * adjacent pair (a, b) into the single symbol a+b.
+    */
+  def mergeOnce(syms: Array[String], a: String, b: String): Array[String] = {
+    val out = new ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += a + b; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Standard BPE application: start from codepoint symbols and repeatedly
+    * merge the lowest-rank adjacent pair (all its occurrences) until no
+    * adjacent pair has a learned rank. `rank` maps (left, right) → merge
+    * index (0 = learned first = highest priority).
+    */
+  def encodeWord(word: String, rank: Map[(String, String), Int]): Array[String] = {
+    var syms = charSymbols(word)
+    var done = syms.length < 2
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var bestA: String = null
+      var bestB: String = null
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestA = syms(i); bestB = syms(i + 1) }
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) done = true
+      else {
+        syms = mergeOnce(syms, bestA, bestB)
+        done = syms.length < 2
+      }
+    }
+    syms
+  }
+
+  /** Encode whitespace-tokenized text: each word independently (no
+    * cross-word merges), subwords concatenated in order. Lossless:
+    * joining a word's subwords reproduces the word.
+    */
+  def encodeText(text: String, rank: Map[(String, String), Int]): Array[String] = {
+    val out = new ArrayBuffer[String]()
+    var start = -1
+    var i = 0
+    def flush(end: Int): Unit =
+      if (start >= 0) { out ++= encodeWord(text.substring(start, end), rank); start = -1 }
+    while (i < text.length) {
+      if (Character.isWhitespace(text.charAt(i))) flush(i)
+      else if (start < 0) start = i
+      i += 1
+    }
+    flush(text.length)
+    out.toArray
+  }
+}

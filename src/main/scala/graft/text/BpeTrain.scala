@@ -1,0 +1,95 @@
+package graft.text
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{char_symbols, merge_pair}
+
+/** Distributed BPE vocabulary training (Sennrich 2016): learn an ordered
+  * merge list from a corpus, to be applied with
+  * [[graft.functions.bpe_encode]] (a narrow per-row expression carrying the
+  * merge table with the plan).
+  *
+  * Scale design — what runs over what:
+  *
+  *  - The corpus is touched ONCE: [[wordCounts]] reduces it to the distinct
+  *    word-frequency table (partial-agg'd groupBy; Heaps' law bounds
+  *    distinct words far below corpus size) and caps it at `maxWords` by a
+  *    deterministic TakeOrdered (count desc, word asc) — exactly the
+  *    "train the tokenizer on the frequency table, not the token stream"
+  *    shape every published trainer uses.
+  *  - Each merge round then runs over the WORD TABLE only: adjacent-pair
+  *    counts weighted by word frequency (explode → partial-agg'd sum), the
+  *    argmax pair collected to the driver (ONE row — count desc, then
+  *    lexicographic tie-break, so training is deterministic), and the merge
+  *    applied as a narrow [[graft.expr.MergePair]] projection.
+  *  - Lineage is truncated with `localCheckpoint` every few rounds (a
+  *    production run on a cluster would checkpoint to reliable storage —
+  *    same call shape); intermediate frames are persisted and the previous
+  *    round unpersisted, so round cost stays flat in the round count.
+  */
+object BpeTrain {
+
+  /** Distinct lowercased whitespace words with frequencies, deterministic
+    * top-`maxWords`.
+    */
+  def wordCounts(docs: DataFrame, text: Column, maxWords: Int): DataFrame =
+    docs.select(explode(split(lower(text), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("word"))
+      .limit(maxWords)
+
+  /** Frequency-weighted adjacent-pair counts over a (syms, cnt) table. */
+  def pairCounts(words: DataFrame): DataFrame =
+    words
+      .filter(size(col("syms")) >= 2)
+      .select(
+        explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (l, r) => struct(l.alias("a"), r.alias("b")))).as("p"),
+        col("cnt"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum("cnt").as("cnt"))
+
+  /** Learn up to `numMerges` merges; stops early when no adjacent pair is
+    * left. Returns the ordered merge list (index = rank).
+    */
+  def learnMerges(
+      docs: DataFrame,
+      text: Column,
+      numMerges: Int,
+      maxWords: Int = 50000): Seq[(String, String)] = {
+    require(numMerges >= 1 && maxWords >= 1)
+    val merges = new ArrayBuffer[(String, String)]()
+    var cur = wordCounts(docs, text, maxWords)
+      .select(char_symbols(col("word")).as("syms"), col("cnt"))
+      .persist()
+    try {
+      var rounds = 0
+      var exhausted = false
+      while (rounds < numMerges && !exhausted) {
+        val top = pairCounts(cur)
+          .orderBy(desc("cnt"), asc("a"), asc("b"))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (a, b) = (top(0).getString(0), top(0).getString(1))
+          merges += ((a, b))
+          var next = cur.select(merge_pair(col("syms"), a, b).as("syms"), col("cnt"))
+          // truncate lineage so round cost stays flat in the round count
+          next =
+            if ((rounds + 1) % 8 == 0) next.localCheckpoint(true)
+            else { val p = next.persist(); p.count(); p }
+          cur.unpersist(blocking = false)
+          cur = next
+          rounds += 1
+        }
+      }
+      merges.toSeq
+    } finally cur.unpersist(blocking = false)
+  }
+}

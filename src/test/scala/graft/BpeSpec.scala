@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.bpe_encode
+import graft.kernel.Bpe
+import graft.text.BpeTrain
+
+/** BPE vocabulary training + subword tokenization. */
+class BpeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("charSymbols: one symbol per codepoint, surrogate-pair safe") {
+    assert(Bpe.charSymbols("abc").toSeq === Seq("a", "b", "c"))
+    assert(Bpe.charSymbols("").toSeq === Seq())
+    assert(Bpe.charSymbols("a𝄞b").toSeq === Seq("a", "𝄞", "b"))
+  }
+
+  test("mergeOnce: all occurrences, leftmost-first on overlaps") {
+    assert(Bpe.mergeOnce(Array("l", "o", "w"), "l", "o").toSeq === Seq("lo", "w"))
+    assert(Bpe.mergeOnce(Array("a", "a", "a"), "a", "a").toSeq === Seq("aa", "a"))
+    assert(Bpe.mergeOnce(Array("a", "b", "a", "b"), "a", "b").toSeq === Seq("ab", "ab"))
+    assert(Bpe.mergeOnce(Array("x"), "a", "b").toSeq === Seq("x"))
+  }
+
+  /** The canonical Sennrich corpus: low×5 lower×2 newest×6 widest×3. */
+  private def sennrichDocs = {
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    // spread over several docs to exercise the distributed count
+    words.grouped(4).map(_.mkString(" ")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toSeq.toDF("id", "text")
+  }
+
+  test("learnMerges reproduces the hand-derived merge sequence") {
+    // hand-derived with (count desc, pair asc) tie-break:
+    //   es 9, est 9, lo 7, low 7, ew 6
+    val merges = BpeTrain.learnMerges(sennrichDocs, col("text"), numMerges = 5)
+    assert(merges === Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"), ("e", "w")))
+  }
+
+  test("learnMerges stops early when every word is one symbol") {
+    val docs = Seq((1L, "ab ab ab")).toDF("id", "text")
+    val merges = BpeTrain.learnMerges(docs, col("text"), numMerges = 10)
+    assert(merges === Seq(("a", "b"))) // after ab, no pairs remain
+  }
+
+  test("bpe_encode applies merges by rank: the classic OOV result") {
+    val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"), ("e", "w"))
+    val got = Seq((1L, "lowest"), (2L, "newest"), (3L, "low wider"), (4L, ""))
+      .toDF("id", "text")
+      .select(col("id"), bpe_encode(col("text"), merges).as("sub"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(got(1L) === Seq("low", "est"))          // unseen word, learned subwords
+    assert(got(2L) === Seq("n", "ew", "est"))
+    assert(got(3L) === Seq("low", "w", "i", "d", "e", "r"))
+    assert(got(4L) === Seq())
+  }
+
+  test("property: encoding is lossless per word (subwords rejoin)") {
+    val rng = new scala.util.Random(5L)
+    val merges = BpeTrain.learnMerges(sennrichDocs, col("text"), numMerges = 5)
+    val rank = merges.zipWithIndex.toMap
+    for (_ <- 1 to 300) {
+      val w = Seq.fill(1 + rng.nextInt(12))("lowestnewidr" (rng.nextInt(12))).mkString
+      assert(Bpe.encodeWord(w, rank).mkString === w)
+    }
+  }
+
+  test("plan: bpe_encode is a narrow projection, no exchange") {
+    val df = spark.range(32)
+      .select(bpe_encode(concat(lit("low"), col("id")), Seq(("l", "o"))).as("sub"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}

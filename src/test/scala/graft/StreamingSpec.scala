@@ -285,4 +285,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed === batch)
     assert(streamed.nonEmpty)
   }
+
+  test("encoding repair, compression ratio, and BPE encode are streaming-valid") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = Seq(
+      (1L, graft.text.EncodingFix.mojibake("the café’s naïve résumé")),
+      (2L, "clean ascii body with some repetition repetition repetition"),
+      (3L, "lowest newest widest"))
+    val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"))
+
+    def ops(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"),
+      graft.text.EncodingFix.fixMojibake(col("text")).as("fixed"),
+      graft.functions.compression_ratio(col("text")).as("ratio"),
+      concat_ws(" ", graft.functions.bpe_encode(col("text"), merges)).as("sub"))
+
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(rows: _*)
+    val q = ops(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("enc_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3))
+    val streamed = spark.table("enc_stream").collect().map(key).toSet
+    val batch = ops(rows.toDF("doc_id", "text")).collect().map(key).toSet
+    assert(streamed === batch)
+    assert(streamed.map(_._2).exists(_.contains("café’s")))
+  }
 }

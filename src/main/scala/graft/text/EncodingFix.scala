@@ -40,7 +40,13 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: one narrow per-row projection over the text column —
   * embarrassingly parallel, stays inside whole-stage codegen, nothing
-  * shuffles.
+  * shuffles. The ~56 sequential replace passes are O(n) each — tens of KB
+  * of MEMORY traffic per few-KB document against a few KB of scan I/O, so
+  * the op stays bandwidth-cheap next to the read itself. A fused one-pass
+  * automaton was considered and rejected: sequential passes CASCADE on
+  * doubly-corrupted input (`Ãâ‚¬` → `Ã€` → `À`) while a single scan
+  * cannot, so fusing would silently change semantics and break the
+  * SQL-replayable parity contract.
   */
 object EncodingFix {
 

@@ -420,6 +420,21 @@ object PlanAudit {
         pbpe.contains("TakeOrderedAndProject") && !pbpe.contains("Window") &&
         !pbpe.contains("Cartesian"), pbpe)
 
+    // DSIR scoring: one exploded scan joined to the model table, per-doc
+    // reduce partial-agg'd map-side — no Window, no cartesian (the model
+    // fit's scalar rows are literals, not a BNLJ).
+    val pdw = plan("q_dsir_weights")
+    check("q_dsir_weights: partial-agg'd scoring join, no Window/cartesian/BNLJ",
+      pdw.contains("partial_count") && pdw.contains("partial_sum") &&
+        !pdw.contains("Window") && !pdw.contains("Cartesian") &&
+        !pdw.contains("BroadcastNestedLoop"), pdw)
+
+    // DSIR resample: Gumbel top-k must be TakeOrderedAndProject, never a
+    // global Sort.
+    val pdr = plan("q_dsir_resample")
+    check("q_dsir_resample: Gumbel top-k as TakeOrderedAndProject, no Window",
+      pdr.contains("TakeOrderedAndProject") && !pdr.contains("Window"), pdr)
+
     println(s"PlanAudit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()
     if (failures > 0) sys.exit(1)

@@ -11,7 +11,7 @@ import graft.functions._
 import graft.io.{WarcSource, ZOrder}
 import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, RangeJoin}
-import graft.text.{BpeTrain, C4Gate, Chunking, Curation, EncodingFix, GopherGate, HeavyHitters, LineDedup, LmScore, Mixing, Passages, Pii, QualityModel, Repetition, TextOps, UrlOps}
+import graft.text.{BpeTrain, C4Gate, Chunking, Curation, Dsir, EncodingFix, GopherGate, HeavyHitters, LineDedup, LmScore, Mixing, Passages, Pii, QualityModel, Repetition, TextOps, UrlOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -121,6 +121,23 @@ object SparkEntry {
   private val ChunkSize = 32
   private val ChunkStride = 24
   private val LmVocabSize = 300
+
+  /** Domain phrase planted by the q_dsir_* queries (out-of-vocabulary
+    * tokens, shared verbatim with the DuckDB oracles): pool docs ≡0 (mod 5)
+    * carry it; the DSIR target sample is the ≡0 (mod 15) subset, so the
+    * fitted model upweights phrase-bearing docs and the resample should
+    * select them preferentially.
+    */
+  private val DsirPlant = "quantum ledger brane flux quark torus"
+
+  /** Shared fixture for the two DSIR queries: (pool, target). */
+  private def dsirInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val pool = t(s, dir, "documents").select(
+      col("doc_id"),
+      when(col("doc_id") % 5 === 0, concat(col("text"), lit(" " + DsirPlant)))
+        .otherwise(col("text")).as("text"))
+    (pool, pool.filter(col("doc_id") % 15 === 0))
+  }
 
   // embeddings corpus/queries used by the ANN entries
   private def annInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
@@ -903,6 +920,31 @@ object SparkEntry {
         octet_length(planted).cast("long").as("n_bytes"),
         deflate_len(planted).cast("long").as("n_deflate"),
         compression_ratio(planted).as("ratio"))
+    }),
+
+    // DSIR importance weights (Xie 2023): target-vs-raw bag-of-ngram
+    // log-likelihood ratio per pool doc, explicit-feature mode (the
+    // oracle replays the identical features, smoothing, and ln arithmetic;
+    // the hashed production mode is DsirSpec-pinned). Weight rounded to 4
+    // decimals — a long sum of ln terms, see Dsir's float parity note.
+    "q_dsir_weights" -> ((s, dir) => {
+      val (pool, target) = dsirInputs(s, dir)
+      val model = Dsir.fit(pool, target, "doc_id", "text")
+      Dsir.importanceWeights(pool, model, "doc_id", "text")
+        .select(col("doc_id"), col("n_feats"),
+          round(col("dsir_weight"), 4).as("dsir_weight"))
+    }),
+
+    // DSIR Gumbel top-k resample: selection ∝ exp(weight/τ) without
+    // replacement via the Gumbel-max trick, noise from the SQL-replayable
+    // MINSTD stream — TakeOrderedAndProject, never a global sort.
+    "q_dsir_resample" -> ((s, dir) => {
+      val (pool, target) = dsirInputs(s, dir)
+      val model = Dsir.fit(pool, target, "doc_id", "text")
+      val w = Dsir.importanceWeights(pool, model, "doc_id", "text")
+      Dsir.resample(w, "doc_id", k = 100, seed = 7, temperature = 1.0)
+        .select(col("doc_id"), col("n_feats"),
+          round(col("gumbel_key"), 4).as("gumbel_key"))
     }),
 
     // Mojibake repair (EncodingFix): corpus text is clean, so UTF-8-read-
@@ -1894,6 +1936,35 @@ object SparkEntry {
          |        CAST(${TextOps.tokenCountSql("text")} AS DOUBLE) AS ntok
          |      FROM documents)
          |GROUP BY lang""".stripMargin,
+
+    // the identical plant, feature extraction, smoothing arithmetic, and
+    // ln ratio — target = the mod-15 subset of the planted pool
+    "q_dsir_weights" ->
+      s"""WITH pool AS (
+         |  SELECT doc_id,
+         |    text || (CASE WHEN doc_id % 5 = 0 THEN ' $DsirPlant' ELSE '' END) AS text
+         |  FROM documents),
+         |${Dsir.featsSql("pool", "doc_id", "text")},
+         |${Dsir.weightsCtesSql("doc_id", "doc_id % 15 = 0", 1.0)}
+         |SELECT doc_id, n_feats, round(dsir_weight, 4) AS dsir_weight
+         |FROM weights""".stripMargin,
+
+    // the same weights CTE, then the identical MINSTD-Gumbel key; the
+    // inner query orders/limits on the FULL-precision key (as Spark does)
+    // and only the projection rounds
+    "q_dsir_resample" ->
+      s"""WITH pool AS (
+         |  SELECT doc_id,
+         |    text || (CASE WHEN doc_id % 5 = 0 THEN ' $DsirPlant' ELSE '' END) AS text
+         |  FROM documents),
+         |${Dsir.featsSql("pool", "doc_id", "text")},
+         |${Dsir.weightsCtesSql("doc_id", "doc_id % 15 = 0", 1.0)},
+         |keyed AS (
+         |  SELECT doc_id, n_feats,
+         |    ${Dsir.gumbelKeySql("dsir_weight", "doc_id", 7L, 1.0)} AS k
+         |  FROM weights)
+         |SELECT doc_id, n_feats, round(k, 4) AS gumbel_key
+         |FROM (SELECT * FROM keyed ORDER BY k DESC, doc_id LIMIT 100)""".stripMargin,
 
     // replants q_fix_mojibake's corruption (as ASCII-safe chr() concat),
     // then runs the IDENTICAL ordered replacement chain

@@ -1,0 +1,236 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Importance resampling for domain-matched data selection — the DSIR
+  * recipe (Xie et al. 2023, "Data Selection for Language Models via
+  * Importance Resampling"): fit two bag-of-n-gram models, one on a small
+  * TARGET sample (the distribution you want more of) and one on the RAW
+  * pool, weight every raw document by its log likelihood ratio under the
+  * two models, then resample with the Gumbel top-k trick so selection is
+  * proportional to the (temperature-scaled) importance weight instead of a
+  * hard threshold. Graft-added op per the builder brief; no reference
+  * analog.
+  *
+  * Features are lowercased whitespace unigrams plus adjacent bigrams (the
+  * paper's feature space), produced by ONE explode over one scan: the word
+  * array is materialized in a lower projection (a non-cheap alias
+  * referenced more than once is never inlined by CollapseProject, so the
+  * split runs once per row — the HOF-re-evaluation trap BASELINE.md
+  * documents).
+  *
+  * Two feature spaces, one plan shape:
+  *
+  *  - EXPLICIT (`buckets = None`): the feature is the n-gram string itself.
+  *    Model size = raw vocabulary; the scoring join shuffles on the feature.
+  *    Exactly replayable in DuckDB ([[weightsSql]]/[[resampleSql]]) — this
+  *    is the oracle-checked form.
+  *  - HASHED (`buckets = Some(b)`): feature → `pmod(xxhash64(feat), b)` —
+  *    the paper's hashed generative model. The model table is BOUNDED at b
+  *    rows regardless of corpus size, so at 100 TB it broadcasts and the
+  *    corpus-side scan never shuffles against the model; hash collisions
+  *    fold rare features together, which is the documented DSIR trade.
+  *    Not oracle-expressible (DuckDB has no xxhash64); pinned by DsirSpec.
+  *
+  * Model: add-α smoothing over the RAW vocabulary V —
+  * `lr(f) = ln((ct(f)+α)/(Nt+αV)) − ln((cr(f)+α)/(Nr+αV))` with ct/cr the
+  * target/raw feature counts and Nt/Nr the total feature occurrences. The
+  * three scalars ride the plan as literals (collected once at fit time —
+  * three count rows, the same driver-side-scalar shape as the IVF
+  * codebook); the per-feature table is persisted so scoring never refits.
+  *
+  * Scale shape: fit = two partial-agg'd groupBy counts over one exploded
+  * scan; score = one join (broadcast when hashed, shuffled-hash when
+  * explicit) + one partial-agg'd groupBy on the doc id (exploded rows of a
+  * doc are emitted adjacent within a partition, so map-side combine
+  * collapses them before the shuffle); resample = TakeOrderedAndProject,
+  * never a global sort.
+  *
+  * Float parity note: weights are sums of O(doc tokens) `ln` terms; JVM and
+  * DuckDB may differ in the last ulp per term and in summation order, a
+  * ~1e-12 absolute drift on realistic documents. Outputs are rounded to 4
+  * decimals (grid 1e-4, eight orders of margin) — same contract as the
+  * repo's other rounded-float oracles, with extra headroom because the sum
+  * is long.
+  */
+object Dsir {
+
+  /** MINSTD (Park–Miller) multiplier/modulus for the SQL-replayable
+    * selection-noise stream — see [[uniform01]].
+    */
+  private val Minstd = 48271L
+  private val MinstdMod = 2147483647L // 2^31 - 1
+
+  /** Lowercased non-empty whitespace words of `text` — the shared base
+    * array for unigrams and bigrams.
+    */
+  private def wordArray(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), w => length(w) > 0)
+
+  /** Unigrams ++ space-joined adjacent bigrams of a word array. */
+  private def featArray(ws: Column): Column = {
+    val n1 = greatest(size(ws) - 1, lit(0))
+    concat(ws, zip_with(
+      slice(ws, lit(1), n1), slice(ws, lit(2), n1),
+      (l, r) => concat_ws(" ", l, r)))
+  }
+
+  /** (idCol, feat) rows: one explode over one scan; `buckets` switches the
+    * feature to its hashed bucket (`pmod(xxhash64(feat), b)` as a string,
+    * so both spaces share every downstream plan).
+    */
+  def featureRows(docs: DataFrame, idCol: String, textCol: String,
+                  buckets: Option[Int] = None): DataFrame = {
+    buckets.foreach(b => require(b >= 2, s"buckets >= 2, got $b"))
+    val exploded = docs
+      .select(col(idCol), wordArray(col(textCol)).as("_ws"))
+      .select(col(idCol), explode(featArray(col("_ws"))).as("_f"))
+    val feat = buckets match {
+      case Some(b) => pmod(xxhash64(col("_f")), lit(b.toLong)).cast("string")
+      case None    => col("_f")
+    }
+    exploded.select(col(idCol), feat.as("feat"))
+  }
+
+  /** A fitted DSIR model: the per-feature log-likelihood-ratio table
+    * (persisted, bounded by the raw vocabulary — or by `buckets` in hashed
+    * mode) plus the smoothing scalars it was built with.
+    */
+  final case class DsirModel(logRatios: DataFrame, nRaw: Long, nTarget: Long,
+                             vocab: Long, alpha: Double) {
+    def unpersist(): Unit = { logRatios.unpersist(false); () }
+  }
+
+  /** Fit target-vs-raw log ratios. `target` is the domain sample (same
+    * `idCol`/`textCol` schema); `raw` is the pool to be scored. Features of
+    * the target outside the raw vocabulary carry no mass a raw document can
+    * ever match, so the model is defined over the raw vocabulary.
+    */
+  def fit(raw: DataFrame, target: DataFrame, idCol: String, textCol: String,
+          alpha: Double = 1.0, buckets: Option[Int] = None): DsirModel = {
+    require(alpha > 0, s"alpha > 0, got $alpha")
+    val rawFeats = featureRows(raw, idCol, textCol, buckets)
+    val tgtFeats = featureRows(target, idCol, textCol, buckets)
+    val rawCounts = rawFeats.groupBy("feat").agg(count(lit(1)).as("cr")).persist()
+    val tot = rawCounts.agg(count(lit(1)).as("v"), sum("cr").as("nr")).head()
+    val (v, nr) = (tot.getLong(0), tot.getLong(1))
+    val nt = tgtFeats.count()
+    val tgtCounts = tgtFeats.groupBy("feat").agg(count(lit(1)).as("ct"))
+    val lr = rawCounts.join(tgtCounts, Seq("feat"), "left")
+      .select(col("feat"),
+        (log((coalesce(col("ct"), lit(0L)) + lit(alpha)) / lit(nt + alpha * v)) -
+          log((col("cr") + lit(alpha)) / lit(nr + alpha * v))).as("lr"))
+      .persist()
+    lr.count()
+    rawCounts.unpersist(false)
+    DsirModel(lr, nr, nt, v, alpha)
+  }
+
+  /** Per-document importance weights over the pool the model was fitted on:
+    * `(idCol, n_feats, dsir_weight)` where the weight is the sum of the
+    * per-feature log ratios (count-weighted by construction — repeated
+    * features contribute one row each).
+    */
+  def importanceWeights(raw: DataFrame, model: DsirModel, idCol: String,
+                        textCol: String, buckets: Option[Int] = None): DataFrame = {
+    val joined =
+      if (buckets.isDefined) featureRows(raw, idCol, textCol, buckets)
+        .join(broadcast(model.logRatios), Seq("feat"))
+      else featureRows(raw, idCol, textCol, None)
+        .join(model.logRatios, Seq("feat"))
+    joined.groupBy(idCol)
+      .agg(count(lit(1)).as("n_feats"), sum("lr").as("dsir_weight"))
+  }
+
+  /** Deterministic uniform in (0,1) from an integer id: two MINSTD steps
+    * (Park–Miller 1988) — exact 64-bit integer arithmetic both engines
+    * replay bit-identically, then one exact division. Production note: with
+    * no oracle in the loop you would use `xxhash64(id, seed)` scaled the
+    * same way; the LCG is the SQL-replayable stand-in and is sufficient for
+    * selection noise (distinct ids → distinct, decorrelated streams).
+    */
+  def uniform01(id: Column, seed: Long): Column = {
+    require(seed >= 0, s"seed >= 0, got $seed")
+    val x1 = pmod(id.cast("long") * lit(Minstd) + lit(seed), lit(MinstdMod))
+    val x2 = pmod(x1 * lit(Minstd), lit(MinstdMod))
+    (x2 + lit(1L)).cast("double") / lit(MinstdMod.toDouble + 2.0)
+  }
+
+  /** Gumbel top-k selection key: `weight / temperature + G(id)` with
+    * `G = −ln(−ln(U))`. Taking the top k keys samples k documents without
+    * replacement with probability proportional to `exp(weight/temperature)`
+    * (the Gumbel-max trick) — the paper's resampling step, stateless and
+    * deterministic given the seed.
+    */
+  def gumbelKey(weight: Column, id: Column, seed: Long,
+                temperature: Double): Column = {
+    require(temperature > 0, s"temperature > 0, got $temperature")
+    val u = uniform01(id, seed)
+    weight / lit(temperature) - log(-log(u))
+  }
+
+  /** Resample `k` documents from a weighted pool: TakeOrderedAndProject on
+    * the Gumbel key (never a global sort; ties broken by the key's noise).
+    */
+  def resample(weights: DataFrame, idCol: String, k: Int, seed: Long,
+               temperature: Double = 1.0): DataFrame = {
+    require(k >= 1, s"k >= 1, got $k")
+    weights
+      .withColumn("gumbel_key",
+        gumbelKey(col("dsir_weight"), col(idCol), seed, temperature))
+      .orderBy(desc("gumbel_key"), col(idCol))
+      .limit(k)
+  }
+
+  // ------------------------------------------------------------------
+  // DuckDB duals (explicit-feature mode) — the identical feature
+  // extraction, smoothing arithmetic, and selection key.
+  // ------------------------------------------------------------------
+
+  /** CTE body producing (idCol, feat) rows from `table` — the dual of
+    * [[featureRows]] in explicit mode: same trim/lower/split/filter, same
+    * space-joined bigrams (lateral unnest over positions).
+    */
+  def featsSql(table: String, idCol: String, textCol: String): String =
+    s"""base AS (
+       |  SELECT $idCol,
+       |    list_filter(string_split_regex(lower(trim($textCol)), '\\s+'),
+       |                w -> len(w) > 0) AS ws
+       |  FROM $table),
+       |feats AS (
+       |  SELECT $idCol, w AS feat FROM base, unnest(ws) AS t(w)
+       |  UNION ALL
+       |  SELECT $idCol, ws[i] || ' ' || ws[i+1] AS feat
+       |  FROM base, unnest(generate_series(1, len(ws) - 1)) AS t(i))""".stripMargin
+
+  /** Model + weight CTEs over `feats`: target = rows satisfying
+    * `targetPredSql` (a predicate over the base table's columns, evaluated
+    * on the id since feats carries only the id). Produces CTE `weights`
+    * with (idCol, n_feats, dsir_weight).
+    */
+  def weightsCtesSql(idCol: String, targetPredSql: String, alpha: Double): String =
+    s"""raw AS (SELECT feat, count(*) AS cr FROM feats GROUP BY feat),
+       |tgt AS (SELECT feat, count(*) AS ct FROM feats
+       |        WHERE $targetPredSql GROUP BY feat),
+       |tot AS (SELECT (SELECT count(*) FROM raw) AS v,
+       |               (SELECT count(*) FROM feats) AS nr,
+       |               (SELECT count(*) FROM feats WHERE $targetPredSql) AS nt),
+       |lr AS (SELECT r.feat,
+       |         ln((COALESCE(t.ct, 0) + $alpha) / (tot.nt + $alpha * tot.v))
+       |           - ln((r.cr + $alpha) / (tot.nr + $alpha * tot.v)) AS lr
+       |       FROM raw r LEFT JOIN tgt t USING (feat), tot),
+       |weights AS (
+       |  SELECT $idCol, CAST(count(*) AS BIGINT) AS n_feats,
+       |         SUM(lr.lr) AS dsir_weight
+       |  FROM feats JOIN lr USING (feat) GROUP BY $idCol)""".stripMargin
+
+  /** Dual of [[gumbelKey]] over SQL expressions. */
+  def gumbelKeySql(weightSql: String, idSql: String, seed: Long,
+                   temperature: Double): String = {
+    val x1 = s"(($idSql * $Minstd + $seed) % $MinstdMod)"
+    val x2 = s"(($x1 * $Minstd) % $MinstdMod)"
+    val u = s"(CAST($x2 + 1 AS DOUBLE) / ${MinstdMod.toDouble + 2.0})"
+    s"($weightSql / $temperature - ln(-ln($u)))"
+  }
+}

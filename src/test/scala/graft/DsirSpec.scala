@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.Dsir
+
+/** DSIR importance resampling: features, model fit, weights (explicit and
+  * hashed modes), the MINSTD-Gumbel selection key, and top-k resampling.
+  */
+class DsirSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("featureRows: unigrams + adjacent bigrams, trimmed/lowercased/non-empty") {
+    val docs = Seq((1L, "  The quick  brown\tfox "), (2L, "solo"), (3L, " ")).toDF("id", "text")
+    val got = Dsir.featureRows(docs, "id", "text").as[(Long, String)].collect()
+      .groupBy(_._1).map { case (k, v) => (k, v.map(_._2).sorted.toSeq) }
+    assert(got(1L) === Seq("brown", "brown fox", "fox", "quick", "quick brown",
+      "the", "the quick").sorted)
+    assert(got(2L) === Seq("solo"))
+    // whitespace-only text yields no features (absent, not an empty-string feature)
+    assert(!got.contains(3L))
+  }
+
+  /** Plain-Scala re-derivation of the fit + score pipeline (independent of
+    * the DataFrame code paths) for exact-arithmetic comparison.
+    */
+  private def refWeights(pool: Seq[(Long, String)], targetIds: Set[Long],
+                         alpha: Double): Map[Long, Double] = {
+    def feats(t: String): Seq[String] = {
+      val ws = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      ws ++ ws.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }
+    val byDoc = pool.map { case (id, t) => id -> feats(t) }.toMap
+    val all = byDoc.values.flatten.toSeq
+    val cr = all.groupBy(identity).map { case (f, v) => f -> v.size.toLong }
+    val ct = byDoc.filter(kv => targetIds(kv._1)).values.flatten.toSeq
+      .groupBy(identity).map { case (f, v) => f -> v.size.toLong }
+    val (v, nr) = (cr.size.toLong, all.size.toLong)
+    val nt = byDoc.filter(kv => targetIds(kv._1)).values.map(_.size).sum.toLong
+    def lr(f: String): Double =
+      math.log((ct.getOrElse(f, 0L) + alpha) / (nt + alpha * v)) -
+        math.log((cr(f) + alpha) / (nr + alpha * v))
+    byDoc.map { case (id, fs) => id -> fs.map(lr).sum }
+  }
+
+  test("fit + importanceWeights match an independent plain-Scala derivation") {
+    val pool = Seq(
+      (0L, "alpha beta gamma"), (1L, "alpha beta beta"), (2L, "delta epsilon"),
+      (3L, "delta epsilon zeta"), (4L, "alpha gamma delta"))
+    val docs = pool.toDF("id", "text")
+    val target = docs.filter($"id" >= 2L && $"id" <= 3L)
+    val model = Dsir.fit(docs, target, "id", "text")
+    val got = Dsir.importanceWeights(docs, model, "id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val want = refWeights(pool, Set(2L, 3L), 1.0)
+    assert(got.keySet === want.keySet)
+    for ((id, (nf, w)) <- got) {
+      val t = pool.find(_._1 == id).get._2.trim.split("\\s+").count(_.nonEmpty)
+      assert(nf === 2L * t - 1, s"doc $id: n_feats")
+      assert(math.abs(w - want(id)) < 1e-12, s"doc $id: $w vs ${want(id)}")
+    }
+    // target-like docs (delta/epsilon vocabulary) outrank the alpha/beta docs
+    assert(got(2L)._2 > got(0L)._2 && got(3L)._2 > got(1L)._2)
+    model.unpersist()
+  }
+
+  /** 200-doc pool: ids ≡0 (mod 4) carry the domain phrase; target = the
+    * ≡0 (mod 20) subset.
+    */
+  private def plantedPool = {
+    val phrase = "singular vortex manifold"
+    (0L until 200L).map { i =>
+      val base = s"common filler words number ${i % 7} appear in every document"
+      (i, if (i % 4 == 0) s"$base $phrase" else base)
+    }.toDF("id", "text")
+  }
+
+  test("hashed mode: bounded model, finite weights, same enrichment") {
+    val docs = plantedPool
+    val target = docs.filter($"id" % 20 === 0)
+    val b = 64
+    val model = Dsir.fit(docs, target, "id", "text", buckets = Some(b))
+    assert(model.logRatios.count() <= b)
+    val w = Dsir.importanceWeights(docs, model, "id", "text", buckets = Some(b))
+      .as[(Long, Long, Double)].collect()
+    assert(w.length === 200 && w.forall(r => !r._3.isNaN && !r._3.isInfinite))
+    val planted = w.filter(_._1 % 4 == 0).map(_._3)
+    val plain = w.filter(_._1 % 4 != 0).map(_._3)
+    assert(planted.min > plain.max,
+      s"hashed-mode weights must separate planted from plain: ${planted.min} vs ${plain.max}")
+    model.unpersist()
+  }
+
+  test("uniform01: in (0,1), deterministic, distinct across ids") {
+    val u = spark.range(1000)
+      .select(Dsir.uniform01($"id", seed = 7).as("u")).as[Double].collect()
+    assert(u.forall(x => x > 0.0 && x < 1.0))
+    assert(u.distinct.length === 1000)
+  }
+
+  test("resample: deterministic, k respected, enriched in upweighted docs") {
+    val docs = plantedPool
+    val target = docs.filter($"id" % 20 === 0)
+    val model = Dsir.fit(docs, target, "id", "text")
+    val w = Dsir.importanceWeights(docs, model, "id", "text").persist()
+    val pick1 = Dsir.resample(w, "id", k = 50, seed = 11).select("id")
+      .as[Long].collect().toSet
+    val pick2 = Dsir.resample(w, "id", k = 50, seed = 11).select("id")
+      .as[Long].collect().toSet
+    assert(pick1 === pick2, "same seed must select the same set")
+    assert(pick1.size === 50)
+    // pool is 25% planted; exp(weight) separation should make the planted
+    // family dominate the selection
+    val plantedFrac = pick1.count(_ % 4 == 0).toDouble / pick1.size
+    assert(plantedFrac > 0.6, s"expected enrichment, got $plantedFrac")
+    // a different seed produces a different noise stream (the SELECTED set
+    // may legitimately coincide when the weight separation dominates, so
+    // the pin is on the keys, not the set) and keeps the enrichment
+    val k11 = Dsir.resample(w, "id", k = 50, seed = 11)
+      .select("id", "gumbel_key").as[(Long, Double)].collect().toMap
+    val k99 = Dsir.resample(w, "id", k = 50, seed = 99)
+      .select("id", "gumbel_key").as[(Long, Double)].collect().toMap
+    val common = k11.keySet.intersect(k99.keySet)
+    assert(common.nonEmpty && common.exists(id => k11(id) != k99(id)))
+    assert(k99.keySet.count(_ % 4 == 0).toDouble / k99.size > 0.6)
+    w.unpersist()
+    model.unpersist()
+  }
+}

@@ -435,6 +435,17 @@ object PlanAudit {
     check("q_dsir_resample: Gumbel top-k as TakeOrderedAndProject, no Window",
       pdr.contains("TakeOrderedAndProject") && !pdr.contains("Window"), pdr)
 
+    // Sequence packing: the cumsum window must be partitioned by the
+    // bounded bin key (never an unpartitioned global-order window), and
+    // there is exactly one shuffle (the bin exchange the window sorts in).
+    val ppk = plan("q_pack_assign")
+    check("q_pack_assign: cumsum window partitioned by bin, no cartesian",
+      {
+        val specs = "windowspecdefinition\\([^)]*".r.findAllIn(ppk).toList
+        specs.nonEmpty && specs.forall(_.contains("bin")) &&
+          !ppk.contains("Cartesian")
+      }, ppk)
+
     println(s"PlanAudit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()
     if (failures > 0) sys.exit(1)

@@ -11,7 +11,7 @@ import graft.functions._
 import graft.io.{WarcSource, ZOrder}
 import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, RangeJoin}
-import graft.text.{BpeTrain, C4Gate, Chunking, Curation, Dsir, EncodingFix, GopherGate, HeavyHitters, LineDedup, LmScore, Mixing, Passages, Pii, QualityModel, Repetition, TextOps, UrlOps}
+import graft.text.{BpeTrain, C4Gate, Chunking, Curation, Dsir, EncodingFix, GopherGate, HeavyHitters, LineDedup, LmScore, Mixing, Packing, Passages, Pii, QualityModel, Repetition, TextOps, UrlOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -945,6 +945,16 @@ object SparkEntry {
       Dsir.resample(w, "doc_id", k = 100, seed = 7, temperature = 1.0)
         .select(col("doc_id"), col("n_feats"),
           round(col("gumbel_key"), 4).as("gumbel_key"))
+    }),
+
+    // Sequence packing (GPT-style concat-then-chunk assignment): which
+    // 128-token training sequences each doc lands in, deterministic MINSTD
+    // shuffle into 8 independent bin streams — all exact integer
+    // arithmetic, replayed bit-for-bit by the oracle. The window cumsum is
+    // partitioned by bin (bounded groups), never a global sort.
+    "q_pack_assign" -> ((s, dir) => {
+      Packing.packAssignments(t(s, dir, "documents"), "doc_id", col("text"),
+        seqLen = 128, numBins = 8, seed = 5)
     }),
 
     // Mojibake repair (EncodingFix): corpus text is clean, so UTF-8-read-
@@ -1965,6 +1975,12 @@ object SparkEntry {
          |  FROM weights)
          |SELECT doc_id, n_feats, round(k, 4) AS gumbel_key
          |FROM (SELECT * FROM keyed ORDER BY k DESC, doc_id LIMIT 100)""".stripMargin,
+
+    // the identical MINSTD key/bin, per-bin window cumsum, and integer
+    // division arithmetic
+    "q_pack_assign" ->
+      Packing.packAssignmentsSql("documents", "doc_id", "text",
+        seqLen = 128, numBins = 8, seed = 5),
 
     // replants q_fix_mojibake's corruption (as ASCII-safe chr() concat),
     // then runs the IDENTICAL ordered replacement chain

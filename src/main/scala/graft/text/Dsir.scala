@@ -150,12 +150,24 @@ object Dsir {
     * same way; the LCG is the SQL-replayable stand-in and is sufficient for
     * selection noise (distinct ids → distinct, decorrelated streams).
     */
-  def uniform01(id: Column, seed: Long): Column = {
+  def uniform01(id: Column, seed: Long): Column =
+    (minstdKey(id, seed) + lit(1L)).cast("double") / lit(MinstdMod.toDouble + 2.0)
+
+  /** The integer MINSTD stream value in [0, 2³¹−2]: two Park–Miller steps
+    * from `id`. A PERMUTATION of each residue class (the multiplier is
+    * invertible mod the prime modulus), so distinct ids below 2³¹−1 get
+    * distinct keys — usable directly as a deterministic, SQL-replayable
+    * shuffle key ([[Packing]] orders pack bins by it).
+    */
+  def minstdKey(id: Column, seed: Long): Column = {
     require(seed >= 0, s"seed >= 0, got $seed")
     val x1 = pmod(id.cast("long") * lit(Minstd) + lit(seed), lit(MinstdMod))
-    val x2 = pmod(x1 * lit(Minstd), lit(MinstdMod))
-    (x2 + lit(1L)).cast("double") / lit(MinstdMod.toDouble + 2.0)
+    pmod(x1 * lit(Minstd), lit(MinstdMod))
   }
+
+  /** Dual of [[minstdKey]] over a SQL expression. */
+  def minstdKeySql(idSql: String, seed: Long): String =
+    s"((($idSql * $Minstd + $seed) % $MinstdMod) * $Minstd % $MinstdMod)"
 
   /** Gumbel top-k selection key: `weight / temperature + G(id)` with
     * `G = −ln(−ln(U))`. Taking the top k keys samples k documents without
@@ -228,9 +240,7 @@ object Dsir {
   /** Dual of [[gumbelKey]] over SQL expressions. */
   def gumbelKeySql(weightSql: String, idSql: String, seed: Long,
                    temperature: Double): String = {
-    val x1 = s"(($idSql * $Minstd + $seed) % $MinstdMod)"
-    val x2 = s"(($x1 * $Minstd) % $MinstdMod)"
-    val u = s"(CAST($x2 + 1 AS DOUBLE) / ${MinstdMod.toDouble + 2.0})"
+    val u = s"(CAST(${minstdKeySql(idSql, seed)} + 1 AS DOUBLE) / ${MinstdMod.toDouble + 2.0})"
     s"($weightSql / $temperature - ln(-ln($u)))"
   }
 }

@@ -1,0 +1,94 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the step that turns a curated document corpus into
+  * the actual pretraining token stream: shuffle the documents, concatenate
+  * them (one end-of-document separator token after each) and split the
+  * stream into fixed `seqLen`-token training sequences, documents spanning
+  * sequence boundaries (the GPT-style "concat then chunk" recipe; graft-
+  * added op per the builder brief; no reference analog). This operator
+  * computes the ASSIGNMENT — which sequences each document lands in and at
+  * what offset — as a pure function of `(id, seed, numBins, seqLen)`, so
+  * the expensive token materialization can run later as an embarrassingly
+  * parallel join against it (or be skipped entirely by loaders that pack
+  * on the fly).
+  *
+  * Distribution model: the corpus is split into `numBins` independent
+  * streams (bin = shuffle key mod `numBins`) and each bin is packed
+  * independently — exactly how a multi-host loader shards a 100-TB corpus.
+  * Within a bin the order is the deterministic [[Dsir.minstdKey]] shuffle
+  * (a permutation of ids below 2³¹−1, SQL-replayable; production would use
+  * `xxhash64`, same plan shape). The running token offset is a window
+  * cumsum PARTITIONED BY BIN — a window over a bounded group, not a global
+  * sort: the caller sizes `numBins` so one bin's rows fit an executor (the
+  * same bounded-group contract as the passage-span windows; ~10⁶ docs per
+  * bin at corpus scale).
+  *
+  * Every output column is exact integer arithmetic (token counts via
+  * [[TextOps.tokenCount]], one +1 separator per doc; integer division as
+  * `(n − n mod d) / d`, exact for n < 2⁵³ — the ZOrder pattern), so the
+  * DuckDB dual ([[packAssignmentsSql]]) replays it bit-for-bit.
+  */
+object Packing {
+
+  /** Exact integer division of a nonnegative long column by a positive
+    * literal: the numerator is made exactly divisible first, so the double
+    * quotient is the exact integer (n < 2⁵³).
+    */
+  private def intDiv(n: Column, d: Long): Column =
+    ((n - pmod(n, lit(d))) / lit(d)).cast("long")
+
+  /** Pack-assignment table: for each doc,
+    * (idCol, bin, start_tok, seq_first, seq_last, off_first) where
+    * `start_tok` is the doc's 0-based offset in its bin's concatenated
+    * stream (separator included in every doc's footprint), `seq_first` /
+    * `seq_last` the first/last `seqLen`-token sequence it touches, and
+    * `off_first` its offset inside `seq_first`.
+    */
+  def packAssignments(docs: DataFrame, idCol: String, textCol: Column,
+                      seqLen: Int, numBins: Int, seed: Long): DataFrame = {
+    require(seqLen >= 2, s"seqLen >= 2, got $seqLen")
+    require(numBins >= 1, s"numBins >= 1, got $numBins")
+    val key = Dsir.minstdKey(col(idCol), seed)
+    val w = Window.partitionBy("bin").orderBy(col("_skey"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val start = col("_cum") - col("_ntok_eff")
+    docs
+      .select(col(idCol), key.as("_skey"),
+        pmod(key, lit(numBins.toLong)).as("bin"),
+        (TextOps.tokenCount(textCol) + lit(1L)).as("_ntok_eff"))
+      .withColumn("_cum", sum(col("_ntok_eff")).over(w))
+      .select(col(idCol), col("bin"),
+        start.as("start_tok"),
+        intDiv(start, seqLen).as("seq_first"),
+        intDiv(col("_cum") - 1, seqLen).as("seq_last"),
+        pmod(start, lit(seqLen.toLong)).as("off_first"))
+  }
+
+  /** DuckDB dual of [[packAssignments]] over `table(idCol, textCol)` —
+    * identical key, bin, cumsum, and division arithmetic (the window SUM is
+    * cast back from DuckDB's HUGEINT).
+    */
+  def packAssignmentsSql(table: String, idCol: String, textCol: String,
+                         seqLen: Int, numBins: Int, seed: Long): String = {
+    val key = Dsir.minstdKeySql(idCol, seed)
+    s"""WITH d AS (
+       |  SELECT $idCol, $key AS skey, $key % $numBins AS bin,
+       |         CAST(${TextOps.tokenCountSql(textCol)} AS BIGINT) + 1 AS ntok_eff
+       |  FROM $table),
+       |c AS (
+       |  SELECT $idCol, bin, ntok_eff,
+       |    CAST(SUM(ntok_eff) OVER (PARTITION BY bin ORDER BY skey, $idCol
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM d)
+       |SELECT $idCol, bin,
+       |  cum - ntok_eff AS start_tok,
+       |  (cum - ntok_eff) // $seqLen AS seq_first,
+       |  (cum - 1) // $seqLen AS seq_last,
+       |  (cum - ntok_eff) % $seqLen AS off_first
+       |FROM c""".stripMargin
+  }
+}

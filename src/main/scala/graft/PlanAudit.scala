@@ -422,8 +422,17 @@ object PlanAudit {
 
     // DSIR scoring: one exploded scan joined to the model table, per-doc
     // reduce partial-agg'd map-side — no Window, no cartesian (the model
-    // fit's scalar rows are literals, not a BNLJ).
-    val pdw = plan("q_dsir_weights")
+    // fit's scalar rows are literals, not a BNLJ). The queries entry
+    // checkpoints its result (which collapses the executed plan to a
+    // `Scan ExistingRDD`), so the audit inspects the pre-checkpoint plan
+    // the entry materializes — same shape, minus the checkpoint cap.
+    def dsirPlan(build: (SparkSession, String) => (
+        org.apache.spark.sql.DataFrame, graft.text.Dsir.DsirModel)): String = {
+      val (out, model) = build(spark, sfDir)
+      try { out.collect(); out.queryExecution.executedPlan.toString }
+      finally model.unpersist()
+    }
+    val pdw = dsirPlan(SparkEntry.dsirWeightsPlan)
     check("q_dsir_weights: partial-agg'd scoring join, no Window/cartesian/BNLJ",
       pdw.contains("partial_count") && pdw.contains("partial_sum") &&
         !pdw.contains("Window") && !pdw.contains("Cartesian") &&
@@ -431,7 +440,7 @@ object PlanAudit {
 
     // DSIR resample: Gumbel top-k must be TakeOrderedAndProject, never a
     // global Sort.
-    val pdr = plan("q_dsir_resample")
+    val pdr = dsirPlan(SparkEntry.dsirResamplePlan)
     check("q_dsir_resample: Gumbel top-k as TakeOrderedAndProject, no Window",
       pdr.contains("TakeOrderedAndProject") && !pdr.contains("Window"), pdr)
 

@@ -139,6 +139,33 @@ object SparkEntry {
     (pool, pool.filter(col("doc_id") % 15 === 0))
   }
 
+  /** Lazy DSIR-weights plan + the model table it pins: the queries entry
+    * materializes the plan (localCheckpoint) and releases the model; this
+    * pre-checkpoint form is what PlanAudit inspects (a checkpointed frame
+    * degenerates to `Scan ExistingRDD`, hiding the join shape).
+    */
+  private[graft] def dsirWeightsPlan(
+      s: SparkSession, dir: String): (DataFrame, Dsir.DsirModel) = {
+    val (pool, target) = dsirInputs(s, dir)
+    val model = Dsir.fit(pool, target, "doc_id", "text")
+    val out = Dsir.importanceWeights(pool, model, "doc_id", "text")
+      .select(col("doc_id"), col("n_feats"),
+        round(col("dsir_weight"), 4).as("dsir_weight"))
+    (out, model)
+  }
+
+  /** Lazy DSIR-resample plan + model, same contract as [[dsirWeightsPlan]]. */
+  private[graft] def dsirResamplePlan(
+      s: SparkSession, dir: String): (DataFrame, Dsir.DsirModel) = {
+    val (pool, target) = dsirInputs(s, dir)
+    val model = Dsir.fit(pool, target, "doc_id", "text")
+    val w = Dsir.importanceWeights(pool, model, "doc_id", "text")
+    val out = Dsir.resample(w, "doc_id", k = 100, seed = 7, temperature = 1.0)
+      .select(col("doc_id"), col("n_feats"),
+        round(col("gumbel_key"), 4).as("gumbel_key"))
+    (out, model)
+  }
+
   // embeddings corpus/queries used by the ANN entries
   private def annInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val corpus = t(s, dir, "embeddings")
@@ -928,23 +955,18 @@ object SparkEntry {
     // the hashed production mode is DsirSpec-pinned). Weight rounded to 4
     // decimals — a long sum of ln terms, see Dsir's float parity note.
     "q_dsir_weights" -> ((s, dir) => {
-      val (pool, target) = dsirInputs(s, dir)
-      val model = Dsir.fit(pool, target, "doc_id", "text")
-      Dsir.importanceWeights(pool, model, "doc_id", "text")
-        .select(col("doc_id"), col("n_feats"),
-          round(col("dsir_weight"), 4).as("dsir_weight"))
+      // materialize, then release the model's persisted lr table — a
+      // lazily-returned plan would re-pin one cached copy per bench run
+      val (out, model) = dsirWeightsPlan(s, dir)
+      try out.localCheckpoint(true) finally model.unpersist()
     }),
 
     // DSIR Gumbel top-k resample: selection ∝ exp(weight/τ) without
     // replacement via the Gumbel-max trick, noise from the SQL-replayable
     // MINSTD stream — TakeOrderedAndProject, never a global sort.
     "q_dsir_resample" -> ((s, dir) => {
-      val (pool, target) = dsirInputs(s, dir)
-      val model = Dsir.fit(pool, target, "doc_id", "text")
-      val w = Dsir.importanceWeights(pool, model, "doc_id", "text")
-      Dsir.resample(w, "doc_id", k = 100, seed = 7, temperature = 1.0)
-        .select(col("doc_id"), col("n_feats"),
-          round(col("gumbel_key"), 4).as("gumbel_key"))
+      val (out, model) = dsirResamplePlan(s, dir)
+      try out.localCheckpoint(true) finally model.unpersist()
     }),
 
     // Sequence packing (GPT-style concat-then-chunk assignment): which
@@ -2322,9 +2344,13 @@ object SparkEntry {
          |      FROM w, unnest(range(0, len(words) - 7)) t(i) WHERE len(words) >= 8),
          |own AS (SELECT gram, MIN(doc_id) AS keeper FROM g
          |        GROUP BY gram HAVING MIN(doc_id) <> MAX(doc_id)),
-         |dropped AS (SELECT DISTINCT g.doc_id, g.pos + k.k AS tok_idx
-         |            FROM g JOIN own USING (gram), unnest(range(0, 8)) k(k)
-         |            WHERE g.doc_id <> own.keeper),
+         |cov AS (SELECT DISTINCT g.doc_id, g.pos + k.k AS tok_idx,
+         |               g.doc_id = own.keeper AS is_keeper
+         |        FROM g JOIN own USING (gram), unnest(range(0, 8)) k(k)),
+         |dropped AS (SELECT d.doc_id, d.tok_idx
+         |            FROM (SELECT doc_id, tok_idx FROM cov WHERE NOT is_keeper) d
+         |            ANTI JOIN (SELECT doc_id, tok_idx FROM cov WHERE is_keeper) p
+         |            USING (doc_id, tok_idx)),
          |tok AS (SELECT doc_id, i AS tok_idx, words[i+1] AS token
          |        FROM w, unnest(range(0, len(words))) t(i)),
          |kept AS (SELECT tok.doc_id, tok.tok_idx, tok.token

@@ -104,6 +104,27 @@ object functions {
     */
   def deflate_len(c: Column): Column = col(DeflateLen(ex(c)))
 
+  /** Largest numerator [[exact_int_div]] is exact for (exclusive): a long
+    * below 2^53 converts to double without rounding.
+    */
+  val ExactIntDivMax: Long = 1L << 53
+
+  /** Exact integer division of a NONNEGATIVE long column by a positive
+    * long literal. `Column./` is DOUBLE division, so the numerator is
+    * reduced to an exact multiple first — `(n − n mod d) / d` — and the
+    * double quotient is then the exact integer. PRECONDITION (the caller
+    * must guarantee or guard it): `0 ≤ n < 2^53` ([[ExactIntDivMax]]);
+    * past that the long→double cast itself rounds and the quotient can
+    * land one off. Shared by [[graft.io.ZOrder.bucket]] (which guards the
+    * bound from its range parameters) and [[graft.text.Packing]] (whose
+    * numerators are token cumsums, < 2^53 by construction).
+    */
+  def exact_int_div(n: Column, d: Long): Column = {
+    import org.apache.spark.sql.functions.{lit, pmod}
+    require(d > 0, s"exact_int_div needs a positive divisor, got $d")
+    ((n - pmod(n, lit(d))) / lit(d)).cast("long")
+  }
+
   // ---- BPE subword tokenization (kernel/Bpe.scala) ----
   def char_symbols(c: Column): Column = col(CharSymbols(ex(c)))
   def merge_pair(c: Column, a: String, b: String): Column = col(MergePair(ex(c), a, b))

@@ -36,22 +36,43 @@ object ZOrder {
     * bounds.
     */
   def bucket(c: Column, lo: Long, hi: Long, bits: Int): Column = {
-    require(hi > lo, s"bucket needs hi > lo, got [$lo, $hi]")
-    require(bits >= 1 && bits <= 20, s"bits out of range: $bits")
-    val buckets = 1L << bits
-    val clamped = least(greatest(c.cast("long"), lit(lo)), lit(hi))
+    guardRange(lo, hi, bits)
     // (x - lo) * buckets intdiv (hi - lo + 1) maps the range onto
-    // [0, buckets). Column./ is DOUBLE division, so exact integer division
-    // is built as (num - num mod den) / den — the numerator is then exactly
-    // divisible and the double quotient is the exact integer (both fit in
-    // 53 bits for ranges up to ~2^40).
-    val num = (clamped - lit(lo)) * lit(buckets)
-    val den = lit(hi - lo + 1)
-    ((num - pmod(num, den)) / den).cast("long")
+    // [0, buckets); guardRange bounds the numerator below 2^53, keeping
+    // exact_int_div's double arithmetic exact (and the long multiply far
+    // from wrapping).
+    val clamped = least(greatest(c.cast("long"), lit(lo)), lit(hi))
+    val num = (clamped - lit(lo)) * lit(1L << bits)
+    graft.functions.exact_int_div(num, hi - lo + 1)
   }
 
-  /** DuckDB SQL replica of [[bucket]] over column expression `c`. */
+  /** Shared parameter guard for [[bucket]]/[[bucketSql]]: the numerator's
+    * maximum is span × 2^bits, which must stay below 2^53 for the exact
+    * integer-division trick to be exact (and below 2^63 to not wrap the
+    * long multiply at all) — refuse loudly instead of silently producing
+    * garbage buckets on epoch-nanos-sized ranges. Math.subtractExact also
+    * catches a [very negative, positive] span overflowing the subtraction.
+    */
+  private def guardRange(lo: Long, hi: Long, bits: Int): Unit = {
+    require(hi > lo, s"bucket needs hi > lo, got [$lo, $hi]")
+    require(bits >= 1 && bits <= 20, s"bits out of range: $bits")
+    val span =
+      try Math.subtractExact(hi, lo)
+      catch {
+        case _: ArithmeticException => throw new IllegalArgumentException(
+          s"bucket range [$lo, $hi] overflows a long span")
+      }
+    require(span < graft.functions.ExactIntDivMax / (1L << bits),
+      s"bucket range [$lo, $hi] × 2^$bits buckets exceeds the exact " +
+        s"integer-division domain (span × buckets must stay < 2^53) — " +
+        "pre-scale the column (e.g. nanos → seconds) or lower bits")
+  }
+
+  /** DuckDB SQL replica of [[bucket]] over column expression `c` (same
+    * parameter domain — see [[bucket]]'s guard).
+    */
   def bucketSql(c: String, lo: Long, hi: Long, bits: Int): String = {
+    guardRange(lo, hi, bits)
     val buckets = 1L << bits
     s"((least(greatest(CAST($c AS BIGINT), $lo), $hi) - $lo) * $buckets // ${hi - lo + 1})"
   }

@@ -65,6 +65,19 @@ object BpeTrain {
       maxWords: Int = 50000): Seq[(String, String)] = {
     require(numMerges >= 1 && maxWords >= 1)
     val merges = new ArrayBuffer[(String, String)]()
+    val sc = docs.sparkSession.sparkContext
+    // Dataset.unpersist is a NO-OP on a localCheckpointed frame (the
+    // checkpoint RDD's blocks are not registered with the cache manager),
+    // so checkpoint storage is tracked by RDD id (snapshot diff around the
+    // checkpoint call) and freed explicitly. A checkpoint cohort must
+    // outlive every persisted round whose lineage is rooted at it — i.e.
+    // until the NEXT checkpoint materializes and the intervening round is
+    // unpersisted — so exactly one cohort is live at a time and the
+    // superseded one is freed each checkpoint round, keeping the memory
+    // bound flat as documented.
+    var liveCkptIds: Set[Int] = Set.empty
+    def freeCkpt(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     var cur = wordCounts(docs, text, maxWords)
       .select(char_symbols(col("word")).as("syms"), col("cnt"))
       .persist()
@@ -79,17 +92,29 @@ object BpeTrain {
         else {
           val (a, b) = (top(0).getString(0), top(0).getString(1))
           merges += ((a, b))
-          var next = cur.select(merge_pair(col("syms"), a, b).as("syms"), col("cnt"))
+          val next = cur.select(merge_pair(col("syms"), a, b).as("syms"), col("cnt"))
           // truncate lineage so round cost stays flat in the round count
-          next =
-            if ((rounds + 1) % 8 == 0) next.localCheckpoint(true)
-            else { val p = next.persist(); p.count(); p }
-          cur.unpersist(blocking = false)
-          cur = next
+          if ((rounds + 1) % 8 == 0) {
+            val before = sc.getPersistentRDDs.keySet
+            val ck = next.localCheckpoint(true)
+            val created = (sc.getPersistentRDDs.keySet -- before).toSet
+            cur.unpersist(blocking = false)
+            freeCkpt(liveCkptIds) // nothing live is rooted at the old cohort now
+            liveCkptIds = created
+            cur = ck
+          } else {
+            val p = next.persist()
+            p.count()
+            cur.unpersist(blocking = false)
+            cur = p
+          }
           rounds += 1
         }
       }
       merges.toSeq
-    } finally cur.unpersist(blocking = false)
+    } finally {
+      cur.unpersist(blocking = false)
+      freeCkpt(liveCkptIds)
+    }
   }
 }

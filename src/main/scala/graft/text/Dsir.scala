@@ -114,6 +114,9 @@ object Dsir {
     val tgtFeats = featureRows(target, idCol, textCol, buckets)
     val rawCounts = rawFeats.groupBy("feat").agg(count(lit(1)).as("cr")).persist()
     val tot = rawCounts.agg(count(lit(1)).as("v"), sum("cr").as("nr")).head()
+    require(!tot.isNullAt(1),
+      "DSIR fit: the raw pool yields zero features (empty input, or every " +
+        "text empty/whitespace) — there is no vocabulary to fit a model over")
     val (v, nr) = (tot.getLong(0), tot.getLong(1))
     val nt = tgtFeats.count()
     val tgtCounts = tgtFeats.groupBy("feat").agg(count(lit(1)).as("ct"))

@@ -34,12 +34,12 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
-  /** Exact integer division of a nonnegative long column by a positive
-    * literal: the numerator is made exactly divisible first, so the double
-    * quotient is the exact integer (n < 2⁵³).
+  /** Exact integer division ([[graft.functions.exact_int_div]]); the
+    * numerators here are per-bin token cumsums — far below the 2⁵³
+    * precondition for any physical corpus.
     */
   private def intDiv(n: Column, d: Long): Column =
-    ((n - pmod(n, lit(d))) / lit(d)).cast("long")
+    graft.functions.exact_int_div(n, d)
 
   /** Pack-assignment table: for each doc,
     * (idCol, bin, start_tok, seq_first, seq_last, off_first) where

@@ -95,11 +95,16 @@ object Passages {
     * each duplicated-passage occurrence removed EXCEPT the one in its
     * minimum-id owner. Per-window keeper rule: for each cross-document
     * window key, keeper = min owner id; a token is dropped from a doc iff
-    * a matched window whose keeper is some OTHER doc covers it. The min-id
-    * owner keeps its copy intact; every other owner loses exactly the
-    * covered tokens, conservative at span edges (a token covered by any
-    * non-keeper window goes). Returns (id, text, n_kept, n_dropped);
-    * fully-deduplicated docs survive with empty text via the id spine.
+    * a matched window whose keeper is some OTHER doc covers it AND no
+    * window whose keeper is THIS doc covers it — keeper coverage shields
+    * the token, so every designated keeper's copy survives intact even
+    * when a foreign-keeper passage overlaps it (two passages sharing a
+    * token in one doc, each kept elsewhere, would otherwise erase the
+    * token from its OWN keeper and leave the passage surviving nowhere).
+    * Non-keeper occurrences lose exactly the covered-and-unshielded
+    * tokens, conservative at span edges. Returns (id, text, n_kept,
+    * n_dropped); fully-deduplicated docs survive with empty text via the
+    * id spine.
     *
     * Scale shape: the same windowed machinery as [[sharedPassageSpans]]
     * (8-byte keys, partial-agg'd min/max ownership), token-index explosion
@@ -119,12 +124,18 @@ object Passages {
       .agg(min(col(idCol)).as("keeper"), max(col(idCol)).as("_hi"))
       .filter(col("keeper") =!= col("_hi"))
       .select(col("key"), col("keeper"))
-    val droppedIdx = win
-      .join(owners, "key")
-      .filter(col(idCol) =!= col("keeper"))
+    val matched = win.join(owners, "key")
+    def coveredIdx(cond: Column): DataFrame = matched
+      .filter(cond)
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("tok_idx"))
       .distinct()
+    // keeper-covered tokens shield against foreign-keeper drops (see the
+    // scaladoc rule) — without the shield an overlap between a kept and a
+    // dropped passage would cut tokens out of the keeper's own copy
+    val droppedIdx = coveredIdx(col(idCol) =!= col("keeper"))
+      .join(coveredIdx(col(idCol) === col("keeper")),
+        Seq(idCol, "tok_idx"), "left_anti")
     val toks = docs
       .select(col(idCol), words.as("_psg_words"))
       .select(col(idCol), posexplode(col("_psg_words")).as(Seq("tok_idx", "token")))

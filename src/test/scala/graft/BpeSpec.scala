@@ -54,6 +54,18 @@ class BpeSpec extends AnyFunSuite {
     assert(merges === Seq(("a", "b"))) // after ab, no pairs remain
   }
 
+  test("learnMerges frees all round storage, including localCheckpoint blocks") {
+    // >16 rounds forces at least two checkpoint rounds (every 8th), so the
+    // superseded-cohort free path runs; Dataset.unpersist alone would leave
+    // the checkpointed word tables in the block manager
+    val docs = Seq((1L, "abcdefghijklmnopqrstuvwxyz " * 3)).toDF("id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val merges = BpeTrain.learnMerges(docs, col("text"), numMerges = 20)
+    assert(merges.size === 20)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked persistent RDDs: $leaked")
+  }
+
   test("bpe_encode applies merges by rank: the classic OOV result") {
     val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"), ("e", "w"))
     val got = Seq((1L, "lowest"), (2L, "newest"), (3L, "low wider"), (4L, ""))

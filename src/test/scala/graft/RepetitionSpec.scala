@@ -111,6 +111,24 @@ class RepetitionSpec extends AnyFunSuite {
     assert(out(3L) === (("u1 u2 u3 u4", 4L, 0L))) // no shared grams
   }
 
+  test("removeSharedPassages: keeper coverage shields overlapping foreign-keeper drops") {
+    // doc 1 = "p q r", doc 2 = "p q r s t", doc 3 = "r s t" (n = 3).
+    // "p q r" keeper = doc 1; "r s t" keeper = doc 2. Doc 2 is a non-keeper
+    // of "p q r" (covers its tokens 0..2) but the keeper of "r s t" (covers
+    // its tokens 2..4): without the keeper shield, token 2 ('r') would be
+    // cut from doc 2's OWN kept passage and "r s t" would survive nowhere.
+    val docs = Seq(
+      (1L, "p q r"),
+      (2L, "p q r s t"),
+      (3L, "r s t")).toDF("id", "text")
+    val out = Passages.removeSharedPassages(docs, "id", split(col("text"), " "), 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) === (("p q r", 3L, 0L))) // keeper of "p q r": intact
+    assert(out(2L) === (("r s t", 3L, 2L))) // keeps its OWN passage, drops p q
+    assert(out(3L) === (("", 0L, 3L))) // non-keeper of "r s t": emptied
+  }
+
   test("removeSharedPassages: fully duplicated doc empties but survives; no Window in plan") {
     val docs = Seq(
       (1L, "p q r s"),

@@ -124,18 +124,20 @@ object Passages {
       .agg(min(col(idCol)).as("keeper"), max(col(idCol)).as("_hi"))
       .filter(col("keeper") =!= col("_hi"))
       .select(col("key"), col("keeper"))
-    val matched = win.join(owners, "key")
-    def coveredIdx(cond: Column): DataFrame = matched
-      .filter(cond)
-      .select(col(idCol),
-        explode(sequence(col("pos"), col("pos") + (n - 1))).as("tok_idx"))
-      .distinct()
     // keeper-covered tokens shield against foreign-keeper drops (see the
     // scaladoc rule) — without the shield an overlap between a kept and a
-    // dropped passage would cut tokens out of the keeper's own copy
-    val droppedIdx = coveredIdx(col(idCol) =!= col("keeper"))
-      .join(coveredIdx(col(idCol) === col("keeper")),
-        Seq(idCol, "tok_idx"), "left_anti")
+    // dropped passage would cut tokens out of the keeper's own copy.
+    // Single pass: explode every matched window's coverage tagged with
+    // whether THIS doc keeps that window, partial-agg `max(is_keeper)` per
+    // (doc, token) — one shuffle, versus evaluating the win⋈owners join
+    // once per side plus two distincts and an anti-join
+    val droppedIdx = win.join(owners, "key")
+      .select(col(idCol), (col(idCol) === col("keeper")).as("is_keeper"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("tok_idx"))
+      .groupBy(col(idCol), col("tok_idx"))
+      .agg(max(col("is_keeper")).as("shielded"))
+      .filter(!col("shielded"))
+      .select(col(idCol), col("tok_idx"))
     val toks = docs
       .select(col(idCol), words.as("_psg_words"))
       .select(col(idCol), posexplode(col("_psg_words")).as(Seq("tok_idx", "token")))

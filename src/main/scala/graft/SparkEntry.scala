@@ -113,6 +113,25 @@ object SparkEntry {
     "this line quietly mentions badwordy among its many fine words."
   private val CurationBadWords = Seq("badwordy")
 
+  /** q_cjk_segment's planted mixed-script docs (shared verbatim with the
+    * DuckDB oracle). Constraints: no single quotes (embedded in a VALUES
+    * literal), single-spaced, and all 3-token windows distinct within each
+    * doc under the CJK-aware segmentation — so the oracle's closed-form
+    * shingle count greatest(1, t-2) is exact. Covers: pure Latin, pure Han,
+    * Han+Latin mix, hiragana/katakana, a shorter-than-k doc, supplementary-
+    * plane (ext B) ideographs, and Latin with 2-/3-byte non-CJK codepoints
+    * (accents, the euro sign) that must stay inside their word tokens.
+    */
+  private val CjkSegmentDocs: Seq[String] = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "深度学习模型训练数据管线去重系统",
+    "深度学习 spark 管道 data 管线",
+    "こんにちは世界のウェブ文書",
+    "短文",
+    "mixed 漢字 and かな text",
+    "𠀀𠀁𠀂 ext b chars",
+    "café naïve résumé €100 latin stays whole")
+
   // mixing fixtures shared by the q_mix_* queries and their oracles
   private val MixRates = Map("src0" -> 0.9, "src1" -> 0.25, "src5" -> 0.0)
   private val MixWeights = Map("src0" -> 2.5, "src1" -> 0.5)
@@ -852,6 +871,28 @@ object SparkEntry {
         TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
         TextOps.bpeTokenCount(col("text")).cast("long").as("n_bpe"),
         TextOps.qualityScore(col("text")).as("quality"))
+    }),
+
+    // Script-aware CJK segmentation (graft-added; a webtext axis the
+    // Latin-only synthetic corpus can't exercise): planted mixed-script
+    // docs, the CJK codepoint count, the CJK-aware token count
+    // (TextOps.cjkTokenCount), and the ACTUAL kernel shingle count from
+    // word_shingles. The oracle recomputes n_tokens from the same regex
+    // formula and n_shingles from the closed form greatest(1, t-k+1) —
+    // exact because every planted doc has all-distinct 3-token windows —
+    // so a kernel that collapsed an unsegmented CJK doc to one token
+    // (n_shingles = 1) fails the hash.
+    "q_cjk_segment" -> ((s, dir) => {
+      import s.implicits._
+      CjkSegmentDocs.zipWithIndex.map { case (text, i) => (i.toLong, text) }
+        .toDF("doc_id", "text")
+        .select(col("doc_id"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), TextOps.CjkClass, "")))
+            .cast("long").as("n_cjk"),
+          TextOps.cjkTokenCount(col("text")).as("n_tokens"),
+          size(word_shingles(col("text"), 3)).cast("long").as("n_shingles"))
+        .orderBy("doc_id")
     }),
 
     // Adaptive per-language gate: cut each language's shortest quartile —
@@ -1912,6 +1953,22 @@ object SparkEntry {
          |  ${TextOps.bpeTokenCountSql("text")} AS n_bpe,
          |  ${TextOps.qualityScoreSql("text")} AS quality
          |FROM documents""".stripMargin,
+
+    // same planted docs as the Spark side (VALUES literal — the query is
+    // corpus-independent); n_shingles via the closed form (see the query's
+    // comment for why it is exact on these docs)
+    "q_cjk_segment" -> {
+      val values = CjkSegmentDocs.zipWithIndex
+        .map { case (text, i) => s"($i, '$text')" }.mkString(", ")
+      val ntok = TextOps.cjkTokenCountSql("text")
+      s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |  CAST(len(text) - len(regexp_replace(text, '${TextOps.CjkClass}', '', 'g'))
+         |    AS BIGINT) AS n_cjk,
+         |  $ntok AS n_tokens,
+         |  CAST(greatest(1, $ntok - 2) AS BIGINT) AS n_shingles
+         |FROM (VALUES $values) AS t(doc_id, text)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // identical per-language quartile threshold + join-back gate
     "q_adaptive_gate" ->

@@ -93,10 +93,79 @@ object Shingling {
     if (union == 0) 0.0 else inter.toDouble / union
   }
 
+  /** Inclusive codepoint ranges segmented as singleton tokens by
+    * [[wordShingles]]: scripts written WITHOUT word-delimiting spaces, where
+    * whitespace tokenization would collapse a whole document into one token
+    * and near-dup detection would degrade to exact-match only. Treating each
+    * Han/kana codepoint as its own "word" is standard CJK IR practice (cf.
+    * Lucene's CJK analysis, which indexes unigrams/bigrams of ideographs);
+    * it makes k-word shingles behave as k-character shingles over CJK runs
+    * while leaving space-delimited scripts untouched.
+    *
+    * Policy notes: Hangul (U+AC00–D7AF) is EXCLUDED — Korean is written with
+    * spaces, so whitespace tokenization already works; halfwidth katakana
+    * (U+FF65–FF9F) is excluded — normalize width upstream. Ranges included:
+    * CJK radicals/Kangxi, hiragana+katakana, CJK Unified Ideographs + ext A,
+    * compatibility ideographs, and the supplementary ideographic planes
+    * (ext B–F + compat supplement).
+    */
+  val CjkRanges: Seq[(Int, Int)] = Seq(
+    (0x2E80, 0x2FDF), (0x3040, 0x30FF), (0x3400, 0x4DBF),
+    (0x4E00, 0x9FFF), (0xF900, 0xFAFF), (0x20000, 0x2FA1F))
+
+  /** Whether `cp` is in [[CjkRanges]] (hand-ordered: unified-ideograph range
+    * first — the hot case on CJK text). Kept in sync with CjkRanges by a
+    * KernelSpec exhaustiveness test.
+    */
+  @inline def isCjk(cp: Int): Boolean =
+    (cp >= 0x4E00 && cp <= 0x9FFF) ||
+    (cp >= 0x3400 && cp <= 0x4DBF) ||
+    (cp >= 0x3040 && cp <= 0x30FF) ||
+    (cp >= 0x2E80 && cp <= 0x2FDF) ||
+    (cp >= 0xF900 && cp <= 0xFAFF) ||
+    (cp >= 0x20000 && cp <= 0x2FA1F)
+
+  /** Byte length (3 or 4) of the UTF-8 sequence starting at byte `i` IF it
+    * encodes a [[CjkRanges]] codepoint; 0 otherwise (ASCII, 2-byte
+    * sequences, continuation bytes, non-CJK codepoints, truncated tails —
+    * all of which stay inside the surrounding space-delimited token). CJK
+    * starts at U+2E80, so only 3-byte sequences (lead 0xE0–0xEF) and the
+    * first supplementary plane pair's lead 0xF0 can ever match; `b0` is the
+    * already-masked lead byte so the ASCII hot path pays one compare.
+    */
+  @inline private def cjkSeqLen(base: AnyRef, off: Long, nb: Int, i: Int, b0: Int): Int =
+    if (b0 < 0xE0) 0
+    else if (b0 < 0xF0) {
+      if (i + 2 >= nb) 0
+      else {
+        val cp = ((b0 & 0x0F) << 12) |
+          ((Platform.getByte(base, off + i + 1) & 0x3F) << 6) |
+          (Platform.getByte(base, off + i + 2) & 0x3F)
+        if (isCjk(cp)) 3 else 0
+      }
+    } else if (b0 == 0xF0) {
+      // lead F0 ⇒ cp ∈ [U+10000, U+3FFFF]: (b0 & 7) == 0, so the codepoint
+      // is carried entirely by the three continuation bytes
+      if (i + 3 >= nb) 0
+      else {
+        val cp = ((Platform.getByte(base, off + i + 1) & 0x3F) << 12) |
+          ((Platform.getByte(base, off + i + 2) & 0x3F) << 6) |
+          (Platform.getByte(base, off + i + 3) & 0x3F)
+        if (isCjk(cp)) 4 else 0
+      }
+    } else 0
+
   /** Distinct, sorted shingle hashes of the k-word shingles of `text`.
     * Shorter-than-k documents hash the whole token sequence as one shingle
     * (so no document has an empty shingle set unless its text is empty).
     * Sorted output makes downstream set ops (Jaccard) linear merges.
+    *
+    * Tokenization is script-aware: a token is a maximal run of non-space,
+    * non-CJK bytes, or a single [[CjkRanges]] codepoint — so unsegmented
+    * Chinese/Japanese text shingles per character instead of collapsing to
+    * one document-sized token (see [[CjkRanges]] for the policy). Output is
+    * byte-identical to plain space splitting on any text without CJK
+    * codepoints (the classifier only ever fires on lead bytes ≥ 0xE0).
     *
     * Allocation-free hot path: tokens are split on the single byte 0x20
     * directly over the UTF-8 bytes (the upstream [[TextNorm.normalizeTokens]]
@@ -112,28 +181,51 @@ object Shingling {
     if (nb == 0) return Array.emptyLongArray
     val base = text.getBaseObject
     val off = text.getBaseOffset
-    // pass 1: count tokens (maximal runs of non-space bytes)
+    // pass 1: count tokens (maximal non-space non-CJK runs + CJK singletons)
     var t = 0
-    var inTok = false
     var i = 0
     while (i < nb) {
-      if (Platform.getByte(base, off + i) == 0x20) inTok = false
-      else if (!inTok) { inTok = true; t += 1 }
-      i += 1
+      val b = Platform.getByte(base, off + i) & 0xFF
+      if (b == 0x20) i += 1
+      else {
+        t += 1
+        val cl = cjkSeqLen(base, off, nb, i, b)
+        if (cl > 0) i += cl
+        else {
+          i += 1
+          var run = true
+          while (i < nb && run) {
+            val bj = Platform.getByte(base, off + i) & 0xFF
+            if (bj == 0x20 || cjkSeqLen(base, off, nb, i, bj) > 0) run = false
+            else i += 1
+          }
+        }
+      }
     }
     if (t == 0) return Array.emptyLongArray
-    // pass 2: hash each token in place
+    // pass 2: hash each token in place (same walk as pass 1)
     val tok = new Array[Long](t)
     var ti = 0
     i = 0
     while (i < nb) {
-      if (Platform.getByte(base, off + i) != 0x20) {
-        var j = i + 1
-        while (j < nb && Platform.getByte(base, off + j) != 0x20) j += 1
-        tok(ti) = XXH64.hashUnsafeBytes(base, off + i, j - i, seed)
+      val b = Platform.getByte(base, off + i) & 0xFF
+      if (b == 0x20) i += 1
+      else {
+        val start = i
+        val cl = cjkSeqLen(base, off, nb, i, b)
+        if (cl > 0) i += cl
+        else {
+          i += 1
+          var run = true
+          while (i < nb && run) {
+            val bj = Platform.getByte(base, off + i) & 0xFF
+            if (bj == 0x20 || cjkSeqLen(base, off, nb, i, bj) > 0) run = false
+            else i += 1
+          }
+        }
+        tok(ti) = XXH64.hashUnsafeBytes(base, off + start, i - start, seed)
         ti += 1
-        i = j
-      } else i += 1
+      }
     }
     // sliding windows of k token hashes, chained with xxhash64
     val m = math.max(1, t - k + 1)

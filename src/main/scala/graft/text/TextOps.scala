@@ -93,6 +93,40 @@ object TextOps {
     round(alphaRatio * 0.5 + stopScore * 0.2 + lengthScore * 0.3, 6)
   }
 
+  /** Regex character class matching exactly the codepoints
+    * [[graft.kernel.Shingling.CjkRanges]] segments as singleton tokens —
+    * generated from the same range list (one source of truth). The
+    * `\x{...}` syntax is valid in both Java regex (Spark) and RE2 (DuckDB),
+    * and char classes match whole codepoints including the supplementary
+    * planes in both engines.
+    */
+  val CjkClass: String = graft.kernel.Shingling.CjkRanges
+    .map { case (lo, hi) => f"\\x{$lo%X}-\\x{$hi%X}" }.mkString("[", "", "]")
+
+  /** Script-aware token count: whitespace-delimited tokens, with every CJK
+    * codepoint (Han/kana/radicals/compat/supplementary ideographs) counted
+    * as its own token — the same segmentation
+    * [[graft.kernel.Shingling.wordShingles]] applies. Without this,
+    * unsegmented Chinese/Japanese pages count as ~1 "word" and every
+    * min-word quality gate or token budget silently drops or mis-prices
+    * them. Count = (# CJK codepoints) + (# non-blank runs once CJK
+    * codepoints are replaced by spaces); both terms are codegen'd built-ins.
+    */
+  def cjkTokenCount(text: Column): Column = {
+    val nCjk = length(text) - length(regexp_replace(text, CjkClass, ""))
+    val words = size(regexp_extract_all(
+      regexp_replace(text, CjkClass, " "), lit("\\S+"), lit(0)))
+    (nCjk + words).cast("long")
+  }
+
+  /** DuckDB SQL replica of [[cjkTokenCount]] (RE2 `\x{...}` classes; DuckDB
+    * `len` and Spark `length` both count codepoints, so supplementary-plane
+    * ideographs count 1 on both sides).
+    */
+  def cjkTokenCountSql(c: String): String =
+    s"CAST(len($c) - len(regexp_replace($c, '$CjkClass', '', 'g'))" +
+      s" + len(regexp_extract_all(regexp_replace($c, '$CjkClass', ' ', 'g'), '\\S+')) AS BIGINT)"
+
   /** DuckDB SQL replica of [[qualityScore]]. */
   def qualityScoreSql(c: String): String = {
     val words = Stopwords.toMap.apply("en").map(w => s"'$w'").mkString(", ")

@@ -166,6 +166,90 @@ class KernelSpec extends AnyFunSuite with TableDrivenPropertyChecks {
     assert(Shingling.wordShingles("one two", 5).length === 1) // short doc → 1 shingle
   }
 
+  test("word shingles: space-split parity on non-CJK text (bit-identical)") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.Platform
+    // the pre-CJK-awareness semantics, reimplemented plainly: split on the
+    // space character only, xxhash64 each token's UTF-8 bytes, chain k-token
+    // windows, sort + distinct — wordShingles must stay BIT-IDENTICAL to
+    // this on any text without CJK codepoints (Latin corpora, incl. every
+    // cross-round bit-identity record)
+    def reference(text: String, k: Int): Array[Long] = {
+      val toks = text.split(' ').filter(_.nonEmpty).map { w =>
+        val b = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, Shingling.DefaultSeed)
+      }
+      if (toks.isEmpty) return Array.emptyLongArray
+      val m = math.max(1, toks.length - k + 1)
+      (0 until m).map { i =>
+        var h = Shingling.DefaultSeed
+        var j = i
+        val end = math.min(toks.length, i + k)
+        while (j < end) { h = XXH64.hashLong(toks(j), h); j += 1 }
+        h
+      }.toArray.distinct.sorted
+    }
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "café naïve résumé €100 with 2- and 3-byte non-CJK codepoints",
+      "ασδφ κυριλλица mixed ελληνικά and cyrillic", // 2-byte scripts
+      "a b c d e f g h", "", "   ", "single", "double  space")
+    for (t <- texts; k <- Seq(1, 2, 3, 5))
+      assert(Shingling.wordShingles(t, k).toSeq === reference(t, k).toSeq,
+        s"text='$t' k=$k")
+  }
+
+  test("word shingles: CJK codepoints segment as singleton tokens") {
+    for (k <- Seq(1, 2, 3)) {
+      // spacing CJK chars by hand must not change the shingle set
+      assert(Shingling.wordShingles("深度学习模型", k).toSeq ===
+        Shingling.wordShingles("深 度 学 习 模 型", k).toSeq, s"k=$k han")
+      assert(Shingling.wordShingles("深度学习 spark 管道", k).toSeq ===
+        Shingling.wordShingles("深 度 学 习 spark 管 道", k).toSeq, s"k=$k mixed")
+      assert(Shingling.wordShingles("こんにちは世界", k).toSeq ===
+        Shingling.wordShingles("こ ん に ち は 世 界", k).toSeq, s"k=$k kana")
+      // supplementary-plane ideographs (4-byte UTF-8, CJK ext B)
+      assert(Shingling.wordShingles("𠀀𠀁𠀂", k).toSeq ===
+        Shingling.wordShingles("𠀀 𠀁 𠀂", k).toSeq, s"k=$k extB")
+    }
+    // non-CJK multi-byte codepoints do NOT split their word
+    assert(Shingling.wordShingles("café", 1).length === 1)
+    assert(Shingling.wordShingles("a€b", 1).length === 1)
+    assert(Shingling.wordShingles("深度", 1).length === 2)
+    // Hangul excluded by policy: Korean is space-delimited already
+    assert(Shingling.wordShingles("한국어", 1).length === 1)
+  }
+
+  test("CJK near-dups score high jaccard (was exact-match-only before segmentation)") {
+    val rnd = new scala.util.Random(3)
+    def randHan(n: Int): String =
+      (1 to n).map(_ => (0x4E00 + rnd.nextInt(0x5200)).toChar).mkString
+    val base = randHan(300)
+    val mutated = base.updated(37, '零').updated(150, '壹').updated(299, '貳')
+    val a = Shingling.wordShingles(base, 3)
+    val b = Shingling.wordShingles(mutated, 3)
+    assert(a.length >= 290) // ~298 windows, nearly all distinct
+    val j = Shingling.jaccardSorted(a, b)
+    assert(j > 0.9, s"near-dup jaccard $j") // 3 edits × 3 windows each
+    assert(Shingling.jaccardSorted(a, Shingling.wordShingles(randHan(300), 3)) < 0.05)
+  }
+
+  test("isCjk matches CjkRanges exactly over the full codepoint space") {
+    def inRanges(cp: Int): Boolean =
+      Shingling.CjkRanges.exists { case (lo, hi) => cp >= lo && cp <= hi }
+    var cp = 0
+    while (cp < 0x110000) {
+      assert(Shingling.isCjk(cp) === inRanges(cp), f"cp=U+$cp%04X")
+      cp += 1
+    }
+    // boundary spot pins
+    assert(!Shingling.isCjk(0x2E7F)); assert(Shingling.isCjk(0x2E80))
+    assert(Shingling.isCjk(0x30FF)); assert(!Shingling.isCjk(0x3100))
+    assert(Shingling.isCjk(0x4E2D)); assert(!Shingling.isCjk(0xAC00)) // Hangul
+    assert(Shingling.isCjk(0x20000)); assert(Shingling.isCjk(0x2FA1F))
+    assert(!Shingling.isCjk(0x2FA20))
+  }
+
   test("jaccardSorted exact values") {
     val a = Shingling.wordShingles("a b c d e f", 2)
     assert(Shingling.jaccardSorted(a, a) === 1.0)

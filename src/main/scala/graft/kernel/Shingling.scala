@@ -127,31 +127,44 @@ object Shingling {
 
   /** Byte length (3 or 4) of the UTF-8 sequence starting at byte `i` IF it
     * encodes a [[CjkRanges]] codepoint; 0 otherwise (ASCII, 2-byte
-    * sequences, continuation bytes, non-CJK codepoints, truncated tails —
-    * all of which stay inside the surrounding space-delimited token). CJK
-    * starts at U+2E80, so only 3-byte sequences (lead 0xE0–0xEF) and the
-    * first supplementary plane pair's lead 0xF0 can ever match; `b0` is the
-    * already-masked lead byte so the ASCII hot path pays one compare.
+    * sequences, continuation bytes, non-CJK codepoints, truncated tails,
+    * and INVALID sequences — all of which stay inside the surrounding
+    * space-delimited token). Continuation bytes are validated (`10xxxxxx`):
+    * without the check, raw Latin-1 mojibake like the bytes `E4 61 62`
+    * ('ä' + "ab" mis-encoded — the exact corruption class EncodingFix
+    * models) would decode to U+4862 inside CJK ext A and swallow the ASCII
+    * letters into a phantom singleton, breaking the byte-identical-on-
+    * non-CJK-text contract. CJK starts at U+2E80, so only 3-byte sequences
+    * (lead 0xE0–0xEF) and the first supplementary plane pair's lead 0xF0
+    * can ever match; `b0` is the already-masked lead byte so the ASCII hot
+    * path pays one compare.
     */
   @inline private def cjkSeqLen(base: AnyRef, off: Long, nb: Int, i: Int, b0: Int): Int =
     if (b0 < 0xE0) 0
     else if (b0 < 0xF0) {
       if (i + 2 >= nb) 0
       else {
-        val cp = ((b0 & 0x0F) << 12) |
-          ((Platform.getByte(base, off + i + 1) & 0x3F) << 6) |
-          (Platform.getByte(base, off + i + 2) & 0x3F)
-        if (isCjk(cp)) 3 else 0
+        val c1 = Platform.getByte(base, off + i + 1) & 0xFF
+        val c2 = Platform.getByte(base, off + i + 2) & 0xFF
+        if ((c1 & 0xC0) != 0x80 || (c2 & 0xC0) != 0x80) 0
+        else {
+          val cp = ((b0 & 0x0F) << 12) | ((c1 & 0x3F) << 6) | (c2 & 0x3F)
+          if (isCjk(cp)) 3 else 0
+        }
       }
     } else if (b0 == 0xF0) {
       // lead F0 ⇒ cp ∈ [U+10000, U+3FFFF]: (b0 & 7) == 0, so the codepoint
       // is carried entirely by the three continuation bytes
       if (i + 3 >= nb) 0
       else {
-        val cp = ((Platform.getByte(base, off + i + 1) & 0x3F) << 12) |
-          ((Platform.getByte(base, off + i + 2) & 0x3F) << 6) |
-          (Platform.getByte(base, off + i + 3) & 0x3F)
-        if (isCjk(cp)) 4 else 0
+        val c1 = Platform.getByte(base, off + i + 1) & 0xFF
+        val c2 = Platform.getByte(base, off + i + 2) & 0xFF
+        val c3 = Platform.getByte(base, off + i + 3) & 0xFF
+        if ((c1 & 0xC0) != 0x80 || (c2 & 0xC0) != 0x80 || (c3 & 0xC0) != 0x80) 0
+        else {
+          val cp = ((c1 & 0x3F) << 12) | ((c2 & 0x3F) << 6) | (c3 & 0x3F)
+          if (isCjk(cp)) 4 else 0
+        }
       }
     } else 0
 

@@ -65,19 +65,29 @@ object BpeTrain {
       maxWords: Int = 50000): Seq[(String, String)] = {
     require(numMerges >= 1 && maxWords >= 1)
     val merges = new ArrayBuffer[(String, String)]()
-    val sc = docs.sparkSession.sparkContext
     // Dataset.unpersist is a NO-OP on a localCheckpointed frame (the
     // checkpoint RDD's blocks are not registered with the cache manager),
-    // so checkpoint storage is tracked by RDD id (snapshot diff around the
-    // checkpoint call) and freed explicitly. A checkpoint cohort must
-    // outlive every persisted round whose lineage is rooted at it — i.e.
-    // until the NEXT checkpoint materializes and the intervening round is
-    // unpersisted — so exactly one cohort is live at a time and the
-    // superseded one is freed each checkpoint round, keeping the memory
+    // so checkpoint storage is tracked and freed explicitly. The cohort is
+    // found by walking the checkpointed frame's OWN RDD lineage for
+    // persisted nodes — never by diffing the SparkContext-global persistent
+    // registry, which on a shared session would capture (and later evict)
+    // RDDs a concurrent job persisted in the same window. A checkpoint
+    // cohort must outlive every persisted round whose lineage is rooted at
+    // it — i.e. until the NEXT checkpoint materializes and the intervening
+    // round is unpersisted — so exactly one cohort is live at a time and
+    // the superseded one is freed each checkpoint round, keeping the memory
     // bound flat as documented.
-    var liveCkptIds: Set[Int] = Set.empty
-    def freeCkpt(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    var liveCkptRdds: Seq[org.apache.spark.rdd.RDD[_]] = Nil
+    def persistedRootsOf(root: org.apache.spark.rdd.RDD[_]): Seq[org.apache.spark.rdd.RDD[_]] = {
+      val seen = scala.collection.mutable.Set[Int]()
+      val out = scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]]()
+      def walk(r: org.apache.spark.rdd.RDD[_]): Unit = if (seen.add(r.id)) {
+        if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE) out += r
+        r.dependencies.foreach(d => walk(d.rdd))
+      }
+      walk(root)
+      out.toSeq
+    }
     var cur = wordCounts(docs, text, maxWords)
       .select(char_symbols(col("word")).as("syms"), col("cnt"))
       .persist()
@@ -95,12 +105,12 @@ object BpeTrain {
           val next = cur.select(merge_pair(col("syms"), a, b).as("syms"), col("cnt"))
           // truncate lineage so round cost stays flat in the round count
           if ((rounds + 1) % 8 == 0) {
-            val before = sc.getPersistentRDDs.keySet
             val ck = next.localCheckpoint(true)
-            val created = (sc.getPersistentRDDs.keySet -- before).toSet
+            val created = persistedRootsOf(ck.queryExecution.toRdd)
             cur.unpersist(blocking = false)
-            freeCkpt(liveCkptIds) // nothing live is rooted at the old cohort now
-            liveCkptIds = created
+            // nothing live is rooted at the old cohort now
+            liveCkptRdds.foreach(_.unpersist(false))
+            liveCkptRdds = created
             cur = ck
           } else {
             val p = next.persist()
@@ -114,7 +124,7 @@ object BpeTrain {
       merges.toSeq
     } finally {
       cur.unpersist(blocking = false)
-      freeCkpt(liveCkptIds)
+      liveCkptRdds.foreach(_.unpersist(false))
     }
   }
 }

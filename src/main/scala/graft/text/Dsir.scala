@@ -95,10 +95,15 @@ object Dsir {
 
   /** A fitted DSIR model: the per-feature log-likelihood-ratio table
     * (persisted, bounded by the raw vocabulary — or by `buckets` in hashed
-    * mode) plus the smoothing scalars it was built with.
+    * mode) plus the smoothing scalars AND the feature space (`buckets`) it
+    * was built with — scoring must extract features in the model's own
+    * space, so the model carries it rather than trusting the caller to
+    * repeat it (a fit/score mismatch would join word strings against bucket
+    * numbers: zero matches, every document silently dropped).
     */
   final case class DsirModel(logRatios: DataFrame, nRaw: Long, nTarget: Long,
-                             vocab: Long, alpha: Double) {
+                             vocab: Long, alpha: Double,
+                             buckets: Option[Int]) {
     def unpersist(): Unit = { logRatios.unpersist(false); () }
   }
 
@@ -118,8 +123,11 @@ object Dsir {
       "DSIR fit: the raw pool yields zero features (empty input, or every " +
         "text empty/whitespace) — there is no vocabulary to fit a model over")
     val (v, nr) = (tot.getLong(0), tot.getLong(1))
-    val nt = tgtFeats.count()
-    val tgtCounts = tgtFeats.groupBy("feat").agg(count(lit(1)).as("ct"))
+    val tgtCounts = tgtFeats.groupBy("feat").agg(count(lit(1)).as("ct")).persist()
+    // Nt = sum over the counts table — no second pass over the target corpus
+    // (sum of an empty table is null → 0: an empty target is a valid fit,
+    // the ratios just carry pure smoothing mass)
+    val nt = tgtCounts.agg(coalesce(sum("ct"), lit(0L))).head().getLong(0)
     val lr = rawCounts.join(tgtCounts, Seq("feat"), "left")
       .select(col("feat"),
         (log((coalesce(col("ct"), lit(0L)) + lit(alpha)) / lit(nt + alpha * v)) -
@@ -127,18 +135,21 @@ object Dsir {
       .persist()
     lr.count()
     rawCounts.unpersist(false)
-    DsirModel(lr, nr, nt, v, alpha)
+    tgtCounts.unpersist(false)
+    DsirModel(lr, nr, nt, v, alpha, buckets)
   }
 
   /** Per-document importance weights over the pool the model was fitted on:
     * `(idCol, n_feats, dsir_weight)` where the weight is the sum of the
     * per-feature log ratios (count-weighted by construction — repeated
-    * features contribute one row each).
+    * features contribute one row each). Features are extracted in the
+    * model's own space (`model.buckets`), so fit and score can never
+    * disagree on the feature encoding.
     */
   def importanceWeights(raw: DataFrame, model: DsirModel, idCol: String,
-                        textCol: String, buckets: Option[Int] = None): DataFrame = {
+                        textCol: String): DataFrame = {
     val joined =
-      if (buckets.isDefined) featureRows(raw, idCol, textCol, buckets)
+      if (model.buckets.isDefined) featureRows(raw, idCol, textCol, model.buckets)
         .join(broadcast(model.logRatios), Seq("feat"))
       else featureRows(raw, idCol, textCol, None)
         .join(model.logRatios, Seq("feat"))

@@ -109,13 +109,17 @@ object TextOps {
     * [[graft.kernel.Shingling.wordShingles]] applies. Without this,
     * unsegmented Chinese/Japanese pages count as ~1 "word" and every
     * min-word quality gate or token budget silently drops or mis-prices
-    * them. Count = (# CJK codepoints) + (# non-blank runs once CJK
+    * them. Count = (# CJK codepoints) + (# non-SPACE runs once CJK
     * codepoints are replaced by spaces); both terms are codegen'd built-ins.
+    * The run delimiter is the single space character (`[^ ]+`), NOT `\S+` —
+    * exactly the kernel's 0x20-only split, so the two counts agree on any
+    * input (upstream normalization emits single-spaced text; on raw text a
+    * tab/newline stays inside its token on both sides).
     */
   def cjkTokenCount(text: Column): Column = {
     val nCjk = length(text) - length(regexp_replace(text, CjkClass, ""))
     val words = size(regexp_extract_all(
-      regexp_replace(text, CjkClass, " "), lit("\\S+"), lit(0)))
+      regexp_replace(text, CjkClass, " "), lit("[^ ]+"), lit(0)))
     (nCjk + words).cast("long")
   }
 
@@ -125,7 +129,7 @@ object TextOps {
     */
   def cjkTokenCountSql(c: String): String =
     s"CAST(len($c) - len(regexp_replace($c, '$CjkClass', '', 'g'))" +
-      s" + len(regexp_extract_all(regexp_replace($c, '$CjkClass', ' ', 'g'), '\\S+')) AS BIGINT)"
+      s" + len(regexp_extract_all(regexp_replace($c, '$CjkClass', ' ', 'g'), '[^ ]+')) AS BIGINT)"
 
   /** DuckDB SQL replica of [[qualityScore]]. */
   def qualityScoreSql(c: String): String = {

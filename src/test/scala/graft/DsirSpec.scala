@@ -90,7 +90,8 @@ class DsirSpec extends AnyFunSuite {
     val b = 64
     val model = Dsir.fit(docs, target, "id", "text", buckets = Some(b))
     assert(model.logRatios.count() <= b)
-    val w = Dsir.importanceWeights(docs, model, "id", "text", buckets = Some(b))
+    // the model carries its own feature space — no buckets repeated here
+    val w = Dsir.importanceWeights(docs, model, "id", "text")
       .as[(Long, Long, Double)].collect()
     assert(w.length === 200 && w.forall(r => !r._3.isNaN && !r._3.isInfinite))
     val planted = w.filter(_._1 % 4 == 0).map(_._3)

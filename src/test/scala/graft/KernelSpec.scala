@@ -234,6 +234,26 @@ class KernelSpec extends AnyFunSuite with TableDrivenPropertyChecks {
     assert(Shingling.jaccardSorted(a, Shingling.wordShingles(randHan(300), 3)) < 0.05)
   }
 
+  test("invalid UTF-8 never classifies as CJK (mojibake keeps space-split semantics)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def shingles(bytes: Array[Int], k: Int): Seq[Long] =
+      Shingling.wordShingles(UTF8String.fromBytes(bytes.map(_.toByte)), k,
+        Shingling.DefaultSeed).toSeq
+    // raw Latin-1 'ä' followed by ASCII: 0xE4 0x61 0x62 0x63 — WITHOUT
+    // continuation-byte validation this would decode to U+4862 (CJK ext A)
+    // and swallow 'ab' into a phantom singleton; it must stay ONE token
+    assert(shingles(Array(0xE4, 0x61, 0x62, 0x63), 1).length === 1)
+    // same for the 4-byte lead: 0xF0 + ASCII tail
+    assert(shingles(Array(0xF0, 0x61, 0x62, 0x63, 0x64), 1).length === 1)
+    // truncated CJK lead at end-of-buffer: 深 (E6 B7 B1) cut to two bytes
+    assert(shingles(Array(0x61, 0x20, 0xE6, 0xB7), 1).length === 2)
+    // bare continuation bytes are ordinary in-token bytes
+    assert(shingles(Array(0x80, 0x81, 0x61), 1).length === 1)
+    // and VALID CJK in the same byte-level form still splits: 深a深 →
+    // tokens (深, a, 深) → 2 DISTINCT k=1 shingles (output is a set)
+    assert(shingles(Array(0xE6, 0xB7, 0xB1, 0x61, 0xE6, 0xB7, 0xB1), 1).length === 2)
+  }
+
   test("isCjk matches CjkRanges exactly over the full codepoint space") {
     def inRanges(cp: Int): Boolean =
       Shingling.CjkRanges.exists { case (lo, hi) => cp >= lo && cp <= hi }

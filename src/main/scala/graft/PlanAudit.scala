@@ -386,6 +386,13 @@ object PlanAudit {
         !pspl.contains("Window") &&
         (pspl.contains("WholeStageCodegen") || pspl.contains("*(")), pspl)
 
+    // Boilerplate removal: block segmentation + main content are per-row
+    // expressions — one narrow scan, no shuffle/join/window/UDF.
+    val pboil = plan("q_boilerplate")
+    check("q_boilerplate: narrow scan (no Exchange/join/Window/UDF)",
+      !pboil.contains("Exchange") && !pboil.contains("Join") &&
+        !pboil.contains("Window") && !pboil.contains("ScalaUDF"), pboil)
+
     // Mojibake repair: the replace chain is one narrow codegen'd scan.
     val pmoj = plan("q_fix_mojibake")
     check("q_fix_mojibake: narrow codegen'd scan (no Exchange/join/Window/UDF)",

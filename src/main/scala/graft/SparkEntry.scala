@@ -443,6 +443,28 @@ object SparkEntry {
         col("doc_id"), extract_html_text(html.cast("binary")).as("extracted"))
     }),
 
+    // jusText-core boilerplate removal (graft-added): each document's text
+    // is planted as the content block of a page with known boilerplate — a
+    // title ("Site", 4 chars: short → dropped), a pure-link nav (link
+    // density 1 → dropped), and a short link footer ("Terms (c)", 8 chars:
+    // short → dropped). Closed form: main content is exactly the document
+    // text when it clears the 20-non-space-char gate, and the block/good
+    // counts follow from whether the text is non-empty / long enough.
+    "q_boilerplate" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><title>Site</title><style>.x{color:red}</style></head>" +
+          "<body><nav><a href=\"/\">Home</a> <a href=\"/about\">About us</a> " +
+          "<a href=\"/contact\">Contact</a></nav><p>"),
+        col("text"),
+        lit("</p><div><a href=\"/terms\">Terms</a> (c)</div></body></html>"))
+      val bb = boilerplate_blocks(html)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        main_content(html).as("main_content"),
+        size(bb).cast("long").as("n_blocks"),
+        size(filter(bb, b => b.getField("is_good"))).cast("long").as("n_good"))
+    }),
+
     // WARC ingestion round-trip: each partition of the documents table is
     // encoded into a synthetic .warc.gz blob (per-record gzip members, a
     // warcinfo record as noise — the Common Crawl layout) via the fixture
@@ -2584,6 +2606,20 @@ object SparkEntry {
 
     "q_html_extract" ->
       "SELECT doc_id, text AS extracted FROM documents",
+
+    // closed form of the planted page (see the query comment): every
+    // boilerplate block is dropped by construction, so main content is the
+    // text iff it has >= 20 non-space chars; 3 boilerplate blocks + the
+    // content block when the text is non-empty
+    "q_boilerplate" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CASE WHEN len(replace(text, ' ', '')) >= 20 THEN text ELSE '' END
+        |    AS main_content,
+        |  CAST(3 + CASE WHEN len(replace(text, ' ', '')) > 0 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS n_blocks,
+        |  CAST(CASE WHEN len(replace(text, ' ', '')) >= 20 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS n_good
+        |FROM documents""".stripMargin,
 
     // closed form of the WARC round trip (url/ts are the query's plant;
     // text must come back byte-identical through encode→parse→extract)

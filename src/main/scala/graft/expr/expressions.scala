@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.kernel.{HtmlText, Shingling, StrSim, TextNorm, UrlNorm}
+import graft.kernel.{Boilerplate, HtmlText, Shingling, StrSim, TextNorm, UrlNorm}
 
 /** Catalyst expressions for the normalization/signature kernel (SURVEY.md
   * §2.2, §2.6). Each is a thin, null-safe wrapper over a pure function in
@@ -318,6 +318,45 @@ case class ExtractHtmlText(child: Expression)
   override def nullSafeEval(input: Any): Any =
     UTF8String.fromString(HtmlText.extract(input.asInstanceOf[Array[Byte]]))
   override protected def withNewChildInternal(c: Expression): ExtractHtmlText = copy(child = c)
+}
+
+/** Block segmentation with link-density metrics over an HTML string — the
+  * jusText-core boilerplate classifier (rules pinned in
+  * [[graft.kernel.Boilerplate]]). Returns
+  * `array<struct<text, n_chars, anchor_chars, is_good>>`; `is_good` applies
+  * the length + link-density keep rule with the expression's thresholds.
+  */
+case class BoilerplateBlocks(child: Expression, minChars: Int, maxLinkDensity: Double)
+    extends UnaryExpression with SimpleCodegen {
+  override def dataType: DataType = BoilerplateBlocks.Schema
+  override def nullSafeEval(input: Any): Any = {
+    val bs = Boilerplate.blocks(input.asInstanceOf[UTF8String].toString)
+    new GenericArrayData(bs.map { b =>
+      InternalRow(UTF8String.fromString(b.text), b.nChars, b.anchorChars,
+        Boilerplate.isGood(b.nChars, b.anchorChars, minChars, maxLinkDensity))
+    }.toArray[Any])
+  }
+  override protected def withNewChildInternal(c: Expression): BoilerplateBlocks = copy(child = c)
+}
+
+object BoilerplateBlocks {
+  val Schema: DataType = ArrayType(StructType(Seq(
+    StructField("text", StringType, nullable = false),
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("anchor_chars", IntegerType, nullable = false),
+    StructField("is_good", BooleanType, nullable = false))), containsNull = false)
+}
+
+/** Main-content extraction: good blocks (per [[BoilerplateBlocks]]'s keep
+  * rule) joined with `\n`; empty string when the page is all boilerplate.
+  */
+case class MainContent(child: Expression, minChars: Int, maxLinkDensity: Double)
+    extends UnaryExpression with SimpleCodegen {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(Boilerplate.mainContent(
+      input.asInstanceOf[UTF8String].toString, minChars, maxLinkDensity))
+  override protected def withNewChildInternal(c: Expression): MainContent = copy(child = c)
 }
 
 /** Longest-common-substring length (suffix-automaton walk; verification-side

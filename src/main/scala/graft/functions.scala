@@ -35,6 +35,21 @@ object functions {
   def extract_html_text(c: Column): Column = col(ExtractHtmlText(ex(c)))
   def percent_normalize(c: Column): Column = col(PercentNormalize(ex(c)))
 
+  /** jusText-core boilerplate segmentation of an HTML string column:
+    * `array<struct<text, n_chars, anchor_chars, is_good>>` — see
+    * [[graft.kernel.Boilerplate]] for the rules and the threshold defaults.
+    */
+  def boilerplate_blocks(c: Column,
+                         minChars: Int = graft.kernel.Boilerplate.DefaultMinChars,
+                         maxLinkDensity: Double = graft.kernel.Boilerplate.DefaultMaxLinkDensity): Column =
+    col(BoilerplateBlocks(ex(c), minChars, maxLinkDensity))
+
+  /** Main content of an HTML string column: good blocks joined with `\n`. */
+  def main_content(c: Column,
+                   minChars: Int = graft.kernel.Boilerplate.DefaultMinChars,
+                   maxLinkDensity: Double = graft.kernel.Boilerplate.DefaultMaxLinkDensity): Column =
+    col(MainContent(ex(c), minChars, maxLinkDensity))
+
   // ---- string similarity ----
   def jaro(l: Column, r: Column): Column = col(JaroSim(ex(l), ex(r)))
   def jaro_winkler(l: Column, r: Column): Column = col(JaroWinklerSim(ex(l), ex(r)))
@@ -163,8 +178,18 @@ object functions {
     one("graft_format_pages", es => FormatPages(es.head))
     one("graft_format_doi", es => FormatDoi(es.head))
     one("graft_split_issns", es => SplitIssns(es.head))
+    def doubleLit(e: Expression): Double =
+      e.eval(null).asInstanceOf[Number].doubleValue()
     one("graft_extract_html_text", es => ExtractHtmlText(es.head))
     one("graft_percent_normalize", es => PercentNormalize(es.head))
+    one("graft_boilerplate_blocks", es =>
+      BoilerplateBlocks(es.head,
+        if (es.length > 1) intLit(es(1)) else graft.kernel.Boilerplate.DefaultMinChars,
+        if (es.length > 2) doubleLit(es(2)) else graft.kernel.Boilerplate.DefaultMaxLinkDensity))
+    one("graft_main_content", es =>
+      MainContent(es.head,
+        if (es.length > 1) intLit(es(1)) else graft.kernel.Boilerplate.DefaultMinChars,
+        if (es.length > 2) doubleLit(es(2)) else graft.kernel.Boilerplate.DefaultMaxLinkDensity))
     one("graft_jaro", es => JaroSim(es(0), es(1)))
     one("graft_jaro_winkler", es => JaroWinklerSim(es(0), es(1)))
     one("graft_lcs_length", es => LongestCommonSubstring(es(0), es(1)))

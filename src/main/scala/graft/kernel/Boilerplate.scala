@@ -1,0 +1,157 @@
+package graft.kernel
+
+/** Block-level boilerplate removal — the main-content extraction step a
+  * web-corpus pipeline runs between raw HTML and quality gating, so that
+  * navigation bars, link lists, and footers don't pollute dedup signatures
+  * and quality signals. Graft-added op (the reference parses citation
+  * formats, not web pages; no analog).
+  *
+  * Algorithm: the context-free core of jusText (Pomikálek 2011, "Removing
+  * boilerplate and duplicate content from web corpora") — segment the page
+  * into blocks at block-level tag boundaries, measure each block's length
+  * and LINK DENSITY (fraction of its characters inside `<a>` elements),
+  * and keep a block iff it is long enough AND link-sparse enough. Full
+  * jusText adds stopword-density classes and context-sensitive propagation
+  * of short blocks; the length+link-density core is deliberately
+  * language-agnostic (stopword lists don't exist for every crawl language,
+  * and CJK pages have no stopword tokens at all), which is the published
+  * simplification most large-corpus pipelines actually run.
+  *
+  * Determinism contract: like [[HtmlText]], a pure function of the input
+  * string with pinned rules — same comment/`script`/`style`/`noscript`
+  * skipping, same entity decoding, same whitespace collapse (the helpers
+  * are shared, so a block's `text` equals what [[HtmlText.extractFromString]]
+  * would produce for that fragment).
+  *
+  * Character counting: `nChars`/`anchorChars` count NON-WHITESPACE
+  * characters (after entity decoding), so the link-density ratio is
+  * insensitive to markup pretty-printing.
+  */
+object Boilerplate {
+
+  /** One block: collapsed text, its non-whitespace char count, and how many
+    * of those chars sit inside `<a>` elements.
+    */
+  final case class Block(text: String, nChars: Int, anchorChars: Int)
+
+  /** Elements whose open OR close tag ends the current block (HTML block-
+    * level / sectioning / table / list / form elements plus `br` and `hr`).
+    * Inline elements (`a span b i em strong code img …`) do NOT split.
+    */
+  private[kernel] val BlockTags: Set[String] = Set(
+    "html", "head", "body", "title", "p", "div", "main", "section",
+    "article", "header", "footer", "nav", "aside", "h1", "h2", "h3", "h4",
+    "h5", "h6", "ul", "ol", "li", "dl", "dt", "dd", "table", "thead",
+    "tbody", "tfoot", "tr", "td", "th", "caption", "blockquote", "pre",
+    "form", "fieldset", "select", "option", "textarea", "figure",
+    "figcaption", "address", "center", "hr", "br")
+
+  /** jusText defaults: `maxLinkDensity` is the paper's 0.2 curfew for good
+    * blocks relaxed to its bad-block bound; `minChars` is between the
+    * paper's length_low (70, with stopword rescue) and a pure length gate —
+    * tuned for the no-stopword variant.
+    */
+  val DefaultMinChars = 20
+  val DefaultMaxLinkDensity = 0.33
+
+  /** The context-free keep rule: long enough and link-sparse enough.
+    * Exact arithmetic (`anchorChars <= maxLinkDensity * nChars` — one
+    * double product both engines evaluate identically), so the DuckDB dual
+    * replays it bit-for-bit.
+    */
+  def isGood(nChars: Int, anchorChars: Int,
+             minChars: Int = DefaultMinChars,
+             maxLinkDensity: Double = DefaultMaxLinkDensity): Boolean =
+    nChars >= minChars && anchorChars.toDouble <= maxLinkDensity * nChars
+
+  /** Segment `html` into non-empty text blocks with link metrics. */
+  def blocks(html: String): Vector[Block] = {
+    if (html == null) return Vector.empty
+    val out = Vector.newBuilder[Block]
+    val sb = new java.lang.StringBuilder()
+    var nChars = 0
+    var anchorChars = 0
+    var anchorDepth = 0
+
+    def appendDecoded(s: String): Unit = {
+      var j = 0
+      while (j < s.length) {
+        val ch = s.charAt(j)
+        sb.append(ch)
+        if (!Character.isWhitespace(ch) && ch != ' ') {
+          nChars += 1
+          if (anchorDepth > 0) anchorChars += 1
+        }
+        j += 1
+      }
+    }
+
+    def flush(): Unit = {
+      if (nChars > 0) out += Block(HtmlText.collapseWhitespace(sb.toString), nChars, anchorChars)
+      sb.setLength(0); nChars = 0; anchorChars = 0
+    }
+
+    val n = html.length
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else {
+          val close = html.indexOf('>', i + 1)
+          if (close < 0) { i = n } // unterminated tag: drop rest (markup)
+          else {
+            val inner = html.substring(i + 1, close)
+            val name = HtmlText.tagName(inner)
+            val isClose = inner.startsWith("/")
+            if (!isClose && HtmlText.SkipElements.contains(name) &&
+                !inner.endsWith("/")) {
+              val endTag = HtmlText.findCaseInsensitive(html, "</" + name, close + 1)
+              if (endTag < 0) { i = n }
+              else {
+                val endClose = html.indexOf('>', endTag)
+                i = if (endClose < 0) n else endClose + 1
+              }
+            } else {
+              i = close + 1
+            }
+            if (BlockTags.contains(name)) flush()
+            else {
+              if (name == "a") {
+                if (isClose) { if (anchorDepth > 0) anchorDepth -= 1 }
+                else if (!inner.endsWith("/")) anchorDepth += 1
+              }
+              sb.append(' ') // inline tag → one space, as in HtmlText
+            }
+          }
+        }
+      } else if (c == '&') {
+        val (decoded, next) = HtmlText.decodeEntity(html, i)
+        appendDecoded(decoded)
+        i = next
+      } else {
+        sb.append(c)
+        if (!Character.isWhitespace(c)) {
+          nChars += 1
+          if (anchorDepth > 0) anchorChars += 1
+        }
+        i += 1
+      }
+    }
+    flush()
+    out.result()
+  }
+
+  /** The page's main content: good blocks (per [[isGood]]) joined with a
+    * newline. Empty string when no block qualifies.
+    */
+  def mainContent(html: String,
+                  minChars: Int = DefaultMinChars,
+                  maxLinkDensity: Double = DefaultMaxLinkDensity): String =
+    blocks(html).iterator
+      .filter(b => isGood(b.nChars, b.anchorChars, minChars, maxLinkDensity))
+      .map(_.text)
+      .mkString("\n")
+}

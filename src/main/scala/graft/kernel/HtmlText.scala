@@ -25,7 +25,7 @@ import java.nio.charset.StandardCharsets
   */
 object HtmlText {
 
-  private val SkipElements = Set("script", "style", "noscript")
+  private[kernel] val SkipElements = Set("script", "style", "noscript")
 
   def extract(html: Array[Byte]): String = {
     if (html == null) return null
@@ -75,14 +75,14 @@ object HtmlText {
     collapseWhitespace(out.toString)
   }
 
-  private def tagName(inner: String): String = {
+  private[kernel] def tagName(inner: String): String = {
     val s = if (inner.startsWith("/")) inner.substring(1) else inner
     var e = 0
     while (e < s.length && Character.isLetterOrDigit(s.charAt(e))) e += 1
     s.substring(0, e).toLowerCase(java.util.Locale.ROOT)
   }
 
-  private def findCaseInsensitive(hay: String, needle: String, from: Int): Int = {
+  private[kernel] def findCaseInsensitive(hay: String, needle: String, from: Int): Int = {
     var i = from
     val max = hay.length - needle.length
     while (i <= max) {
@@ -97,7 +97,7 @@ object HtmlText {
     "apos" -> "'", "nbsp" -> " ")
 
   /** Decode one entity starting at `i` ('&'); returns (text, nextIndex). */
-  private def decodeEntity(html: String, i: Int): (String, Int) = {
+  private[kernel] def decodeEntity(html: String, i: Int): (String, Int) = {
     val semi = html.indexOf(';', i + 1)
     if (semi < 0 || semi - i > 10) return ("&", i + 1)
     val body = html.substring(i + 1, semi)
@@ -118,7 +118,7 @@ object HtmlText {
     }
   }
 
-  private def collapseWhitespace(s: String): String = {
+  private[kernel] def collapseWhitespace(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length)
     var i = 0
     var pendingSpace = false

@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.kernel.Boilerplate
+import graft.kernel.Boilerplate.Block
+
+class BoilerplateSpec extends AnyFunSuite {
+
+  test("hand case: blocks, metrics, and classification") {
+    val html =
+      """<html><head><title>Site</title><style>.x{c:r}</style></head><body>
+        |<nav><a href="/">Home</a> <a href="/about">About us</a></nav>
+        |<p>This paragraph carries the actual article content of the page.</p>
+        |<div><a href="/terms">Terms</a> (c)</div>
+        |</body></html>""".stripMargin
+    val bs = Boilerplate.blocks(html)
+    assert(bs === Vector(
+      Block("Site", 4, 0),
+      Block("Home About us", 11, 11),
+      Block("This paragraph carries the actual article content of the page.", 53, 0),
+      Block("Terms (c)", 8, 5)))
+    assert(bs.map(b => Boilerplate.isGood(b.nChars, b.anchorChars)) ===
+      Vector(false, false, true, false))
+    assert(Boilerplate.mainContent(html) ===
+      "This paragraph carries the actual article content of the page.")
+  }
+
+  test("keep rule boundaries: length gate and link-density gate") {
+    // exactly at minChars with zero links → good
+    assert(Boilerplate.isGood(20, 0))
+    assert(!Boilerplate.isGood(19, 0))
+    // density exactly at the bound is kept (<=), just above is dropped
+    assert(Boilerplate.isGood(100, 33))
+    assert(!Boilerplate.isGood(100, 34))
+  }
+
+  test("multiple good blocks join with newline, in document order") {
+    val a = "First good paragraph with enough characters."
+    val b = "Second good paragraph with enough characters."
+    val html = s"<p>$a</p><ul><li>x</li></ul><p>$b</p>"
+    assert(Boilerplate.mainContent(html) === s"$a\n$b")
+  }
+
+  test("anchors: nesting, unclosed, self-closing, entities inside") {
+    // unclosed anchor: everything after it counts as anchor text
+    assert(Boilerplate.blocks("<p><a href='/'>all of this text") ===
+      Vector(Block("all of this text", 13, 13)))
+    // nested anchors (invalid HTML but crawls have it): depth-counted
+    assert(Boilerplate.blocks("<p><a>x<a>y</a>z</a>w") ===
+      Vector(Block("x y z w", 4, 3)))
+    // entity inside an anchor counts its DECODED char
+    assert(Boilerplate.blocks("<p><a>a&amp;b</a> cd") ===
+      Vector(Block("a&b cd", 5, 3)))
+    // stray close anchor never goes negative
+    assert(Boilerplate.blocks("<p></a>plain text here") ===
+      Vector(Block("plain text here", 13, 0)))
+  }
+
+  test("script/style/noscript and comments are skipped; inline tags don't split") {
+    val html = "<p>before <script>var a = '<div>';</script>" +
+      "<!-- <p>ghost</p> --><b>bold</b> <span>span</span> after"
+    assert(Boilerplate.blocks(html) ===
+      Vector(Block("before bold span after", 19, 0)))
+    // br/hr split like block tags
+    assert(Boilerplate.blocks("line one<br/>line two<hr>line three").map(_.text) ===
+      Vector("line one", "line two", "line three"))
+  }
+
+  test("degenerate inputs") {
+    assert(Boilerplate.blocks(null) === Vector.empty)
+    assert(Boilerplate.blocks("") === Vector.empty)
+    assert(Boilerplate.blocks("<div></div><p>  </p>") === Vector.empty)
+    assert(Boilerplate.mainContent("<div><a href='/'>Home</a></div>") === "")
+    // text with no markup at all is one block
+    val t = "just plain text long enough to pass the length gate"
+    assert(Boilerplate.mainContent(t) === t)
+  }
+
+  test("block text matches HtmlText extraction of the fragment") {
+    val frag = "some text &lt;with&gt; entities &#65; and  runs"
+    assert(Boilerplate.blocks(s"<p>$frag</p>").head.text ===
+      graft.kernel.HtmlText.extractFromString(frag))
+  }
+}

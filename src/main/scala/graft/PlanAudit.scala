@@ -393,6 +393,34 @@ object PlanAudit {
       !pboil.contains("Exchange") && !pboil.contains("Join") &&
         !pboil.contains("Window") && !pboil.contains("ScalaUDF"), pboil)
 
+    // Outlink extraction: per-row expression — one narrow scan.
+    val plinks = plan("q_outlinks")
+    check("q_outlinks: narrow scan (no Exchange/join/Window/UDF)",
+      !plinks.contains("Exchange") && !plinks.contains("Join") &&
+        !plinks.contains("Window") && !plinks.contains("ScalaUDF"), plinks)
+
+    // Host-graph PageRank: the per-iteration contribution join must be a
+    // shuffled-hash join of the slim rank table against the persisted
+    // src-partitioned edge layout (never sort-merge — a pointless sort per
+    // iteration — and never a broadcast of the ~10⁸-host rank table), with
+    // a partial-agg'd inflow sum and no Window/cartesian in the loop body.
+    {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val hrEdges = docs.select((col("doc_id") % 49).as("src"),
+        ((col("doc_id") * 7 + 3) % 50).as("dst")).distinct()
+      val (hrNodes, hrEd, _) = graft.graph.HostRank.layout(hrEdges)
+      hrEd.count()
+      val ranks = hrNodes.select(col("h"),
+        org.apache.spark.sql.functions.lit(0.02).as("r")).localCheckpoint(true)
+      val contribDf = graft.graph.HostRank.contributions(hrEd, ranks)
+      contribDf.collect()
+      val pcontrib = contribDf.queryExecution.executedPlan.toString
+      check("hostrank iteration: ShuffledHashJoin contribution inflow, partial agg, no Window",
+        pcontrib.contains("ShuffledHashJoin") && !pcontrib.contains("SortMergeJoin") &&
+          !pcontrib.contains("BroadcastHashJoin") && pcontrib.contains("partial_sum") &&
+          !pcontrib.contains("Window") && !pcontrib.contains("CartesianProduct"), pcontrib)
+    }
+
     // Mojibake repair: the replace chain is one narrow codegen'd scan.
     val pmoj = plan("q_fix_mojibake")
     check("q_fix_mojibake: narrow codegen'd scan (no Exchange/join/Window/UDF)",

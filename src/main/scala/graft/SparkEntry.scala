@@ -10,6 +10,7 @@ import graft.dedup.ConnectedComponents
 import graft.functions._
 import graft.io.{WarcSource, ZOrder}
 import graft.multimodal.Multimodal
+import graft.graph.HostRank
 import graft.operators.{AsOfJoin, RangeJoin}
 import graft.text.{BpeTrain, C4Gate, Chunking, Curation, Dsir, EncodingFix, GopherGate, HeavyHitters, LineDedup, LmScore, Mixing, Packing, Passages, Pii, QualityModel, Repetition, TextOps, UrlOps}
 
@@ -463,6 +464,49 @@ object SparkEntry {
         main_content(html).as("main_content"),
         size(bb).cast("long").as("n_blocks"),
         size(filter(bb, b => b.getField("is_good"))).cast("long").as("n_good"))
+    }),
+
+    // Outlink extraction (graft-added): each document's text is planted in
+    // a page whose <a href> inventory is known in closed form — a script
+    // body and a comment carrying decoy links (must be skipped), a double-
+    // quoted href with an &amp; entity in the query string, a single-quoted
+    // href behind another attribute with uppercase HREF, an href-less named
+    // anchor (skipped), an unquoted href, and a relative href (extraction
+    // returns it raw; host-graph filtering happens in HostRank.hostEdges).
+    "q_outlinks" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><body><script>var x = '<a href=\"https://evil.example/x\">';" +
+          "</script><!-- <a href=\"https://ghost.example/\">c</a> --><p>intro " +
+          "<a href=\"https://a.example/p?id="),
+        col("doc_id"),
+        lit("&amp;ref=1\">first</a> mid <a class='x' HREF='https://b.example/"),
+        col("doc_id"),
+        lit("'>second</a> <a name=\"anchor\">no href</a> "),
+        col("text"),
+        lit(" <A href=https://c.example/u"),
+        col("doc_id"),
+        lit(" >third</A> <a href=\"/relative/path\">rel</a></p></body></html>"))
+      val links = extract_links(html)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        concat_ws("|", links).as("links"),
+        size(links).cast("long").as("n_links"))
+    }),
+
+    // Host-graph PageRank (graft-added): a deterministic directed host
+    // graph derived from the documents table (src = doc_id mod 49 — host 49
+    // never emits, so the dangling-mass branch is exercised — dst =
+    // (7·doc_id+3) mod 50, multiplicities collapsed), ranked by 5 power
+    // iterations with uniform teleport + dangling redistribution. The
+    // DuckDB oracle unrolls the identical iteration arithmetic; ranks are
+    // rounded to 1e-6 on both sides against cross-engine sum-order drift.
+    "q_hostrank" -> ((s, dir) => {
+      val edges = t(s, dir, "documents").select(
+        (col("doc_id") % 49).as("src"),
+        ((col("doc_id") * 7 + 3) % 50).as("dst")).distinct()
+      HostRank.pageRank(edges, iters = 5)
+        .select(col("h").cast("long").as("host"),
+          round(col("pagerank"), 6).as("pagerank"))
     }),
 
     // WARC ingestion round-trip: each partition of the documents table is
@@ -1742,6 +1786,41 @@ object SparkEntry {
        |SELECT tr.doc_id, CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits
        |FROM tr LEFT JOIN hits USING (doc_id)""".stripMargin
 
+  /** DuckDB replay of `q_hostrank`: the identical edge derivation, then
+    * `iters` power iterations UNROLLED as CTE pairs (dangling mass d_i,
+    * contributions c_i, ranks r_i) with the same operation structure as
+    * [[graft.graph.HostRank.pageRank]] — `(1 - 0.85)` etc. are written as
+    * expressions, not pre-folded literals, so both engines evaluate the
+    * same IEEE ops (pre-folding `0.15` would parse to a DIFFERENT double
+    * than `1 - 0.85` computes). Final ranks rounded to 1e-6 on both sides
+    * (contribution sums are order-sensitive at ~1e-15 relative).
+    */
+  private def hostRankOracleSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH e AS (SELECT DISTINCT doc_id % 49 AS src,
+      |    (doc_id * 7 + 3) % 50 AS dst FROM documents),
+      |nodes AS (SELECT src AS h FROM e UNION SELECT dst AS h FROM e),
+      |deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY src),
+      |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+      |r0 AS (SELECT h, 1.0 / (SELECT n FROM nn) AS r FROM nodes)""".stripMargin
+    for (i <- 1 to iters) {
+      val p = s"r${i - 1}"
+      sb ++= s""",
+        |d$i AS (SELECT COALESCE(SUM(r), 0.0) AS dm FROM $p
+        |  WHERE h NOT IN (SELECT src FROM deg)),
+        |c$i AS (SELECT e.dst, SUM($p.r / deg.deg) AS c
+        |  FROM e JOIN $p ON e.src = $p.h JOIN deg ON e.src = deg.src
+        |  GROUP BY e.dst),
+        |r$i AS (SELECT nodes.h,
+        |  (1 - 0.85) / (SELECT n FROM nn)
+        |    + 0.85 * (COALESCE(c$i.c, 0.0)
+        |      + (SELECT dm FROM d$i) / (SELECT n FROM nn)) AS r
+        |  FROM nodes LEFT JOIN c$i ON nodes.h = c$i.dst)""".stripMargin
+    }
+    sb ++= s"\nSELECT CAST(h AS BIGINT) AS host, ROUND(r, 6) AS pagerank FROM r$iters"
+    sb.toString
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -2620,6 +2699,19 @@ object SparkEntry {
         |  CAST(CASE WHEN len(replace(text, ' ', '')) >= 20 THEN 1 ELSE 0 END
         |    AS BIGINT) AS n_good
         |FROM documents""".stripMargin,
+
+    // closed form of the planted page (see the query comment): the script/
+    // comment decoys never surface, the named anchor has no href, and the
+    // four real hrefs come back entity-decoded in document order
+    "q_outlinks" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  'https://a.example/p?id=' || doc_id || '&ref=1|https://b.example/'
+        |    || doc_id || '|https://c.example/u' || doc_id
+        |    || '|/relative/path' AS links,
+        |  CAST(4 AS BIGINT) AS n_links
+        |FROM documents""".stripMargin,
+
+    "q_hostrank" -> hostRankOracleSql(5),
 
     // closed form of the WARC round trip (url/ts are the query's plant;
     // text must come back byte-identical through encode→parse→extract)

@@ -359,6 +359,20 @@ case class MainContent(child: Expression, minChars: Int, maxLinkDensity: Double)
   override protected def withNewChildInternal(c: Expression): MainContent = copy(child = c)
 }
 
+/** Outlink extraction: all `<a href=...>` values of an HTML string in
+  * document order (rules pinned in [[graft.kernel.LinkExtract]]) — the edge
+  * harvest for host-graph centrality priors.
+  */
+case class ExtractLinks(child: Expression)
+    extends UnaryExpression with SimpleCodegen {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      graft.kernel.LinkExtract.links(input.asInstanceOf[UTF8String].toString)
+        .map(UTF8String.fromString).toArray[Any])
+  override protected def withNewChildInternal(c: Expression): ExtractLinks = copy(child = c)
+}
+
 /** Longest-common-substring length (suffix-automaton walk; verification-side
   * structural check per SURVEY.md §2.6).
   */

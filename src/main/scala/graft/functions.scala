@@ -44,6 +44,11 @@ object functions {
                          maxLinkDensity: Double = graft.kernel.Boilerplate.DefaultMaxLinkDensity): Column =
     col(BoilerplateBlocks(ex(c), minChars, maxLinkDensity))
 
+  /** Outlinks of an HTML string column: all `<a href>` values in document
+    * order — see [[graft.kernel.LinkExtract]] for the pinned rules.
+    */
+  def extract_links(c: Column): Column = col(ExtractLinks(ex(c)))
+
   /** Main content of an HTML string column: good blocks joined with `\n`. */
   def main_content(c: Column,
                    minChars: Int = graft.kernel.Boilerplate.DefaultMinChars,
@@ -190,6 +195,7 @@ object functions {
       MainContent(es.head,
         if (es.length > 1) intLit(es(1)) else graft.kernel.Boilerplate.DefaultMinChars,
         if (es.length > 2) doubleLit(es(2)) else graft.kernel.Boilerplate.DefaultMaxLinkDensity))
+    one("graft_extract_links", es => ExtractLinks(es.head))
     one("graft_jaro", es => JaroSim(es(0), es(1)))
     one("graft_jaro_winkler", es => JaroWinklerSim(es(0), es(1)))
     one("graft_lcs_length", es => LongestCommonSubstring(es(0), es(1)))

@@ -1,0 +1,123 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.extract_links
+import graft.text.UrlOps
+
+/** Host-graph centrality — the link-based quality prior web-corpus
+  * pipelines attach to every page (Common Crawl publishes host-level
+  * PageRank/harmonic-centrality ranks for exactly this use; curation
+  * recipes gate or weight by the page's host rank). Graft-added op (the
+  * reference has no crawl-graph analog).
+  *
+  * Algorithm: PageRank (Page et al. 1999) by power iteration with uniform
+  * teleport and uniform dangling-mass redistribution — the textbook
+  * formulation:
+  *
+  *   r'(h) = (1-d)/N + d * ( Σ_{(s,h)∈E} r(s)/outdeg(s)  +  D/N )
+  *
+  * where `D` is the total rank held by dangling hosts (no outedges). The
+  * invariant Σr = 1 holds after every iteration.
+  *
+  * Scale design (the host graph, not the page graph): hosts number ~10⁸ on
+  * a full crawl — far too many to broadcast, tiny next to the corpus. The
+  * edge table is joined with outdegrees and hash-partitioned on `src` ONCE
+  * (persisted); each iteration is then one shuffled-hash join of the slim
+  * rank table against that fixed layout plus one partial-agg'd groupBy on
+  * `dst` — no window, no cartesian, no per-iteration re-shuffle of the edge
+  * set. Rank lineage is truncated every iteration (`localCheckpoint`,
+  * |hosts| rows) so the plan stays flat across iterations; the
+  * dangling-mass scalar is a driver-side one-row agg per iteration (same
+  * contract as the connected-components fixpoint probes).
+  */
+object HostRank {
+
+  /** PageRank over a directed edge table with columns `src`, `dst` (any
+    * equatable type; typically host strings or host ids). Parallel edges
+    * count with multiplicity — pre-`distinct` for an unweighted graph.
+    * Returns DataFrame(h, pagerank) covering every host in the edge set.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(damping > 0 && damping < 1, "damping must be in (0,1)")
+    val (nodes, ed, emitting) = layout(edges)
+    val n = nodes.count().toDouble
+    ed.count()
+
+    var ranks = nodes.select(col("h"), lit(1.0 / n).as("r")).localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val dm = ranks.join(emitting, Seq("h"), "left_anti")
+        .agg(coalesce(sum("r"), lit(0.0))).head().getDouble(0)
+      ranks = nextRanks(nodes, contributions(ed, ranks), n, damping, dm)
+        .localCheckpoint()
+      i += 1
+    }
+    nodes.unpersist()
+    ed.unpersist()
+    emitting.unpersist()
+    ranks.select(col("h"), col("r").as("pagerank"))
+  }
+
+  /** The iteration-invariant tables, each persisted: the node set, the
+    * edge+outdegree layout hash-partitioned on `src` (built once; every
+    * iteration's join reuses this partitioning), and the emitting-host set
+    * (its complement holds the dangling mass).
+    */
+  private[graft] def layout(edges: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val e = edges.select(col("src"), col("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    val nodes = e.select(col("src").as("h"))
+      .union(e.select(col("dst").as("h")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
+    val ed = e.join(deg.hint("shuffle_hash"), "src")
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val emitting = deg.select(col("src").as("h"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    (nodes, ed, emitting)
+  }
+
+  /** One iteration's rank inflow: per-dst partial-agg'd sum of `r/outdeg`
+    * over the fixed (src-partitioned) edge layout. The rank side is
+    * shuffle-hash-hinted: it co-partitions on `src` against `ed`'s persisted
+    * layout — never a sort-merge (pointless sort per iteration) and never a
+    * broadcast (ranks is |hosts| rows; ~10⁸ on a full crawl).
+    */
+  private[graft] def contributions(ed: DataFrame, ranks: DataFrame): DataFrame =
+    ed.join(ranks.hint("shuffle_hash"), ed("src") === ranks("h"))
+      .groupBy(ed("dst"))
+      .agg(sum(col("r") / col("deg")).as("c"))
+
+  /** Teleport + damped inflow + dangling redistribution; hosts with no
+    * inflow keep the teleport floor via the left join.
+    */
+  private[graft] def nextRanks(nodes: DataFrame, contribs: DataFrame,
+      n: Double, damping: Double, dm: Double): DataFrame =
+    nodes.join(contribs, nodes("h") === contribs("dst"), "left")
+      .select(nodes("h"),
+        (lit((1 - damping) / n) +
+          lit(damping) * (coalesce(col("c"), lit(0.0)) + lit(dm / n))).as("r"))
+
+  /** Host→host edge harvest from a page table: src = the page URL's
+    * canonical host, dst = the canonical host of each ABSOLUTE http(s)
+    * outlink (relative links resolve to the same host — no edge signal on a
+    * HOST graph — and non-web schemes are not crawl endorsements).
+    * Intra-host self-loops are dropped, parallel edges kept (multiplicity =
+    * endorsement weight; `distinct` downstream for the unweighted graph).
+    * One narrow scan + explode; no shuffle.
+    */
+  def hostEdges(pages: DataFrame, html: Column, url: Column): DataFrame = {
+    pages.select(UrlOps.hostOf(url).as("src"),
+        explode(extract_links(html)).as("link"))
+      .where(col("link").rlike("(?i)^https?://"))
+      .select(col("src"), UrlOps.hostOf(col("link")).as("dst"))
+      .where(length(col("src")) > 0 && length(col("dst")) > 0 &&
+        col("src") =!= col("dst"))
+  }
+}

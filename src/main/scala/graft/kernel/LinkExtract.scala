@@ -1,0 +1,121 @@
+package graft.kernel
+
+/** Outlink extraction — the `<a href>` harvest a crawl pipeline runs to
+  * build the host-level link graph (the input to centrality quality priors
+  * such as PageRank / harmonic centrality over Common-Crawl-style host
+  * graphs; see [[graft.graph.HostRank]]). Graft-added op (the reference
+  * parses citation formats, not web pages; no analog).
+  *
+  * Scope is deliberately the crawl-graph contract: ANCHOR elements only
+  * (`<a>` — `link`/`area`/`script src` are resource fetches, not hyperlink
+  * endorsements), href values returned in document order, duplicates kept
+  * (multiplicity is signal for weighted graphs; callers dedupe).
+  *
+  * Determinism contract: like [[HtmlText]] and [[Boilerplate]], a pure
+  * function of the input string with pinned rules — the same
+  * comment/`script`/`style`/`noscript` skipping (an href-looking string in
+  * JavaScript is not a link), entity decoding inside attribute values
+  * (`&amp;` in query strings is the common case), and case-insensitive
+  * tag/attribute names. Values come back RAW otherwise (no trimming beyond
+  * the quote/whitespace delimiters, no resolution of relative paths —
+  * resolution against a base URL is a Column-level concern where the page
+  * URL lives; see [[graft.graph.HostRank.hostEdges]]).
+  */
+object LinkExtract {
+
+  /** All `<a href=...>` values in `html`, document order, entity-decoded. */
+  def links(html: String): Vector[String] = {
+    if (html == null) return Vector.empty
+    val out = Vector.newBuilder[String]
+    val n = html.length
+    var i = 0
+    while (i < n) {
+      if (html.charAt(i) == '<') {
+        if (html.startsWith("<!--", i)) {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else {
+          val close = html.indexOf('>', i + 1)
+          if (close < 0) { i = n }
+          else {
+            val inner = html.substring(i + 1, close)
+            val name = HtmlText.tagName(inner)
+            if (!inner.startsWith("/") && HtmlText.SkipElements.contains(name) &&
+                !inner.endsWith("/")) {
+              // script/style/noscript: skip the raw element body
+              val endTag = HtmlText.findCaseInsensitive(html, "</" + name, close + 1)
+              if (endTag < 0) { i = n }
+              else {
+                val endClose = html.indexOf('>', endTag)
+                i = if (endClose < 0) n else endClose + 1
+              }
+            } else {
+              if (name == "a" && !inner.startsWith("/")) {
+                href(inner).foreach(out += _)
+              }
+              i = close + 1
+            }
+          }
+        }
+      } else i += 1
+    }
+    out.result()
+  }
+
+  /** The `href` attribute value inside one tag body (text between `<` and
+    * `>`), or None. Attribute name is case-insensitive and must be preceded
+    * by whitespace (so `data-href` doesn't match); value forms per the HTML
+    * spec's attribute syntax: double-quoted, single-quoted, or unquoted
+    * (terminated by whitespace or end-of-tag). Entities in the value are
+    * decoded with [[HtmlText.decodeEntity]].
+    */
+  private[kernel] def href(inner: String): Option[String] = {
+    var i = 0
+    val n = inner.length
+    while (i < n) {
+      val at = HtmlText.findCaseInsensitive(inner, "href", i)
+      if (at < 0) return None
+      // must be an attribute name: preceded by whitespace, followed by
+      // optional whitespace then '='
+      val okLeft = at > 0 && Character.isWhitespace(inner.charAt(at - 1))
+      var j = at + 4
+      while (j < n && Character.isWhitespace(inner.charAt(j))) j += 1
+      if (okLeft && j < n && inner.charAt(j) == '=') {
+        j += 1
+        while (j < n && Character.isWhitespace(inner.charAt(j))) j += 1
+        if (j >= n) return Some("")
+        val c = inner.charAt(j)
+        val (endExclusive, start) =
+          if (c == '"' || c == '\'') {
+            val e = inner.indexOf(c, j + 1)
+            (if (e < 0) n else e, j + 1)
+          } else {
+            var e = j
+            while (e < n && !Character.isWhitespace(inner.charAt(e))) e += 1
+            (e, j)
+          }
+        return Some(decode(inner.substring(start, endExclusive)))
+      }
+      i = at + 4
+    }
+    None
+  }
+
+  /** Entity-decode an attribute value (same table as text content). */
+  private def decode(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '&') {
+        val (decoded, next) = HtmlText.decodeEntity(s, i)
+        sb.append(decoded)
+        i = next
+      } else {
+        sb.append(s.charAt(i))
+        i += 1
+      }
+    }
+    sb.toString
+  }
+}

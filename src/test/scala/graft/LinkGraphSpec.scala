@@ -1,0 +1,140 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+import graft.graph.HostRank
+import graft.kernel.LinkExtract
+
+class LinkGraphSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // ---- LinkExtract kernel ----
+
+  test("href forms: double-quoted, single-quoted, unquoted; document order; duplicates kept") {
+    val html = """<a href="https://a.com/1">x</a><a href='https://b.com/2'>y</a>
+      |<a href=https://c.com/3 >z</a><a href="https://a.com/1">again</a>""".stripMargin
+    assert(LinkExtract.links(html) === Vector(
+      "https://a.com/1", "https://b.com/2", "https://c.com/3", "https://a.com/1"))
+  }
+
+  test("case-insensitive tag and attribute; href after other attributes") {
+    assert(LinkExtract.links("""<A CLASS="nav" HREF="https://x.com/">u</A>""") ===
+      Vector("https://x.com/"))
+    assert(LinkExtract.links("""<a rel=nofollow target=_blank href='/p'>u</a>""") ===
+      Vector("/p"))
+  }
+
+  test("entities in the value are decoded; data-href does not match") {
+    assert(LinkExtract.links("""<a href="/s?a=1&amp;b=2&lt;3">q</a>""") ===
+      Vector("/s?a=1&b=2<3"))
+    assert(LinkExtract.links("""<a data-href="/decoy">no real href</a>""") ===
+      Vector.empty)
+  }
+
+  test("script/style/noscript bodies and comments are skipped") {
+    val html = "<script>var s = '<a href=\"/from-js\">';</script>" +
+      "<style>a[href='/css']{}</style>" +
+      "<!-- <a href='/ghost'>c</a> -->" +
+      "<noscript><a href='/nojs'>n</a></noscript>" +
+      "<a href='/real'>r</a>"
+    assert(LinkExtract.links(html) === Vector("/real"))
+  }
+
+  test("degenerate inputs: null, empty value, no links, unterminated") {
+    assert(LinkExtract.links(null) === Vector.empty)
+    assert(LinkExtract.links("plain text, no tags") === Vector.empty)
+    assert(LinkExtract.links("<a name='x'>no href</a>") === Vector.empty)
+    assert(LinkExtract.links("<a href=>e</a>") === Vector(""))
+    // unterminated quote: the tag ends at the first '>' (quote-unaware tag
+    // scan, same as HtmlText), so the value runs to the end of the tag body
+    assert(LinkExtract.links("<a href=\"/unclosed>t</a>") === Vector("/unclosed"))
+  }
+
+  // ---- HostRank.pageRank vs an independent plain-Scala power iteration ----
+
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int,
+      d: Double = 0.85): Map[Long, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size.toDouble
+    val out = edges.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    var r = nodes.map(h => h -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val dm = nodes.filterNot(out.contains).map(r).sum
+      val contrib = edges.groupBy(_._2).view
+        .mapValues(_.map { case (s, _) => r(s) / out(s) }.sum).toMap
+      r = nodes.map(h =>
+        h -> ((1 - d) / n + d * (contrib.getOrElse(h, 0.0) + dm / n))).toMap
+    }
+    r
+  }
+
+  private def sparkPageRank(edges: Seq[(Long, Long)], iters: Int): Map[Long, Double] = {
+    import spark.implicits._
+    HostRank.pageRank(edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+  }
+
+  test("pageRank matches the reference iteration on a graph with a dangling host") {
+    // 4 emits to everyone, 3 is dangling (receives only), 0<->1 cycle
+    val edges = Seq[(Long, Long)](
+      (0L, 1L), (1L, 0L), (0L, 2L), (2L, 3L), (4L, 0L), (4L, 1L), (4L, 2L), (4L, 3L))
+    val got = sparkPageRank(edges, 10)
+    val want = refPageRank(edges, 10)
+    assert(got.keySet === want.keySet)
+    got.foreach { case (h, r) => assert(math.abs(r - want(h)) < 1e-9, s"host $h") }
+    // probability invariant: dangling mass is redistributed, never lost
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
+  test("parallel edges count with multiplicity; hubs outrank leaves") {
+    // 0 endorses 1 three times and 2 once
+    val edges = Seq[(Long, Long)]((0L, 1L), (0L, 1L), (0L, 1L), (0L, 2L),
+      (1L, 0L), (2L, 0L))
+    val got = sparkPageRank(edges, 8)
+    val want = refPageRank(edges, 8)
+    got.foreach { case (h, r) => assert(math.abs(r - want(h)) < 1e-9, s"host $h") }
+    assert(got(1L) > got(2L)) // 3x endorsement wins
+    // in-star (dangling center — a 0→1 back edge would make ranks trade
+    // mass in a slowly-damped 2-cycle): the center has the top rank
+    val star = Seq[(Long, Long)]((1L, 0L), (2L, 0L), (3L, 0L))
+    val starRanks = sparkPageRank(star, 8)
+    val starRef = refPageRank(star, 8)
+    starRanks.foreach { case (h, r) => assert(math.abs(r - starRef(h)) < 1e-9, s"host $h") }
+    assert(starRanks(0L) === starRanks.values.max)
+  }
+
+  test("pageRank is deterministic across runs and input partitioning") {
+    import spark.implicits._
+    val edges = (0L until 60L).map(i => (i % 7, (i * 5 + 2) % 11))
+      .filter { case (a, b) => a != b }
+    val a = sparkPageRank(edges, 6)
+    val b = HostRank.pageRank(edges.toDF("src", "dst").repartition(7), 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a === b)
+  }
+
+  test("hostEdges: absolute http(s) links only, canonical hosts, self-loops dropped") {
+    import spark.implicits._
+    val pages = Seq(
+      ("http://www.src-a.com/page", "<a href='https://www.DST-B.com/x'>b</a>" +
+        "<a href='/relative'>rel</a><a href='mailto:x@y.z'>m</a>" +
+        "<a href='ftp://files.example/'>f</a>" +
+        "<a href='HTTPS://dst-c.org:443/y'>c</a>" +
+        "<a href='http://src-a.com/self'>self</a>"),
+      ("https://src-b.org/", "<a href=\"http://dst-b.com/z\">again</a>"))
+      .toDF("url", "html")
+    val edges = HostRank.hostEdges(pages, col("html"), col("url"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(edges.sorted === Seq(
+      ("src-a.com", "dst-b.com"),     // www + case folded
+      ("src-a.com", "dst-c.org"),     // https default port stripped
+      ("src-b.org", "dst-b.com")).sorted)
+  }
+}

@@ -490,6 +490,34 @@ object PlanAudit {
           !ppk.contains("Cartesian")
       }, ppk)
 
+    // BM25: top-k is TakeOrderedAndProject, idf comes back broadcast, and
+    // the hit stream never sort-merges (bounded by matches, not corpus).
+    val pbm = plan("q_bm25")
+    check("q_bm25: TakeOrdered + broadcast idf, no SMJ/Window",
+      pbm.contains("TakeOrderedAndProject") && pbm.contains("BroadcastHashJoin") &&
+        !pbm.contains("SortMergeJoin") && !pbm.contains("Window"), pbm)
+
+    // Batch BM25: per-query ranking on the bounded top_k aggregate (never
+    // a row_number window), query vocabulary broadcast against the corpus.
+    val pbb = plan("q_bm25_batch")
+    check("q_bm25_batch: bounded top_k agg + broadcast query side, no Window/SMJ",
+      pbb.contains("ObjectHashAggregate") && pbb.contains("BroadcastHashJoin") &&
+        !pbb.contains("Window") && !pbb.contains("SortMergeJoin"), pbb)
+
+    // Cross-corpus near-dups: candidate generation is the bucketed equi-join
+    // ladder and verification is shuffled-hash — never a cartesian, BNLJ,
+    // window, or sort-merge over shingle arrays.
+    val pxc = plan("q_cross_dedup")
+    check("q_cross_dedup: bucketed equi-join + SHJ verify, no cartesian/BNLJ/Window",
+      pxc.contains("ShuffledHashJoin") && !pxc.contains("Cartesian") &&
+        !pxc.contains("BroadcastNestedLoop") && !pxc.contains("Window"), pxc)
+
+    // Soft-dedup weights: family sizes via partial-agg + join-back (the
+    // exact_edges skew ladder), never a Window.
+    val psd = plan("q_soft_dedup")
+    check("q_soft_dedup: partial-agg'd sizes + join-back, no Window",
+      psd.contains("partial_count") && !psd.contains("Window"), psd)
+
     println(s"PlanAudit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()
     if (failures > 0) sys.exit(1)

@@ -96,6 +96,11 @@ object SparkEntry {
     */
   private val LineBoiler = "accept omega cookies psi continue phi"
 
+  /** q_bm25's query — corpus-vocabulary terms with distinct document
+    * frequencies (shared verbatim with the DuckDB oracle).
+    */
+  private val Bm25QueryTerms = Seq("spark", "merge", "vector", "window")
+
   /** q_curation's planted lines (shared verbatim with the DuckDB oracle):
     * a 5-line, 61-word shared block that passes the C4 ladder and carries
     * Gopher's word floor + required stopwords (identical across docs, so
@@ -1763,7 +1768,73 @@ object SparkEntry {
       val opts = CitationDedup.DedupOptions(groupByYear = true)
       CitationDedup.assignGroups(CitationDedup.preprocess(citations, opts), opts)
         .select(col("row_idx"), col("group_id"), col("is_unique"))
-    }))
+    }),
+
+    // BM25 retrieval (Robertson & Zaragoza 2009): score the corpus against
+    // a bag-of-words query, top-20. One narrow corpus scan (arrays_overlap
+    // pre-gate before the explode), partial-agg'd tf, broadcast idf join,
+    // TakeOrderedAndProject. The DuckDB oracle replays the identical
+    // formula term for term (idf rounded at the ln, scores rounded after
+    // the sum — see Bm25's float-discipline note).
+    "q_bm25" -> ((s, dir) =>
+      graft.text.Bm25.topK(t(s, dir, "documents"), "doc_id", "text",
+        Bm25QueryTerms, 20)),
+
+    // BATCH BM25: every query doc retrieves its top-5 corpus docs in ONE
+    // job (the contamination-audit shape). Ranking runs on the bounded
+    // top_k aggregate (k rows per map task, never a 10⁶-row window
+    // partition); the oracle IS the row_number window it replaces, so the
+    // hash compare pins the equivalence.
+    "q_bm25_batch" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.Bm25.topKBatch(docs, "doc_id", "text",
+        docs.filter(col("doc_id") < 5), "doc_id", "text", 5)
+    }),
+
+    // Cross-corpus near-dup pairs (fuzzy decontamination): candidates ONLY
+    // across sides, verified with exact truncated-shingle Jaccard. CLOSED
+    // FORM via the salted corpus: right = exact twins of docs ≡0 (mod 3)
+    // at id+10⁶; left additionally carries twins of docs <10 at id+2·10⁶ —
+    // the twins match the right copy (two left docs share one right bucket,
+    // exercising >2-member buckets) but NEVER each other (within-side pairs
+    // are excluded by construction), and cross-doc shingle sets are
+    // disjoint so accidental band collisions die at verification.
+    "q_cross_dedup" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"), saltedTokens.as("text"))
+      val left = base.union(
+        base.filter(col("id") < 10)
+          .select((col("id") + 2000000L).as("id"), col("text")))
+      val right = base.filter(col("id") % 3 === 0)
+        .select((col("id") + 1000000L).as("id"), col("text"))
+      graft.dedup.CrossCorpus.nearDupPairs(left, right,
+        graft.dedup.CrossCorpus.Config(shingleK = 3))
+        .orderBy("a", "b")
+    }),
+
+    // Soft dedup: per-doc training weight 1/|family| from a cluster table
+    // (down-weight duplicate families instead of deleting them). The
+    // synthetic families have VARIABLE sizes (cluster k = doc_ids in
+    // [k², (k+1)²), i.e. ~2k+1 members). The oracle is a TRUE SQL dual
+    // (SoftDedup.weightsSql over the identical cluster relation), not a
+    // planted closed form.
+    "q_soft_dedup" -> ((s, dir) =>
+      graft.dedup.SoftDedup.weights(sqrtClusters(s, dir))),
+
+    // Cluster-size histogram: the one-look dedup report (two partial-agg'd
+    // aggregations over bounded key domains).
+    "q_dedup_histogram" -> ((s, dir) =>
+      graft.dedup.SoftDedup.sizeHistogram(sqrtClusters(s, dir))))
+
+  /** Variable-size synthetic cluster table for the soft-dedup queries:
+    * family floor(√doc_id) has ~2k+1 members. sqrt over the small integer
+    * doc_id domain is IEEE-exact well past any sf, so floor lands
+    * identically in Spark and DuckDB.
+    */
+  private def sqrtClusters(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id").cast("long").as("doc_id"),
+      floor(sqrt(col("doc_id").cast("double"))).cast("long").as("cluster_id"))
 
   /** Exact n-gram decontamination in DuckDB — shared by `q_decontaminate`
     * and `q_decontam_bloom` (the bloom variant's exact confirm join makes
@@ -2778,7 +2849,44 @@ object SparkEntry {
         |UNION ALL
         |SELECT CAST(2 * doc_id + 1 AS BIGINT) AS row_idx,
         |  CAST(2 * doc_id AS BIGINT) AS group_id, false AS is_unique
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+
+    "q_bm25" -> graft.text.Bm25.topKSql(
+      "documents", "doc_id", "text", Bm25QueryTerms, 20),
+
+    "q_bm25_batch" -> graft.text.Bm25.topKBatchSql(
+      "documents", "doc_id", "text",
+      "(SELECT * FROM documents WHERE doc_id < 5)", "doc_id", "text", 5),
+
+    // closed form of the salted cross-corpus plant: right twins of docs
+    // ≡0 (mod 3) match their left original AND (for doc_id < 10) the
+    // planted left twin; within-side twins never pair
+    "q_cross_dedup" ->
+      """SELECT a, b, jac FROM (
+        |  SELECT CAST(doc_id AS BIGINT) AS a,
+        |    CAST(doc_id + 1000000 AS BIGINT) AS b,
+        |    CAST(1.0 AS DOUBLE) AS jac
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT CAST(doc_id + 2000000 AS BIGINT) AS a,
+        |    CAST(doc_id + 1000000 AS BIGINT) AS b,
+        |    CAST(1.0 AS DOUBLE) AS jac
+        |  FROM documents WHERE doc_id % 3 = 0 AND doc_id < 10)
+        |ORDER BY a, b""".stripMargin,
+
+    "q_soft_dedup" -> graft.dedup.SoftDedup.weightsSql(SqrtClustersSql),
+
+    "q_dedup_histogram" ->
+      s"""SELECT n_members, CAST(COUNT(*) AS BIGINT) AS n_clusters FROM (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_members
+         |  FROM $SqrtClustersSql GROUP BY cluster_id)
+         |GROUP BY n_members""".stripMargin)
+
+  /** DuckDB dual of [[sqrtClusters]]. */
+  private val SqrtClustersSql: String =
+    """(SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(floor(sqrt(CAST(doc_id AS DOUBLE))) AS BIGINT) AS cluster_id
+      |  FROM documents)""".stripMargin
 
   /** ANSI-SQL replica of the reference normalization chain
     * (trim → lower → 13 ordered replacements → keep alphanumerics), used by

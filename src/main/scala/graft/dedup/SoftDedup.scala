@@ -1,0 +1,58 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Soft deduplication: DOWN-WEIGHT duplicate families instead of deleting
+  * them (the "reweight, don't remove" alternative published for LLM
+  * pretraining — hard dedup discards the signal that a page was popular
+  * enough to be mirrored, while no dedup lets a 10⁶-copy boilerplate
+  * family dominate the gradient; per-doc sampling weights of 1/|family|
+  * make every NEAR-DUP FAMILY contribute one document-equivalent to
+  * training, preserving family diversity at de-duplicated effective
+  * scale).
+  *
+  * Input is the cluster table the pipeline already produces
+  * ([[DedupPipeline.run]] / `q_dedup_minhash_clusters` shape: one row per
+  * doc with its cluster id); output adds `n_members` (family size) and
+  * `weight` = round(1/n_members, 6).
+  *
+  * Scale shape: one partial-agg'd `groupBy(cluster).count` (a 10⁶-member
+  * boilerplate family collapses map-side) + one join-back on the cluster
+  * key — the exact_edges skew ladder, no window functions. The weight is
+  * a single IEEE division, so the DuckDB dual ([[weightsSql]]) lands on
+  * identical bits.
+  */
+object SoftDedup {
+
+  /** Per-doc training weight from near-dup family sizes. */
+  def weights(clusters: DataFrame,
+      idCol: String = "doc_id", clusterCol: String = "cluster_id"): DataFrame = {
+    val sizes = clusters.groupBy(clusterCol)
+      .agg(count(lit(1)).as("n_members"))
+    clusters.join(sizes, clusterCol)
+      .select(col(idCol), col(clusterCol), col("n_members"),
+        round(lit(1.0) / col("n_members").cast("double"), 6).as("weight"))
+  }
+
+  /** Cluster-size histogram: how many families have exactly `n_members`
+    * members — the one-look dedup report (a corpus whose histogram has
+    * mass far from 1 is dominated by boilerplate). Two partial-agg'd
+    * aggregations, both keyed on bounded domains.
+    */
+  def sizeHistogram(clusters: DataFrame,
+      clusterCol: String = "cluster_id"): DataFrame =
+    clusters.groupBy(clusterCol).agg(count(lit(1)).as("n_members"))
+      .groupBy("n_members").agg(count(lit(1)).as("n_clusters"))
+
+  /** DuckDB SQL dual of [[weights]] over a (idCol, clusterCol) relation
+    * given as a subquery/CTE name.
+    */
+  def weightsSql(rel: String, idCol: String = "doc_id",
+      clusterCol: String = "cluster_id"): String =
+    s"""SELECT t.$idCol, t.$clusterCol, s.n_members,
+       |  round(1.0 / CAST(s.n_members AS DOUBLE), 6) AS weight
+       |FROM $rel t JOIN (
+       |  SELECT $clusterCol, CAST(COUNT(*) AS BIGINT) AS n_members
+       |  FROM $rel GROUP BY $clusterCol) s USING ($clusterCol)""".stripMargin
+}

@@ -1,0 +1,247 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.functions._
+
+/** BM25 bag-of-words retrieval over a document corpus (graft-added op:
+  * retrieval is how a training-data pipeline ranks corpus pages against a
+  * quality seed set or pulls candidate contaminated pages for an eval
+  * query when exact n-gram matching is too brittle — the
+  * retrieval-scoring complement of [[Passages.contaminationHits]]).
+  * Okapi BM25 (Robertson & Zaragoza 2009, "The Probabilistic Relevance
+  * Framework: BM25 and Beyond"); the idf is Lucene's non-negative variant
+  * ln(1 + (N − df + ½)/(df + ½)).
+  *
+  * Scale shape (the 100-TB reading): ONE narrow corpus scan — docs without
+  * any query term are dropped by a codegen'd `arrays_overlap` pre-gate
+  * BEFORE the explode, so the only shuffle is the partial-agg'd
+  * (id, term) term-frequency reduce over MATCHING docs (bounded by hits,
+  * not the corpus). Document frequencies are a second aggregate over that
+  * same bounded hit stream (≤ |query| rows out) and come back as a
+  * BROADCAST join; corpus size and total length are one scalar aggregate.
+  * Top-k is TakeOrderedAndProject (k rows per partition, never a global
+  * sort). No UDFs anywhere; every expression is a built-in, so the scan
+  * stays inside whole-stage codegen.
+  *
+  * Cross-engine float discipline (the DuckDB oracle replays the identical
+  * formula): idf is rounded to 1e-6 straight out of `ln` (the one
+  * non-correctly-rounded libm op — JDK and libm may differ in the last
+  * ulp), every other step is correctly-rounded IEEE arithmetic evaluated
+  * in the same textual order on both engines, per-doc scores are rounded
+  * to 1e-6 AFTER the sum (summation order across terms differs between
+  * engines), and the top-k order is (rounded score DESC, id ASC) so ties
+  * are integer-broken.
+  */
+object Bm25 {
+
+  /** Score every document holding at least one query term and return the
+    * top `k` as (id, score). `docs` must carry `idCol` (integral) and
+    * `textCol`; tokenization is the corpus-standard whitespace split of
+    * the lowercased text (the same `split(lower(text), ' ')` every TextOps
+    * signal and its DuckDB dual use).
+    */
+  def topK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "BM25 needs at least one query term")
+    require(k > 0, "k must be positive")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val qArr = array(terms.map(lit): _*)
+
+    // words materialized ONCE in a lower projection: both the length and
+    // the explode consume it, and a non-cheap alias referenced >1× is
+    // never inlined (the HOF re-evaluation lesson — see BASELINE.md)
+    val words = docs.select(
+      col(idCol).cast("long").as("id"),
+      split(lower(col(textCol)), " ").as("w"))
+
+    // one scalar pass: corpus size and total token count as EXACT longs;
+    // avgdl is then a single driver-side IEEE division — the oracle's
+    // CAST(SUM(len) AS DOUBLE)/COUNT(*) lands on the identical double
+    val statsRow = words
+      .agg(count(lit(1)).as("n"), sum(size(col("w")).cast("long")).as("s"))
+      .collect()(0)
+    val nDocs = statsRow.getLong(0)
+    val avgdl = statsRow.getLong(1).toDouble / nDocs
+
+    // hit stream: narrow pre-gate, then explode + term filter; tf by
+    // partial-agg'd groupBy. dl rides as a key (functionally dependent on
+    // id — it adds no cardinality, and keeps the plan one aggregate).
+    val hits = words
+      .filter(arrays_overlap(col("w"), qArr))
+      .select(col("id"), size(col("w")).cast("double").as("dl"),
+        explode(col("w")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("id", "dl", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+
+    // document frequencies over the bounded hit stream: ≤ |terms| rows
+    val dfs = hits.groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("idf", round(F.log(lit(1.0) +
+        (lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))), 6))
+
+    hits.join(broadcast(dfs.select("term", "idf")), "term")
+      .withColumn("part",
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))))
+      .groupBy("id")
+      .agg(round(sum("part"), 6).as("score"))
+      .orderBy(desc("score"), asc("id"))
+      .limit(k)
+  }
+
+  /** BATCH retrieval: per-query top-k for MANY queries at once — the
+    * contamination-audit shape (every eval document retrieves its nearest
+    * training documents in one job) where per-query [[topK]] calls would
+    * cost |queries| corpus scans.
+    *
+    * Scale shape: the corpus is scanned ONCE — the exploded token stream
+    * broadcast-semi-joins against the (small) distinct query vocabulary
+    * (eval suites broadcast; the corpus never shuffles against them), tf
+    * reduces partial-agg'd over hits, then hits fan out to the queries
+    * containing each term through a second broadcast join. Per-query
+    * ranking runs on the bounded [[graft.expr.TopKAgg]] (`top_k`): a query
+    * whose terms match 10⁶ documents ships k rows per map task, never 10⁶
+    * rows into one window partition — the oracle IS that `row_number`
+    * window, so the driver's hash compare pins the equivalence.
+    *
+    * `queries` carries (`qidCol`, `qtextCol`); query-term multiplicity is
+    * ignored (standard BM25 — the dual takes DISTINCT (qid, term)).
+    * Output: (qid, id, score, rank), rank 1-based by
+    * (score DESC, id ASC) within each query.
+    */
+  def topKBatch(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, "k must be positive")
+    import graft.functions.top_k
+
+    val words = docs.select(
+      col(idCol).cast("long").as("id"),
+      split(lower(col(textCol)), " ").as("w"))
+    val statsRow = words
+      .agg(count(lit(1)).as("n"), sum(size(col("w")).cast("long")).as("s"))
+      .collect()(0)
+    val nDocs = statsRow.getLong(0)
+    val avgdl = statsRow.getLong(1).toDouble / nDocs
+
+    // (qid, term) distinct — the query side, broadcast at both uses
+    val qTerms = queries.select(
+      col(qidCol).cast("long").as("qid"),
+      explode(split(lower(col(qtextCol)), " ")).as("term"))
+      .filter(col("term") =!= "").distinct()
+    val vocab = qTerms.select("term").distinct()
+
+    val hits = words
+      .select(col("id"), size(col("w")).cast("double").as("dl"),
+        explode(col("w")).as("term"))
+      .join(broadcast(vocab), Seq("term"), "left_semi")
+      .groupBy("id", "dl", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+
+    val dfs = hits.groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("idf", round(F.log(lit(1.0) +
+        (lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))), 6))
+
+    hits.join(broadcast(dfs.select("term", "idf")), "term")
+      .withColumn("part",
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))))
+      .join(broadcast(qTerms), "term")
+      .groupBy("qid", "id")
+      .agg(round(sum("part"), 6).as("score"))
+      .select(col("qid"),
+        struct((-col("score")).as("ns"), col("id")).as("sd"))
+      .groupBy("qid")
+      .agg(top_k(col("sd"), k).as("kept"))
+      .select(col("qid"), posexplode(col("kept")).as(Seq("pos", "sd")))
+      .select(col("qid"), col("sd.id").as("id"),
+        (-col("sd.ns")).as("score"), (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  /** DuckDB SQL dual of [[topKBatch]]: identical formula; the per-query
+    * top-k is the `row_number` window the bounded aggregate replaces.
+    */
+  def topKBatchSql(docsRel: String, idCol: String, textCol: String,
+      queriesRel: String, qidCol: String, qtextCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): String =
+    s"""WITH wds AS (
+       |  SELECT CAST($idCol AS BIGINT) AS id,
+       |         string_split(lower($textCol), ' ') AS toks
+       |  FROM $docsRel),
+       |stats AS (
+       |  SELECT COUNT(*) AS n,
+       |         CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avgdl
+       |  FROM wds),
+       |qt AS (
+       |  SELECT DISTINCT CAST($qidCol AS BIGINT) AS qid, u.term
+       |  FROM $queriesRel, unnest(string_split(lower($qtextCol), ' ')) AS u(term)
+       |  WHERE u.term <> ''),
+       |hits AS (
+       |  SELECT id, CAST(len(toks) AS DOUBLE) AS dl, u.term,
+       |         CAST(COUNT(*) AS DOUBLE) AS tf
+       |  FROM wds, unnest(toks) AS u(term)
+       |  WHERE u.term IN (SELECT DISTINCT term FROM qt)
+       |  GROUP BY id, dl, u.term),
+       |dfs AS (
+       |  SELECT term,
+       |         round(ln(1.0 + (CAST((SELECT n FROM stats) AS DOUBLE)
+       |             - CAST(COUNT(*) AS DOUBLE) + 0.5)
+       |           / (CAST(COUNT(*) AS DOUBLE) + 0.5)), 6) AS idf
+       |  FROM hits GROUP BY term),
+       |scored AS (
+       |  SELECT qt.qid, hits.id, round(SUM(
+       |      idf * (tf * ${k1 + 1.0}) /
+       |        (tf + $k1 * (${1.0 - b} + $b * dl / (SELECT avgdl FROM stats)))
+       |    ), 6) AS score
+       |  FROM hits JOIN dfs USING (term) JOIN qt USING (term)
+       |  GROUP BY qt.qid, hits.id)
+       |SELECT qid, id, score, rank FROM (
+       |  SELECT qid, id, score,
+       |    CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY score DESC, id ASC) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k""".stripMargin
+
+  /** DuckDB SQL dual of [[topK]] over table `table` with columns
+    * (`idCol`, `textCol`) — the IDENTICAL formula, literal for literal
+    * (driver-computed doubles are embedded via `Double.toString`, which
+    * round-trips, so both engines start from the same bits).
+    */
+  def topKSql(table: String, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): String = {
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val inList = terms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    s"""WITH wds AS (
+       |  SELECT CAST($idCol AS BIGINT) AS id,
+       |         string_split(lower($textCol), ' ') AS toks
+       |  FROM $table),
+       |stats AS (
+       |  SELECT COUNT(*) AS n,
+       |         CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avgdl
+       |  FROM wds),
+       |hits AS (
+       |  SELECT id, CAST(len(toks) AS DOUBLE) AS dl, u.term,
+       |         CAST(COUNT(*) AS DOUBLE) AS tf
+       |  FROM wds, unnest(toks) AS u(term)
+       |  WHERE u.term IN ($inList)
+       |  GROUP BY id, dl, u.term),
+       |dfs AS (
+       |  SELECT term,
+       |         round(ln(1.0 + (CAST((SELECT n FROM stats) AS DOUBLE)
+       |             - CAST(COUNT(*) AS DOUBLE) + 0.5)
+       |           / (CAST(COUNT(*) AS DOUBLE) + 0.5)), 6) AS idf
+       |  FROM hits GROUP BY term)
+       |SELECT id, round(SUM(
+       |    idf * (tf * ${k1 + 1.0}) /
+       |      (tf + $k1 * (${1.0 - b} + $b * dl / (SELECT avgdl FROM stats)))
+       |  ), 6) AS score
+       |FROM hits JOIN dfs USING (term)
+       |GROUP BY id
+       |ORDER BY score DESC, id ASC
+       |LIMIT $k""".stripMargin
+  }
+}

@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.Bm25
+
+/** BM25 retrieval: exact parity with an independent plain-Scala
+  * implementation, top-k/tie semantics, and the scale-shape plan pins.
+  */
+class Bm25Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Independent reference BM25 (plain Scala collections, same tokenizer:
+    * single-space split of the lowercased text, empties kept — they can
+    * never match a query term).
+    */
+  private def refBm25(docs: Seq[(Long, String)], terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): Map[Long, Double] = {
+    val toks = docs.map { case (id, t) => id -> t.toLowerCase.split(" ", -1).toSeq }
+    val n = toks.size
+    val avgdl = toks.map(_._2.size).sum.toDouble / n
+    val qs = terms.map(_.toLowerCase).distinct
+    val df = qs.map(q => q -> toks.count(_._2.contains(q))).toMap
+    toks.flatMap { case (id, ws) =>
+      val dl = ws.size.toDouble
+      val parts = qs.flatMap { q =>
+        val tf = ws.count(_ == q).toDouble
+        if (tf == 0) None
+        else {
+          val idf = r6(math.log(1.0 + (n.toDouble - df(q).toDouble + 0.5) / (df(q).toDouble + 0.5)))
+          Some(idf * (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * dl / avgdl)))
+        }
+      }
+      if (parts.isEmpty) None else Some(id -> r6(parts.sum))
+    }.toMap
+  }
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "spark shuffles the quick data"),
+    (3L, "a fox and a dog and a fox"),
+    (4L, "quick quick quick"),
+    (5L, "nothing relevant here"),
+    (6L, "the dog sat on the spark log"))
+
+  test("exact parity with the independent reference implementation") {
+    val got = Bm25.topK(corpus.toDF("doc_id", "text"), "doc_id", "text",
+      Seq("fox", "quick", "spark"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = refBm25(corpus, Seq("fox", "quick", "spark"))
+    assert(got.keySet === want.keySet)
+    got.foreach { case (id, s) =>
+      assert(s === want(id), s"doc $id: got $s want ${want(id)}")
+    }
+  }
+
+  test("top-k order: rounded score desc, id asc on ties; k truncates") {
+    // two docs with IDENTICAL text tie exactly → lower id first
+    val tied = Seq((7L, "fox fox"), (3L, "fox fox"), (9L, "fox"))
+    val rows = Bm25.topK(tied.toDF("doc_id", "text"), "doc_id", "text",
+      Seq("fox"), 2).collect()
+    assert(rows.length === 2)
+    assert(rows(0).getLong(0) === 3L && rows(1).getLong(0) === 7L)
+    assert(rows(0).getDouble(1) === rows(1).getDouble(1))
+  }
+
+  test("docs without any query term never surface; zero-df terms are inert") {
+    val got = Bm25.topK(corpus.toDF("doc_id", "text"), "doc_id", "text",
+      Seq("fox", "zzznothere"), 10).collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 3L)) // only the fox docs
+  }
+
+  test("deterministic across partitionings") {
+    val df1 = corpus.toDF("doc_id", "text").repartition(1)
+    val df7 = corpus.toDF("doc_id", "text").repartition(7)
+    val a = Bm25.topK(df1, "doc_id", "text", Seq("fox", "quick", "spark"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val c = Bm25.topK(df7, "doc_id", "text", Seq("fox", "quick", "spark"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a === c)
+  }
+
+  test("batch: per-query results equal independent per-query reference ranking") {
+    val queries = Seq((100L, "fox quick"), (200L, "spark dog"), (300L, "nothing"))
+    val got = Bm25.topKBatch(corpus.toDF("doc_id", "text"), "doc_id", "text",
+      queries.toDF("doc_id", "text"), "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .groupBy(_._1).map { case (q, rows) => q -> rows.sortBy(_._4).toSeq }
+    val want = queries.flatMap { case (qid, qtext) =>
+      val scores = refBm25(corpus, qtext.split(" ").toSeq)
+      if (scores.isEmpty) None
+      else Some(qid -> scores.toSeq.sortBy { case (id, s) => (-s, id) }.take(3)
+        .zipWithIndex.map { case ((id, s), i) => (qid, id, s, (i + 1).toLong) })
+    }.toMap
+    assert(got.keySet === want.keySet) // query 300 (no matching term) absent
+    want.foreach { case (q, rows) => assert(got(q) === rows, s"query $q") }
+  }
+
+  test("batch: self-retrieval — a query that IS a corpus doc ranks itself first") {
+    // distinct vocabularies per doc ⇒ the only doc holding a query's terms
+    // is the query's source doc
+    val distinctCorpus = (0L until 20L)
+      .map(i => (i, (0 until 30).map(j => s"t${i}w$j").mkString(" ")))
+    val got = Bm25.topKBatch(
+      distinctCorpus.toDF("doc_id", "text"), "doc_id", "text",
+      distinctCorpus.take(5).toDF("doc_id", "text"), "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(got.toSet === (0L until 5L).map(q => (q, q, 1L)).toSet)
+  }
+
+  test("batch plan: bounded top_k aggregate, no Window, query side broadcast") {
+    val big = (0L until 2000L)
+      .map(i => (i, s"tok${i % 97} fox common quick words here"))
+      .toDF("doc_id", "text")
+    val df = Bm25.topKBatch(big, "doc_id", "text",
+      big.filter($"doc_id" < 3), "doc_id", "text", 5)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan) // TopKAgg partial+final
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("plan: TakeOrderedAndProject, broadcast idf join, no sort-merge join") {
+    val big = (0L until 2000L)
+      .map(i => (i, s"tok${i % 97} fox common quick words here"))
+      .toDF("doc_id", "text")
+    val df = Bm25.topK(big, "doc_id", "text", Seq("fox", "quick"), 10)
+    df.collect()
+    def finalPlan(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val plan = finalPlan(df.queryExecution.executedPlan).toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+}

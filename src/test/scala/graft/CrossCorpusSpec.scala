@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.CrossCorpus
+
+/** Cross-corpus near-dup pairs: cross-side-only semantics, near-dup
+  * recall, the skew ladder's chain/drop policies, and the either-width id
+  * contract.
+  */
+class CrossCorpusSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  /** Deterministic ~60-token doc per id; distinct ids share no tokens. */
+  private def doc(id: Long): String =
+    (0 until 60).map(j => s"d${id}x$j").mkString(" ")
+
+  /** `frac`-edited copy: every 1/frac-th token replaced by an OOV token. */
+  private def edited(id: Long, frac: Int): String =
+    (0 until 60).map(j => if (j % frac == 0) s"e${id}z$j" else s"d${id}x$j")
+      .mkString(" ")
+
+  private def df(rows: Seq[(Long, String)]): DataFrame =
+    rows.toDF("id", "text")
+
+  test("exact cross twins found at jac 1.0; within-side twins never pair") {
+    val left = df((0L until 40L).map(i => i -> doc(i)) ++
+      // within-left twins: identical text at id+1000 — must NOT pair
+      (0L until 5L).map(i => (i + 1000L) -> doc(i)))
+    val right = df((0L until 40L by 4L).map(i => (i + 5000L) -> doc(i)))
+    val got = CrossCorpus.nearDupPairs(left, right,
+      CrossCorpus.Config(shingleK = 3))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = (0L until 40L by 4L).flatMap { i =>
+      Seq((i, i + 5000L, 1.0)) ++
+        (if (i < 5L) Seq((i + 1000L, i + 5000L, 1.0)) else Nil)
+    }.toSet
+    assert(got === want)
+  }
+
+  test("near (non-exact) duplicates: 1-in-20 edits recovered at threshold 0.7") {
+    val left = df((0L until 30L).map(i => i -> doc(i)))
+    val right = df((0L until 30L).map(i => (i + 5000L) -> edited(i, 20)))
+    val got = CrossCorpus.nearDupPairs(left, right,
+      CrossCorpus.Config(shingleK = 3, threshold = 0.7))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (0L until 30L).map(i => (i, i + 5000L)).toSet
+    // banding recall at jac≈0.85 with 16×4 bands is ≈1−8e−6 per pair
+    assert(got === want)
+    // and the verified jaccard is genuinely < 1 (near, not exact)
+    val jacs = CrossCorpus.nearDupPairs(left, right,
+      CrossCorpus.Config(shingleK = 3, threshold = 0.7))
+      .collect().map(_.getDouble(2))
+    assert(jacs.forall(j => j >= 0.7 && j < 1.0))
+  }
+
+  test("chain policy: a flooded right bucket emits one pair per left doc") {
+    // 100 identical right docs flood every band bucket (> maxBucketAllPairs
+    // = 8); one matching left doc must chain to the bucket MIN only
+    val left = df(Seq(7L -> doc(99)))
+    val right = df((0L until 100L).map(i => (i + 5000L) -> doc(99)))
+    val got = CrossCorpus.nearDupPairs(left, right,
+      CrossCorpus.Config(shingleK = 3, maxBucketAllPairs = 8))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((7L, 5000L))) // right bucket min, exactly once
+  }
+
+  test("drop policy: huge buckets are dropped and counted, never silent") {
+    val left = df(Seq(7L -> doc(99)))
+    val right = df((0L until 50L).map(i => (i + 5000L) -> doc(99)))
+    val acc = spark.sparkContext.longAccumulator("dropped")
+    val got = CrossCorpus.nearDupPairs(left, right,
+      CrossCorpus.Config(shingleK = 3, maxBucketAllPairs = 4,
+        hugeBucketCutoff = 10L), droppedBuckets = Some(acc))
+      .collect()
+    assert(got.isEmpty)
+    assert(acc.value > 0)
+  }
+
+  test("either-width ids: two-long struct ids produce the same pairs") {
+    def widen(d: DataFrame): DataFrame =
+      d.select(struct(lit(0L).as("hi"), col("id").as("lo")).as("id"), col("text"))
+    val left = df((0L until 20L).map(i => i -> doc(i)))
+    val right = df((0L until 20L by 2L).map(i => (i + 5000L) -> doc(i)))
+    val cfg = CrossCorpus.Config(shingleK = 3)
+    val longPairs = CrossCorpus.nearDupPairs(left, right, cfg)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val structPairs = CrossCorpus.nearDupPairs(widen(left), widen(right), cfg)
+      .collect().map(r => (r.getStruct(0).getLong(1), r.getStruct(1).getLong(1))).toSet
+    assert(structPairs === longPairs)
+    assert(longPairs === (0L until 20L by 2L).map(i => (i, i + 5000L)).toSet)
+  }
+
+  test("no cartesian product and no window in the physical plan") {
+    val left = df((0L until 50L).map(i => i -> doc(i)))
+    val right = df((0L until 50L by 5L).map(i => (i + 5000L) -> doc(i)))
+    val out = CrossCorpus.nearDupPairs(left, right,
+      CrossCorpus.Config(shingleK = 3))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+}

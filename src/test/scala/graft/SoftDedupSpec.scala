@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.SoftDedup
+
+/** Soft-dedup weighting and the cluster-size histogram. */
+class SoftDedupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("weights: 1/|family|, rounded to 1e-6; families sum to ~1 each") {
+    val clusters = Seq(
+      (1L, 10L), (2L, 10L), (3L, 10L), // family of 3
+      (4L, 20L), (5L, 20L),            // family of 2
+      (6L, 30L)                        // singleton
+    ).toDF("doc_id", "cluster_id")
+    val got = SoftDedup.weights(clusters).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, 3L, 0.333333), (2L, 3L, 0.333333), (3L, 3L, 0.333333),
+      (4L, 2L, 0.5), (5L, 2L, 0.5), (6L, 1L, 1.0)))
+  }
+
+  test("size histogram") {
+    val clusters = Seq(
+      (1L, 10L), (2L, 10L), (3L, 10L),
+      (4L, 20L), (5L, 20L),
+      (6L, 30L), (7L, 40L)
+    ).toDF("doc_id", "cluster_id")
+    val got = SoftDedup.sizeHistogram(clusters).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got === Seq((1L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("skew-safe: a 10^5-member hot family weights correctly with no Window") {
+    val hot = (0L until 100000L).map(i => (i, 7L)) ++ Seq((100001L, 8L))
+    val df = hot.toDF("doc_id", "cluster_id")
+    val out = SoftDedup.weights(df)
+    val got = out.collect()
+    assert(got.length === 100001)
+    val w7 = got.filter(_.getLong(1) == 7L)
+    assert(w7.forall(r => r.getLong(2) == 100000L && r.getDouble(3) == 0.00001))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+}

@@ -512,6 +512,20 @@ object PlanAudit {
       pxc.contains("ShuffledHashJoin") && !pxc.contains("Cartesian") &&
         !pxc.contains("BroadcastNestedLoop") && !pxc.contains("Window"), pxc)
 
+    // Snapshot diff: one co-partitioned equi-join — never a cartesian/BNLJ
+    // (raw full-outer inequality shapes degenerate to BNLJ; this must not).
+    val psn = plan("q_snapshot_diff")
+    check("q_snapshot_diff: equi full-outer join, no cartesian/BNLJ/Window",
+      psn.contains("FullOuter") && !psn.contains("Cartesian") &&
+        !psn.contains("BroadcastNestedLoop") && !psn.contains("Window"), psn)
+
+    // Script profile: a pure narrow codegen'd scan — no shuffle at all.
+    val psp = plan("q_script_profile")
+    check("q_script_profile: narrow codegen'd scan (no Exchange/Join/Window)",
+      !psp.contains("Exchange") && !psp.contains("Join") &&
+        !psp.contains("Window") &&
+        (psp.contains("WholeStageCodegen") || psp.contains("*(")), psp)
+
     // Soft-dedup weights: family sizes via partial-agg + join-back (the
     // exact_edges skew ladder), never a Window.
     val psd = plan("q_soft_dedup")

@@ -101,6 +101,14 @@ object SparkEntry {
     */
   private val Bm25QueryTerms = Seq("spark", "merge", "vector", "window")
 
+  /** q_script_profile's planted suffixes by doc_id residue (mod 4; residue
+    * 0 plants nothing): Cyrillic+digit, CJK, Arabic+Hebrew+Hangul — shared
+    * verbatim with the DuckDB oracle. Dominants of the plants alone:
+    * cyrillic / cjk / arabic (5 Arabic vs 4 Hebrew vs 3 Hangul codepoints).
+    */
+  private val ScriptPlants = Seq(
+    " привет мир 7", " 你好世界", " مرحبا שלום 한국어")
+
   /** q_curation's planted lines (shared verbatim with the DuckDB oracle):
     * a 5-line, 61-word shared block that passes the C4 ladder and carries
     * Gopher's word floor + required stopwords (identical across docs, so
@@ -1812,6 +1820,39 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    // Snapshot diff: per-url verdicts between two crawl snapshots (added /
+    // removed / changed / unchanged by content fingerprint) — one
+    // co-partitioned full-outer join on slim projections. The oracle is a
+    // TRUE SQL dual (same relations, same FULL OUTER JOIN + CASE).
+    "q_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val prev = docs.filter(col("doc_id") % 5 =!= 4)
+        .select(concat(lit("doc://"), col("doc_id")).as("url"),
+          md5(col("text")).as("content_hash"))
+      val next = docs.filter(col("doc_id") % 5 =!= 3)
+        .select(concat(lit("doc://"), col("doc_id")).as("url"),
+          md5(when(col("doc_id") % 5 === 2, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("content_hash"))
+      graft.io.SnapshotDiff.diff(prev, next)
+    }),
+
+    // Script-mix profile: exact per-script codepoint counts + dominant
+    // script of the planted (non-ASCII) suffix — integer-exact on both
+    // engines, so the oracle replays the identical regex formulas with no
+    // float discipline.
+    "q_script_profile" -> ((s, dir) => {
+      val plant = when(col("doc_id") % 4 === 1, lit(ScriptPlants(0)))
+        .when(col("doc_id") % 4 === 2, lit(ScriptPlants(1)))
+        .when(col("doc_id") % 4 === 3, lit(ScriptPlants(2)))
+        .otherwise(lit(""))
+      val full = concat(col("text"), plant)
+      val countCols = TextOps.scriptCounts(full)
+        .map { case (name, c) => c.as(s"n_$name") }
+      t(s, dir, "documents").select(
+        col("doc_id") +: countCols :+
+          TextOps.dominantScript(plant).as("plant_script"): _*)
+    }),
+
     // Soft dedup: per-doc training weight 1/|family| from a cluster table
     // (down-weight duplicate families instead of deleting them). The
     // synthetic families have VARIABLE sizes (cluster k = doc_ids in
@@ -2873,6 +2914,34 @@ object SparkEntry {
         |    CAST(1.0 AS DOUBLE) AS jac
         |  FROM documents WHERE doc_id % 3 = 0 AND doc_id < 10)
         |ORDER BY a, b""".stripMargin,
+
+    "q_snapshot_diff" -> graft.io.SnapshotDiff.diffSql(
+      """(SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+        |   md5(text) AS content_hash
+        |   FROM documents WHERE doc_id % 5 <> 4)""".stripMargin,
+      """(SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+        |   md5(CASE WHEN doc_id % 5 = 2 THEN text || ' v2' ELSE text END)
+        |     AS content_hash
+        |   FROM documents WHERE doc_id % 5 <> 3)""".stripMargin),
+
+    "q_script_profile" -> {
+      val plantCase = ScriptPlants match {
+        case Seq(cyr, cjk, rtl) =>
+          s"""CASE WHEN doc_id % 4 = 1 THEN '$cyr'
+             |  WHEN doc_id % 4 = 2 THEN '$cjk'
+             |  WHEN doc_id % 4 = 3 THEN '$rtl'
+             |  ELSE '' END""".stripMargin
+      }
+      val countCols = TextOps.ScriptClasses.map { case (name, _) =>
+        s"  ${TextOps.scriptCountSql("(text || plant)", name)} AS n_$name"
+      }.mkString(",\n")
+      s"""WITH p AS (
+         |  SELECT doc_id, text, $plantCase AS plant FROM documents)
+         |SELECT doc_id,
+         |$countCols,
+         |  ${TextOps.dominantScriptSql("plant")} AS plant_script
+         |FROM p""".stripMargin
+    },
 
     "q_soft_dedup" -> graft.dedup.SoftDedup.weightsSql(SqrtClustersSql),
 

@@ -131,6 +131,64 @@ object TextOps {
     s"CAST(len($c) - len(regexp_replace($c, '$CjkClass', '', 'g'))" +
       s" + len(regexp_extract_all(regexp_replace($c, '$CjkClass', ' ', 'g'), '[^ ]+')) AS BIGINT)"
 
+  /** Script classes for [[scriptCounts]]: name → regex character class
+    * (the `\x{...}` range syntax is valid in Java regex and RE2 alike, and
+    * classes match whole codepoints in both engines). CJK is generated
+    * from [[graft.kernel.Shingling.CjkRanges]] — one source of truth with
+    * the shingling kernel. Latin deliberately EXCLUDES ×(U+D7) and ÷(U+F7)
+    * (symbols inside the Latin-1 letter block).
+    */
+  val ScriptClasses: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z\\x{C0}-\\x{D6}\\x{D8}-\\x{F6}\\x{F8}-\\x{17F}]",
+    "cyrillic" -> "[\\x{400}-\\x{4FF}]",
+    "greek" -> "[\\x{370}-\\x{3FF}]",
+    "arabic" -> "[\\x{600}-\\x{6FF}]",
+    "hebrew" -> "[\\x{590}-\\x{5FF}]",
+    "hangul" -> "[\\x{1100}-\\x{11FF}\\x{AC00}-\\x{D7A3}]",
+    "cjk" -> CjkClass,
+    "digit" -> "[0-9]")
+
+  /** Per-script codepoint counts — the script-mix profile a curation
+    * pipeline uses to catch mislabeled languages, mojibake survivors, and
+    * script-mixing spam (a "German" page that is 40% Cyrillic is neither).
+    * EXACT integers (count = length − length(class stripped)), so the
+    * DuckDB dual is bit-identical with no float discipline needed; all
+    * codegen'd built-ins, narrow, no UDF.
+    */
+  def scriptCounts(text: Column): Seq[(String, Column)] =
+    ScriptClasses.map { case (name, cls) =>
+      name -> (length(text) - length(regexp_replace(text, cls, ""))).cast("long")
+    }
+
+  /** Argmax script by count; first-listed order breaks ties; all-zero →
+    * "none". Mirrors [[langId]]'s shape (greatest + CASE fold).
+    */
+  def dominantScript(text: Column): Column = {
+    val counts = scriptCounts(text)
+    val best = greatest(counts.map(_._2): _*)
+    val pick = counts.foldRight(lit("none")) { case ((name, c), acc) =>
+      when(c === best, lit(name)).otherwise(acc)
+    }
+    when(best === 0, lit("none")).otherwise(pick)
+  }
+
+  /** DuckDB SQL replicas of [[scriptCounts]] / [[dominantScript]] over a
+    * column named `c` (RE2 classes, 'g' flag; both engines count
+    * codepoints).
+    */
+  def scriptCountSql(c: String, name: String): String = {
+    val cls = ScriptClasses.toMap.apply(name)
+    s"CAST(len($c) - len(regexp_replace($c, '$cls', '', 'g')) AS BIGINT)"
+  }
+
+  def dominantScriptSql(c: String): String = {
+    val names = ScriptClasses.map(_._1)
+    val best = s"greatest(${names.map(scriptCountSql(c, _)).mkString(", ")})"
+    val cases = names
+      .map(n => s"WHEN ${scriptCountSql(c, n)} = $best THEN '$n'").mkString(" ")
+    s"(CASE WHEN $best = 0 THEN 'none' $cases ELSE 'none' END)"
+  }
+
   /** DuckDB SQL replica of [[qualityScore]]. */
   def qualityScoreSql(c: String): String = {
     val words = Stopwords.toMap.apply("en").map(w => s"'$w'").mkString(", ")

@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.{Bucketed, SnapshotDiff}
+
+/** Snapshot diff: verdict semantics and the shuffle-free co-bucketed plan
+  * (the 10¹²-row production shape).
+  */
+class SnapshotDiffSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.warehouse.dir",
+      Files.createTempDirectory("graft-warehouse-sd-").toString)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("all four verdicts, null-hash fields on the absent side") {
+    val prev = Seq(("u1", "h1"), ("u2", "h2"), ("u3", "h3"))
+      .toDF("url", "content_hash")
+    val next = Seq(("u1", "h1"), ("u2", "h2x"), ("u4", "h4"))
+      .toDF("url", "content_hash")
+    val got = SnapshotDiff.diff(prev, next).collect()
+      .map(r => (r.getString(0), Option(r.getString(1)),
+        Option(r.getString(2)), r.getString(3))).sortBy(_._1).toSeq
+    assert(got === Seq(
+      ("u1", Some("h1"), Some("h1"), "unchanged"),
+      ("u2", Some("h2"), Some("h2x"), "changed"),
+      ("u3", Some("h3"), None, "removed"),
+      ("u4", None, Some("h4"), "added")))
+    val sum = SnapshotDiff.summary(SnapshotDiff.diff(prev, next)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sum === Map("unchanged" -> 1L, "changed" -> 1L,
+      "removed" -> 1L, "added" -> 1L))
+  }
+
+  test("empty sides: everything added / everything removed") {
+    val some = Seq(("u1", "h1")).toDF("url", "content_hash")
+    val none = some.filter(lit(false))
+    assert(SnapshotDiff.diff(none, some).collect()
+      .map(_.getString(3)).toSeq === Seq("added"))
+    assert(SnapshotDiff.diff(some, none).collect()
+      .map(_.getString(3)).toSeq === Seq("removed"))
+  }
+
+  test("co-bucketed snapshots diff with no Exchange (production shape)") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val prev = spark.range(0, 5000)
+        .select(concat(lit("doc://"), col("id")).as("url"),
+          md5(col("id").cast("string")).as("content_hash"))
+      val next = spark.range(2500, 7500)
+        .select(concat(lit("doc://"), col("id")).as("url"),
+          md5(when(col("id") % 2 === 0, concat(col("id").cast("string"), lit("x")))
+            .otherwise(col("id").cast("string"))).as("content_hash"))
+      Bucketed.write(prev, "snap_prev", "url", 8)
+      Bucketed.write(next, "snap_next", "url", 8)
+      val d = SnapshotDiff.diff(
+        Bucketed.read(spark, "snap_prev"), Bucketed.read(spark, "snap_next"))
+      d.collect()
+      val plan = d.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed diff must be shuffle-free:\n$plan")
+      val sum = SnapshotDiff.summary(d).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(sum === Map("removed" -> 2500L, "added" -> 2500L,
+        "changed" -> 1250L, "unchanged" -> 1250L))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS snap_prev")
+      spark.sql("DROP TABLE IF EXISTS snap_next")
+    }
+  }
+}

@@ -728,4 +728,53 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(r.toSeq === Seq(0f, 10f, 20f, 30f, 40f, 50f, 60f, 70f, 80f, 90f))
     assert(Multimodal.resample(Array.emptyFloatArray, 4).isEmpty)
   }
+
+  test("script profile: counts match an independent codepoint walk") {
+    import spark.implicits._
+    // mixed-script rows incl. a supplementary-plane ideograph (𠀀 U+20000)
+    val rows = Seq(
+      (1L, "hello мир 你好 123"),
+      (2L, "Ωμέγα שלום مرحبا 한국"),
+      (3L, "café × ÷ straße"), // × ÷ are NOT latin letters
+      (4L, "𠀀 plus ascii"),
+      (5L, ""))
+    // independent reference: per-codepoint classification from the same
+    // published Unicode block ranges, written as plain Scala
+    def refCounts(s: String): Map[String, Long] = {
+      val cps = s.codePoints().toArray
+      def in(ranges: (Int, Int)*) =
+        cps.count(c => ranges.exists { case (lo, hi) => c >= lo && c <= hi }).toLong
+      Map(
+        "latin" -> (in(('A'.toInt, 'Z'.toInt), ('a'.toInt, 'z'.toInt),
+          (0xC0, 0xD6), (0xD8, 0xF6), (0xF8, 0x17F))),
+        "cyrillic" -> in((0x400, 0x4FF)),
+        "greek" -> in((0x370, 0x3FF)),
+        "arabic" -> in((0x600, 0x6FF)),
+        "hebrew" -> in((0x590, 0x5FF)),
+        "hangul" -> in((0x1100, 0x11FF), (0xAC00, 0xD7A3)),
+        "cjk" -> cps.count(graft.kernel.Shingling.isCjk).toLong,
+        "digit" -> in(('0'.toInt, '9'.toInt)))
+    }
+    val df = rows.toDF("id", "text")
+    val cols = TextOps.scriptCounts(col("text")).map { case (n, c) => c.as(n) }
+    val got = df.select(col("id") +: cols: _*).collect()
+      .map(r => r.getLong(0) -> TextOps.ScriptClasses.map(_._1)
+        .zipWithIndex.map { case (n, i) => n -> r.getLong(i + 1) }.toMap).toMap
+    rows.foreach { case (id, s) =>
+      assert(got(id) === refCounts(s), s"row $id: '$s'")
+    }
+  }
+
+  test("script profile: dominant script argmax, ties, and none") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "привет world w"), // 6 cyr vs 6 latin: tie → first-listed (latin)
+      (2L, "你好世界 ok"),     // 4 cjk vs 2 latin → cjk
+      (3L, "123 456"),        // digits only
+      (4L, " .,!?"))          // no script → none
+    val got = rows.toDF("id", "text")
+      .select(col("id"), TextOps.dominantScript(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "latin", 2L -> "cjk", 3L -> "digit", 4L -> "none"))
+  }
 }

@@ -506,6 +506,51 @@ object SparkEntry {
         size(links).cast("long").as("n_links"))
     }),
 
+    // Head-metadata extraction (graft-added): each document's text is
+    // planted in a page whose head metadata is known in closed form — a
+    // comment and a script body carrying decoy canonical/robots tags (must
+    // be skipped), an entity in the title, a stylesheet link before the
+    // canonical (rel token-list matching: `alternate canonical` counts), a
+    // SECOND canonical that must lose (first wins per the HTML spec's UA
+    // rule), a description with an entity, a robots meta whose directive
+    // rotates by doc_id residue (noindex / NOFOLLOW / none / index,follow),
+    // and the http-equiv Content-Type charset form.
+    "q_page_meta" -> ((s, dir) => {
+      val robots = when(col("doc_id") % 4 === 0, lit("noindex"))
+        .when(col("doc_id") % 4 === 1, lit("NOFOLLOW"))
+        .when(col("doc_id") % 4 === 2, lit("none"))
+        .otherwise(lit("index, follow"))
+      val html = concat(
+        lit("<html Lang=\"en-US\"><head>" +
+          "<!-- <link rel=\"canonical\" href=\"https://ghost.example/\"> -->" +
+          "<script>var s = '<meta name=\"robots\" content=\"noindex\">';</script>" +
+          "<title>Doc &amp; "),
+        col("doc_id"),
+        lit("</title><link rel=\"stylesheet\" href=\"/css/x\">" +
+          "<LINK REL='alternate canonical' HREF='https://a.example/c?id="),
+        col("doc_id"),
+        lit("&amp;v=2'><link rel=\"canonical\" href=\"https://second.example/ignored\">" +
+          "<meta NAME=\"Description\" content=\"Sum &amp; mary "),
+        col("doc_id"),
+        lit("\"><meta name=\"robots\" content=\""),
+        robots,
+        lit("\"><meta http-equiv=\"Content-Type\" content=\"text/html; charset=UTF-8\">" +
+          "</head><body><p>"),
+        col("text"),
+        lit("</p></body></html>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), page_meta(html).as("m"))
+        .select(
+          col("doc_id"),
+          col("m.title").as("title"),
+          col("m.canonical").as("canonical"),
+          col("m.lang").as("lang"),
+          col("m.description").as("description"),
+          col("m.noindex").as("noindex"),
+          col("m.nofollow").as("nofollow"),
+          col("m.charset").as("charset"))
+    }),
+
     // Host-graph PageRank (graft-added): a deterministic directed host
     // graph derived from the documents table (src = doc_id mod 49 — host 49
     // never emits, so the dangling-mass branch is exercised — dst =
@@ -2821,6 +2866,22 @@ object SparkEntry {
         |    || doc_id || '|https://c.example/u' || doc_id
         |    || '|/relative/path' AS links,
         |  CAST(4 AS BIGINT) AS n_links
+        |FROM documents""".stripMargin,
+
+    // closed form of the planted head (see the query comment): decoys in
+    // the comment/script never surface, the first canonical wins via rel
+    // token-list matching, entities decode in title/description/href, the
+    // robots directive follows the residue, charset comes from the
+    // http-equiv form lowercased
+    "q_page_meta" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  'Doc & ' || doc_id AS title,
+        |  'https://a.example/c?id=' || doc_id || '&v=2' AS canonical,
+        |  'en-US' AS lang,
+        |  'Sum & mary ' || doc_id AS description,
+        |  doc_id % 4 IN (0, 2) AS noindex,
+        |  doc_id % 4 IN (1, 2) AS nofollow,
+        |  'utf-8' AS charset
         |FROM documents""".stripMargin,
 
     "q_hostrank" -> hostRankOracleSql(5),

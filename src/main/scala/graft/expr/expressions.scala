@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.kernel.{Boilerplate, HtmlText, Shingling, StrSim, TextNorm, UrlNorm}
+import graft.kernel.{Boilerplate, HtmlText, MetaExtract, Shingling, StrSim, TextNorm, UrlNorm}
 
 /** Catalyst expressions for the normalization/signature kernel (SURVEY.md
   * §2.2, §2.6). Each is a thin, null-safe wrapper over a pure function in
@@ -371,6 +371,35 @@ case class ExtractLinks(child: Expression)
       graft.kernel.LinkExtract.links(input.asInstanceOf[UTF8String].toString)
         .map(UTF8String.fromString).toArray[Any])
   override protected def withNewChildInternal(c: Expression): ExtractLinks = copy(child = c)
+}
+
+/** Head-metadata extraction: canonical link, robots noindex/nofollow,
+  * `<html lang>`, title, description, charset — rules pinned in
+  * [[graft.kernel.MetaExtract]]. One struct per page so a single narrow
+  * scan feeds canonical-URL pre-dedup, compliance gates, and the language
+  * prior together.
+  */
+case class PageMetaExpr(child: Expression)
+    extends UnaryExpression with SimpleCodegen {
+  override def dataType: DataType = PageMetaExpr.Schema
+  override def nullSafeEval(input: Any): Any = {
+    val m = MetaExtract.meta(input.asInstanceOf[UTF8String].toString)
+    def s(o: Option[String]): Any = o.map(UTF8String.fromString).orNull
+    InternalRow(s(m.title), s(m.canonical), s(m.lang), s(m.description),
+      m.noindex, m.nofollow, s(m.charset))
+  }
+  override protected def withNewChildInternal(c: Expression): PageMetaExpr = copy(child = c)
+}
+
+object PageMetaExpr {
+  val Schema: DataType = StructType(Seq(
+    StructField("title", StringType, nullable = true),
+    StructField("canonical", StringType, nullable = true),
+    StructField("lang", StringType, nullable = true),
+    StructField("description", StringType, nullable = true),
+    StructField("noindex", BooleanType, nullable = false),
+    StructField("nofollow", BooleanType, nullable = false),
+    StructField("charset", StringType, nullable = true)))
 }
 
 /** Longest-common-substring length (suffix-automaton walk; verification-side

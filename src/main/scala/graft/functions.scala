@@ -49,6 +49,12 @@ object functions {
     */
   def extract_links(c: Column): Column = col(ExtractLinks(ex(c)))
 
+  /** Head metadata of an HTML string column:
+    * `struct<title, canonical, lang, description, noindex, nofollow,
+    * charset>` — see [[graft.kernel.MetaExtract]] for the pinned rules.
+    */
+  def page_meta(c: Column): Column = col(PageMetaExpr(ex(c)))
+
   /** Main content of an HTML string column: good blocks joined with `\n`. */
   def main_content(c: Column,
                    minChars: Int = graft.kernel.Boilerplate.DefaultMinChars,
@@ -196,6 +202,7 @@ object functions {
         if (es.length > 1) intLit(es(1)) else graft.kernel.Boilerplate.DefaultMinChars,
         if (es.length > 2) doubleLit(es(2)) else graft.kernel.Boilerplate.DefaultMaxLinkDensity))
     one("graft_extract_links", es => ExtractLinks(es.head))
+    one("graft_page_meta", es => PageMetaExpr(es.head))
     one("graft_jaro", es => JaroSim(es(0), es(1)))
     one("graft_jaro_winkler", es => JaroWinklerSim(es(0), es(1)))
     one("graft_lcs_length", es => LongestCommonSubstring(es(0), es(1)))

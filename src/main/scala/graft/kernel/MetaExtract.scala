@@ -1,0 +1,216 @@
+package graft.kernel
+
+/** Head-metadata extraction — the handful of in-page signals crawl
+  * pipelines consume before any content processing (graft-added op; the
+  * reference parses citation formats, not web pages):
+  *
+  *   - `<link rel="canonical" href=...>` — the publisher's own statement
+  *     that two URLs are the same page. Feeds canonical-URL pre-dedup
+  *     exactly like [[graft.text.UrlOps.canonicalizeUrl]] (callers
+  *     `coalesce(meta.canonical, canon_url)`): syntactic URL folding can't
+  *     see that `/story?id=7` and `/2026/08/story-slug` are one article,
+  *     the canonical link can.
+  *   - `<meta name="robots">` noindex/nofollow — index-compliance gates
+  *     (a corpus builder honoring publisher opt-outs drops noindex pages;
+  *     nofollow pages keep their text but contribute no link-graph edges).
+  *   - `<html lang=...>` — the author's language declaration, the standard
+  *     prior blended with content language-ID.
+  *   - `<title>` / `<meta name="description">` — display metadata carried
+  *     as document fields (titles are also a cheap near-dup blocking key).
+  *   - charset (`<meta charset>` or the http-equiv Content-Type form) —
+  *     feeds encoding-repair decisions ([[graft.text.EncodingFix]]).
+  *
+  * Determinism contract (same family as [[HtmlText]] / [[LinkExtract]] /
+  * [[Boilerplate]]): a pure function of the input string with pinned
+  * rules — identical comment and `script`/`style`/`noscript` skipping (a
+  * canonical-link-looking string inside JavaScript is not a canonical
+  * link), case-insensitive tag/attribute names, entity-decoded attribute
+  * values, FIRST occurrence wins for single-valued fields (the HTML spec's
+  * user-agent rule for duplicated canonical links and titles), robots
+  * directives UNIONED across multiple robots metas (restrictive wins, the
+  * documented search-engine behavior). `rel` is matched as a
+  * whitespace-separated token list (`rel="alternate canonical"` counts).
+  */
+object MetaExtract {
+
+  /** Extracted head metadata; `None` ⇔ the page never declares the field. */
+  final case class PageMeta(
+      title: Option[String],
+      canonical: Option[String],
+      lang: Option[String],
+      description: Option[String],
+      noindex: Boolean,
+      nofollow: Boolean,
+      charset: Option[String])
+
+  def meta(html: String): PageMeta = {
+    if (html == null) return PageMeta(None, None, None, None, noindex = false, nofollow = false, None)
+    var title: Option[String] = None
+    var canonical: Option[String] = None
+    var lang: Option[String] = None
+    var description: Option[String] = None
+    var noindex = false
+    var nofollow = false
+    var charset: Option[String] = None
+
+    val n = html.length
+    var i = 0
+    while (i < n) {
+      if (html.charAt(i) == '<') {
+        if (html.startsWith("<!--", i)) {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else {
+          val close = html.indexOf('>', i + 1)
+          if (close < 0) { i = n }
+          else {
+            val inner = html.substring(i + 1, close)
+            val name = HtmlText.tagName(inner)
+            if (!inner.startsWith("/") && HtmlText.SkipElements.contains(name) &&
+                !inner.endsWith("/")) {
+              val endTag = HtmlText.findCaseInsensitive(html, "</" + name, close + 1)
+              if (endTag < 0) { i = n }
+              else {
+                val endClose = html.indexOf('>', endTag)
+                i = if (endClose < 0) n else endClose + 1
+              }
+            } else {
+              if (!inner.startsWith("/")) name match {
+                case "html" =>
+                  if (lang.isEmpty) lang = attr(inner, "lang").filter(_.nonEmpty)
+                case "title" =>
+                  // raw-text element: body runs to the next </title>
+                  if (!inner.endsWith("/")) {
+                    val endTag = HtmlText.findCaseInsensitive(html, "</title", close + 1)
+                    val bodyEnd = if (endTag < 0) n else endTag
+                    if (title.isEmpty) {
+                      val t = HtmlText.collapseWhitespace(decodeAll(html.substring(close + 1, bodyEnd)))
+                      if (t.nonEmpty) title = Some(t)
+                    }
+                    if (endTag < 0) { i = n }
+                    else {
+                      val endClose = html.indexOf('>', endTag)
+                      i = if (endClose < 0) n else endClose + 1
+                    }
+                  }
+                case "link" =>
+                  if (canonical.isEmpty && hasRelToken(inner, "canonical"))
+                    canonical = attr(inner, "href").filter(_.nonEmpty)
+                case "meta" =>
+                  val metaName = attr(inner, "name").map(lc)
+                    .orElse(attr(inner, "http-equiv").map(lc))
+                  metaName match {
+                    case Some("description") =>
+                      if (description.isEmpty)
+                        description = attr(inner, "content").filter(_.nonEmpty)
+                    case Some("robots") =>
+                      attr(inner, "content").foreach { c =>
+                        c.split(',').foreach { tok =>
+                          lc(tok.trim) match {
+                            case "noindex" => noindex = true
+                            case "nofollow" => nofollow = true
+                            case "none" => noindex = true; nofollow = true
+                            case _ =>
+                          }
+                        }
+                      }
+                    case Some("content-type") =>
+                      if (charset.isEmpty)
+                        charset = attr(inner, "content").flatMap(charsetOf)
+                    case _ =>
+                  }
+                  if (charset.isEmpty)
+                    charset = attr(inner, "charset").map(lc).filter(_.nonEmpty)
+                case _ =>
+              }
+              if (name != "title" || inner.startsWith("/") || inner.endsWith("/"))
+                i = close + 1
+            }
+          }
+        }
+      } else i += 1
+    }
+    PageMeta(title, canonical, lang, description, noindex, nofollow, charset)
+  }
+
+  /** One attribute value inside a tag body: name case-insensitive, must be
+    * preceded by whitespace and followed by optional whitespace + `=`;
+    * double-quoted / single-quoted / unquoted value forms; entity-decoded.
+    * Same matching contract as [[LinkExtract.href]] generalized to any name.
+    */
+  private[kernel] def attr(inner: String, name: String): Option[String] = {
+    var i = 0
+    val n = inner.length
+    val len = name.length
+    while (i < n) {
+      val at = HtmlText.findCaseInsensitive(inner, name, i)
+      if (at < 0) return None
+      val okLeft = at > 0 && Character.isWhitespace(inner.charAt(at - 1))
+      var j = at + len
+      while (j < n && Character.isWhitespace(inner.charAt(j))) j += 1
+      if (okLeft && j < n && inner.charAt(j) == '=') {
+        j += 1
+        while (j < n && Character.isWhitespace(inner.charAt(j))) j += 1
+        if (j >= n) return Some("")
+        val c = inner.charAt(j)
+        val (endExclusive, start) =
+          if (c == '"' || c == '\'') {
+            val e = inner.indexOf(c, j + 1)
+            (if (e < 0) n else e, j + 1)
+          } else {
+            var e = j
+            while (e < n && !Character.isWhitespace(inner.charAt(e))) e += 1
+            (e, j)
+          }
+        return Some(decodeAll(inner.substring(start, endExclusive)))
+      }
+      i = at + len
+    }
+    None
+  }
+
+  /** True when the tag's `rel` attribute contains `token` as one of its
+    * whitespace-separated link types (HTML spec: rel is a token LIST).
+    */
+  private def hasRelToken(inner: String, token: String): Boolean =
+    attr(inner, "rel").exists(_.split("\\s+").exists(t => lc(t) == token))
+
+  /** `charset=X` inside an http-equiv Content-Type value (`text/html;
+    * charset=utf-8`); value lowercased, surrounding quotes tolerated.
+    */
+  private def charsetOf(contentType: String): Option[String] = {
+    val at = HtmlText.findCaseInsensitive(contentType, "charset=", 0)
+    if (at < 0) None
+    else {
+      var e = at + 8
+      var s = e
+      val n = contentType.length
+      if (s < n && (contentType.charAt(s) == '"' || contentType.charAt(s) == '\'')) { s += 1; e += 1 }
+      while (e < n && !Character.isWhitespace(contentType.charAt(e)) &&
+        contentType.charAt(e) != ';' && contentType.charAt(e) != '"' &&
+        contentType.charAt(e) != '\'') e += 1
+      val v = contentType.substring(s, e)
+      if (v.isEmpty) None else Some(lc(v))
+    }
+  }
+
+  private def lc(s: String): String = s.toLowerCase(java.util.Locale.ROOT)
+
+  /** Entity-decode a full string (the per-entity table of [[HtmlText]]). */
+  private[kernel] def decodeAll(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '&') {
+        val (decoded, next) = HtmlText.decodeEntity(s, i)
+        sb.append(decoded)
+        i = next
+      } else {
+        sb.append(s.charAt(i))
+        i += 1
+      }
+    }
+    sb.toString
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.kernel.MetaExtract
+
+class MetaExtractSpec extends AnyFunSuite {
+
+  private def m(html: String) = MetaExtract.meta(html)
+
+  test("full head: every field extracted") {
+    val r = m("""<html lang="en-GB"><head>
+      |<title>Hello &amp; Welcome</title>
+      |<link rel="canonical" href="https://site.example/page?a=1&amp;b=2">
+      |<meta name="description" content="A &quot;nice&quot; page">
+      |<meta name="robots" content="noindex, nofollow">
+      |<meta charset="UTF-8">
+      |</head><body>x</body></html>""".stripMargin)
+    assert(r.title === Some("Hello & Welcome"))
+    assert(r.canonical === Some("https://site.example/page?a=1&b=2"))
+    assert(r.lang === Some("en-GB"))
+    assert(r.description === Some("A \"nice\" page"))
+    assert(r.noindex && r.nofollow)
+    assert(r.charset === Some("utf-8"))
+  }
+
+  test("empty / declaration-free page: all None, flags false") {
+    val r = m("<html><body><p>just text</p></body></html>")
+    assert(r.title.isEmpty && r.canonical.isEmpty && r.lang.isEmpty &&
+      r.description.isEmpty && r.charset.isEmpty && !r.noindex && !r.nofollow)
+    val nil = m(null)
+    assert(nil.title.isEmpty && !nil.noindex)
+  }
+
+  test("first canonical and first title win; rel is a token list") {
+    val r = m("""<title>First</title><title>Second</title>
+      |<link rel="alternate canonical" href="/a">
+      |<link rel="canonical" href="/b">""".stripMargin)
+    assert(r.title === Some("First"))
+    assert(r.canonical === Some("/a"))
+    // rel without the canonical token never matches
+    assert(m("""<link rel="stylesheet" href="/css">""").canonical.isEmpty)
+    assert(m("""<link rel="canonicalish" href="/x">""").canonical.isEmpty)
+  }
+
+  test("script/comment decoys are skipped; title whitespace collapses") {
+    val r = m("""<head><!-- <link rel="canonical" href="https://ghost/"> -->
+      |<script>var x = '<meta name="robots" content="noindex"><title>JS</title>';</script>
+      |<title>  Real
+      |   Title </title></head>""".stripMargin)
+    assert(r.canonical.isEmpty)
+    assert(!r.noindex)
+    assert(r.title === Some("Real Title"))
+  }
+
+  test("robots: case-insensitive name and directives, none = both, union across metas") {
+    assert(m("""<meta name="ROBOTS" content="NOINDEX">""").noindex)
+    val none = m("""<meta name="robots" content="none">""")
+    assert(none.noindex && none.nofollow)
+    val union = m("""<meta name="robots" content="noindex">
+      |<meta name="robots" content="nofollow">""".stripMargin)
+    assert(union.noindex && union.nofollow)
+    val indexFollow = m("""<meta name="robots" content="index, follow">""")
+    assert(!indexFollow.noindex && !indexFollow.nofollow)
+  }
+
+  test("charset: meta charset and http-equiv Content-Type forms, lowercased") {
+    assert(m("""<meta charset="ISO-8859-1">""").charset === Some("iso-8859-1"))
+    assert(m("""<meta http-equiv="content-type" content="text/html; charset=utf-8">""")
+      .charset === Some("utf-8"))
+    assert(m("""<meta http-equiv="Content-Type" content="text/html">""").charset.isEmpty)
+    // first declaration wins
+    assert(m("""<meta charset="utf-8"><meta charset="latin1">""").charset === Some("utf-8"))
+  }
+
+  test("unterminated title runs to end of input; self-closing title yields nothing") {
+    assert(m("<title>Dangling").title === Some("Dangling"))
+    assert(m("<title/>after").title.isEmpty)
+  }
+
+  test("html lang: first html tag wins; empty lang is absent") {
+    assert(m("""<html lang="de"><html lang="fr">""").lang === Some("de"))
+    assert(m("""<html lang="">""").lang.isEmpty)
+    assert(m("""<html data-lang="xx">""").lang.isEmpty)
+  }
+
+  test("spark expression: struct fields through page_meta") {
+    val spark = SparkSession0.get
+    import spark.implicits._
+    import graft.functions.page_meta
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      """<html lang="en"><head><title>T1</title>
+        |<link rel="canonical" href="/c1">
+        |<meta name="robots" content="noindex"></head></html>""".stripMargin,
+      "<p>nothing declared</p>").toDF("html")
+      .select(page_meta(col("html")).as("m"))
+      .select("m.title", "m.canonical", "m.lang", "m.noindex", "m.nofollow")
+    val rows = df.collect()
+    assert(rows(0).getString(0) === "T1")
+    assert(rows(0).getString(1) === "/c1")
+    assert(rows(0).getString(2) === "en")
+    assert(rows(0).getBoolean(3) && !rows(0).getBoolean(4))
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1) && rows(1).isNullAt(2))
+    assert(!rows(1).getBoolean(3) && !rows(1).getBoolean(4))
+  }
+}
+
+/** Shared local session for the one Spark-level test (kernel tests are pure). */
+private object SparkSession0 {
+  lazy val get: org.apache.spark.sql.SparkSession =
+    org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+}

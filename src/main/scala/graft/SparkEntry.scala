@@ -12,7 +12,7 @@ import graft.io.{WarcSource, ZOrder}
 import graft.multimodal.Multimodal
 import graft.graph.HostRank
 import graft.operators.{AsOfJoin, RangeJoin}
-import graft.text.{BpeTrain, C4Gate, Chunking, Curation, Dsir, EncodingFix, GopherGate, HeavyHitters, LineDedup, LmScore, Mixing, Packing, Passages, Pii, QualityModel, Repetition, TextOps, UrlOps}
+import graft.text.{BpeTrain, C4Gate, Chunking, Curation, Dsir, EncodingFix, GopherGate, HeavyHitters, LineDedup, LmScore, Mixing, Packing, Passages, Pii, QualityModel, Repetition, RobotsGate, TextOps, UrlOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -549,6 +549,39 @@ object SparkEntry {
           col("m.noindex").as("noindex"),
           col("m.nofollow").as("nofollow"),
           col("m.charset").as("charset"))
+    }),
+
+    // robots.txt page gate (graft-added): 20 deterministic hosts, each page
+    // taking one of 5 known paths by doc_id residue. Even hosts carry a
+    // three-group robots.txt where the graftbot group (selected over badbot
+    // and * by RFC 9309 group matching) disallows /private and /files but
+    // allows the LONGER /private/ok; odd hosts carry only a * group with
+    // the same allow-beats-shorter-disallow shape; host 7 has NO robots row
+    // (unavailable robots.txt = allowed). The verdict is a closed form of
+    // the two residues.
+    "q_robots_gate" -> ((s, dir) => {
+      val r = col("doc_id") % 5
+      val path = when(r === 0, lit("/"))
+        .when(r === 1, concat(lit("/public/a"), col("doc_id")))
+        .when(r === 2, concat(lit("/private/x"), col("doc_id")))
+        .when(r === 3, concat(lit("/private/ok/y"), col("doc_id")))
+        .otherwise(concat(lit("/files/doc"), col("doc_id"), lit(".pdf")))
+      val pages = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat(lit("https://h"), col("doc_id") % 20, lit(".example.com"), path).as("url"))
+      val evenTxt = "User-agent: badbot\nDisallow: /\n\n" +
+        "User-agent: graftbot\nDisallow: /private\nAllow: /private/ok\nDisallow: /files\n\n" +
+        "User-agent: *\nDisallow: /elsewhere"
+      val oddTxt = "User-agent: *\nAllow: /private/ok\nDisallow: /private"
+      val robots = t(s, dir, "documents")
+        .select((col("doc_id") % 20).as("hostnum")).distinct()
+        .filter(col("hostnum") =!= 7)
+        .select(
+          concat(lit("h"), col("hostnum"), lit(".example.com")).as("host"),
+          when(col("hostnum") % 2 === 0, lit(evenTxt)).otherwise(lit(oddTxt))
+            .as("robots_txt"))
+      RobotsGate.annotate(pages, robots, "GraftBot")
+        .select(col("doc_id"), col("url"), col("robots_allowed"))
     }),
 
     // Host-graph PageRank (graft-added): a deterministic directed host
@@ -2882,6 +2915,23 @@ object SparkEntry {
         |  doc_id % 4 IN (0, 2) AS noindex,
         |  doc_id % 4 IN (1, 2) AS nofollow,
         |  'utf-8' AS charset
+        |FROM documents""".stripMargin,
+
+    // closed form of the planted robots policy (see the query comment):
+    // host 7 has no robots row, even hosts deny residues 2 and 4 for
+    // graftbot, odd hosts deny only residue 2 via the * group
+    "q_robots_gate" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  'https://h' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' ||
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN '/'
+        |      WHEN 1 THEN '/public/a' || doc_id
+        |      WHEN 2 THEN '/private/x' || doc_id
+        |      WHEN 3 THEN '/private/ok/y' || doc_id
+        |      ELSE '/files/doc' || doc_id || '.pdf' END AS url,
+        |  CASE WHEN doc_id % 20 = 7 THEN TRUE
+        |       WHEN doc_id % 20 % 2 = 0 THEN doc_id % 5 NOT IN (2, 4)
+        |       ELSE doc_id % 5 <> 2 END AS robots_allowed
         |FROM documents""".stripMargin,
 
     "q_hostrank" -> hostRankOracleSql(5),

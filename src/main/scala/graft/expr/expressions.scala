@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.kernel.{Boilerplate, HtmlText, MetaExtract, Shingling, StrSim, TextNorm, UrlNorm}
+import graft.kernel.{Boilerplate, HtmlText, MetaExtract, Robots, Shingling, StrSim, TextNorm, UrlNorm}
 
 /** Catalyst expressions for the normalization/signature kernel (SURVEY.md
   * §2.2, §2.6). Each is a thin, null-safe wrapper over a pure function in
@@ -400,6 +400,58 @@ object PageMetaExpr {
     StructField("noindex", BooleanType, nullable = false),
     StructField("nofollow", BooleanType, nullable = false),
     StructField("charset", StringType, nullable = true)))
+}
+
+/** robots.txt → the merged rule list governing `userAgent` (RFC 9309 group
+  * selection; rules pinned in [[graft.kernel.Robots]]). Evaluated ONCE per
+  * robots.txt row — per-host, not per-page — so the page-side gate
+  * ([[RobotsAllowed]]) only runs the match loop, never the parse.
+  */
+case class RobotsRules(child: Expression, userAgent: String)
+    extends UnaryExpression with SimpleCodegen {
+  override def dataType: DataType = RobotsRules.Schema
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      Robots.rulesFor(input.asInstanceOf[UTF8String].toString, userAgent)
+        .map(r => InternalRow(r.allow, UTF8String.fromString(r.pattern)))
+        .toArray[Any])
+  override protected def withNewChildInternal(c: Expression): RobotsRules = copy(child = c)
+}
+
+object RobotsRules {
+  val Schema: DataType = ArrayType(StructType(Seq(
+    StructField("allow", BooleanType, nullable = false),
+    StructField("pattern", StringType, nullable = false))), containsNull = false)
+}
+
+/** Longest-match robots verdict of a (rules, path+query) pair — `*` / `$`
+  * wildcard semantics and tie rules pinned in [[graft.kernel.Robots]].
+  * Matches directly over the array rows (no per-row rule materialization).
+  */
+case class RobotsAllowed(left: Expression, right: Expression)
+    extends BinaryExpression with SimpleCodegen {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(rulesAny: Any, pathAny: Any): Any = {
+    val arr = rulesAny.asInstanceOf[ArrayData]
+    val raw = pathAny.asInstanceOf[UTF8String].toString
+    val path = if (raw.isEmpty) "/" else raw
+    var bestLen = -1
+    var bestAllow = true
+    var i = 0
+    while (i < arr.numElements()) {
+      val row = arr.getStruct(i, 2)
+      val pattern = row.getUTF8String(1).toString
+      if (Robots.patternMatches(pattern, path)) {
+        val allow = row.getBoolean(0)
+        if (pattern.length > bestLen) { bestLen = pattern.length; bestAllow = allow }
+        else if (pattern.length == bestLen && allow) bestAllow = true
+      }
+      i += 1
+    }
+    bestAllow
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): RobotsAllowed =
+    copy(left = l, right = r)
 }
 
 /** Longest-common-substring length (suffix-automaton walk; verification-side

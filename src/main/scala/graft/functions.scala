@@ -55,6 +55,18 @@ object functions {
     */
   def page_meta(c: Column): Column = col(PageMetaExpr(ex(c)))
 
+  /** robots.txt body → merged rule list for `userAgent` (RFC 9309 group
+    * selection): `array<struct<allow, pattern>>` — evaluate once per HOST,
+    * then gate pages with [[robots_allowed]]. Rules pinned in
+    * [[graft.kernel.Robots]].
+    */
+  def robots_rules(c: Column, userAgent: String): Column =
+    col(RobotsRules(ex(c), userAgent))
+
+  /** Longest-match robots verdict for a (rules, path+query) pair. */
+  def robots_allowed(rules: Column, pathQuery: Column): Column =
+    col(RobotsAllowed(ex(rules), ex(pathQuery)))
+
   /** Main content of an HTML string column: good blocks joined with `\n`. */
   def main_content(c: Column,
                    minChars: Int = graft.kernel.Boilerplate.DefaultMinChars,
@@ -203,6 +215,10 @@ object functions {
         if (es.length > 2) doubleLit(es(2)) else graft.kernel.Boilerplate.DefaultMaxLinkDensity))
     one("graft_extract_links", es => ExtractLinks(es.head))
     one("graft_page_meta", es => PageMetaExpr(es.head))
+    def stringLit(e: Expression): String =
+      e.eval(null).asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    one("graft_robots_rules", es => RobotsRules(es.head, stringLit(es(1))))
+    one("graft_robots_allowed", es => RobotsAllowed(es(0), es(1)))
     one("graft_jaro", es => JaroSim(es(0), es(1)))
     one("graft_jaro_winkler", es => JaroWinklerSim(es(0), es(1)))
     one("graft_lcs_length", es => LongestCommonSubstring(es(0), es(1)))

@@ -1,0 +1,159 @@
+package graft.kernel
+
+/** robots.txt parsing + rule evaluation (RFC 9309, the Robots Exclusion
+  * Protocol) — the crawl-compliance gate a webtext corpus builder applies
+  * before keeping a page (graft-added op; the reference parses citation
+  * formats, not crawl metadata). Publishers change their policies after
+  * pages are crawled, so corpus pipelines re-evaluate stored robots.txt
+  * snapshots against stored page URLs at curation time (paired with
+  * [[graft.operators.AsOfJoin]] to pick the policy in force at capture).
+  *
+  * Pinned semantics:
+  *   - lines are `key: value`, keys case-insensitive, `#` starts a comment,
+  *     CRLF tolerated; only `user-agent` / `allow` / `disallow` are
+  *     consumed (sitemap / crawl-delay / unknown keys are ignored and do
+  *     not affect grouping).
+  *   - consecutive `user-agent` lines share one group; a `user-agent` line
+  *     after rule lines starts a new group; rules before any `user-agent`
+  *     line are ignored (RFC 9309 §2.2.1: rules outside a group are
+  *     invalid).
+  *   - group selection for a crawler token: all groups whose agent value
+  *     is an exact case-insensitive match; else the longest agent value
+  *     that is a case-insensitive PREFIX of the token (`googlebot` matches
+  *     token `googlebot-news` — the published most-specific-match
+  *     behavior); else the `*` groups. Groups sharing the winning agent
+  *     value MERGE (RFC 9309 §2.2.1).
+  *   - rule matching is anchored at the start of the URL's path+query;
+  *     `*` matches any octet sequence, a TRAILING `$` anchors the end
+  *     (elsewhere `$` is literal); matching is case-sensitive.
+  *   - verdict = the matching rule with the longest pattern (octet count);
+  *     ties go to `allow`; no matching rule (or no rules at all, or no
+  *     robots.txt) = allowed. An empty `disallow:` value disallows
+  *     nothing (it is not a rule).
+  */
+object Robots {
+
+  final case class Rule(allow: Boolean, pattern: String)
+  final case class Group(agents: Vector[String], rules: Vector[Rule])
+
+  private def lc(s: String): String = s.toLowerCase(java.util.Locale.ROOT)
+
+  /** All groups of a robots.txt body, agents lowercased, document order. */
+  def parseGroups(txt: String): Vector[Group] = {
+    if (txt == null) return Vector.empty
+    val groups = Vector.newBuilder[Group]
+    var agents = List.empty[String] // reversed
+    var rules = Vector.newBuilder[Rule]
+    var open = false      // a group header has been seen
+    var inRules = false   // the open group already has rule lines
+    def flush(): Unit = if (open) {
+      groups += Group(agents.reverse.toVector, rules.result())
+      agents = Nil
+      rules = Vector.newBuilder[Rule]
+      inRules = false
+    }
+    txt.split("\n", -1).foreach { raw =>
+      val hash = raw.indexOf('#')
+      val line = (if (hash >= 0) raw.substring(0, hash) else raw).trim
+      if (line.nonEmpty) {
+        val colon = line.indexOf(':')
+        if (colon > 0) {
+          val key = lc(line.substring(0, colon).trim)
+          val value = line.substring(colon + 1).trim
+          key match {
+            case "user-agent" =>
+              if (inRules) flush()
+              open = true
+              if (value.nonEmpty) agents = lc(value) :: agents
+            case "allow" | "disallow" =>
+              if (open) {
+                inRules = true
+                if (value.nonEmpty) rules += Rule(key == "allow", value)
+              }
+            case _ => // sitemap / crawl-delay / unknown: ignored
+          }
+        }
+      }
+    }
+    flush()
+    groups.result()
+  }
+
+  /** The merged rule list governing `userAgent` (see group selection in
+    * the object doc). Empty when the file has no applicable group.
+    */
+  def rulesFor(txt: String, userAgent: String): Vector[Rule] = {
+    val groups = parseGroups(txt)
+    if (groups.isEmpty) return Vector.empty
+    val token = lc(userAgent)
+    val agentValues = groups.iterator.flatMap(_.agents).toSet
+    val winner: Option[String] =
+      if (agentValues.contains(token)) Some(token)
+      else {
+        val prefixes = agentValues.filter(a => a != "*" && token.startsWith(a))
+        if (prefixes.nonEmpty) Some(prefixes.maxBy(_.length))
+        else if (agentValues.contains("*")) Some("*")
+        else None
+      }
+    winner match {
+      case None => Vector.empty
+      case Some(a) => groups.filter(_.agents.contains(a)).flatMap(_.rules)
+    }
+  }
+
+  /** Longest-match verdict for a path(+query); allow wins ties; no match
+    * (or no rules) = allowed.
+    */
+  def isAllowed(rules: Seq[Rule], pathQuery: String): Boolean = {
+    val path = if (pathQuery == null || pathQuery.isEmpty) "/" else pathQuery
+    var bestLen = -1
+    var bestAllow = true
+    rules.foreach { r =>
+      if (patternMatches(r.pattern, path)) {
+        val len = r.pattern.length
+        if (len > bestLen) { bestLen = len; bestAllow = r.allow }
+        else if (len == bestLen && r.allow) bestAllow = true
+      }
+    }
+    bestAllow
+  }
+
+  /** One-shot parse + select + evaluate (per-row expression form). */
+  def allowed(txt: String, userAgent: String, pathQuery: String): Boolean =
+    isAllowed(rulesFor(txt, userAgent), pathQuery)
+
+  /** Start-anchored match of a robots pattern against a path+query: `*`
+    * matches any sequence, a trailing `$` anchors the end. Without the
+    * anchor the pattern must match a PREFIX of the path (equivalently:
+    * pattern + `*` must match the whole path).
+    */
+  private[graft] def patternMatches(pattern: String, path: String): Boolean = {
+    val anchored = pattern.nonEmpty && pattern.charAt(pattern.length - 1) == '$'
+    val pat = if (anchored) pattern.substring(0, pattern.length - 1) else pattern
+    fullGlob(if (anchored) pat else pat + "*", path)
+  }
+
+  /** Classic iterative glob (only `*` is special) over full `s`. */
+  private def fullGlob(pat: String, s: String): Boolean = {
+    var p = 0
+    var i = 0
+    var starP = -1
+    var starI = 0
+    while (i < s.length) {
+      if (p < pat.length && pat.charAt(p) == '*') {
+        starP = p
+        p += 1
+        starI = i
+      } else if (p < pat.length && pat.charAt(p) == s.charAt(i)) {
+        p += 1
+        i += 1
+      } else if (starP >= 0) {
+        p = starP + 1
+        starI += 1
+        i = starI
+      } else return false
+    }
+    while (p < pat.length && pat.charAt(p) == '*') p += 1
+    p == pat.length
+  }
+}

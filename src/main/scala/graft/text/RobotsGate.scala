@@ -1,0 +1,60 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{robots_allowed, robots_rules}
+
+/** Crawl-compliance page gate: evaluate each page URL against its host's
+  * robots.txt (RFC 9309 semantics pinned in [[graft.kernel.Robots]]).
+  * Corpus builders honoring publisher opt-outs re-check stored robots
+  * snapshots at curation time — policies change after the crawl, and the
+  * fetcher's own user agent may differ from the corpus's declared one.
+  *
+  * Scale shape (10⁸ hosts × 10¹² pages): robots.txt is parsed ONCE per
+  * HOST by [[graft.expr.RobotsRules]] (per-host group selection + rule
+  * merge), and only the compact rule array joins the page stream — the
+  * per-page work is the match loop, never the parse. The join is an
+  * equi-join on canonical host (shuffled-hash hinted: the robots side is
+  * far too big to broadcast at crawl scale but always the smaller build
+  * side); over host-bucketed catalog tables ([[graft.io.Bucketed]]) it
+  * plans shuffle-free. Pages whose host has no robots row are ALLOWED
+  * (RFC 9309 §2.3.1: unavailable robots.txt imposes no restrictions).
+  */
+object RobotsGate {
+
+  /** The match target: path + `?query` of a URL (fragment dropped, empty
+    * path → `/`). Robots patterns are matched against exactly this form.
+    */
+  def pathQueryOf(url: Column): Column = {
+    val tail = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    val noFrag = regexp_replace(tail, "#.*$", "")
+    when(noFrag === "", lit("/")).otherwise(noFrag)
+  }
+
+  /** `pages` plus a `robots_allowed` boolean column. `robots` must carry
+    * one row per canonical host (same folding as [[UrlOps.hostOf]]:
+    * lowercase, no `www.`, no port) with the raw robots.txt body.
+    */
+  def annotate(pages: DataFrame, robots: DataFrame, userAgent: String,
+               urlCol: String = "url", hostCol: String = "host",
+               txtCol: String = "robots_txt"): DataFrame = {
+    val rules = robots.select(
+      col(hostCol).as("_r_host"),
+      robots_rules(col(txtCol), userAgent).as("_r_rules"))
+    pages
+      .withColumn("_p_host", UrlOps.hostOf(col(urlCol)))
+      .join(rules.hint("shuffle_hash"), col("_p_host") === col("_r_host"), "left")
+      .withColumn("robots_allowed",
+        when(col("_r_rules").isNull, lit(true))
+          .otherwise(robots_allowed(col("_r_rules"), pathQueryOf(col(urlCol)))))
+      .drop("_p_host", "_r_host", "_r_rules")
+  }
+
+  /** [[annotate]] then keep only allowed pages (the gate form). */
+  def filterAllowed(pages: DataFrame, robots: DataFrame, userAgent: String,
+                    urlCol: String = "url", hostCol: String = "host",
+                    txtCol: String = "robots_txt"): DataFrame =
+    annotate(pages, robots, userAgent, urlCol, hostCol, txtCol)
+      .filter(col("robots_allowed")).drop("robots_allowed")
+}

@@ -1,0 +1,159 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+import graft.kernel.Robots
+import graft.kernel.Robots.Rule
+import graft.text.RobotsGate
+
+class RobotsSpec extends AnyFunSuite {
+
+  // ---- pattern matching (the published REP wildcard examples) ----
+
+  private def pm(pattern: String, path: String) = Robots.patternMatches(pattern, path)
+
+  test("prefix patterns: /fish") {
+    assert(pm("/fish", "/fish"))
+    assert(pm("/fish", "/fish.html"))
+    assert(pm("/fish", "/fishheads/yummy.html"))
+    assert(pm("/fish", "/fish?id=anything"))
+    assert(!pm("/fish", "/Fish.asp")) // case-sensitive
+    assert(!pm("/fish", "/catfish"))
+    assert(!pm("/fish", "/?id=fish"))
+    // trailing * is redundant
+    assert(pm("/fish*", "/fishheads/yummy.html") === pm("/fish", "/fishheads/yummy.html"))
+  }
+
+  test("directory patterns: /fish/") {
+    assert(pm("/fish/", "/fish/"))
+    assert(pm("/fish/", "/fish/salmon.htm"))
+    assert(!pm("/fish/", "/fish"))
+    assert(!pm("/fish/", "/fish.html"))
+  }
+
+  test("infix wildcard: /*.php") {
+    assert(pm("/*.php", "/index.php"))
+    assert(pm("/*.php", "/folder/filename.php"))
+    assert(pm("/*.php", "/folder/filename.php?params"))
+    assert(pm("/*.php", "/folder/any.php.file.html"))
+    assert(pm("/*.php", "/filename.php/"))
+    assert(!pm("/*.php", "/"))
+    assert(!pm("/*.php", "/windows.PHP"))
+    assert(pm("/fish*.php", "/fish.php"))
+    assert(pm("/fish*.php", "/fishheads/catfish.php?params"))
+  }
+
+  test("end anchor: /*.php$ and literal non-trailing $") {
+    assert(pm("/*.php$", "/filename.php"))
+    assert(pm("/*.php$", "/folder/filename.php"))
+    assert(!pm("/*.php$", "/filename.php?params"))
+    assert(!pm("/*.php$", "/filename.php5"))
+    assert(!pm("/*.php$", "/filename.php/"))
+    // '$' not at the end is a literal octet
+    assert(pm("/a$b", "/a$b/c"))
+    assert(!pm("/a$b", "/ab"))
+  }
+
+  // ---- longest-match verdicts (the published precedence examples) ----
+
+  test("longest match wins; allow wins ties; no match allows") {
+    val r1 = Seq(Rule(true, "/p"), Rule(false, "/"))
+    assert(Robots.isAllowed(r1, "/page"))
+    val r2 = Seq(Rule(true, "/folder"), Rule(false, "/folder"))
+    assert(Robots.isAllowed(r2, "/folder/page")) // tie -> allow
+    val r3 = Seq(Rule(true, "/page"), Rule(false, "/*.htm"))
+    assert(!Robots.isAllowed(r3, "/page.htm")) // 6 > 5 -> disallow
+    val r4 = Seq(Rule(true, "/$"), Rule(false, "/"))
+    assert(Robots.isAllowed(r4, "/"))
+    assert(!Robots.isAllowed(r4, "/page.htm"))
+    assert(Robots.isAllowed(Nil, "/anything"))
+    assert(Robots.isAllowed(Seq(Rule(false, "/private")), "/public"))
+    // empty path evaluates as "/"
+    assert(!Robots.isAllowed(Seq(Rule(false, "/")), ""))
+  }
+
+  // ---- parsing + group selection ----
+
+  val txt =
+    """# corpus policy          # comment line
+      |Sitemap: https://x.example/map.xml
+      |Disallow: /ignored-before-any-group
+      |
+      |User-agent: badbot
+      |Disallow: /
+      |
+      |User-Agent: graftbot
+      |user-agent: otherbot
+      |Disallow: /private
+      |Allow: /private/ok    # inline comment
+      |Crawl-delay: 10
+      |Disallow:
+      |
+      |User-agent: *
+      |Disallow: /star-only
+      |
+      |User-agent: graftbot
+      |Disallow: /second-group
+      |""".stripMargin.replace("\n", "\r\n")
+
+  test("groups parse: comments, CRLF, shared UA lines, pre-group rules ignored") {
+    val gs = Robots.parseGroups(txt)
+    assert(gs.map(_.agents) === Vector(
+      Vector("badbot"), Vector("graftbot", "otherbot"), Vector("*"), Vector("graftbot")))
+    // empty Disallow value is not a rule; crawl-delay/sitemap ignored
+    assert(gs(1).rules === Vector(Rule(false, "/private"), Rule(true, "/private/ok")))
+  }
+
+  test("group selection: exact match merges same-agent groups, case-insensitive") {
+    val rules = Robots.rulesFor(txt, "GraftBot")
+    assert(rules === Vector(
+      Rule(false, "/private"), Rule(true, "/private/ok"), Rule(false, "/second-group")))
+  }
+
+  test("group selection: prefix match, star fallback, no group at all") {
+    // token 'graftbot-news' has no exact group; longest prefix 'graftbot' wins
+    assert(Robots.rulesFor(txt, "graftbot-news").nonEmpty)
+    assert(Robots.rulesFor(txt, "graftbot-news").head === Rule(false, "/private"))
+    assert(Robots.rulesFor(txt, "somebot") === Vector(Rule(false, "/star-only")))
+    val noStar = "User-agent: a\nDisallow: /x"
+    assert(Robots.rulesFor(noStar, "somebot") === Vector.empty)
+    assert(Robots.allowed(noStar, "somebot", "/x"))
+    assert(!Robots.allowed(noStar, "A", "/x"))
+  }
+
+  test("null / empty / garbage bodies impose nothing") {
+    assert(Robots.parseGroups(null) === Vector.empty)
+    assert(Robots.allowed("", "anybot", "/any"))
+    assert(Robots.allowed("not a robots file at all", "anybot", "/any"))
+  }
+
+  // ---- Spark gate ----
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("annotate: per-host parse, per-page verdict, missing host allows") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "https://a.example.com/private/x"),
+      (2L, "https://a.example.com/private/ok/x"),
+      (3L, "https://WWW.A.example.com/public"),   // host folding meets robots key
+      (4L, "https://b.example.com/anything"),      // host with no robots row
+      (5L, "https://a.example.com/")
+    ).toDF("id", "url")
+    val robots = Seq(
+      ("a.example.com",
+        "User-agent: graftbot\nDisallow: /private\nAllow: /private/ok")
+    ).toDF("host", "robots_txt")
+    val out = RobotsGate.annotate(pages, robots, "GraftBot")
+      .select("id", "robots_allowed").as[(Long, Boolean)].collect().toMap
+    assert(out === Map(1L -> false, 2L -> true, 3L -> true, 4L -> true, 5L -> true))
+    val kept = RobotsGate.filterAllowed(pages, robots, "GraftBot")
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(2L, 3L, 4L, 5L))
+  }
+}

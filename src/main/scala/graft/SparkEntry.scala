@@ -506,6 +506,31 @@ object SparkEntry {
         size(links).cast("long").as("n_links"))
     }),
 
+    // Anchor-text harvest (graft-added): each document carries three known
+    // anchors — one to a shared target whose body mixes nested tags and an
+    // entity (tag boundaries collapse to single spaces), an image link with
+    // EMPTY text (kept: image links are real endorsements), and a trailing
+    // anchor the page never closes (closed at end-of-input) — plus a script
+    // decoy and an href-less named anchor that must not surface.
+    "q_anchor_text" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><body><script>var a='<a href=\"/decoy\">x</a>';</script>" +
+          "<p><a href=\"https://t.example/shared"),
+        col("doc_id") % 10,
+        lit("\">Read <b>More</b> &amp; info</a> filler <a name=\"x\">no href</a>" +
+          " <a href='/local/"),
+        col("doc_id"),
+        lit("'><img src=\"i.png\"></a> tail <a href=\"/dangling"),
+        col("doc_id"),
+        lit("\">Dangling tail"))
+      val as_ = extract_anchors(html)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        concat_ws("|", transform(as_,
+          a => concat(a.getField("href"), lit("=>"), a.getField("text")))).as("anchors"),
+        size(as_).cast("long").as("n_anchors"))
+    }),
+
     // Head-metadata extraction (graft-added): each document's text is
     // planted in a page whose head metadata is known in closed form — a
     // comment and a script body carrying decoy canonical/robots tags (must
@@ -2899,6 +2924,15 @@ object SparkEntry {
         |    || doc_id || '|https://c.example/u' || doc_id
         |    || '|/relative/path' AS links,
         |  CAST(4 AS BIGINT) AS n_links
+        |FROM documents""".stripMargin,
+
+    // closed form of the planted anchors (see the query comment)
+    "q_anchor_text" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  'https://t.example/shared' || (doc_id % 10) || '=>Read More & info'
+        |    || '|/local/' || doc_id || '=>'
+        |    || '|/dangling' || doc_id || '=>Dangling tail' AS anchors,
+        |  CAST(3 AS BIGINT) AS n_anchors
         |FROM documents""".stripMargin,
 
     // closed form of the planted head (see the query comment): decoys in

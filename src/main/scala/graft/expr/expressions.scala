@@ -373,6 +373,29 @@ case class ExtractLinks(child: Expression)
   override protected def withNewChildInternal(c: Expression): ExtractLinks = copy(child = c)
 }
 
+/** Anchor-text harvest: `(href, anchor text)` pairs in document order —
+  * rules pinned in [[graft.kernel.LinkExtract.anchors]]. Aggregated per
+  * target across a crawl, link text is the classic off-page description /
+  * quality signal.
+  */
+case class ExtractAnchors(child: Expression)
+    extends UnaryExpression with SimpleCodegen {
+  override def dataType: DataType = ExtractAnchors.Schema
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      graft.kernel.LinkExtract.anchors(input.asInstanceOf[UTF8String].toString)
+        .map { case (href, text) =>
+          InternalRow(UTF8String.fromString(href), UTF8String.fromString(text))
+        }.toArray[Any])
+  override protected def withNewChildInternal(c: Expression): ExtractAnchors = copy(child = c)
+}
+
+object ExtractAnchors {
+  val Schema: DataType = ArrayType(StructType(Seq(
+    StructField("href", StringType, nullable = false),
+    StructField("text", StringType, nullable = false))), containsNull = false)
+}
+
 /** Head-metadata extraction: canonical link, robots noindex/nofollow,
   * `<html lang>`, title, description, charset — rules pinned in
   * [[graft.kernel.MetaExtract]]. One struct per page so a single narrow

@@ -49,6 +49,12 @@ object functions {
     */
   def extract_links(c: Column): Column = col(ExtractLinks(ex(c)))
 
+  /** Anchor-text pairs of an HTML string column:
+    * `array<struct<href, text>>` in document order — see
+    * [[graft.kernel.LinkExtract.anchors]] for the pinned rules.
+    */
+  def extract_anchors(c: Column): Column = col(ExtractAnchors(ex(c)))
+
   /** Head metadata of an HTML string column:
     * `struct<title, canonical, lang, description, noindex, nofollow,
     * charset>` — see [[graft.kernel.MetaExtract]] for the pinned rules.
@@ -215,6 +221,7 @@ object functions {
         if (es.length > 2) doubleLit(es(2)) else graft.kernel.Boilerplate.DefaultMaxLinkDensity))
     one("graft_extract_links", es => ExtractLinks(es.head))
     one("graft_page_meta", es => PageMetaExpr(es.head))
+    one("graft_extract_anchors", es => ExtractAnchors(es.head))
     def stringLit(e: Expression): String =
       e.eval(null).asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
     one("graft_robots_rules", es => RobotsRules(es.head, stringLit(es(1))))

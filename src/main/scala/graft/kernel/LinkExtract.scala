@@ -62,6 +62,89 @@ object LinkExtract {
     out.result()
   }
 
+  /** (href, anchor text) pairs in document order — the anchor-text harvest
+    * (link text is the linking page's own description of the target: a
+    * relevance/quality signal aggregated per target across the crawl).
+    * Same walk and skip rules as [[links]]; the anchor BODY is extracted
+    * like element text ([[HtmlText]] rules: nested tags stripped,
+    * script/style/comment bodies inside the anchor skipped, entities
+    * decoded, whitespace collapsed). An anchor closes at its `</a>` — or
+    * implicitly at the next `<a` open tag (the HTML spec's implied close;
+    * anchors never nest). href-less anchors are skipped, empty-text
+    * anchors (image links) are kept with `""`.
+    */
+  def anchors(html: String): Vector[(String, String)] = {
+    if (html == null) return Vector.empty
+    val out = Vector.newBuilder[(String, String)]
+    val n = html.length
+    var i = 0
+    var curHref: String = null
+    val text = new java.lang.StringBuilder()
+    var pendingSpace = false
+    def appendText(decoded: String): Unit = {
+      var k = 0
+      while (k < decoded.length) {
+        val c = decoded.charAt(k)
+        if (Character.isWhitespace(c)) pendingSpace = true
+        else {
+          if (pendingSpace && text.length > 0) text.append(' ')
+          pendingSpace = false
+          text.append(c)
+        }
+        k += 1
+      }
+    }
+    def closeAnchor(): Unit = if (curHref != null) {
+      out += ((curHref, text.toString))
+      curHref = null
+      text.setLength(0)
+      pendingSpace = false
+    }
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else {
+          val close = html.indexOf('>', i + 1)
+          if (close < 0) { i = n }
+          else {
+            val inner = html.substring(i + 1, close)
+            val name = HtmlText.tagName(inner)
+            if (!inner.startsWith("/") && HtmlText.SkipElements.contains(name) &&
+                !inner.endsWith("/")) {
+              if (curHref != null) pendingSpace = true // same boundary rule as HtmlText
+              val endTag = HtmlText.findCaseInsensitive(html, "</" + name, close + 1)
+              if (endTag < 0) { i = n }
+              else {
+                val endClose = html.indexOf('>', endTag)
+                i = if (endClose < 0) n else endClose + 1
+              }
+            } else {
+              if (name == "a") {
+                closeAnchor() // </a>, or implied close at the next <a
+                if (!inner.startsWith("/")) curHref = href(inner).orNull
+              } else if (curHref != null) {
+                pendingSpace = true // nested tag boundary separates words
+              }
+              i = close + 1
+            }
+          }
+        }
+      } else if (c == '&' && curHref != null) {
+        val (decoded, next) = HtmlText.decodeEntity(html, i)
+        appendText(decoded)
+        i = next
+      } else {
+        if (curHref != null) appendText(String.valueOf(c))
+        i += 1
+      }
+    }
+    closeAnchor() // unterminated trailing anchor
+    out.result()
+  }
+
   /** The `href` attribute value inside one tag body (text between `<` and
     * `>`), or None. Attribute name is case-insensitive and must be preceded
     * by whitespace (so `data-href` doesn't match); value forms per the HTML

@@ -24,6 +24,27 @@ class LinkGraphSpec extends AnyFunSuite {
       "https://a.com/1", "https://b.com/2", "https://c.com/3", "https://a.com/1"))
   }
 
+  test("anchors: text extraction, implied close, empty text, decoys") {
+    // nested tags collapse to word boundaries; entities decode
+    assert(LinkExtract.anchors("""<a href="/a">Read <b>More</b> &amp; info</a>""") ===
+      Vector(("/a", "Read More & info")))
+    // a new <a before </a> implies a close (anchors never nest)
+    assert(LinkExtract.anchors("""<a href="/1">one <a href="/2">two</a>""") ===
+      Vector(("/1", "one"), ("/2", "two")))
+    // image link: kept with empty text; href-less anchor skipped entirely
+    assert(LinkExtract.anchors("""<a href="/img"><img src="i.png"></a><a name="x">t</a>""") ===
+      Vector(("/img", "")))
+    // unterminated trailing anchor closes at end of input
+    assert(LinkExtract.anchors("""<a href="/d">Dangling tail""") ===
+      Vector(("/d", "Dangling tail")))
+    // script/comment decoys and script bodies inside the anchor are skipped
+    assert(LinkExtract.anchors(
+      """<script>var a='<a href="/decoy">x</a>';</script>
+        |<a href="/s">be<script>ignored()</script>fore</a>""".stripMargin) ===
+      Vector(("/s", "be fore")))
+    assert(LinkExtract.anchors(null) === Vector.empty)
+  }
+
   test("case-insensitive tag and attribute; href after other attributes") {
     assert(LinkExtract.links("""<A CLASS="nav" HREF="https://x.com/">u</A>""") ===
       Vector("https://x.com/"))

@@ -1,0 +1,30 @@
+#!/usr/bin/env bash
+# Run a graft main against the sbt-compiled classes WITHOUT the sbt launcher
+# (avoids the project build lock, so long benchmark legs can run in the
+# background while sbt keeps compiling/testing in the foreground).
+# Mirrors build.sbt's forked-run JVM options exactly.
+#
+# Usage: scripts/run_main.sh graft.Bench [args...]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+MAIN="$1"; shift
+CP="target/scala-2.13/classes:/opt/spark/jars/*"
+exec java \
+  --add-opens java.base/java.lang=ALL-UNNAMED \
+  --add-opens java.base/java.lang.invoke=ALL-UNNAMED \
+  --add-opens java.base/java.lang.reflect=ALL-UNNAMED \
+  --add-opens java.base/java.io=ALL-UNNAMED \
+  --add-opens java.base/java.net=ALL-UNNAMED \
+  --add-opens java.base/java.nio=ALL-UNNAMED \
+  --add-opens java.base/java.util=ALL-UNNAMED \
+  --add-opens java.base/java.util.concurrent=ALL-UNNAMED \
+  --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED \
+  --add-opens java.base/sun.nio.ch=ALL-UNNAMED \
+  --add-opens java.base/sun.nio.cs=ALL-UNNAMED \
+  --add-opens java.base/sun.security.action=ALL-UNNAMED \
+  --add-opens java.base/sun.util.calendar=ALL-UNNAMED \
+  -Dspark.ui.enabled=false \
+  -Dspark.sql.session.timeZone=UTC \
+  -Xmx"${SPARK_DRIVER_MEM:-24g}" \
+  -XX:+UseParallelGC \
+  -cp "$CP" "$MAIN" "$@"

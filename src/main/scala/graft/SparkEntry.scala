@@ -10,7 +10,7 @@ import graft.dedup.ConnectedComponents
 import graft.functions._
 import graft.io.{WarcSource, ZOrder}
 import graft.multimodal.Multimodal
-import graft.graph.HostRank
+import graft.graph.{AnchorCorpus, HostRank}
 import graft.operators.{AsOfJoin, RangeJoin}
 import graft.text.{BpeTrain, C4Gate, Chunking, Curation, Dsir, EncodingFix, GopherGate, HeavyHitters, LineDedup, LmScore, Mixing, Packing, Passages, Pii, QualityModel, Repetition, RobotsGate, TextOps, UrlOps}
 
@@ -504,6 +504,43 @@ object SparkEntry {
         col("doc_id"),
         concat_ws("|", links).as("links"),
         size(links).cast("long").as("n_links"))
+    }),
+
+    // RFC 3986 reference resolution (graft-added): one base URL per doc
+    // and eight reference shapes by residue — plain segment, ./ with a
+    // query, ../ climb, absolute path, protocol-relative authority,
+    // query-only, fragment (dropped), and the abnormal over-climb that
+    // clamps at root (§5.4.2).
+    "q_resolve_url" -> ((s, dir) => {
+      val base = concat(lit("https://h.example.com/b"), col("doc_id"), lit("/c/d;p?q"))
+      val r = col("doc_id") % 8
+      val ref = when(r === 0, lit("g"))
+        .when(r === 1, lit("./g?y"))
+        .when(r === 2, lit("../g"))
+        .when(r === 3, lit("/g"))
+        .when(r === 4, lit("//o.example.com/x"))
+        .when(r === 5, lit("?y"))
+        .when(r === 6, lit("g#s"))
+        .otherwise(lit("../../../g"))
+      t(s, dir, "documents").select(
+        col("doc_id"), ref.as("ref"),
+        resolve_url(base, ref).as("resolved"))
+    }),
+
+    // Anchor-text corpus (graft-added): every doc links to its residue's
+    // shared target with one of three labels AND to a per-doc unique
+    // target — both through RELATIVE hrefs, so the aggregation exercises
+    // resolution + canonical folding. Per-target top-2 texts ride the
+    // bounded top_k aggregate; the DuckDB oracle IS the row_number window
+    // it replaces.
+    "q_anchor_corpus" -> ((s, dir) => {
+      val pages = t(s, dir, "documents").select(
+        concat(lit("https://h"), col("doc_id") % 10,
+          lit(".example.com/dir/page"), col("doc_id")).as("url"),
+        concat(
+          lit("<a href=\"/shared\">L"), col("doc_id") % 3,
+          lit("</a><a href=\"p/"), col("doc_id"), lit("\">Unique</a>")).as("html"))
+      AnchorCorpus.build(pages, k = 2)
     }),
 
     // Anchor-text harvest (graft-added): each document carries three known
@@ -2925,6 +2962,41 @@ object SparkEntry {
         |    || '|/relative/path' AS links,
         |  CAST(4 AS BIGINT) AS n_links
         |FROM documents""".stripMargin,
+
+    // closed form of the eight planted reference shapes (RFC 3986 §5.4)
+    "q_resolve_url" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CASE doc_id % 8
+        |    WHEN 0 THEN 'g' WHEN 1 THEN './g?y' WHEN 2 THEN '../g'
+        |    WHEN 3 THEN '/g' WHEN 4 THEN '//o.example.com/x'
+        |    WHEN 5 THEN '?y' WHEN 6 THEN 'g#s' ELSE '../../../g' END AS ref,
+        |  CASE doc_id % 8
+        |    WHEN 0 THEN 'https://h.example.com/b' || doc_id || '/c/g'
+        |    WHEN 1 THEN 'https://h.example.com/b' || doc_id || '/c/g?y'
+        |    WHEN 2 THEN 'https://h.example.com/b' || doc_id || '/g'
+        |    WHEN 3 THEN 'https://h.example.com/g'
+        |    WHEN 4 THEN 'https://o.example.com/x'
+        |    WHEN 5 THEN 'https://h.example.com/b' || doc_id || '/c/d;p?y'
+        |    WHEN 6 THEN 'https://h.example.com/b' || doc_id || '/c/g'
+        |    ELSE 'https://h.example.com/g' END AS resolved
+        |FROM documents""".stripMargin,
+
+    // the oracle IS the per-target row_number window the bounded top_k
+    // aggregate replaces (house rule for top-k duals)
+    "q_anchor_corpus" ->
+      """WITH a AS (
+        |  SELECT 'https://h' || (doc_id % 10) || '.example.com/shared' AS target,
+        |         'L' || (doc_id % 3) AS text FROM documents
+        |  UNION ALL
+        |  SELECT 'https://h' || (doc_id % 10) || '.example.com/dir/p/' || doc_id,
+        |         'Unique' FROM documents
+        |), c AS (SELECT target, text, COUNT(*) AS cnt FROM a GROUP BY 1, 2),
+        |r AS (SELECT target, text, cnt,
+        |        row_number() OVER (PARTITION BY target
+        |          ORDER BY cnt DESC, text ASC) AS rn FROM c)
+        |SELECT target, CAST(SUM(cnt) AS BIGINT) AS n_refs,
+        |  string_agg(CASE WHEN rn <= 2 THEN text END, '|' ORDER BY rn) AS texts
+        |FROM r GROUP BY target""".stripMargin,
 
     // closed form of the planted anchors (see the query comment)
     "q_anchor_text" ->

@@ -373,6 +373,23 @@ case class ExtractLinks(child: Expression)
   override protected def withNewChildInternal(c: Expression): ExtractLinks = copy(child = c)
 }
 
+/** RFC 3986 §5 reference resolution (fragments dropped): absolutize a
+  * page's relative hrefs against the page URL — rules pinned in
+  * [[graft.kernel.UrlResolve]]. NULL when the base has no scheme.
+  */
+case class ResolveUrl(left: Expression, right: Expression)
+    extends BinaryExpression with SimpleCodegen {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(base: Any, ref: Any): Any =
+    graft.kernel.UrlResolve.resolve(
+      base.asInstanceOf[UTF8String].toString,
+      ref.asInstanceOf[UTF8String].toString)
+      .map(UTF8String.fromString).orNull
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ResolveUrl =
+    copy(left = l, right = r)
+}
+
 /** Anchor-text harvest: `(href, anchor text)` pairs in document order —
   * rules pinned in [[graft.kernel.LinkExtract.anchors]]. Aggregated per
   * target across a crawl, link text is the classic off-page description /

@@ -55,6 +55,13 @@ object functions {
     */
   def extract_anchors(c: Column): Column = col(ExtractAnchors(ex(c)))
 
+  /** RFC 3986 resolution of a reference against a base URL (fragments
+    * dropped); NULL when the base has no scheme — see
+    * [[graft.kernel.UrlResolve]].
+    */
+  def resolve_url(base: Column, ref: Column): Column =
+    col(ResolveUrl(ex(base), ex(ref)))
+
   /** Head metadata of an HTML string column:
     * `struct<title, canonical, lang, description, noindex, nofollow,
     * charset>` — see [[graft.kernel.MetaExtract]] for the pinned rules.
@@ -222,6 +229,7 @@ object functions {
     one("graft_extract_links", es => ExtractLinks(es.head))
     one("graft_page_meta", es => PageMetaExpr(es.head))
     one("graft_extract_anchors", es => ExtractAnchors(es.head))
+    one("graft_resolve_url", es => ResolveUrl(es(0), es(1)))
     def stringLit(e: Expression): String =
       e.eval(null).asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
     one("graft_robots_rules", es => RobotsRules(es.head, stringLit(es(1))))

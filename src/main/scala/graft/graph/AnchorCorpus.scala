@@ -1,0 +1,55 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{extract_anchors, resolve_url, top_k}
+import graft.text.UrlOps
+
+/** Anchor-text corpus: for every link TARGET across a crawl, the most
+  * common texts other pages use to link to it, plus the total in-link
+  * count (graft-added). Aggregated anchor text is the classic off-page
+  * description of a page — retrieval systems index it next to the page's
+  * own content, and corpus pipelines use it as a relevance/quality prior
+  * alongside [[HostRank]].
+  *
+  * Scale shape (10¹² pages → 10¹³ links): per-page work is one narrow
+  * scan ([[graft.expr.ExtractAnchors]] + RFC 3986 absolutization +
+  * canonical folding), then exactly TWO partial-agg'd shuffles — a
+  * `(target, text)` count and a per-target reduce whose top-k texts come
+  * from the bounded [[graft.expr.TopKAgg]] aggregate (a 10⁶-in-link hot
+  * target ships k rows per map task, never 10⁶ rows into one window
+  * partition; no Window anywhere on the path).
+  */
+object AnchorCorpus {
+
+  /** DataFrame(target, n_refs, texts): canonical target URL, total
+    * in-links, top-`k` anchor texts by (count desc, text asc) joined with
+    * `|`. Only http(s) targets (a crawl graph, not mailto/javascript).
+    * Empty texts (image links) rank like any other text — uniform
+    * semantics with an exact SQL dual; callers who want them out filter
+    * the anchor stream first.
+    */
+  def build(pages: DataFrame, k: Int = 5,
+            urlCol: String = "url", htmlCol: String = "html"): DataFrame = {
+    val links = pages
+      .select(col(urlCol).as("_page"), explode(extract_anchors(col(htmlCol))).as("_a"))
+      .select(
+        UrlOps.canonicalizeUrl(resolve_url(col("_page"), col("_a.href"))).as("target"),
+        col("_a.text").as("text"))
+      .filter(col("target").rlike("^https?://"))
+    val counts = links
+      .groupBy("target", "text").agg(count(lit(1)).as("cnt"))
+    counts
+      .groupBy("target")
+      .agg(
+        sum("cnt").as("n_refs"),
+        top_k(struct((col("cnt") * -1).as("negCnt"), col("text")),
+          k).as("_top"))
+      .select(
+        col("target"),
+        col("n_refs"),
+        array_join(
+          transform(col("_top"), s => s.getField("text")), "|").as("texts"))
+  }
+}

@@ -1,0 +1,115 @@
+package graft.kernel
+
+/** RFC 3986 §5 reference resolution — turning the relative hrefs a page
+  * carries into absolute crawl targets against the page's own URL
+  * (graft-added; the per-page half of link-graph construction:
+  * [[LinkExtract]] harvests hrefs, this op absolutizes them, and
+  * [[graft.text.UrlOps.canonicalizeUrl]]/`hostOf` fold the result).
+  *
+  * Exact §5.2 algorithm — scheme/authority/path/query decomposition,
+  * `merge`, and `remove_dot_segments` — with ONE pinned deviation:
+  * FRAGMENTS ARE DROPPED (a fragment is client-side state, never sent to
+  * the server; two hrefs differing only in fragment are one crawl
+  * target). A same-document reference (`""` or `#frag`) therefore
+  * resolves to the base without its own fragment.
+  *
+  * Non-hierarchical refs (`mailto:`, `javascript:`, `data:`) carry their
+  * own scheme and come back as-is (minus fragment); callers filter to
+  * http(s) downstream ([[graft.graph.HostRank.hostEdges]] already does).
+  * Returns None when the BASE has no scheme (not a resolvable context).
+  */
+object UrlResolve {
+
+  private final case class Parts(
+      scheme: String,             // "" = none
+      authority: String,          // null = none ("" is a VALID empty authority)
+      path: String,
+      query: String)              // null = none ("" is a valid empty query)
+
+  private def parse(s: String): Parts = {
+    var rest = s
+    // fragment dropped wholesale (see object doc)
+    val hash = rest.indexOf('#')
+    if (hash >= 0) rest = rest.substring(0, hash)
+    var scheme = ""
+    val colon = rest.indexOf(':')
+    if (colon > 0 && rest.substring(0, colon).matches("[A-Za-z][A-Za-z0-9+.-]*")) {
+      scheme = rest.substring(0, colon).toLowerCase(java.util.Locale.ROOT)
+      rest = rest.substring(colon + 1)
+    }
+    var authority: String = null
+    if (rest.startsWith("//")) {
+      var e = 2
+      while (e < rest.length && rest.charAt(e) != '/' && rest.charAt(e) != '?') e += 1
+      authority = rest.substring(2, e)
+      rest = rest.substring(e)
+    }
+    var query: String = null
+    val q = rest.indexOf('?')
+    if (q >= 0) {
+      query = rest.substring(q + 1)
+      rest = rest.substring(0, q)
+    }
+    Parts(scheme, authority, rest, query)
+  }
+
+  /** RFC 3986 §5.2.4. */
+  private[kernel] def removeDotSegments(path: String): String = {
+    val out = new java.lang.StringBuilder(path.length)
+    var in = path
+    while (in.nonEmpty) {
+      if (in.startsWith("../")) in = in.substring(3)
+      else if (in.startsWith("./")) in = in.substring(2)
+      else if (in.startsWith("/./")) in = "/" + in.substring(3)
+      else if (in == "/.") in = "/"
+      else if (in.startsWith("/../") || in == "/..") {
+        in = if (in == "/..") "/" else "/" + in.substring(4)
+        // drop the last segment (and its leading '/') from out
+        var k = out.length - 1
+        while (k >= 0 && out.charAt(k) != '/') k -= 1
+        out.setLength(math.max(k, 0))
+      }
+      else if (in == "." || in == "..") in = ""
+      else {
+        var e = if (in.startsWith("/")) 1 else 0
+        while (e < in.length && in.charAt(e) != '/') e += 1
+        out.append(in.substring(0, e))
+        in = in.substring(e)
+      }
+    }
+    out.toString
+  }
+
+  /** §5.2.3 merge: reference path onto the base. */
+  private def merge(base: Parts, refPath: String): String =
+    if (base.authority != null && base.path.isEmpty) "/" + refPath
+    else {
+      val cut = base.path.lastIndexOf('/')
+      if (cut < 0) refPath else base.path.substring(0, cut + 1) + refPath
+    }
+
+  def resolve(base: String, ref: String): Option[String] = {
+    if (base == null || ref == null) return None
+    val b = parse(base)
+    if (b.scheme.isEmpty) return None
+    val r = parse(ref)
+    val t =
+      if (r.scheme.nonEmpty)
+        r.copy(path = removeDotSegments(r.path))
+      else if (r.authority != null)
+        Parts(b.scheme, r.authority, removeDotSegments(r.path), r.query)
+      else if (r.path.isEmpty)
+        Parts(b.scheme, b.authority, b.path,
+          if (r.query != null) r.query else b.query)
+      else if (r.path.startsWith("/"))
+        Parts(b.scheme, b.authority, removeDotSegments(r.path), r.query)
+      else
+        Parts(b.scheme, b.authority, removeDotSegments(merge(b, r.path)), r.query)
+    val sb = new java.lang.StringBuilder()
+    sb.append(t.scheme).append(':')
+    if (t.authority != null) sb.append("//").append(t.authority)
+    sb.append(t.path)
+    if (t.query != null) sb.append('?').append(t.query)
+    Some(sb.toString)
+  }
+}

@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
 
-import graft.graph.HostRank
+import graft.graph.{AnchorCorpus, HostRank}
 import graft.kernel.LinkExtract
 
 class LinkGraphSpec extends AnyFunSuite {
@@ -43,6 +43,27 @@ class LinkGraphSpec extends AnyFunSuite {
         |<a href="/s">be<script>ignored()</script>fore</a>""".stripMargin) ===
       Vector(("/s", "be fore")))
     assert(LinkExtract.anchors(null) === Vector.empty)
+  }
+
+  test("anchor corpus: resolution, canonical folding, bounded top-k ranking") {
+    import spark.implicits._
+    val pages = Seq(
+      // three pages naming the same target three ways (relative, absolute,
+      // www-spelled) with texts Good x2 / Best x1 / Meh x1 + an image link
+      ("https://a.example/dir/p1",
+        """<a href="../t">Good</a><a href="/t">Meh</a>"""),
+      ("https://b.example/p2",
+        """<a href="https://a.example/t">Good</a><a href="mailto:u@x">skip</a>"""),
+      ("https://c.example/p3",
+        """<a href="https://www.a.example/t">Best</a><a href="https://a.example/t"><img src="i"></a>""")
+    ).toDF("url", "html")
+    val out = AnchorCorpus.build(pages, k = 2)
+      .as[(String, Long, String)].collect()
+      .map { case (t, n, x) => t -> ((n, x)) }.toMap
+    // one canonical target: ../t, /t, absolute, and www all fold together;
+    // mailto is filtered; texts Good x2, then the cnt=1 tie broken text-asc
+    // ("" from the image link sorts first)
+    assert(out === Map("https://a.example/t" -> ((5L, "Good|"))))
   }
 
   test("case-insensitive tag and attribute; href after other attributes") {

@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.kernel.UrlResolve
+
+/** RFC 3986 §5.4's own example table (base `http://a/b/c/d;p?q`), with the
+  * fragment-bearing expectations adjusted for the pinned fragment-dropping
+  * deviation (see [[UrlResolve]]'s object doc).
+  */
+class UrlResolveSpec extends AnyFunSuite {
+
+  private val base = "http://a/b/c/d;p?q"
+  private def r(ref: String) = UrlResolve.resolve(base, ref).get
+
+  test("§5.4.1 normal examples") {
+    assert(r("g:h") === "g:h")
+    assert(r("g") === "http://a/b/c/g")
+    assert(r("./g") === "http://a/b/c/g")
+    assert(r("g/") === "http://a/b/c/g/")
+    assert(r("/g") === "http://a/g")
+    assert(r("//g") === "http://g")
+    assert(r("?y") === "http://a/b/c/d;p?y")
+    assert(r("g?y") === "http://a/b/c/g?y")
+    assert(r(";x") === "http://a/b/c/;x")
+    assert(r("g;x") === "http://a/b/c/g;x")
+    assert(r("") === "http://a/b/c/d;p?q")
+    assert(r(".") === "http://a/b/c/")
+    assert(r("./") === "http://a/b/c/")
+    assert(r("..") === "http://a/b/")
+    assert(r("../") === "http://a/b/")
+    assert(r("../g") === "http://a/b/g")
+    assert(r("../..") === "http://a/")
+    assert(r("../../") === "http://a/")
+    assert(r("../../g") === "http://a/g")
+    // fragment-bearing cases: RFC keeps the fragment, we drop it
+    assert(r("#s") === "http://a/b/c/d;p?q")
+    assert(r("g#s") === "http://a/b/c/g")
+    assert(r("g?y#s") === "http://a/b/c/g?y")
+    assert(r("g;x?y#s") === "http://a/b/c/g;x?y")
+  }
+
+  test("§5.4.2 abnormal examples") {
+    assert(r("../../../g") === "http://a/g")
+    assert(r("../../../../g") === "http://a/g")
+    assert(r("/./g") === "http://a/g")
+    assert(r("/../g") === "http://a/g")
+    assert(r("g.") === "http://a/b/c/g.")
+    assert(r(".g") === "http://a/b/c/.g")
+    assert(r("g..") === "http://a/b/c/g..")
+    assert(r("..g") === "http://a/b/c/..g")
+    assert(r("./../g") === "http://a/b/g")
+    assert(r("./g/.") === "http://a/b/c/g/")
+    assert(r("g/./h") === "http://a/b/c/g/h")
+    assert(r("g/../h") === "http://a/b/c/h")
+    assert(r("g;x=1/./y") === "http://a/b/c/g;x=1/y")
+    assert(r("g;x=1/../y") === "http://a/b/c/y")
+    assert(r("g?y/./x") === "http://a/b/c/g?y/./x")
+    assert(r("g?y/../x") === "http://a/b/c/g?y/../x")
+    // strict mode: a ref with the base's own scheme is still absolute
+    assert(r("http:g") === "http:g")
+  }
+
+  test("edges: authority-rooted bases, scheme-less base, nulls") {
+    // base with authority and empty path: merge inserts the leading slash
+    assert(UrlResolve.resolve("https://x.example", "a/b").get === "https://x.example/a/b")
+    assert(UrlResolve.resolve("https://x.example", "").get === "https://x.example")
+    // protocol-relative ref keeps the base scheme
+    assert(UrlResolve.resolve("https://x.example/p", "//y.example/q").get ===
+      "https://y.example/q")
+    // base without a scheme is not a resolvable context
+    assert(UrlResolve.resolve("/just/a/path", "g").isEmpty)
+    assert(UrlResolve.resolve(null, "g").isEmpty)
+    assert(UrlResolve.resolve(base, null).isEmpty)
+    // non-hierarchical refs pass through minus fragment
+    assert(r("mailto:u@x.example") === "mailto:u@x.example")
+    assert(r("javascript:void(0)") === "javascript:void(0)")
+  }
+}

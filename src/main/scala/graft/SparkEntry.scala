@@ -506,6 +506,26 @@ object SparkEntry {
         size(links).cast("long").as("n_links"))
     }),
 
+    // Domain-blocklist gate (graft-added): five host shapes by residue —
+    // a subdomain of a listed domain (inherits the block), the listed
+    // domain exactly, an unlisted domain, a NON-match that shares the
+    // listed domain's suffix without a label boundary (notbad ≠ bad), and
+    // a subdomain of the second listed domain. The list is a parameter
+    // (published blocklists are external data, like the C4 bad-word list).
+    "q_domain_blocklist" -> ((s, dir) => {
+      val r = col("doc_id") % 5
+      val host = when(r === 0, lit("x.bad.example.com"))
+        .when(r === 1, lit("bad.example.com"))
+        .when(r === 2, lit("good.example.com"))
+        .when(r === 3, lit("notbad.example.com"))
+        .otherwise(lit("a.spam.net"))
+      val url = concat(lit("https://"), host, lit("/p"), col("doc_id"))
+      t(s, dir, "documents").select(
+        col("doc_id"), url.as("url"),
+        host_blocked(UrlOps.hostOf(url),
+          Seq("bad.example.com", "spam.net")).as("blocked"))
+    }),
+
     // RFC 3986 reference resolution (graft-added): one base URL per doc
     // and eight reference shapes by residue — plain segment, ./ with a
     // query, ../ climb, absolute path, protocol-relative authority,
@@ -2961,6 +2981,17 @@ object SparkEntry {
         |    || doc_id || '|https://c.example/u' || doc_id
         |    || '|/relative/path' AS links,
         |  CAST(4 AS BIGINT) AS n_links
+        |FROM documents""".stripMargin,
+
+    // closed form of the planted blocklist verdicts (see the query comment)
+    "q_domain_blocklist" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  'https://' ||
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN 'x.bad.example.com' WHEN 1 THEN 'bad.example.com'
+        |      WHEN 2 THEN 'good.example.com' WHEN 3 THEN 'notbad.example.com'
+        |      ELSE 'a.spam.net' END || '/p' || doc_id AS url,
+        |  doc_id % 5 IN (0, 1, 4) AS blocked
         |FROM documents""".stripMargin,
 
     // closed form of the eight planted reference shapes (RFC 3986 §5.4)

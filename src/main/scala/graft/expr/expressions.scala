@@ -373,6 +373,36 @@ case class ExtractLinks(child: Expression)
   override protected def withNewChildInternal(c: Expression): ExtractLinks = copy(child = c)
 }
 
+/** Blocklist membership of a canonical host: true when the host equals a
+  * listed domain or is a SUBDOMAIN of one (label-boundary suffix match —
+  * `notbad.example.com` does not match `bad.example.com`). The published
+  * URL/domain blocklists every curation recipe gates on (UT1 and kin) are
+  * external data — a parameter here, like the C4 bad-word list. The list
+  * rides the plan to every task (the CMS/Bloom pattern): ~10⁶ entries cost
+  * one hash probe per label per row — a narrow scan filter, no join, no
+  * shuffle.
+  */
+case class HostInDomainList(child: Expression, domains: Seq[String])
+    extends UnaryExpression with SimpleCodegen {
+  @transient private lazy val set: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](math.max(domains.size * 2, 16))
+    domains.foreach(d => s.add(d.toLowerCase(java.util.Locale.ROOT)))
+    s
+  }
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(input: Any): Any = {
+    val host = input.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT)
+    var blocked = set.contains(host)
+    var i = 0
+    while (!blocked && i < host.length) {
+      if (host.charAt(i) == '.') blocked = set.contains(host.substring(i + 1))
+      i += 1
+    }
+    blocked
+  }
+  override protected def withNewChildInternal(c: Expression): HostInDomainList = copy(child = c)
+}
+
 /** RFC 3986 §5 reference resolution (fragments dropped): absolutize a
   * page's relative hrefs against the page URL — rules pinned in
   * [[graft.kernel.UrlResolve]]. NULL when the base has no scheme.

@@ -62,6 +62,13 @@ object functions {
   def resolve_url(base: Column, ref: Column): Column =
     col(ResolveUrl(ex(base), ex(ref)))
 
+  /** True when a host column equals or is a subdomain of any listed domain
+    * (label-boundary match) — see [[graft.expr.HostInDomainList]]. Pair
+    * with [[graft.text.UrlOps.hostOf]] for the URL form.
+    */
+  def host_blocked(host: Column, domains: Seq[String]): Column =
+    col(HostInDomainList(ex(host), domains))
+
   /** Head metadata of an HTML string column:
     * `struct<title, canonical, lang, description, noindex, nofollow,
     * charset>` — see [[graft.kernel.MetaExtract]] for the pinned rules.

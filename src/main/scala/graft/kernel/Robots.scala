@@ -79,6 +79,26 @@ object Robots {
     groups.result()
   }
 
+  /** All `Sitemap:` values of a robots.txt body, document order, duplicates
+    * kept (RFC 9309 §2.2.4-adjacent: sitemaps are non-group records — they
+    * apply file-wide regardless of position). The crawl-discovery seed a
+    * pipeline harvests next to the rule groups.
+    */
+  def sitemaps(txt: String): Vector[String] = {
+    if (txt == null) return Vector.empty
+    val out = Vector.newBuilder[String]
+    txt.split("\n", -1).foreach { raw =>
+      val hash = raw.indexOf('#')
+      val line = (if (hash >= 0) raw.substring(0, hash) else raw).trim
+      val colon = line.indexOf(':')
+      if (colon > 0 && lc(line.substring(0, colon).trim) == "sitemap") {
+        val v = line.substring(colon + 1).trim
+        if (v.nonEmpty) out += v
+      }
+    }
+    out.result()
+  }
+
   /** The merged rule list governing `userAgent` (see group selection in
     * the object doc). Empty when the file has no applicable group.
     */

@@ -122,6 +122,33 @@ class RobotsSpec extends AnyFunSuite {
     assert(!Robots.allowed(noStar, "A", "/x"))
   }
 
+  test("sitemaps: file-wide, position-independent, duplicates kept") {
+    assert(Robots.sitemaps(txt) === Vector("https://x.example/map.xml"))
+    val multi = "Sitemap: https://a/m1.xml\nUser-agent: *\nDisallow: /\n" +
+      "sitemap: https://a/m2.xml # trailing\nSITEMAP: https://a/m1.xml"
+    assert(Robots.sitemaps(multi) ===
+      Vector("https://a/m1.xml", "https://a/m2.xml", "https://a/m1.xml"))
+    assert(Robots.sitemaps(null) === Vector.empty)
+    assert(Robots.sitemaps("Sitemap:") === Vector.empty)
+  }
+
+  test("host blocklist: exact, subdomain, label boundary, case folding") {
+    import graft.expr.HostInDomainList
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val domains = Seq("bad.example.com", "spam.net")
+    def blocked(h: String): Boolean =
+      HostInDomainList(Literal(h), domains).eval(null).asInstanceOf[Boolean]
+    assert(blocked("bad.example.com"))
+    assert(blocked("x.bad.example.com"))
+    assert(blocked("deep.x.bad.example.com"))
+    assert(blocked("BAD.Example.COM"))
+    assert(blocked("a.spam.net"))
+    assert(!blocked("notbad.example.com"))   // no label boundary
+    assert(!blocked("example.com"))          // parent of a listed domain
+    assert(!blocked("bad.example.com.evil")) // listed domain as a PREFIX
+    assert(!blocked("good.example.com"))
+  }
+
   test("null / empty / garbage bodies impose nothing") {
     assert(Robots.parseGroups(null) === Vector.empty)
     assert(Robots.allowed("", "anybot", "/any"))

@@ -315,4 +315,50 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed === batch)
     assert(streamed.map(_._2).exists(_.contains("café’s")))
   }
+
+  test("page meta, anchors, URL resolution, robots verdicts are streaming-valid") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.functions.{extract_anchors, page_meta, resolve_url, robots_allowed, robots_rules}
+    val robotsTxt = "User-agent: *\nDisallow: /private\nAllow: /private/ok"
+    val rows = Seq(
+      (1L, "https://a.example/private/x",
+        """<html lang="en"><head><title>T</title>
+          |<link rel="canonical" href="/canon"></head>
+          |<body><a href="../x">Up</a><a href="/private/y">Deny</a></body>""".stripMargin),
+      (2L, "https://b.example/private/ok/z", "<p>no declarations</p>"))
+
+    def ops(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"),
+      col("m.title").as("title"),
+      col("m.canonical").as("canonical"),
+      concat_ws("|", org.apache.spark.sql.functions.transform(
+        extract_anchors(col("html")),
+        a => concat_ws("=>", a.getField("href"), a.getField("text")))).as("anchors"),
+      resolve_url(col("url"), lit("../rel")).as("resolved"),
+      robots_allowed(robots_rules(lit(robotsTxt), "graftbot"),
+        graft.text.RobotsGate.pathQueryOf(col("url"))).as("allowed"))
+
+    def withMeta(df: org.apache.spark.sql.DataFrame) =
+      ops(df.withColumn("m", page_meta(col("html"))))
+
+    val stream = MemoryStream[(Long, String, String)]
+    stream.addData(rows: _*)
+    val q = withMeta(stream.toDF().toDF("doc_id", "url", "html"))
+      .writeStream.format("memory").queryName("meta_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), Option(r.getString(1)), Option(r.getString(2)),
+        r.getString(3), r.getString(4), r.getBoolean(5))
+    val streamed = spark.table("meta_stream").collect().map(key).toSet
+    val batch = withMeta(rows.toDF("doc_id", "url", "html")).collect().map(key).toSet
+    assert(streamed === batch)
+    // the robots verdicts exercised both branches: /private/x denied, the
+    // longer /private/ok allow rescues row 2
+    assert(streamed.collect { case t if t._1 == 1L => t._6 } === Set(false))
+    assert(streamed.collect { case t if t._1 == 2L => t._6 } === Set(true))
+    assert(streamed.exists(t => t._2 === Some("T") && t._3 === Some("/canon")))
+  }
 }

@@ -532,6 +532,47 @@ object PlanAudit {
     check("q_soft_dedup: partial-agg'd sizes + join-back, no Window",
       psd.contains("partial_count") && !psd.contains("Window"), psd)
 
+    // Head metadata: per-row struct extraction — the q_pii narrow contract.
+    val pmeta = plan("q_page_meta")
+    check("q_page_meta: narrow codegen'd scan (no Exchange/join/Window)",
+      !pmeta.contains("Exchange") && !pmeta.contains("Join") &&
+        !pmeta.contains("Window") &&
+        (pmeta.contains("WholeStageCodegen") || pmeta.contains("*(")), pmeta)
+
+    // robots gate: rules parsed on the HOST side (robotsrules appears
+    // exactly once, in the rule-table projection — asserted on the
+    // OPTIMIZED logical plan, because tree-mode physical strings don't
+    // print aggregate output expressions), pages join the rule array as a
+    // shuffled-hash equi-join — no broadcast-nested-loop, no cartesian,
+    // no Window.
+    {
+      val robDf = SparkEntry.queries("q_robots_gate")(spark, sfDir)
+      robDf.collect()
+      val robLogical = robDf.queryExecution.optimizedPlan.toString.toLowerCase
+      val robFinal = robDf.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      check("q_robots_gate: robots.txt parsed once per host, not per page",
+        "robotsrules".r.findAllIn(robLogical).length == 1, robLogical)
+      check("q_robots_gate: shuffled-hash equi-join, no cartesian/BNLJ/Window",
+        robFinal.contains("ShuffledHashJoin") && !robFinal.contains("Cartesian") &&
+          !robFinal.contains("BroadcastNestedLoop") && !robFinal.contains("Window"),
+        robFinal)
+    }
+
+    // Anchor corpus: two partial-agg'd aggregations with the bounded top_k
+    // (ObjectHashAggregate) — no Window, no cartesian anywhere.
+    val panc = plan("q_anchor_corpus")
+    check("q_anchor_corpus: partial-agg'd counts + bounded top_k, no Window",
+      panc.contains("partial_count") && panc.contains("ObjectHashAggregate") &&
+        !panc.contains("Window") && !panc.contains("Cartesian"), panc)
+
+    // Domain blocklist: the plan-carried hash set is a narrow scan filter.
+    val pblk = plan("q_domain_blocklist")
+    check("q_domain_blocklist: narrow codegen'd scan (no Exchange/join/Window)",
+      !pblk.contains("Exchange") && !pblk.contains("Join") &&
+        !pblk.contains("Window") &&
+        (pblk.contains("WholeStageCodegen") || pblk.contains("*(")), pblk)
+
     println(s"PlanAudit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()
     if (failures > 0) sys.exit(1)

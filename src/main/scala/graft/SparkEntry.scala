@@ -1623,6 +1623,23 @@ object SparkEntry {
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_captures"))
     }),
 
+    // Latest-capture collapse (graft-added): 100 logical pages, ~5 captures
+    // each across two URL spellings (www+:443 vs bare — canonicalization
+    // folds them), capture time monotone in doc_id. The keeper per page is
+    // the max-id capture; the DuckDB oracle is the TRUE dual (same grouped
+    // max over the same canonical key).
+    "q_latest_capture" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val spelled = when(col("doc_id") % 2 === 0,
+        concat(lit("https://WWW.s"), col("doc_id") % 100, lit(".example.com:443/p")))
+        .otherwise(concat(lit("https://s"), col("doc_id") % 100, lit(".example.com/p")))
+      val pages = docs.select(
+        col("doc_id"), spelled.as("url"),
+        timestamp_seconds(lit(1700000000L) + col("doc_id")).as("warc_ts"))
+      UrlOps.latestCapture(pages)
+        .select(col("doc_id"), col("url"), col("warc_ts"))
+    }),
+
     // Per-domain corpus stats (partial-agg'd shuffle on the host key —
     // the input to domain-level quality gates and contribution caps).
     // Quality is summed as exact integer millionths so the oracle compare
@@ -2572,6 +2589,19 @@ object SparkEntry {
         |  MIN(doc_id) AS keep_id,
         |  COUNT(*) * 2 AS n_captures
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // TRUE dual of the latest-capture collapse: same grouped max over the
+    // same canonical key (ts monotone in doc_id, so max id = max ts)
+    "q_latest_capture" ->
+      """WITH k AS (
+        |  SELECT doc_id % 100 AS g, MAX(doc_id) AS keep
+        |  FROM documents GROUP BY 1)
+        |SELECT d.doc_id AS doc_id,
+        |  CASE WHEN d.doc_id % 2 = 0
+        |    THEN 'https://WWW.s' || (d.doc_id % 100) || '.example.com:443/p'
+        |    ELSE 'https://s' || (d.doc_id % 100) || '.example.com/p' END AS url,
+        |  make_timestamp((1700000000 + d.doc_id) * 1000000) AS warc_ts
+        |FROM documents d JOIN k ON d.doc_id = k.keep""".stripMargin,
 
     "q_domain_stats" ->
       s"""SELECT 'news-' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS domain,

@@ -102,4 +102,26 @@ object UrlOps {
     val auth = regexp_extract(canonicalizeUrl(url), "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
     regexp_replace(regexp_replace(auth, "^[^@/]*@", ""), ":[0-9]+$", "")
   }
+
+  /** Latest-capture collapse (the CDX collapse crawl archives run before
+    * any content processing): among the many captures of one canonical URL
+    * across a crawl window, keep exactly the newest — ties broken by the
+    * id so re-runs are deterministic. Complements the keep-FIRST exact
+    * dedup: snapshots want the freshest capture, dedup wants a stable one.
+    *
+    * Scale shape: the same skew ladder as representative selection — a
+    * partial-agg'd `max_by` over a packed (ts, id) struct (a hot URL's
+    * million captures collapse map-side) + an equi-join back on the
+    * canonical key. No window, no global sort.
+    */
+  def latestCapture(pages: org.apache.spark.sql.DataFrame,
+                    urlCol: String = "url", tsCol: String = "warc_ts",
+                    idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    val keyed = pages.withColumn("_canon", canonicalizeUrl(col(urlCol)))
+    val keepers = keyed.groupBy("_canon")
+      .agg(max_by(col(idCol), struct(col(tsCol), col(idCol))).as("_keep_id"))
+    keyed.join(keepers.hint("shuffle_hash"), "_canon")
+      .filter(col(idCol) === col("_keep_id"))
+      .drop("_canon", "_keep_id")
+  }
 }

@@ -195,6 +195,24 @@ class TrainingOpsSpec extends AnyFunSuite {
 
   // ---- TextOps ----
 
+  test("latest capture: newest per canonical url wins, spellings fold, id tiebreak") {
+    import spark.implicits._
+    val ts = (s: Long) => new java.sql.Timestamp(s * 1000L)
+    val pages = Seq(
+      // one logical page under three spellings; newest ts wins
+      (1L, "https://WWW.x.example:443/p", ts(100)),
+      (2L, "https://x.example/p", ts(300)),
+      (3L, "https://x.example/p/", ts(200)), // trailing slash folds too
+      // equal timestamps: the larger id wins deterministically
+      (4L, "https://y.example/q", ts(500)),
+      (5L, "https://y.example/q", ts(500)),
+      // a singleton survives untouched
+      (6L, "https://z.example/r", ts(1))
+    ).toDF("doc_id", "url", "warc_ts")
+    val kept = UrlOps.latestCapture(pages).select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 5L, 6L))
+  }
+
   test("language id picks the stopword-dominant language; und for no hits") {
     import spark.implicits._
     val df = Seq(

@@ -526,6 +526,22 @@ object SparkEntry {
           Seq("bad.example.com", "spam.net")).as("blocked"))
     }),
 
+    // Sitemap harvest (graft-added): one robots.txt per 20-host residue,
+    // carrying two sitemap records around a rule group (position must not
+    // matter) plus a commented-out decoy; exploded to (host, sitemap) rows.
+    "q_robots_sitemaps" -> ((s, dir) => {
+      val robotsTxt = concat(
+        lit("Sitemap: https://h"), col("hostnum"), lit(".example.com/map1.xml\n" +
+          "User-agent: *\nDisallow: /private\n" +
+          "# Sitemap: https://ghost.example/decoy.xml\n" +
+          "sitemap: https://h"), col("hostnum"), lit(".example.com/map2.xml"))
+      t(s, dir, "documents")
+        .select((col("doc_id") % 20).as("hostnum")).distinct()
+        .select(
+          concat(lit("h"), col("hostnum"), lit(".example.com")).as("host"),
+          explode(robots_sitemaps(robotsTxt)).as("sitemap"))
+    }),
+
     // RFC 3986 reference resolution (graft-added): one base URL per doc
     // and eight reference shapes by residue — plain segment, ./ with a
     // query, ../ climb, absolute path, protocol-relative authority,
@@ -3023,6 +3039,14 @@ object SparkEntry {
         |      ELSE 'a.spam.net' END || '/p' || doc_id AS url,
         |  doc_id % 5 IN (0, 1, 4) AS blocked
         |FROM documents""".stripMargin,
+
+    // closed form of the planted sitemap records: two per host, document
+    // order, the commented decoy never surfaces
+    "q_robots_sitemaps" ->
+      """SELECT 'h' || g || '.example.com' AS host,
+        |  'https://h' || g || '.example.com/map' || m || '.xml' AS sitemap
+        |FROM (SELECT DISTINCT doc_id % 20 AS g FROM documents),
+        |     (SELECT 1 AS m UNION ALL SELECT 2)""".stripMargin,
 
     // closed form of the eight planted reference shapes (RFC 3986 §5.4)
     "q_resolve_url" ->

@@ -494,6 +494,20 @@ object RobotsRules {
     StructField("pattern", StringType, nullable = false))), containsNull = false)
 }
 
+/** robots.txt → its `Sitemap:` records (file-wide, position-independent;
+  * rules pinned in [[graft.kernel.Robots.sitemaps]]) — the crawl-discovery
+  * seeds harvested next to the rule groups.
+  */
+case class RobotsSitemaps(child: Expression)
+    extends UnaryExpression with SimpleCodegen {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      Robots.sitemaps(input.asInstanceOf[UTF8String].toString)
+        .map(UTF8String.fromString).toArray[Any])
+  override protected def withNewChildInternal(c: Expression): RobotsSitemaps = copy(child = c)
+}
+
 /** Longest-match robots verdict of a (rules, path+query) pair — `*` / `$`
   * wildcard semantics and tie rules pinned in [[graft.kernel.Robots]].
   * Matches directly over the array rows (no per-row rule materialization).
@@ -504,7 +518,10 @@ case class RobotsAllowed(left: Expression, right: Expression)
   override def nullSafeEval(rulesAny: Any, pathAny: Any): Any = {
     val arr = rulesAny.asInstanceOf[ArrayData]
     val raw = pathAny.asInstanceOf[UTF8String].toString
-    val path = if (raw.isEmpty) "/" else raw
+    val path =
+      if (raw.isEmpty) "/"
+      else if (raw.charAt(0) == '?') "/" + raw // query-only: implicit root
+      else raw
     var bestLen = -1
     var bestAllow = true
     var i = 0

@@ -87,6 +87,9 @@ object functions {
   def robots_allowed(rules: Column, pathQuery: Column): Column =
     col(RobotsAllowed(ex(rules), ex(pathQuery)))
 
+  /** `Sitemap:` records of a robots.txt body (crawl-discovery seeds). */
+  def robots_sitemaps(c: Column): Column = col(RobotsSitemaps(ex(c)))
+
   /** Main content of an HTML string column: good blocks joined with `\n`. */
   def main_content(c: Column,
                    minChars: Int = graft.kernel.Boilerplate.DefaultMinChars,
@@ -241,6 +244,7 @@ object functions {
       e.eval(null).asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
     one("graft_robots_rules", es => RobotsRules(es.head, stringLit(es(1))))
     one("graft_robots_allowed", es => RobotsAllowed(es(0), es(1)))
+    one("graft_robots_sitemaps", es => RobotsSitemaps(es.head))
     one("graft_jaro", es => JaroSim(es(0), es(1)))
     one("graft_jaro_winkler", es => JaroWinklerSim(es(0), es(1)))
     one("graft_lcs_length", es => LongestCommonSubstring(es(0), es(1)))

@@ -92,6 +92,76 @@ object HtmlText {
     -1
   }
 
+  /** First value of attribute `name` (case-insensitive) in a tag body —
+    * a LEFT-TO-RIGHT attribute tokenizer, so quoted values are skipped as
+    * units and a name occurring inside another attribute's VALUE can never
+    * match (`content="charset=utf-8"` is not a charset attribute; a
+    * `data-href` name is not an href). Value forms per the HTML attribute
+    * syntax: double/single-quoted (an unterminated quote runs to the end
+    * of the tag body — the tag scan itself is quote-unaware), unquoted
+    * (to whitespace), and valueless boolean attributes (→ `""`).
+    * Entity-decoded. Shared by [[LinkExtract.href]] and
+    * [[MetaExtract.attr]].
+    */
+  private[kernel] def attr(inner: String, name: String): Option[String] = {
+    val n = inner.length
+    var i = 0
+    // the tag name (and any leading '/') is a run of non-whitespace
+    while (i < n && !Character.isWhitespace(inner.charAt(i))) i += 1
+    while (i < n) {
+      while (i < n && (Character.isWhitespace(inner.charAt(i)) || inner.charAt(i) == '/')) i += 1
+      if (i >= n) return None
+      val ns = i
+      while (i < n && !Character.isWhitespace(inner.charAt(i)) &&
+        inner.charAt(i) != '=' && inner.charAt(i) != '/') i += 1
+      val aname = inner.substring(ns, i)
+      if (aname.isEmpty) { i += 1 } // stray '=' or other junk: skip one char
+      else {
+        var j = i
+        while (j < n && Character.isWhitespace(inner.charAt(j))) j += 1
+        var value = "" // boolean attribute form
+        if (j < n && inner.charAt(j) == '=') {
+          j += 1
+          while (j < n && Character.isWhitespace(inner.charAt(j))) j += 1
+          if (j >= n) i = j
+          else {
+            val c = inner.charAt(j)
+            if (c == '"' || c == '\'') {
+              val e = inner.indexOf(c, j + 1)
+              value = inner.substring(j + 1, if (e < 0) n else e)
+              i = if (e < 0) n else e + 1
+            } else {
+              val vs = j
+              while (j < n && !Character.isWhitespace(inner.charAt(j))) j += 1
+              value = inner.substring(vs, j)
+              i = j
+            }
+          }
+        } else i = i.max(ns + aname.length)
+        if (aname.equalsIgnoreCase(name)) return Some(decodeAll(value))
+      }
+    }
+    None
+  }
+
+  /** Entity-decode a full string (the per-entity table below). */
+  private[kernel] def decodeAll(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '&') {
+        val (decoded, next) = decodeEntity(s, i)
+        sb.append(decoded)
+        i = next
+      } else {
+        sb.append(s.charAt(i))
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
   private val Named = Map(
     "lt" -> "<", "gt" -> ">", "amp" -> "&", "quot" -> "\"",
     "apos" -> "'", "nbsp" -> " ")

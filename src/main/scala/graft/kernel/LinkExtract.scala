@@ -146,59 +146,11 @@ object LinkExtract {
   }
 
   /** The `href` attribute value inside one tag body (text between `<` and
-    * `>`), or None. Attribute name is case-insensitive and must be preceded
-    * by whitespace (so `data-href` doesn't match); value forms per the HTML
-    * spec's attribute syntax: double-quoted, single-quoted, or unquoted
-    * (terminated by whitespace or end-of-tag). Entities in the value are
-    * decoded with [[HtmlText.decodeEntity]].
+    * `>`), or None — [[HtmlText.attr]]'s shared tokenizer contract:
+    * left-to-right attribute scan (an href-looking string inside another
+    * attribute's quoted value never matches; nor does `data-href`),
+    * double/single-quoted/unquoted/valueless forms, entity decode.
     */
-  private[kernel] def href(inner: String): Option[String] = {
-    var i = 0
-    val n = inner.length
-    while (i < n) {
-      val at = HtmlText.findCaseInsensitive(inner, "href", i)
-      if (at < 0) return None
-      // must be an attribute name: preceded by whitespace, followed by
-      // optional whitespace then '='
-      val okLeft = at > 0 && Character.isWhitespace(inner.charAt(at - 1))
-      var j = at + 4
-      while (j < n && Character.isWhitespace(inner.charAt(j))) j += 1
-      if (okLeft && j < n && inner.charAt(j) == '=') {
-        j += 1
-        while (j < n && Character.isWhitespace(inner.charAt(j))) j += 1
-        if (j >= n) return Some("")
-        val c = inner.charAt(j)
-        val (endExclusive, start) =
-          if (c == '"' || c == '\'') {
-            val e = inner.indexOf(c, j + 1)
-            (if (e < 0) n else e, j + 1)
-          } else {
-            var e = j
-            while (e < n && !Character.isWhitespace(inner.charAt(e))) e += 1
-            (e, j)
-          }
-        return Some(decode(inner.substring(start, endExclusive)))
-      }
-      i = at + 4
-    }
-    None
-  }
-
-  /** Entity-decode an attribute value (same table as text content). */
-  private def decode(s: String): String = {
-    if (s.indexOf('&') < 0) return s
-    val sb = new java.lang.StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      if (s.charAt(i) == '&') {
-        val (decoded, next) = HtmlText.decodeEntity(s, i)
-        sb.append(decoded)
-        i = next
-      } else {
-        sb.append(s.charAt(i))
-        i += 1
-      }
-    }
-    sb.toString
-  }
+  private[kernel] def href(inner: String): Option[String] =
+    HtmlText.attr(inner, "href")
 }

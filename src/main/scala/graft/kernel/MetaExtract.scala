@@ -30,6 +30,10 @@ package graft.kernel
   * directives UNIONED across multiple robots metas (restrictive wins, the
   * documented search-engine behavior). `rel` is matched as a
   * whitespace-separated token list (`rel="alternate canonical"` counts).
+  * The walk stops at `</head>` or the first `<body>` — these elements are
+  * head-scope per the spec, so body content (an inline SVG `<title>`,
+  * meta markup pasted into a forum post) can never pollute page metadata,
+  * and megabyte bodies are never walked.
   */
 object MetaExtract {
 
@@ -75,6 +79,15 @@ object MetaExtract {
                 i = if (endClose < 0) n else endClose + 1
               }
             } else {
+              // head boundary: these elements are head-scope per the HTML
+              // spec — stop at </head> or the first <body>, so body content
+              // (an inline SVG <title>, user-pasted meta markup in a forum
+              // post) can't pollute page metadata, and megabyte bodies are
+              // never walked at all
+              if ((inner.startsWith("/") && name == "head") ||
+                  (!inner.startsWith("/") && name == "body"))
+                return PageMeta(title, canonical, lang, description,
+                  noindex, nofollow, charset)
               if (!inner.startsWith("/")) name match {
                 case "html" =>
                   if (lang.isEmpty) lang = attr(inner, "lang").filter(_.nonEmpty)
@@ -84,7 +97,8 @@ object MetaExtract {
                     val endTag = HtmlText.findCaseInsensitive(html, "</title", close + 1)
                     val bodyEnd = if (endTag < 0) n else endTag
                     if (title.isEmpty) {
-                      val t = HtmlText.collapseWhitespace(decodeAll(html.substring(close + 1, bodyEnd)))
+                      val t = HtmlText.collapseWhitespace(
+                        HtmlText.decodeAll(html.substring(close + 1, bodyEnd)))
                       if (t.nonEmpty) title = Some(t)
                     }
                     if (endTag < 0) { i = n }
@@ -133,41 +147,12 @@ object MetaExtract {
     PageMeta(title, canonical, lang, description, noindex, nofollow, charset)
   }
 
-  /** One attribute value inside a tag body: name case-insensitive, must be
-    * preceded by whitespace and followed by optional whitespace + `=`;
-    * double-quoted / single-quoted / unquoted value forms; entity-decoded.
-    * Same matching contract as [[LinkExtract.href]] generalized to any name.
+  /** One attribute value inside a tag body — [[HtmlText.attr]]'s shared
+    * left-to-right tokenizer (quoted values are skipped as units, so a
+    * name inside another attribute's value can never match).
     */
-  private[kernel] def attr(inner: String, name: String): Option[String] = {
-    var i = 0
-    val n = inner.length
-    val len = name.length
-    while (i < n) {
-      val at = HtmlText.findCaseInsensitive(inner, name, i)
-      if (at < 0) return None
-      val okLeft = at > 0 && Character.isWhitespace(inner.charAt(at - 1))
-      var j = at + len
-      while (j < n && Character.isWhitespace(inner.charAt(j))) j += 1
-      if (okLeft && j < n && inner.charAt(j) == '=') {
-        j += 1
-        while (j < n && Character.isWhitespace(inner.charAt(j))) j += 1
-        if (j >= n) return Some("")
-        val c = inner.charAt(j)
-        val (endExclusive, start) =
-          if (c == '"' || c == '\'') {
-            val e = inner.indexOf(c, j + 1)
-            (if (e < 0) n else e, j + 1)
-          } else {
-            var e = j
-            while (e < n && !Character.isWhitespace(inner.charAt(e))) e += 1
-            (e, j)
-          }
-        return Some(decodeAll(inner.substring(start, endExclusive)))
-      }
-      i = at + len
-    }
-    None
-  }
+  private[kernel] def attr(inner: String, name: String): Option[String] =
+    HtmlText.attr(inner, name)
 
   /** True when the tag's `rel` attribute contains `token` as one of its
     * whitespace-separated link types (HTML spec: rel is a token LIST).
@@ -195,22 +180,4 @@ object MetaExtract {
   }
 
   private def lc(s: String): String = s.toLowerCase(java.util.Locale.ROOT)
-
-  /** Entity-decode a full string (the per-entity table of [[HtmlText]]). */
-  private[kernel] def decodeAll(s: String): String = {
-    if (s.indexOf('&') < 0) return s
-    val sb = new java.lang.StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      if (s.charAt(i) == '&') {
-        val (decoded, next) = HtmlText.decodeEntity(s, i)
-        sb.append(decoded)
-        i = next
-      } else {
-        sb.append(s.charAt(i))
-        i += 1
-      }
-    }
-    sb.toString
-  }
 }

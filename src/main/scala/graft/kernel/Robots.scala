@@ -82,7 +82,10 @@ object Robots {
   /** All `Sitemap:` values of a robots.txt body, document order, duplicates
     * kept (RFC 9309 §2.2.4-adjacent: sitemaps are non-group records — they
     * apply file-wide regardless of position). The crawl-discovery seed a
-    * pipeline harvests next to the rule groups.
+    * pipeline harvests next to the rule groups. `#` starts a comment on
+    * these lines too (the REP line convention) — a sitemap URL carrying a
+    * literal fragment would be truncated, but a fragment is meaningless on
+    * a fetch target anyway.
     */
   def sitemaps(txt: String): Vector[String] = {
     if (txt == null) return Vector.empty
@@ -122,10 +125,14 @@ object Robots {
   }
 
   /** Longest-match verdict for a path(+query); allow wins ties; no match
-    * (or no rules) = allowed.
+    * (or no rules) = allowed. An empty or query-only target gets its
+    * implicit root (`""` → `/`, `?q` → `/?q`) so root rules gate it.
     */
   def isAllowed(rules: Seq[Rule], pathQuery: String): Boolean = {
-    val path = if (pathQuery == null || pathQuery.isEmpty) "/" else pathQuery
+    val path =
+      if (pathQuery == null || pathQuery.isEmpty) "/"
+      else if (pathQuery.charAt(0) == '?') "/" + pathQuery
+      else pathQuery
     var bestLen = -1
     var bestAllow = true
     rules.foreach { r =>

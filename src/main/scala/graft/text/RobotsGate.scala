@@ -24,12 +24,16 @@ import graft.functions.{robots_allowed, robots_rules}
 object RobotsGate {
 
   /** The match target: path + `?query` of a URL (fragment dropped, empty
-    * path → `/`). Robots patterns are matched against exactly this form.
+    * path → `/`, and a query-only tail — `https://h.example?ref=1` — gets
+    * its implicit root: `/?ref=1`, so `Disallow: /` gates it like every
+    * other page). Robots patterns are matched against exactly this form.
     */
   def pathQueryOf(url: Column): Column = {
     val tail = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
     val noFrag = regexp_replace(tail, "#.*$", "")
-    when(noFrag === "", lit("/")).otherwise(noFrag)
+    when(noFrag === "", lit("/"))
+      .when(noFrag.startsWith("?"), concat(lit("/"), noFrag))
+      .otherwise(noFrag)
   }
 
   /** `pages` plus a `robots_allowed` boolean column. `robots` must carry

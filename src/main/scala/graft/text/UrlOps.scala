@@ -117,11 +117,19 @@ object UrlOps {
   def latestCapture(pages: org.apache.spark.sql.DataFrame,
                     urlCol: String = "url", tsCol: String = "warc_ts",
                     idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
-    val keyed = pages.withColumn("_canon", canonicalizeUrl(col(urlCol)))
+    // NULL urls pass through untouched: they are not captures of any page,
+    // and an equi-join on the derived key would silently DELETE them (NULL
+    // never equals NULL) — a collapse op must never drop rows it wasn't
+    // asked to collapse. Non-null non-URL strings are safe: canonicalizeUrl
+    // passes them through unchanged, so they group by their own value.
+    val nullUrl = pages.filter(col(urlCol).isNull)
+    val keyed = pages.filter(col(urlCol).isNotNull)
+      .withColumn("_canon", canonicalizeUrl(col(urlCol)))
     val keepers = keyed.groupBy("_canon")
       .agg(max_by(col(idCol), struct(col(tsCol), col(idCol))).as("_keep_id"))
     keyed.join(keepers.hint("shuffle_hash"), "_canon")
       .filter(col(idCol) === col("_keep_id"))
       .drop("_canon", "_keep_id")
+      .unionByName(nullUrl)
   }
 }

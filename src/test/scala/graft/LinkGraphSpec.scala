@@ -94,6 +94,11 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(LinkExtract.links("plain text, no tags") === Vector.empty)
     assert(LinkExtract.links("<a name='x'>no href</a>") === Vector.empty)
     assert(LinkExtract.links("<a href=>e</a>") === Vector(""))
+    // valueless boolean attribute form
+    assert(LinkExtract.links("<a href>t</a>") === Vector(""))
+    // an href-looking string inside ANOTHER attribute's value never matches
+    assert(LinkExtract.links("""<a title="go href=/decoy here" href="/real">x</a>""") ===
+      Vector("/real"))
     // unterminated quote: the tag ends at the first '>' (quote-unaware tag
     // scan, same as HtmlText), so the value runs to the end of the tag body
     assert(LinkExtract.links("<a href=\"/unclosed>t</a>") === Vector("/unclosed"))

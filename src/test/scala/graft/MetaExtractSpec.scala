@@ -84,6 +84,25 @@ class MetaExtractSpec extends AnyFunSuite {
     assert(m("""<html data-lang="xx">""").lang.isEmpty)
   }
 
+  test("attribute values can't leak other attributes; head boundary holds") {
+    // 'charset=' inside a content VALUE is not a charset declaration...
+    assert(m("""<meta name="description" content="how to pick a charset=utf-8 header">""")
+      .charset.isEmpty)
+    // ...and can't shadow a later real declaration
+    assert(m("""<meta name="description" content="charset=bogus x"><meta charset="ISO-8859-1">""")
+      .charset === Some("iso-8859-1"))
+    // 'rel=' inside an href value is not a rel attribute
+    assert(m("""<link href="/x?rel=canonical" rel="stylesheet">""").canonical.isEmpty)
+    // body content never pollutes head metadata (inline SVG titles,
+    // user-pasted meta markup)
+    val r = m("""<head><title>Real</title></head><body><svg><title>icon</title></svg>
+      |<meta name="robots" content="noindex"><title>late</title></body>""".stripMargin)
+    assert(r.title === Some("Real"))
+    assert(!r.noindex)
+    // head-less fragments still scan (lenient walk, no boundary hit)
+    assert(m("<title>Bare</title>").title === Some("Bare"))
+  }
+
   test("spark expression: struct fields through page_meta") {
     val spark = SparkSession0.get
     import spark.implicits._

@@ -69,8 +69,10 @@ class RobotsSpec extends AnyFunSuite {
     assert(!Robots.isAllowed(r4, "/page.htm"))
     assert(Robots.isAllowed(Nil, "/anything"))
     assert(Robots.isAllowed(Seq(Rule(false, "/private")), "/public"))
-    // empty path evaluates as "/"
+    // empty and query-only targets evaluate under the implicit root
     assert(!Robots.isAllowed(Seq(Rule(false, "/")), ""))
+    assert(!Robots.isAllowed(Seq(Rule(false, "/")), "?ref=1"))
+    assert(!Robots.isAllowed(Seq(Rule(false, "/?ref")), "?ref=1"))
   }
 
   // ---- parsing + group selection ----
@@ -170,15 +172,18 @@ class RobotsSpec extends AnyFunSuite {
       (2L, "https://a.example.com/private/ok/x"),
       (3L, "https://WWW.A.example.com/public"),   // host folding meets robots key
       (4L, "https://b.example.com/anything"),      // host with no robots row
-      (5L, "https://a.example.com/")
+      (5L, "https://a.example.com/"),
+      (6L, "https://q.example.com?ref=1")          // query-only: implicit root
     ).toDF("id", "url")
     val robots = Seq(
       ("a.example.com",
-        "User-agent: graftbot\nDisallow: /private\nAllow: /private/ok")
+        "User-agent: graftbot\nDisallow: /private\nAllow: /private/ok"),
+      ("q.example.com", "User-agent: *\nDisallow: /")
     ).toDF("host", "robots_txt")
     val out = RobotsGate.annotate(pages, robots, "GraftBot")
       .select("id", "robots_allowed").as[(Long, Boolean)].collect().toMap
-    assert(out === Map(1L -> false, 2L -> true, 3L -> true, 4L -> true, 5L -> true))
+    assert(out === Map(1L -> false, 2L -> true, 3L -> true, 4L -> true,
+      5L -> true, 6L -> false))
     val kept = RobotsGate.filterAllowed(pages, robots, "GraftBot")
       .select("id").as[Long].collect().toSet
     assert(kept === Set(2L, 3L, 4L, 5L))

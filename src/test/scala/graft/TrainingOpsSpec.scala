@@ -207,10 +207,13 @@ class TrainingOpsSpec extends AnyFunSuite {
       (4L, "https://y.example/q", ts(500)),
       (5L, "https://y.example/q", ts(500)),
       // a singleton survives untouched
-      (6L, "https://z.example/r", ts(1))
+      (6L, "https://z.example/r", ts(1)),
+      // NULL urls are not captures of any page: passed through, never
+      // dropped by the equi-join on the derived key
+      (7L, null, ts(9))
     ).toDF("doc_id", "url", "warc_ts")
     val kept = UrlOps.latestCapture(pages).select("doc_id").as[Long].collect().toSet
-    assert(kept === Set(2L, 5L, 6L))
+    assert(kept === Set(2L, 5L, 6L, 7L))
   }
 
   test("language id picks the stopword-dominant language; und for no hits") {

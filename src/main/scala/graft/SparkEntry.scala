@@ -526,6 +526,27 @@ object SparkEntry {
           Seq("bad.example.com", "spam.net")).as("blocked"))
     }),
 
+    // Canonical-LINK pre-dedup (graft-added): the composition page_meta
+    // exists for — even docs declare a shared rel=canonical target
+    // (syntactic URL folding can't see that /alt/12 and /alt/62 are one
+    // page; the publisher's declaration can), odd docs declare nothing and
+    // fall back to their canonicalized capture URL. One partial-agg'd
+    // groupBy on coalesce(declared, syntactic) keeps the earliest capture.
+    "q_canonical_dedup" -> ((s, dir) => {
+      val html = when(col("doc_id") % 2 === 0, concat(
+        lit("<html><head><link rel=\"canonical\" href=\"https://s.example/page"),
+        col("doc_id") % 50,
+        lit("\"></head><body>x</body></html>")))
+        .otherwise(lit("<html><head></head><body>no canonical</body></html>"))
+      val url = concat(lit("https://s.example/alt/"), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          coalesce(page_meta(html).getField("canonical"),
+            UrlOps.canonicalizeUrl(url)).as("dedup_key"))
+        .groupBy("dedup_key")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_captures"))
+    }),
+
     // Sitemap harvest (graft-added): one robots.txt per 20-host residue,
     // carrying two sitemap records around a rule group (position must not
     // matter) plus a commented-out decoy; exploded to (host, sitemap) rows.
@@ -3039,6 +3060,16 @@ object SparkEntry {
         |      ELSE 'a.spam.net' END || '/p' || doc_id AS url,
         |  doc_id % 5 IN (0, 1, 4) AS blocked
         |FROM documents""".stripMargin,
+
+    // TRUE dual of the canonical-link pre-dedup: same coalesced key, same
+    // grouped min/count
+    "q_canonical_dedup" ->
+      """SELECT CASE WHEN doc_id % 2 = 0
+        |    THEN 'https://s.example/page' || (doc_id % 50)
+        |    ELSE 'https://s.example/alt/' || doc_id END AS dedup_key,
+        |  MIN(doc_id) AS keep_id,
+        |  COUNT(*) AS n_captures
+        |FROM documents GROUP BY 1""".stripMargin,
 
     // closed form of the planted sitemap records: two per host, document
     // order, the commented decoy never surfaces

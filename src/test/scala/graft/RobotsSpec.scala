@@ -151,6 +151,25 @@ class RobotsSpec extends AnyFunSuite {
     assert(!blocked("good.example.com"))
   }
 
+  test("fuzz: parsing and evaluation are total over adversarial bodies") {
+    val rng = new scala.util.Random(99L)
+    val alphabet = "Uuser-agent:allowdisallow */$.\n\r\t#=%ü"
+    (1 to 1000).foreach { _ =>
+      val body = (0 until rng.nextInt(120))
+        .map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+      val groups = Robots.parseGroups(body) // must never throw
+      groups.foreach(g => assert(g.rules.forall(_.pattern.nonEmpty)))
+      // evaluation total over random paths, any verdict acceptable
+      Robots.allowed(body, "graftbot", "/a*b$c")
+      Robots.sitemaps(body)
+    }
+    // pathological pattern vs long path: the glob must stay linear-ish and
+    // terminate (star backtracking is O(n*m), n,m bounded by real inputs)
+    val longPath = "/" + "a" * 5000
+    assert(Robots.patternMatches("/*a*a*a*", longPath))
+    assert(!Robots.patternMatches("/*a*a*b$", longPath))
+  }
+
   test("null / empty / garbage bodies impose nothing") {
     assert(Robots.parseGroups(null) === Vector.empty)
     assert(Robots.allowed("", "anybot", "/any"))

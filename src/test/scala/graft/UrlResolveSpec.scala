@@ -61,6 +61,23 @@ class UrlResolveSpec extends AnyFunSuite {
     assert(r("http:g") === "http:g")
   }
 
+  test("fuzz: resolution is total over adversarial refs and never loses the scheme") {
+    val rng = new scala.util.Random(20260820L)
+    val alphabet = "abg/.:?#%&=@ \t*$é😀"
+    val bases = Seq(base, "https://x.example", "https://u@h.example:8443/a/b?q=1",
+      "ftp://h/deep/a/b/c/d/e")
+    (1 to 2000).foreach { _ =>
+      val ref = (0 until rng.nextInt(24))
+        .map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+      val b = bases(rng.nextInt(bases.length))
+      val out = UrlResolve.resolve(b, ref) // must never throw
+      assert(out.isDefined)
+      // the target always carries a scheme, and never a fragment
+      assert(out.get.matches("^[a-z][a-z0-9+.-]*:.*"), s"base=$b ref=$ref out=$out")
+      assert(!out.get.contains("#"), s"base=$b ref=$ref out=$out")
+    }
+  }
+
   test("edges: authority-rooted bases, scheme-less base, nulls") {
     // base with authority and empty path: merge inserts the leading slash
     assert(UrlResolve.resolve("https://x.example", "a/b").get === "https://x.example/a/b")

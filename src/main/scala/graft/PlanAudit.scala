@@ -566,6 +566,20 @@ object PlanAudit {
       panc.contains("partial_count") && panc.contains("ObjectHashAggregate") &&
         !panc.contains("Window") && !panc.contains("Cartesian"), panc)
 
+    // Latest-capture collapse: partial-agg'd max_by over the packed
+    // (ts, id) struct + join-back — the rep-select skew ladder, no Window.
+    val plc = plan("q_latest_capture")
+    check("q_latest_capture: partial-agg'd max_by + join-back, no Window",
+      plc.contains("partial_max_by") && !plc.contains("Window") &&
+        !plc.contains("Cartesian"), plc)
+
+    // Canonical-link pre-dedup: ONE partial-agg'd groupBy on the coalesced
+    // key — no Window, no join at all (min/count are plain aggregates).
+    val pcd = plan("q_canonical_dedup")
+    check("q_canonical_dedup: one partial-agg'd groupBy, no Window/join",
+      pcd.contains("partial_min") && !pcd.contains("Window") &&
+        !pcd.contains("Join"), pcd)
+
     // Domain blocklist: the plan-carried hash set is a narrow scan filter.
     val pblk = plan("q_domain_blocklist")
     check("q_domain_blocklist: narrow codegen'd scan (no Exchange/join/Window)",

@@ -580,6 +580,20 @@ object PlanAudit {
       pcd.contains("partial_min") && !pcd.contains("Window") &&
         !pcd.contains("Join"), pcd)
 
+    // Dup-rate probe: only partial-agg'd groupBys downstream of the sample
+    // filter — no Window, no join; the shuffle carries the sampled slice.
+    val pdp = plan("q_dup_probe")
+    check("q_dup_probe: two partial-agg'd groupBys, no Window/join",
+      pdp.contains("partial_count") && !pdp.contains("Window") &&
+        !pdp.contains("Join") && !pdp.contains("Cartesian"), pdp)
+
+    // Leakage-safe split: the label is a narrow per-row function of the
+    // cluster column — no Window anywhere (the union-find itself is
+    // equi-joins + partial aggs).
+    val psl = plan("q_split_leakage")
+    check("q_split_leakage: cluster-keyed label, no Window/cartesian",
+      !psl.contains("Window") && !psl.contains("Cartesian"), psl)
+
     // Domain blocklist: the plan-carried hash set is a narrow scan filter.
     val pblk = plan("q_domain_blocklist")
     check("q_domain_blocklist: narrow codegen'd scan (no Exchange/join/Window)",

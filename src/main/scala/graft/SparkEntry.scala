@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ann.Ann
 import graft.cite.{CitationDedup, CsvParser, EndNoteXmlParser, FormatDetect, PubMedParser, RisParser}
-import graft.dedup.ConnectedComponents
+import graft.dedup.{ConnectedComponents, DedupProbe}
 import graft.functions._
 import graft.io.{WarcSource, ZOrder}
 import graft.multimodal.Multimodal
@@ -784,6 +784,39 @@ object SparkEntry {
           (col("doc_id") === col("rep_id")).as("is_representative"))
     }),
 
+
+    // Pre-flight dup-rate probe (graft-added): family-preserving sample
+    // keyed on the DEDUP KEY (normalized content), so a family is kept
+    // whole or not at all and the sampled family-size histogram is an
+    // unbiased draw of the corpus's — doc-keyed sampling would collapse
+    // the dup signal quadratically. Only the sampled slice (and only a
+    // 32-hex family id per row) ever shuffles: the 100-TB sizing step
+    // before paying for the full dedup pipeline.
+    // (key = 30-char text prefix, which actually collides at sf-scale —
+    // the sf tables carry no byte-identical dup families — so the oracle
+    // pins a multi-size histogram, not a degenerate all-singletons row)
+    "q_dup_probe" -> ((s, dir) => {
+      DedupProbe.familyHistogram(t(s, dir, "documents"),
+        substring(col("text"), 1, 30), 0.5, "probe")
+    }),
+
+    // Leakage-safe split (graft-added): split assignment keyed on the
+    // dedup CLUSTER id, so near-dup pairs can never straddle train/eval
+    // (the memorization-contamination path per-doc splitting leaves
+    // open). Clusters come from the REAL iterative union-find over the
+    // planted chain edges — same closed form as q_connected_components
+    // (each 10-block is one component), so the oracle pins both the
+    // grouping and the per-cluster label in one hash compare.
+    "q_split_leakage" -> ((s, dir) => {
+      val edges = t(s, dir, "documents")
+        .filter(col("doc_id") % 10 =!= 9)
+        .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+      val comp = ConnectedComponents.run(edges)
+        .select(col("id").cast("long").as("doc_id"),
+          col("component").cast("long").as("component"))
+      Mixing.splitByCluster(comp, col("component"), "leak", MixSplits)
+        .select("doc_id", "component", "split")
+    }),
 
     // Exact dedup fast path: group by normalized content, representative =
     // min doc_id. One shuffle; map-side partial agg.
@@ -2246,6 +2279,22 @@ object SparkEntry {
       s"""SELECT $NormalizeTextSql AS norm_text,
          |  count(*) AS n_docs, min(doc_id) AS representative
          |FROM documents GROUP BY 1""".stripMargin,
+
+    // TRUE dual of the family-preserving probe: same md5 family id, same
+    // sample threshold, same two-level grouping
+    "q_dup_probe" ->
+      DedupProbe.familyHistogramSql("documents", "substr(text, 1, 30)", 0.5, "probe"),
+
+    // closed form of the planted chain components + the splitAssign dual
+    // keyed on the component id — members of a block share the label by
+    // construction in the oracle, so hash equality proves the Spark side's
+    // union-find + cluster-keyed assignment never splits a family
+    "q_split_leakage" ->
+      s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |  CAST(doc_id - doc_id % 10 AS BIGINT) AS component,
+         |  ${Mixing.splitAssignSql("CAST(doc_id - doc_id % 10 AS VARCHAR)",
+              "leak", MixSplits)} AS split
+         |FROM documents""".stripMargin,
 
     "q_dedup_jaccard_pairs" ->
       """SELECT x.doc_id AS a, y.doc_id AS b,

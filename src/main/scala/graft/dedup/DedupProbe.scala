@@ -1,0 +1,103 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.Mixing
+
+/** Pre-flight duplicate-rate probe: estimate the corpus's duplicate-family
+  * size distribution from a deterministic sample BEFORE paying for the full
+  * dedup shuffle — the sizing step a 100-TB run does first (pick
+  * `spark.sql.shuffle.partitions`, decide whether the exact fast path will
+  * carry most of the win, feed the observed dup rate into
+  * [[LshTuning.suggest]]'s cost weights).
+  *
+  * The one design decision that makes the estimate unbiased: the Bernoulli
+  * keep/drop is keyed on the DEDUP KEY (the normalized content), not on the
+  * document — a family is sampled WHOLE or not at all, so sampled family
+  * sizes are an exact i.i.d. draw from the corpus's family-size
+  * distribution. Doc-keyed sampling at rate p would instead thin every
+  * family to ~p·f members and collapse the duplicate signal quadratically
+  * (a pair survives with probability p², so a 1% sample would underrate the
+  * dup fraction ~100x); family-keyed sampling keeps it linear: E[observed
+  * families of size f] = p · F_f.
+  *
+  * Scale shape (100 TB): one narrow scan computes the rank (md5 of the
+  * normalization — the same per-row work the exact-dedup stage pays anyway)
+  * and filters to the sample; everything that SHUFFLES — the two
+  * partial-agg'd groupBys of [[familyHistogram]] — carries only the sampled
+  * fraction, and only a 32-hex family id per row, never the text. The probe
+  * at rate 1/1000 prices the full job's key cardinality for ~0.1% of its
+  * shuffle. The family id is the md5 rank itself (shared work with the
+  * sampling decision); md5 collisions across distinct normalized texts
+  * (~n²/2¹²⁸) are negligible and, being a pure function of the key, land
+  * identically in the DuckDB dual.
+  *
+  * Post-pipeline counterpart: [[SoftDedup.sizeHistogram]] reports the TRUE
+  * near-dup family histogram from the cluster table the pipeline produced;
+  * this probe predicts the exact-dup portion of it from a sample first.
+  * A null key (null text) has a null rank and is dropped from the sample in
+  * both engines — same contract as every [[Mixing]] rank decision.
+  */
+object DedupProbe {
+
+  /** Family-preserving deterministic sample: keep a row iff the md5 rank of
+    * its dedup KEY sorts below the rate threshold — all rows of a family
+    * share the key, so they are kept or dropped together.
+    */
+  def familySample(pages: DataFrame, key: Column, rate: Double,
+                   seed: String): DataFrame =
+    pages.filter(substring(Mixing.hashRank(seed, key), 1, 8) <
+      lit(Mixing.rateThresholdHex(rate)))
+
+  /** Family-size histogram over the sample: one row per observed size,
+    * `(family_size, n_families)`. Two partial-agg'd groupBys over the
+    * sampled slice only; grouping key is the 32-hex rank (= family id), so
+    * the shuffle never carries document text.
+    */
+  def familyHistogram(pages: DataFrame, key: Column, rate: Double,
+                      seed: String): DataFrame = {
+    val rank = Mixing.hashRank(seed, key)
+    pages
+      .select(rank.as("_fam"))
+      .filter(substring(col("_fam"), 1, 8) < lit(Mixing.rateThresholdHex(rate)))
+      .groupBy("_fam").agg(count(lit(1)).as("family_size"))
+      .groupBy("family_size").agg(count(lit(1)).as("n_families"))
+  }
+
+  /** Driver-side extrapolation from the (tiny) histogram. Horvitz-Thompson
+    * on families: each observed family stands for 1/rate corpus families of
+    * the same size, so `estFamilies = observed/rate`, `estDocs =
+    * Σ size·count/rate`, and the duplicate fraction (docs the exact pass
+    * would remove) is the ratio estimate `1 − estFamilies/estDocs` —
+    * consistent, with variance ~1/(rate·families).
+    */
+  final case class DupEstimate(rate: Double, sampledDocs: Long,
+      sampledFamilies: Long, estDocs: Double, estFamilies: Double,
+      estDupFraction: Double)
+
+  def estimate(pages: DataFrame, key: Column, rate: Double,
+               seed: String): DupEstimate = {
+    require(rate > 0.0 && rate <= 1.0, s"rate must be in (0,1]: $rate")
+    val hist = familyHistogram(pages, key, rate, seed)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val docs = hist.map { case (sz, n) => sz * n }.sum
+    val fams = hist.map(_._2).sum
+    val estDocs = docs / rate
+    val estFams = fams / rate
+    DupEstimate(rate, docs, fams, estDocs, estFams,
+      if (docs == 0L) 0.0 else 1.0 - fams.toDouble / docs.toDouble)
+  }
+
+  /** DuckDB dual of [[familyHistogram]] over relation `rel`, with `keySql`
+    * the VARCHAR dedup-key expression (e.g. the normalize_text dual).
+    */
+  def familyHistogramSql(rel: String, keySql: String, rate: Double,
+                         seed: String): String =
+    s"""SELECT family_size, count(*) AS n_families FROM (
+       |  SELECT count(*) AS family_size
+       |  FROM (SELECT md5('$seed|' || ($keySql)) AS fam FROM $rel)
+       |  WHERE substr(fam, 1, 8) < '${Mixing.rateThresholdHex(rate)}'
+       |  GROUP BY fam)
+       |GROUP BY 1""".stripMargin
+}

@@ -125,6 +125,30 @@ object Mixing {
     s"(CASE $whens ELSE '${fractions.last._1}' END)"
   }
 
+  /** Leakage-safe split: key the [[splitAssign]] rank on the doc's DEDUP
+    * CLUSTER id instead of the doc id, so every member of a near-dup
+    * family lands in the SAME split. Per-doc splitting leaves the classic
+    * contamination path open — a page and its near-identical mirror land
+    * on opposite sides of the train/eval cut and the eval set silently
+    * scores memorization; keying on the cluster id closes it by
+    * construction (a cross-split near-dup pair would need to be a
+    * cross-CLUSTER pair, which the dedup pipeline's verification already
+    * bounds below the Jaccard threshold).
+    *
+    * `clusters` is the table the pipeline produces ([[graft.dedup]]:
+    * one row per doc, cluster id = the component representative; singleton
+    * docs carry their own id, so they split exactly like [[splitAssign]]
+    * on the doc key). Scale shape: ONE narrow projection — the rank is a
+    * pure per-row function of the cluster-id column the table already
+    * carries; no join, no shuffle, no window. Fraction accuracy is now
+    * cluster-weighted (a 10⁶-member family moves as one unit); at webtext
+    * cluster-size distributions (overwhelming mass at size 1) the realized
+    * doc fractions converge to the requested ones.
+    */
+  def splitByCluster(clusters: DataFrame, clusterCol: Column, seed: String,
+                     fractions: Seq[(String, Double)]): DataFrame =
+    clusters.withColumn("split", splitAssign(clusterCol, seed, fractions))
+
   /** Keep rows in global md5-rank order while the running (inclusive) sum
     * of `tok` stays ≤ `budget` — "fill the token budget from a reproducible
     * shuffle of the corpus". Semantically identical to

@@ -1,0 +1,76 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.DedupProbe
+import graft.text.Mixing
+
+/** Pre-flight dup-rate probe: family-preserving sampling keeps families
+  * whole, the histogram matches a local replica, and the Horvitz-Thompson
+  * extrapolation recovers the planted duplicate fraction.
+  */
+class DedupProbeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+
+  // 100 planted families, 20 each of sizes 1..5: 300 docs, 100 families,
+  // true dup fraction = 1 - 100/300 = 2/3
+  private def corpus = (0 until 100).flatMap { f =>
+    (0 to f % 5).map(m => (f * 10L + m, s"family text $f"))
+  }.toDF("doc_id", "text")
+
+  test("familySample keeps families WHOLE (never thinned)") {
+    val sampled = DedupProbe.familySample(corpus, col("text"), 0.3, "sA")
+      .groupBy("text").count().as[(String, Long)].collect().toMap
+    val trueSize = (0 until 100).map(f => s"family text $f" -> (f % 5 + 1L)).toMap
+    sampled.foreach { case (fam, n) =>
+      assert(n === trueSize(fam), s"family '$fam' was thinned")
+    }
+    // and the keep set is exactly the local md5 replica over family keys
+    val expected = trueSize.keySet.filter(k =>
+      md5hex(s"sA|$k").substring(0, 8) < Mixing.rateThresholdHex(0.3))
+    assert(sampled.keySet === expected)
+  }
+
+  test("histogram at rate 1.0 is the exact family-size distribution") {
+    val hist = DedupProbe.familyHistogram(corpus, col("text"), 1.0, "sB")
+      .as[(Long, Long)].collect().toMap
+    assert(hist === Map(1L -> 20L, 2L -> 20L, 3L -> 20L, 4L -> 20L, 5L -> 20L))
+  }
+
+  test("estimate: exact at rate 1.0, within tolerance at rate 0.5") {
+    val full = DedupProbe.estimate(corpus, col("text"), 1.0, "sC")
+    assert(full.sampledDocs === 300L && full.sampledFamilies === 100L)
+    assert(math.abs(full.estDupFraction - 2.0 / 3.0) < 1e-12)
+    val half = DedupProbe.estimate(corpus, col("text"), 0.5, "sC")
+    assert(half.sampledFamilies > 25L, "sample unreasonably small")
+    assert(math.abs(half.estDupFraction - 2.0 / 3.0) < 0.15,
+      s"estimated ${half.estDupFraction}")
+    // extrapolation: estDocs/estFamilies scale the sample by 1/rate
+    assert(half.estDocs === half.sampledDocs / 0.5)
+    assert(half.estFamilies === half.sampledFamilies / 0.5)
+  }
+
+  test("null dedup key is dropped from the sample in the Spark side") {
+    val withNull = corpus.union(Seq((9999L, null: String)).toDF("doc_id", "text"))
+    val n = DedupProbe.familySample(withNull, col("text"), 1.0, "sD").count()
+    assert(n === 300L)
+    assertThrows[IllegalArgumentException] {
+      DedupProbe.estimate(corpus, col("text"), 0.0, "sD")
+    }
+  }
+}

@@ -173,4 +173,47 @@ class MixingSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"no window in:\n$plan")
     assert(!plan.contains("Exchange"), s"no shuffle in:\n$plan")
   }
+
+  test("splitByCluster: every cluster lands whole in one split; fractions hold") {
+    // 400 clusters of mixed sizes 1..4 (1000 docs total)
+    val docs = (0L until 400L).flatMap { c =>
+      (0L to c % 4).map(m => (c * 10 + m, c))
+    }.toDF("doc_id", "cluster_id")
+    val out = Mixing.splitByCluster(docs, col("cluster_id"), "lk",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    // no cluster straddles two splits
+    val straddlers = out.groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("n")).filter(col("n") > 1).count()
+    assert(straddlers === 0L)
+    // the label matches the local md5 replica keyed on the CLUSTER id
+    val got = out.select("doc_id", "cluster_id", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    got.foreach { case (_, c, s) =>
+      val r8 = md5hex(s"lk|$c").substring(0, 8)
+      val want = if (r8 < Mixing.rateThresholdHex(0.8)) "train"
+        else if (r8 < Mixing.rateThresholdHex(0.9)) "val" else "test"
+      assert(s === want, s"cluster $c")
+    }
+    // cluster-level fractions converge (400 clusters, ±8 pp)
+    val trainFrac = got.filter(_._3 == "train").map(_._2).distinct.length / 400.0
+    assert(trainFrac > 0.72 && trainFrac < 0.88, s"train cluster frac $trainFrac")
+  }
+
+  test("splitByCluster closes the leakage path per-doc splitting opens") {
+    // a two-member near-dup family whose doc ids happen to split across
+    // train/test under per-doc assignment
+    val fractions = Seq("train" -> 0.5, "test" -> 0.5)
+    def docLabel(id: Long): String =
+      if (md5hex(s"lk2|$id").substring(0, 8) < "80000000") "train" else "test"
+    val pair = (0L until 10000L by 2)
+      .find(a => docLabel(a) != docLabel(a + 1)).get
+    val docs = Seq((pair, pair), (pair + 1, pair)).toDF("doc_id", "cluster_id")
+    val perDoc = docs.select(
+        Mixing.splitAssign(col("doc_id"), "lk2", fractions).as("s"))
+      .as[String].collect().toSet
+    assert(perDoc.size === 2, "per-doc assignment splits the family")
+    val perCluster = Mixing.splitByCluster(docs, col("cluster_id"), "lk2", fractions)
+      .select("split").as[String].collect().toSet
+    assert(perCluster.size === 1, "cluster-keyed assignment keeps it whole")
+  }
 }

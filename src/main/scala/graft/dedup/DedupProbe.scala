@@ -89,6 +89,38 @@ object DedupProbe {
       if (docs == 0L) 0.0 else 1.0 - fams.toDouble / docs.toDouble)
   }
 
+  /** Pre-flight sizing plan: the probe's estimates turned into the knobs
+    * a 100-TB dedup launch sets up front.
+    *
+    *  - `lshInputDocs`: the banding stage's input size — `estFamilies`,
+    *    NOT `estDocs`, because the exact fast path collapses every
+    *    byte-identical family to one representative before banding; the
+    *    probe prices that collapse before the job runs.
+    *  - `collapseFactor`: estDocs/estFamilies — how much the exact pass
+    *    alone shrinks the corpus (boilerplate-heavy crawls routinely 2-5×).
+    *  - `bandShufflePartitions`: partition count so the candidate stage's
+    *    shuffle (one slim row per band per surviving doc: band key + id,
+    *    ~`bandRowBytes`) lands near `targetPartitionBytes` per partition —
+    *    the spill-safety dial the brief's 100-TB sizing note names.
+    *  - `(bands, rows)`: [[LshTuning.suggest]]'s analytic factorization at
+    *    the configured threshold — carried here so one probe call yields
+    *    the full launch config.
+    */
+  final case class ProbePlan(est: DupEstimate, lshInputDocs: Double,
+      collapseFactor: Double, bandShufflePartitions: Int,
+      bands: Int, rows: Int)
+
+  def plan(est: DupEstimate, threshold: Double, numHashes: Int,
+           targetPartitionBytes: Long = 128L << 20,
+           bandRowBytes: Int = 28): ProbePlan = {
+    val (b, r) = LshTuning.suggest(threshold, numHashes)
+    val parts = math.max(1L,
+      math.ceil(est.estFamilies * b * bandRowBytes / targetPartitionBytes.toDouble).toLong)
+    ProbePlan(est, est.estFamilies,
+      if (est.estFamilies == 0.0) 1.0 else est.estDocs / est.estFamilies,
+      math.min(parts, Int.MaxValue.toLong).toInt, b, r)
+  }
+
   /** DuckDB dual of [[familyHistogram]] over relation `rel`, with `keySql`
     * the VARCHAR dedup-key expression (e.g. the normalize_text dual).
     */

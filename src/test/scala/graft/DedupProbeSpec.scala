@@ -65,6 +65,22 @@ class DedupProbeSpec extends AnyFunSuite {
     assert(half.estFamilies === half.sampledFamilies / 0.5)
   }
 
+  test("plan: families (not docs) size the LSH stage; partitions track volume") {
+    val est = DedupProbe.estimate(corpus, col("text"), 1.0, "sE")
+    val p = DedupProbe.plan(est, threshold = 0.8, numHashes = 80,
+      targetPartitionBytes = 1024L) // tiny target so partitions > 1 at test scale
+    assert(p.lshInputDocs === 100.0)
+    assert(math.abs(p.collapseFactor - 3.0) < 1e-12) // 300 docs / 100 families
+    assert((p.bands, p.rows) === graft.dedup.LshTuning.suggest(0.8, 80))
+    // 100 families x 16 bands x 28 bytes / 1024 = 43.75 -> 44 partitions
+    assert(p.bandShufflePartitions ===
+      math.ceil(100.0 * p.bands * 28 / 1024.0).toInt)
+    // empty corpus degenerates safely
+    val empty = DedupProbe.estimate(corpus.filter(lit(false)), col("text"), 1.0, "sE")
+    val ep = DedupProbe.plan(empty, 0.8, 80)
+    assert(ep.bandShufflePartitions === 1 && ep.collapseFactor === 1.0)
+  }
+
   test("null dedup key is dropped from the sample in the Spark side") {
     val withNull = corpus.union(Seq((9999L, null: String)).toDF("doc_id", "text"))
     val n = DedupProbe.familySample(withNull, col("text"), 1.0, "sD").count()

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.dedup.{DedupConfig, DedupPipeline}
+import graft.dedup.{DedupConfig, DedupPipeline, DedupProbe}
 import graft.io.StageStore
 import graft.synth.DeterministicCorpus
 import graft.synth.DeterministicCorpus.CorpusSpec
@@ -16,7 +16,7 @@ import graft.synth.DeterministicCorpus.CorpusSpec
   *             [--input <parquet pages dir>] [--seed N] [--idbits 64|128]
   *             [--simhash true] [--urldedup true] [--adopt-state true]
   *             [--inc-batch NAME [--inc-input dir | --inc-families N]
-  *              [--inc-offset N]]
+  *              [--inc-offset N]] [--probe RATE]
   *
   * Without --input, a deterministic synthetic corpus of N families is
   * generated (same generator the tests and bench use). Re-running with the
@@ -63,6 +63,25 @@ object DedupMain {
           hotFamilySize = opts.getOrElse("hot", "0").toInt,
           seed = opts.getOrElse("seed", "42").toLong)
         DeterministicCorpus.pages(spark, spec)
+    }
+
+    // --probe RATE: pre-flight sizing probe INSTEAD of a pipeline run —
+    // family-preserving sample on the pipeline's own exact-dup key
+    // (normalize_tokens, the content the hash fast path collapses on),
+    // extrapolated to corpus dup stats + launch knobs, one JSON line.
+    opts.get("probe").foreach { rateStr =>
+      val est = DedupProbe.estimate(pages.toDF(),
+        graft.functions.normalize_tokens(col("text")), rateStr.toDouble,
+        s"probe${opts.getOrElse("seed", "42")}")
+      val dflt = DedupConfig()
+      val p = DedupProbe.plan(est, dflt.jaccardThreshold, dflt.numHashes)
+      println(f"""{"probe_rate":${est.rate}%.6f,"sampled_docs":${est.sampledDocs},""" +
+        f""""sampled_families":${est.sampledFamilies},"est_docs":${est.estDocs}%.1f,""" +
+        f""""est_families":${est.estFamilies}%.1f,"est_dup_fraction":${est.estDupFraction}%.6f,""" +
+        f""""collapse_factor":${p.collapseFactor}%.4f,"band_shuffle_partitions":${p.bandShufflePartitions},""" +
+        s""""bands":${p.bands},"rows":${p.rows}}""")
+      spark.stop()
+      return
     }
 
     val store = new StageStore(spark, checkpointDir)

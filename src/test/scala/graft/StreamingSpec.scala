@@ -361,4 +361,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.collect { case t if t._1 == 2L => t._6 } === Set(true))
     assert(streamed.exists(t => t._2 === Some("T") && t._3 === Some("/canon")))
   }
+
+  test("dup-probe family sample and cluster-keyed split are streaming-valid") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // ingest-time probe sampling (the decision is a pure row function, so
+    // the streamed keep set equals the batch keep set) + splitByCluster
+    // label (narrow projection over a cluster-id column)
+    val rows = (0L until 40L).map(i => (i, s"fam ${i % 12}", i % 12))
+    def ops(df: org.apache.spark.sql.DataFrame) =
+      graft.text.Mixing.splitByCluster(
+        graft.dedup.DedupProbe.familySample(df, col("text"), 0.5, "sp"),
+        col("cluster_id"), "sp2", Seq("train" -> 0.7, "test" -> 0.3))
+        .select("doc_id", "text", "split")
+    val stream = MemoryStream[(Long, String, Long)]
+    stream.addData(rows: _*)
+    val q = ops(stream.toDF().toDF("doc_id", "text", "cluster_id"))
+      .writeStream.format("memory").queryName("probe_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getString(1), r.getString(2))
+    val streamed = spark.table("probe_stream").collect().map(key).toSet
+    val batch = ops(rows.toDF("doc_id", "text", "cluster_id")).collect().map(key).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty && streamed.size < 40, "sample kept a strict subset")
+    // families sampled whole (full true size) and labeled identically
+    val trueSize = rows.groupBy(_._2).view.mapValues(_.size).toMap
+    streamed.groupBy(_._2).foreach { case (fam, g) =>
+      assert(g.size === trueSize(fam), s"family '$fam' thinned in stream")
+      assert(g.map(_._3).size === 1, s"family '$fam' split across labels")
+    }
+  }
 }

@@ -594,6 +594,13 @@ object PlanAudit {
     check("q_split_leakage: cluster-keyed label, no Window/cartesian",
       !psl.contains("Window") && !psl.contains("Cartesian"), psl)
 
+    // Perceptual image hash: one narrow batched pass (mapPartitions-shaped
+    // decode+hash) — no shuffle, no Window, no join.
+    val pip = plan("q_image_phash")
+    check("q_image_phash: narrow batched decode+hash (no Exchange/join/Window)",
+      !pip.contains("Exchange") && !pip.contains("Join") &&
+        !pip.contains("Window"), pip)
+
     // Domain blocklist: the plan-carried hash set is a narrow scan filter.
     val pblk = plan("q_domain_blocklist")
     check("q_domain_blocklist: narrow codegen'd scan (no Exchange/join/Window)",

@@ -1633,6 +1633,23 @@ object SparkEntry {
             .cast("long").as("n_in_bin"))
     }),
 
+    // Perceptual image hash (graft-added): dHash — 9×8 area-mean grid →
+    // 64 horizontal-gradient bits; invariant to affine brightness/contrast
+    // maps and to exact pixel-replication upscales. The hash column is the
+    // direct input of SimHashDedup.nearDupPairs, so IMAGE near-dup pairs
+    // reuse the Manku block machinery unchanged (real-image invariances
+    // and the pair reuse are pinned in TrainingOpsSpec; this query drives
+    // the stub closed form through the exact same grid/bit arithmetic so
+    // the oracle pins the hash math bit-for-bit). Split into 32-bit halves
+    // because DuckDB SUM would otherwise walk into HUGEINT.
+    "q_image_phash" -> ((s, dir) => {
+      Multimodal.imageDHashes(
+          Multimodal.syntheticAssets(s, t(s, dir, "documents")), real = false)
+        .select(col("id").as("asset_id"),
+          shiftrightunsigned(col("simhash"), 32).as("hash_hi"),
+          col("simhash").bitwiseAND(lit(0xffffffffL)).as("hash_lo"))
+    }),
+
     // Frame sampling (video-shaped explode stage): 16-sample frames, keep
     // every 2nd. Closed form: n_frames = ceil(floor(n_bytes/16) / 2) per
     // asset (texts are ASCII and < 4096 bytes, so n_bytes = strlen). The
@@ -2985,6 +3002,33 @@ object SparkEntry {
     // clamped to [0,15] — algebraically bin = byte ÷ 16. Texts are ASCII
     // (ascii(substr) = byte) and < 4096 bytes; the 16-bin grid zero-fills
     // bins with no members (Spark explodes all 16 array slots).
+    // byte-exact replay of the stub dHash: same 36×32 virtual plane, same
+    // 4×4 cell means (all sums are exact multiples of 1/128 in double, so
+    // engine summation order cannot flip a comparison), same r*8+c bit
+    // layout; CAST around the SUMs keeps DuckDB off HUGEINT
+    "q_image_phash" ->
+      """WITH s AS (
+        |  SELECT doc_id, CAST(t.i AS BIGINT) AS i,
+        |    CASE WHEN t.i < strlen(text)
+        |      THEN (ascii(substr(text, CAST(t.i + 1 AS INT), 1)) - 128) / 128.0
+        |      ELSE 0.0 END AS v
+        |  FROM documents, unnest(range(0, 1152)) AS t(i)),
+        |cells AS (
+        |  SELECT doc_id, ((i // 36) // 4) * 9 + ((i % 36) // 4) AS cell,
+        |    avg(v) AS m
+        |  FROM s GROUP BY 1, 2),
+        |bits AS (
+        |  SELECT a.doc_id, (a.cell // 9) * 8 + (a.cell % 9) AS j
+        |  FROM cells a JOIN cells b ON a.doc_id = b.doc_id AND b.cell = a.cell + 1
+        |  WHERE a.cell % 9 < 8 AND a.m > b.m)
+        |SELECT d.doc_id AS asset_id,
+        |  CAST(COALESCE(SUM(CASE WHEN j >= 32
+        |    THEN CAST(pow(2, j - 32) AS BIGINT) END), 0) AS BIGINT) AS hash_hi,
+        |  CAST(COALESCE(SUM(CASE WHEN j < 32
+        |    THEN CAST(pow(2, j) AS BIGINT) END), 0) AS BIGINT) AS hash_lo
+        |FROM documents d LEFT JOIN bits ON bits.doc_id = d.doc_id
+        |GROUP BY 1""".stripMargin,
+
     "q_multimodal_features" ->
       """WITH counts AS (
         |  SELECT doc_id, CAST(ascii(substr(text, CAST(t.i AS INT), 1)) // 16 AS BIGINT) AS bin,

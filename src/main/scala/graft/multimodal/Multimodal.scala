@@ -90,48 +90,59 @@ object Multimodal {
     */
   final class ImageIoDecoder(maxSamples: Int = 4096,
       maxPixels: Long = 1L << 24) extends MediaDecoder {
-    override def decode(payload: Array[Byte], meta: MediaMeta): Array[Float] =
-      // NonFatal, not just IOException: a crawled payload with a valid
-      // magic but corrupt body makes javax.imageio throw unchecked
-      // exceptions (CMMException on a broken ICC profile,
-      // IllegalArgumentException / IndexOutOfBoundsException on malformed
-      // headers) — any of which would otherwise fail the Spark task 4
-      // times and kill the job over one bad image.
-      try {
-        val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(payload))
-        try {
-          val readers = javax.imageio.ImageIO.getImageReaders(iis)
-          if (!readers.hasNext) return Array.emptyFloatArray
-          val reader = readers.next()
-          try {
-            reader.setInput(iis, true, true)
-            // dimensions come from the header, BEFORE pixel allocation: a
-            // decompression bomb (tiny file declaring 60000×60000) would
-            // otherwise allocate w·h ints and OOM the executor, a failure
-            // the post-hoc maxSamples cap cannot prevent.
-            val w = reader.getWidth(0)
-            val h = reader.getHeight(0)
-            if (w <= 0 || h <= 0 || w.toLong * h > maxPixels)
-              return Array.emptyFloatArray
-            val img = reader.read(0)
-            val n = math.min(w.toLong * h, maxSamples.toLong).toInt
-            val out = new Array[Float](n)
-            var i = 0
-            while (i < n) {
-              val rgb = img.getRGB(i % w, i / w)
-              val luma = 0.299f * ((rgb >> 16) & 0xff) +
-                0.587f * ((rgb >> 8) & 0xff) + 0.114f * (rgb & 0xff)
-              out(i) = luma / 127.5f - 1.0f
-              i += 1
-            }
-            out
-          } finally reader.dispose()
-        } finally if (iis != null) iis.close()
-      } catch {
-        case scala.util.control.NonFatal(_) => Array.emptyFloatArray
+    override def decode(payload: Array[Byte], meta: MediaMeta): Array[Float] = {
+      val img = readGuardedImage(payload, maxPixels)
+      if (img == null) return Array.emptyFloatArray
+      val w = img.getWidth
+      val n = math.min(w.toLong * img.getHeight, maxSamples.toLong).toInt
+      val out = new Array[Float](n)
+      var i = 0
+      while (i < n) {
+        val rgb = img.getRGB(i % w, i / w)
+        val luma = 0.299f * ((rgb >> 16) & 0xff) +
+          0.587f * ((rgb >> 8) & 0xff) + 0.114f * (rgb & 0xff)
+        out(i) = luma / 127.5f - 1.0f
+        i += 1
       }
+      out
+    }
   }
+
+  /** Header-guarded image read shared by [[ImageIoDecoder]] and
+    * [[imageDHash]] — ONE definition of the decompression-bomb and
+    * corrupt-payload policy. Returns null for non-image payloads, bombs
+    * (header declares > maxPixels BEFORE any pixel allocation), and
+    * corrupt bodies. NonFatal, not just IOException: a crawled payload
+    * with a valid magic but corrupt body makes javax.imageio throw
+    * unchecked exceptions (CMMException on a broken ICC profile,
+    * IllegalArgumentException / IndexOutOfBoundsException on malformed
+    * headers) — any of which would otherwise fail the Spark task 4 times
+    * and kill the job over one bad image.
+    */
+  private[multimodal] def readGuardedImage(payload: Array[Byte],
+      maxPixels: Long): java.awt.image.BufferedImage =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return null
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          // dimensions come from the header, BEFORE pixel allocation: a
+          // decompression bomb (tiny file declaring 60000×60000) would
+          // otherwise allocate w·h ints and OOM the executor, a failure
+          // no post-hoc sample cap can prevent.
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) return null
+          reader.read(0)
+        } finally reader.dispose()
+      } finally if (iis != null) iis.close()
+    } catch {
+      case scala.util.control.NonFatal(_) => null
+    }
 
   /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF/AU
     * containers, PCM/μ-law/a-law encodings — ships with the JRE, no
@@ -710,6 +721,127 @@ object Multimodal {
         (a.asset_id, f, samples.slice(f * frameLen, (f + 1) * frameLen))
       }
     }.toDF("asset_id", "frame_idx", "frame")
+  }
+
+  // ── Perceptual image hashing (dHash) ───────────────────────────────
+
+  /** dHash grid: 9 column means × 8 row bands → 8×8 horizontal-gradient
+    * bits. Means are computed in DOUBLE so the stub path's DuckDB dual
+    * lands on identical bits (stub samples are multiples of 1/128, block
+    * sums stay exact integers/128, division by a power-of-2 block count
+    * is exact — the comparison is bit-deterministic in both engines).
+    */
+  val DHashGridW = 9
+  val DHashGridH = 8
+
+  /** The 64 gradient bits over a row-major 9×8 cell grid: bit `r*8+c` is
+    * set iff cell (r,c) is strictly brighter than its right neighbor
+    * (r,c+1). Strictly monotone AFFINE pixel maps (brightness/contrast)
+    * preserve every comparison, so the hash is invariant to them; small
+    * edits flip few bits, so Hamming distance is visual distance.
+    */
+  def dHash64(cells: Array[Double]): Long = {
+    require(cells.length == DHashGridW * DHashGridH, s"${cells.length} cells")
+    var hash = 0L
+    var r = 0
+    while (r < DHashGridH) {
+      var c = 0
+      while (c < DHashGridW - 1) {
+        if (cells(r * DHashGridW + c) > cells(r * DHashGridW + c + 1))
+          hash |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
+  /** 9×8 area means over an arbitrary-size luma plane. Block edges at
+    * `floor(k·dim/grid)`; degenerate dims (< grid) fall back to the single
+    * nearest pixel per cell, so tiny images still hash. An EXACT k×
+    * pixel-replication upscale of an image whose dims are multiples of
+    * (9, 8) averages the same pixel multisets per cell — the hash is
+    * scale-invariant by construction there, approximately elsewhere.
+    */
+  private def gridMeans(w: Int, h: Int, luma: (Int, Int) => Double): Array[Double] = {
+    val cells = new Array[Double](DHashGridW * DHashGridH)
+    var r = 0
+    while (r < DHashGridH) {
+      val y0 = r * h / DHashGridH
+      val y1 = math.max(y0 + 1, (r + 1) * h / DHashGridH)
+      var c = 0
+      while (c < DHashGridW) {
+        val x0 = c * w / DHashGridW
+        val x1 = math.max(x0 + 1, (c + 1) * w / DHashGridW)
+        var sum = 0.0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { sum += luma(x, y); x += 1 }
+          y += 1
+        }
+        cells(r * DHashGridW + c) = sum / ((y1 - y0) * (x1 - x0))
+        c += 1
+      }
+      r += 1
+    }
+    cells
+  }
+
+  /** REAL perceptual hash of an encoded image payload (PNG/JPEG/BMP/GIF
+    * via the shared [[readGuardedImage]] guard): Rec. 601 luma → 9×8 area
+    * means → [[dHash64]]. None for non-image / bomb / corrupt payloads —
+    * the no-signal contract, never a task death.
+    */
+  def imageDHash(payload: Array[Byte], maxPixels: Long = 1L << 24): Option[Long] = {
+    val img = readGuardedImage(payload, maxPixels)
+    if (img == null) return None
+    Some(dHash64(gridMeans(img.getWidth, img.getHeight, (x, y) => {
+      val rgb = img.getRGB(x, y)
+      0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+        0.114 * (rgb & 0xff)
+    })))
+  }
+
+  /** Virtual image the stub path hashes: 36×32 (exact 4×4 blocks per dHash
+    * cell), samples past the payload pad 0.0 — the closed form the DuckDB
+    * oracle replays byte-for-byte.
+    */
+  val StubDHashW = 36
+  val StubDHashH = 32
+
+  /** Deterministic dHash over [[StubDecoder]] semantics: payload byte i →
+    * ((b & 0xff) − 128)/128 laid out row-major on the 36×32 virtual plane.
+    * Same grid math as the real path, so the ORACLE pins the exact
+    * hash arithmetic the real-image hash runs on.
+    */
+  def stubDHash(payload: Array[Byte]): Long =
+    dHash64(gridMeans(StubDHashW, StubDHashH, (x, y) => {
+      val i = y * StubDHashW + x
+      if (i < payload.length) ((payload(i) & 0xff) - 128) / 128.0 else 0.0
+    }))
+
+  /** Per-asset perceptual hashes as a (id, simhash) table — the EXACT
+    * input contract of [[graft.dedup.SimHashDedup.nearDupPairs]], so
+    * image near-dup pairs reuse the Manku block-permuted candidate
+    * machinery and its skew ladder unchanged (the tables don't care
+    * whether the 64 bits came from text shingles or pixel gradients):
+    *
+    * {{{
+    * SimHashDedup.nearDupPairs(Multimodal.imageDHashes(assets), maxHamming = 2)
+    * }}}
+    *
+    * Batched per partition like [[decodeFeatures]]; narrow (no shuffle).
+    * `real = true` decodes payloads as images (assets that don't decode
+    * are dropped — they can't be near-dup candidates); `real = false`
+    * uses the stub closed form (every asset hashes).
+    */
+  def imageDHashes(assets: Dataset[MediaAsset], real: Boolean = true): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      if (real) it.flatMap(a => imageDHash(a.payload).map(h => (a.asset_id, h)))
+      else it.map(a => (a.asset_id, stubDHash(a.payload)))
+    }.toDF("id", "simhash")
   }
 
   /** Deterministic synthetic asset table derived from a text corpus (no

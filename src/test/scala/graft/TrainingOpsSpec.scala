@@ -443,6 +443,97 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(guarded.decode(Multimodal.syntheticPng(3L, 15, 15), meta).nonEmpty)
   }
 
+  test("dHash: bit layout, affine invariance, exact-upscale invariance, distinctness") {
+    import graft.multimodal.Multimodal
+    // bit layout: only cell (r=0,c=0) > (0,1) → exactly bit 0; (r=7,c=6) >
+    // (7,7) → exactly bit 62 (c goes to 7 only via the 9th column compare)
+    val flat = Array.fill(72)(0.5)
+    val one = flat.clone(); one(0) = 0.9
+    assert(Multimodal.dHash64(flat) === 0L)
+    assert(Multimodal.dHash64(one) === 1L)
+    val hi = flat.clone(); hi(7 * 9 + 6) = 0.9
+    assert(Multimodal.dHash64(hi) === (1L << 62))
+
+    // luma restricted to 0..127 so a slope-2 contrast map stays strictly
+    // monotone WITHOUT 8-bit saturation or integer-division ties (v/2-style
+    // maps collapse adjacent values — not actually monotone in 8-bit)
+    // seed PRE-MIXED through splitmix before combining with the pixel
+    // index: a raw `seed ^ pos` with small seeds only permutes pixels
+    // within 4-aligned blocks, which area-averaging cancels exactly
+    def img(seed: Long, w: Int, h: Int) = {
+      val s = graft.kernel.Shingling.splitmix64(seed)
+      val b = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (graft.kernel.Shingling.splitmix64(s + y.toLong * w + x) & 0x7fL).toInt
+        b.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      b
+    }
+    def encode(b: java.awt.image.BufferedImage) = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(b, "png", bos); bos.toByteArray
+    }
+    val base = img(1L, 36, 32)
+    val h0 = Multimodal.imageDHash(encode(base)).get
+
+    // affine contrast (2v + 1): strictly monotone affine map on 0..127 →
+    // every cell-mean comparison preserved → identical hash
+    val affine = new java.awt.image.BufferedImage(36, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 36) {
+      val v = (base.getRGB(x, y) & 0xff) * 2 + 1
+      affine.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    assert(Multimodal.imageDHash(encode(affine)).get === h0)
+
+    // exact 2× pixel replication of a (36,32) image: every dHash cell
+    // averages the same pixel multiset → identical hash
+    val up = new java.awt.image.BufferedImage(72, 64,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 72)
+      up.setRGB(x, y, base.getRGB(x / 2, y / 2))
+    assert(Multimodal.imageDHash(encode(up)).get === h0)
+
+    // a different image is far away; non-images are None
+    val other = Multimodal.imageDHash(encode(img(2L, 36, 32))).get
+    assert(java.lang.Long.bitCount(h0 ^ other) > 10)
+    assert(Multimodal.imageDHash("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("image near-dup pairs reuse the SimHash block machinery on real PNGs") {
+    import graft.multimodal.Multimodal
+    import graft.multimodal.Multimodal.{MediaAsset, MediaMeta}
+    import spark.implicits._
+    // low-range noise base so the 2v+1 contrast re-encode is a strictly
+    // monotone (tie-free, unsaturated) map — a true near-duplicate of the
+    // original under any perceptual metric
+    def noisePng(seed: Long, affine: Boolean): Array[Byte] = {
+      val s = graft.kernel.Shingling.splitmix64(seed)
+      val out = new java.awt.image.BufferedImage(36, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 36) {
+        val base = (graft.kernel.Shingling.splitmix64(s + y.toLong * 36 + x) & 0x7fL).toInt
+        val v = if (affine) base * 2 + 1 else base
+        out.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos); bos.toByteArray
+    }
+    val meta = MediaMeta("image", 36, 32, 0L, 0, "png")
+    val assets = Seq(
+      MediaAsset(1L, noisePng(7L, affine = false), meta),
+      MediaAsset(2L, noisePng(7L, affine = true), meta), // near-dup of 1 (Hamming 0)
+      MediaAsset(3L, noisePng(8L, affine = false), meta),
+      MediaAsset(4L, "not an image".getBytes("UTF-8"), meta) // dropped
+    ).toDS()
+    val hashes = Multimodal.imageDHashes(assets)
+    assert(hashes.count() === 3L) // undecodable asset 4 dropped
+    val pairs = graft.dedup.SimHashDedup.nearDupPairs(hashes, maxHamming = 2)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   // ---- SemDeDup (embedding-space semantic dedup) ----
 
   test("semdedup: keep-rule keeps the least-prototypical member; singletons survive") {

@@ -608,6 +608,21 @@ object PlanAudit {
         !pblk.contains("Window") &&
         (pblk.contains("WholeStageCodegen") || pblk.contains("*(")), pblk)
 
+    // CDX parse: one narrow codegen'd projection (regexp + json probes) —
+    // no shuffle of any kind before the captures exist.
+    val pcdx = plan("q_cdx_parse")
+    check("q_cdx_parse: narrow codegen'd line parse (no Exchange/join/Window)",
+      !pcdx.contains("Exchange") && !pcdx.contains("Join") &&
+        !pcdx.contains("Window") &&
+        (pcdx.contains("WholeStageCodegen") || pcdx.contains("*(")), pcdx)
+
+    // CDX digest collapse: partial-agg'd min(struct)+count on the digest +
+    // hash-join-back — the exact_edges skew ladder at index cost, no Window.
+    val pcdd = plan("q_cdx_dedup")
+    check("q_cdx_dedup: partial-agg'd keeper + join-back, no Window",
+      pcdd.contains("partial_min") && pcdd.contains("partial_count") &&
+        !pcdd.contains("Window") && !pcdd.contains("Cartesian"), pcdd)
+
     println(s"PlanAudit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()
     if (failures > 0) sys.exit(1)

@@ -8,7 +8,7 @@ import graft.ann.Ann
 import graft.cite.{CitationDedup, CsvParser, EndNoteXmlParser, FormatDetect, PubMedParser, RisParser}
 import graft.dedup.{ConnectedComponents, DedupProbe}
 import graft.functions._
-import graft.io.{WarcSource, ZOrder}
+import graft.io.{CdxSource, WarcSource, ZOrder}
 import graft.multimodal.Multimodal
 import graft.graph.{AnchorCorpus, HostRank}
 import graft.operators.{AsOfJoin, RangeJoin}
@@ -31,6 +31,34 @@ object SparkEntry {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Deterministic CDXJ fixture: one capture per document, rendered to
+    * real index lines by [[graft.io.CdxSource.formatLine]]. URLs plant the
+    * SURT axes (www + sorted query params), digests repeat mod 97 so
+    * [[graft.io.CdxSource.digestDedup]] sees multi-capture families, and
+    * (filename, offset, length) give the fetch planner 8 containers of
+    * increasing offsets. Every field is a closed form of doc_id, so the
+    * DuckDB oracles replay the whole round trip.
+    */
+  private def cdxLines(s: SparkSession, dir: String): DataFrame = {
+    val epoch = java.time.Instant.parse("2026-08-01T00:00:00Z").getEpochSecond
+    val d = col("doc_id")
+    val url = concat(
+      lit("https://www.example-"), (d % 7).cast("string"),
+      lit(".com/docs/"), d.cast("string"),
+      lit("?b="), (d % 5).cast("string"), lit("&a="), (d % 3).cast("string"))
+    t(s, dir, "documents").select(
+      CdxSource.formatLine(
+        CdxSource.surtKey(url),
+        timestamp_seconds(lit(epoch) + d % 97),
+        url,
+        lit("text/html"), lit("200"),
+        concat(lit("sha1:"), (d % 97).cast("string")),
+        col("n_chars") + 200L,
+        d * 1000L,
+        concat(lit("crawl/seg-"), (d % 8).cast("string"), lit(".warc.gz"))
+      ).as("line"))
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -748,6 +776,43 @@ object SparkEntry {
         }.toDF("url", "warc_ts", "html")
       WarcSource.withExtractedText(pages, "warc")
         .select(col("url"), col("warc_ts"), col("text"), col("lang"))
+    }),
+
+    // CDX index round-trip: captures are rendered to CDXJ lines (SURT
+    // urlkey + 14-digit ts + JSON attributes, the published Common Crawl
+    // layout) and parsed back by the real line walk. The oracle is the
+    // closed form of the round trip — including the SURT semantics the
+    // fixture plants (www strip, host-label reversal, bytewise query-param
+    // sort) and the string→long casts of the JSON numeric fields.
+    "q_cdx_parse" -> ((s, dir) => {
+      CdxSource.parseLines(cdxLines(s, dir))
+        .select(col("urlkey"), col("ts"), col("url"), col("mime"),
+          col("status"), col("digest"),
+          col("length").as("rec_length"), col("offset").as("rec_offset"),
+          col("filename"))
+    }),
+
+    // Index-level exact dedup: one capture kept per content digest (the
+    // earliest by (ts, urlkey, offset)) with the family size carried —
+    // partial-agg min(struct) + join-back on the digest, never a window.
+    // The oracle IS the row_number window the plan avoids.
+    "q_cdx_dedup" -> ((s, dir) => {
+      CdxSource.digestDedup(CdxSource.parseLines(cdxLines(s, dir)))
+        .select(col("digest"), col("urlkey"), col("ts"), col("n_captures"))
+    }),
+
+    // Per-WARC-file fetch plan over the dedup survivors: offset-sorted
+    // ranges so payload fetch is one forward scan per container. Ranges
+    // are flattened to a string for the hash compare; the DuckDB oracle
+    // replays the identical ordered aggregation.
+    "q_cdx_fetch_plan" -> ((s, dir) => {
+      val kept = CdxSource.digestDedup(CdxSource.parseLines(cdxLines(s, dir)))
+      CdxSource.fetchPlan(kept)
+        .select(col("filename"), col("n_records"), col("bytes"),
+          array_join(
+            transform(col("ranges"), r => concat_ws(":",
+              r.getField("offset").cast("string"),
+              r.getField("length").cast("string"))), ",").as("ranges"))
     }),
 
     // ---------- deduplication ops ----------
@@ -2171,6 +2236,33 @@ object SparkEntry {
     * than `1 - 0.85` computes). Final ranks rounded to 1e-6 on both sides
     * (contribution sums are order-sensitive at ~1e-15 relative).
     */
+  /** DuckDB closed forms of the [[cdxLines]] fixture fields — the oracle
+    * side of the CDXJ round trip, including the SURT key the Spark side
+    * must derive (www stripped, host labels reversed, query params
+    * bytewise-sorted: the fixture plants `?b=&a=`, the key carries
+    * `?a=&b=`).
+    */
+  private val cdxKeySql: String =
+    "'com,example-' || CAST(doc_id % 7 AS VARCHAR) || ')/docs/' || " +
+      "CAST(doc_id AS VARCHAR) || '?a=' || CAST(doc_id % 3 AS VARCHAR) || " +
+      "'&b=' || CAST(doc_id % 5 AS VARCHAR)"
+  private val cdxTsSql: String =
+    "TIMESTAMP '2026-08-01 00:00:00' + to_seconds(CAST(doc_id % 97 AS BIGINT))"
+  private val cdxUrlSql: String =
+    "'https://www.example-' || CAST(doc_id % 7 AS VARCHAR) || '.com/docs/' || " +
+      "CAST(doc_id AS VARCHAR) || '?b=' || CAST(doc_id % 5 AS VARCHAR) || " +
+      "'&a=' || CAST(doc_id % 3 AS VARCHAR)"
+  private val cdxDigestSql: String = "'sha1:' || CAST(doc_id % 97 AS VARCHAR)"
+  private val cdxFileSql: String =
+    "'crawl/seg-' || CAST(doc_id % 8 AS VARCHAR) || '.warc.gz'"
+  private def cdxCapturesSql: String =
+    s"""SELECT $cdxKeySql AS urlkey, $cdxTsSql AS ts,
+       |    $cdxDigestSql AS digest,
+       |    CAST(n_chars + 200 AS BIGINT) AS rec_length,
+       |    CAST(doc_id * 1000 AS BIGINT) AS rec_offset,
+       |    $cdxFileSql AS filename
+       |  FROM documents""".stripMargin
+
   private def hostRankOracleSql(iters: Int): String = {
     val sb = new StringBuilder
     sb ++= """WITH e AS (SELECT DISTINCT doc_id % 49 AS src,
@@ -3259,6 +3351,39 @@ object SparkEntry {
          |  text,
          |  ${TextOps.langIdSql("text")} AS lang
          |FROM documents""".stripMargin,
+
+    // closed form of the CDXJ round trip: format → parse must land on the
+    // planted fields, with the SURT key's www strip, host reversal, and
+    // bytewise query-param sort applied (?b=&a= → ?a=&b=)
+    "q_cdx_parse" ->
+      s"""SELECT $cdxKeySql AS urlkey, $cdxTsSql AS ts, $cdxUrlSql AS url,
+         |  'text/html' AS mime, '200' AS status, $cdxDigestSql AS digest,
+         |  CAST(n_chars + 200 AS BIGINT) AS rec_length,
+         |  CAST(doc_id * 1000 AS BIGINT) AS rec_offset,
+         |  $cdxFileSql AS filename
+         |FROM documents""".stripMargin,
+
+    // the oracle IS the row_number window the Spark plan avoids
+    "q_cdx_dedup" ->
+      s"""SELECT digest, urlkey, ts, n_captures FROM (
+         |  SELECT digest, urlkey, ts,
+         |    COUNT(*) OVER (PARTITION BY digest) AS n_captures,
+         |    row_number() OVER (PARTITION BY digest
+         |      ORDER BY ts, urlkey, rec_offset) AS rn
+         |  FROM ($cdxCapturesSql)) WHERE rn = 1""".stripMargin,
+
+    "q_cdx_fetch_plan" ->
+      s"""SELECT filename, COUNT(*) AS n_records,
+         |  CAST(SUM(rec_length) AS BIGINT) AS bytes,
+         |  string_agg(rec_offset || ':' || rec_length, ','
+         |    ORDER BY rec_offset, rec_length) AS ranges
+         |FROM (
+         |  SELECT * FROM (
+         |    SELECT filename, rec_offset, rec_length,
+         |      row_number() OVER (PARTITION BY digest
+         |        ORDER BY ts, urlkey, rec_offset) AS rn
+         |    FROM ($cdxCapturesSql)) WHERE rn = 1)
+         |GROUP BY filename""".stripMargin,
 
     "q_connected_components" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -1,0 +1,159 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** CDX(J) capture-index ingestion — the index Common Crawl publishes next
+  * to its WARC segments (one line per capture: SURT urlkey, 14-digit
+  * timestamp, JSON attributes). Real 100-TB pipelines do their first
+  * dedup/filter passes HERE, on the ~0.1% -sized index, and only then read
+  * payload bytes: the index carries a content digest (exact-dup collapse
+  * with zero payload I/O), MIME/status (drop non-HTML and non-200 captures
+  * before fetch), and (filename, offset, length) (turn the surviving set
+  * into sequential per-file read plans). This is the cheapest dedup tier
+  * of the whole engine: at 10^12 captures the digest collapse runs over
+  * ~100-byte index rows instead of ~100-KB pages — a 1000x I/O reduction
+  * before [[WarcSource]] ever opens a container.
+  *
+  * Everything here is Spark built-ins (regexp/json/array functions) — one
+  * narrow codegen'd projection for parsing, partial-agg'd groupBys for the
+  * collapse and the read plan; no UDFs, no windows.
+  *
+  * Format notes (public: the Internet Archive's CDXJ / Common Crawl
+  * `cdx-00000.gz` layout):
+  *   - line = `<urlkey> <yyyyMMddHHmmss> <json>`;
+  *   - urlkey is the SURT (Sort-friendly URI Reordering Transform) of the
+  *     capture URL — host labels reversed and comma-joined so one host's
+  *     captures sort contiguously (`com,example)/path?q`);
+  *   - numeric attributes (`length`, `offset`) are JSON STRINGS in the
+  *     published files; [[parseLines]] casts them.
+  */
+object CdxSource {
+
+  /** SURT urlkey of a URL (the documented subset of the IA canonicalizer,
+    * matching [[graft.text.UrlOps.canonicalizeUrl]]'s decisions where the
+    * two overlap):
+    *   - entire key lowercased (CDX urlkeys are; path/query case folding
+    *     is part of the published key format, unlike canonical URLs);
+    *   - scheme, userinfo, and fragment dropped; default ports (:80/:443)
+    *     and a leading `www.` dropped;
+    *   - host labels reversed and comma-joined; `)` separates host from
+    *     path; empty path becomes `/`;
+    *   - query parameters sorted bytewise (the IA canonicalizer's
+    *     argument sort), so `?b=2&a=1` and `?a=1&b=2` share a key.
+    * Percent-encoding is NOT normalized here — run
+    * [[graft.text.UrlOps.canonicalizeUrl]] first if `%7E`-vs-`~` spellings
+    * must collapse; the two passes compose.
+    */
+  def surtKey(url: Column): Column = {
+    val u = lower(trim(url))
+    val noScheme = regexp_replace(u, "^[a-z][a-z0-9+.-]*://", "")
+    // userinfo only counts when '@' precedes any path/query/fragment byte
+    val noUser = regexp_replace(noScheme, "^[^/?#@]*@", "")
+    val authority = regexp_extract(noUser, "^([^/?#]*)", 1)
+    val host = regexp_replace(
+      regexp_replace(authority, ":(80|443)$", ""), "^www\\.", "")
+    // a surviving non-default port stays OUTSIDE the label reversal
+    // (`org,example:8080`), as IA keys spell it
+    val port = regexp_extract(host, "(:[0-9]+)$", 1)
+    val hostOnly = regexp_replace(host, ":[0-9]+$", "")
+    val revHost =
+      concat(array_join(reverse(split(hostOnly, "\\.")), ","), port)
+    val path = regexp_extract(noUser, "^[^/?#]*([^?#]*)", 1)
+    val query = regexp_extract(noUser, "^[^#?]*\\?([^#]*)", 1)
+    val sortedQuery = array_join(array_sort(split(query, "&")), "&")
+    concat(
+      revHost, lit(")"),
+      when(path === "", lit("/")).otherwise(path),
+      when(query === "", lit("")).otherwise(concat(lit("?"), sortedQuery)))
+  }
+
+  /** One CDXJ index line for a capture — the inverse of [[parseLines]],
+    * used by sinks and the test fixtures. Numeric fields are emitted as
+    * JSON strings, matching the published files.
+    */
+  def formatLine(urlkey: Column, ts: Column, url: Column, mime: Column,
+                 status: Column, digest: Column, length: Column,
+                 offset: Column, filename: Column): Column =
+    concat(
+      urlkey, lit(" "),
+      date_format(ts, "yyyyMMddHHmmss"), lit(" "),
+      lit("""{"url": """"), url,
+      lit("""", "mime": """"), mime,
+      lit("""", "status": """"), status,
+      lit("""", "digest": """"), digest,
+      lit("""", "length": """"), length.cast("string"),
+      lit("""", "offset": """"), offset.cast("string"),
+      lit("""", "filename": """"), filename, lit(""""}"""))
+
+  /** Parse CDXJ lines into typed capture rows:
+    * (urlkey, ts, url, mime, status, digest, length, offset, filename).
+    * Lines that don't match the `<key> <14-digit ts> <json>` frame are
+    * DROPPED (index files end with ragged lines when truncated mid-write;
+    * a malformed line carries no recoverable capture) — count them from
+    * the input/output cardinality delta if lineage needs them. One narrow
+    * codegen'd projection; the JSON blob is parsed once per attribute via
+    * `get_json_object` (each a simple-path probe, no schema inference).
+    */
+  def parseLines(lines: DataFrame, lineCol: String = "line"): DataFrame = {
+    val l = col(lineCol)
+    val frame = "^(\\S+) (\\d{14}) (\\{.*\\})$"
+    val json = regexp_extract(l, frame, 3)
+    lines
+      .where(l.rlike(frame))
+      .select(
+        regexp_extract(l, frame, 1).as("urlkey"),
+        to_timestamp(regexp_extract(l, frame, 2), "yyyyMMddHHmmss").as("ts"),
+        get_json_object(json, "$.url").as("url"),
+        get_json_object(json, "$.mime").as("mime"),
+        get_json_object(json, "$.status").as("status"),
+        get_json_object(json, "$.digest").as("digest"),
+        get_json_object(json, "$.length").cast("long").as("length"),
+        get_json_object(json, "$.offset").cast("long").as("offset"),
+        get_json_object(json, "$.filename").as("filename"))
+  }
+
+  /** Index-level exact dedup: keep ONE capture per content digest — the
+    * earliest by (ts, urlkey, offset), a total order, so the keeper is
+    * deterministic under ties — and carry the family size as `n_captures`.
+    * Same skew ladder as the pipeline's exact_edges stage: ONE partial-
+    * agg'd groupBy on the digest (`min(struct)` + `count` both combine
+    * map-side, so a digest captured 10^6 times contributes one row per
+    * partition) and a hash-join-back on the digest key — never a window
+    * over the corpus-wide digest. Common Crawl's digest is SHA-1 over the
+    * payload, so this is exact-dup collapse at index cost.
+    */
+  def digestDedup(captures: DataFrame): DataFrame = {
+    val keep = captures
+      .groupBy(col("digest"))
+      .agg(
+        min(struct(col("ts"), col("urlkey"), col("offset"))).as("keeper"),
+        count(lit(1)).as("n_captures"))
+    captures
+      .join(keep, "digest")
+      .where(col("ts") === col("keeper.ts") &&
+        col("urlkey") === col("keeper.urlkey") &&
+        col("offset") === col("keeper.offset"))
+      .drop("keeper")
+  }
+
+  /** Per-WARC-file read plan for a surviving capture set: the ranges to
+    * fetch from each container, offset-sorted so a reader issues ONE
+    * forward scan per file instead of random seeks (the offsets within a
+    * Common Crawl segment are written in increasing order, so sorted
+    * ranges coalesce into near-sequential I/O). Output per filename:
+    * `n_records`, `bytes` (sum of record lengths), and `ranges` —
+    * offset-ordered (offset, length) structs, bounded per file by the
+    * records actually kept. One partial-agg'd groupBy on the filename;
+    * fetch tasks then parallelize per file, the same unit
+    * [[WarcSource.readPages]] fans out on.
+    */
+  def fetchPlan(captures: DataFrame): DataFrame =
+    captures
+      .groupBy(col("filename"))
+      .agg(
+        count(lit(1)).as("n_records"),
+        sum(col("length")).as("bytes"),
+        sort_array(collect_list(struct(col("offset"), col("length"))))
+          .as("ranges"))
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.CdxSource
+
+/** CDX(J) index ingestion: SURT key semantics, line framing, the digest
+  * collapse's keeper determinism, and the fetch planner's range ordering.
+  */
+class CdxSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def surt(url: String): String = {
+    import spark.implicits._
+    Seq(url).toDF("u").select(CdxSource.surtKey(col("u"))).head.getString(0)
+  }
+
+  test("surtKey: host reversal, www/port/scheme/fragment drops, query sort") {
+    assert(surt("https://www.Example.COM/Path/A?b=2&a=1#frag")
+      === "com,example)/path/a?a=1&b=2")
+    assert(surt("http://sub.example.org:80/") === "org,example,sub)/")
+    assert(surt("https://example.org:443") === "org,example)/")
+    // non-default port is part of the key (distinct origin)
+    assert(surt("http://example.org:8080/x") === "org,example:8080)/x")
+    // userinfo dropped; '@' AFTER the authority is path content, kept
+    assert(surt("https://user:pw@example.net/p") === "net,example)/p")
+    assert(surt("https://example.net/p@q") === "net,example)/p@q")
+    // a trailing bare '?' is an empty query — dropped from the key
+    assert(surt("https://example.net/p?") === "net,example)/p")
+  }
+
+  test("parseLines: round trip, malformed lines dropped, numeric casts") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.from(java.time.Instant.parse("2026-08-01T12:34:56Z"))
+    val good = Seq(("com,a)/x", ts, "https://a.com/x", "text/html", "200",
+      "sha1:ABC", 1234L, 567L, "seg-0.warc.gz"))
+      .toDF("k", "t", "u", "m", "s", "d", "l", "o", "f")
+      .select(CdxSource.formatLine(col("k"), col("t"), col("u"), col("m"),
+        col("s"), col("d"), col("l"), col("o"), col("f")).as("line"))
+    val junk = Seq(
+      "",                                  // empty
+      "com,a)/x 2026 {\"url\": \"x\"}",    // short timestamp
+      "com,a)/x 20260801123456 truncated") // payload not a JSON object
+      .toDF("line")
+    val rows = CdxSource.parseLines(good.union(junk)).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[String]("urlkey") === "com,a)/x")
+    assert(r.getAs[java.sql.Timestamp]("ts") === ts)
+    assert(r.getAs[String]("url") === "https://a.com/x")
+    assert(r.getAs[String]("digest") === "sha1:ABC")
+    assert(r.getAs[Long]("length") === 1234L)
+    assert(r.getAs[Long]("offset") === 567L)
+    assert(r.getAs[String]("filename") === "seg-0.warc.gz")
+  }
+
+  test("digestDedup: earliest (ts, urlkey, offset) kept, family size carried") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.from(java.time.Instant.parse("2026-08-01T00:00:00Z"))
+    val t1 = java.sql.Timestamp.from(java.time.Instant.parse("2026-08-02T00:00:00Z"))
+    val caps = Seq(
+      ("com,a)/1", t1, "D1", 10L, 0L, "f0"),   // later ts loses
+      ("com,a)/2", t0, "D1", 10L, 100L, "f0"), // kept: earliest ts
+      ("com,b)/1", t0, "D2", 10L, 0L, "f1"),   // kept: urlkey tie-break
+      ("com,b)/2", t0, "D2", 10L, 50L, "f1"),
+      ("com,c)/1", t0, "D3", 10L, 0L, "f1"))   // singleton
+      .toDF("urlkey", "ts", "digest", "length", "offset", "filename")
+    val kept = CdxSource.digestDedup(caps)
+      .select("digest", "urlkey", "n_captures").as[(String, String, Long)]
+      .collect().sortBy(_._1)
+    assert(kept === Array(("D1", "com,a)/2", 2L), ("D2", "com,b)/1", 2L),
+      ("D3", "com,c)/1", 1L)))
+  }
+
+  test("fetchPlan: per-file offset-sorted ranges, byte totals") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.from(java.time.Instant.parse("2026-08-01T00:00:00Z"))
+    val caps = Seq(
+      ("k1", t0, "D1", 100L, 900L, "f0"),
+      ("k2", t0, "D2", 50L, 200L, "f0"),
+      ("k3", t0, "D3", 7L, 0L, "f1"))
+      .toDF("urlkey", "ts", "digest", "length", "offset", "filename")
+    val plan = CdxSource.fetchPlan(caps).collect()
+      .map(r => (r.getAs[String]("filename"), r.getAs[Long]("n_records"),
+        r.getAs[Long]("bytes"),
+        r.getAs[Seq[org.apache.spark.sql.Row]]("ranges")
+          .map(x => (x.getLong(0), x.getLong(1)))))
+      .sortBy(_._1)
+    assert(plan === Array(
+      ("f0", 2L, 150L, Seq((200L, 50L), (900L, 100L))), // offset-sorted
+      ("f1", 1L, 7L, Seq((0L, 7L)))))
+  }
+}

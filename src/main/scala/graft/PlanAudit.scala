@@ -623,6 +623,15 @@ object PlanAudit {
       pcdd.contains("partial_min") && pcdd.contains("partial_count") &&
         !pcdd.contains("Window") && !pcdd.contains("Cartesian"), pcdd)
 
+    // Sketch verification: the pipeline verify stage's join shape (two
+    // shuffled-hash joins co-partitioned on the id, no sort-merge, no
+    // broadcast of sketch state, no Window) with the per-id payload
+    // shrunk to the packed b-bit sketch.
+    val psv = plan("q_sketch_verify")
+    check("q_sketch_verify: shuffled-hash sketch joins, no SMJ/Window",
+      psv.contains("ShuffledHashJoin") && !psv.contains("SortMergeJoin") &&
+        !psv.contains("Window") && !psv.contains("Cartesian"), psv)
+
     println(s"PlanAudit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()
     if (failures > 0) sys.exit(1)

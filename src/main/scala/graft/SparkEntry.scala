@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ann.Ann
 import graft.cite.{CitationDedup, CsvParser, EndNoteXmlParser, FormatDetect, PubMedParser, RisParser}
-import graft.dedup.{ConnectedComponents, DedupProbe}
+import graft.dedup.{ConnectedComponents, DedupProbe, SketchVerify}
 import graft.functions._
 import graft.io.{CdxSource, WarcSource, ZOrder}
 import graft.multimodal.Multimodal
@@ -893,6 +893,30 @@ object SparkEntry {
 
     // Exact token-set Jaccard near-dup pairs (bounded self-join) — the
     // verification predicate of the LSH pipeline, oracle-checkable.
+    // b-bit sketch verification (Li & König 2010): candidates decided from
+    // 64-byte packed sketches instead of full shingle sets — the 64/b×
+    // verification-state compression. Families are planted with IDENTICAL
+    // text (a closed form of the family id), so every within-family pair's
+    // b-bit estimate is EXACTLY 1.0 (all cells equal — no estimator noise)
+    // and the whole two-shuffled-hash-join decision has a DuckDB closed
+    // form. Near-threshold estimator behavior (accuracy, the exact-Jaccard
+    // escalation band) has no closed form and is pinned by
+    // SketchVerifySpec instead.
+    "q_sketch_verify" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(
+        col("doc_id").as("id"),
+        concat(lit("fam"),
+          (col("doc_id") - col("doc_id") % 5).cast("string"),
+          lit(" alpha beta gamma delta epsilon zeta")).as("text"))
+      val sketches = docs.select(col("id"),
+        bbit_minhash(word_shingles(col("text"), 2), 128, 4).as("sketch"))
+      val candidates = docs.where(col("id") % 5 < 4)
+        .select(col("id").as("a"), (col("id") + 1).as("b"))
+      SketchVerify.verifyPairs(candidates, sketches, 128, 4, 0.9)
+        .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"),
+          col("est"))
+    }),
+
     "q_dedup_jaccard_pairs" -> ((s, dir) => {
       val toks = t(s, dir, "documents").filter(col("doc_id") < 100)
         .select(col("doc_id"), array_distinct(split(lower(col("text")), " ")).as("toks"))
@@ -2404,6 +2428,14 @@ object SparkEntry {
          |  ${Mixing.splitAssignSql("CAST(doc_id - doc_id % 10 AS VARCHAR)",
               "leak", MixSplits)} AS split
          |FROM documents""".stripMargin,
+
+    // identical family text → every within-family sketch estimate is
+    // exactly 1.0; the inner sketch joins drop b-side ids that don't exist
+    "q_sketch_verify" ->
+      """SELECT CAST(d.doc_id AS BIGINT) AS a,
+        |  CAST(d.doc_id + 1 AS BIGINT) AS b, 1.0 AS est
+        |FROM documents d JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+        |WHERE d.doc_id % 5 < 4""".stripMargin,
 
     "q_dedup_jaccard_pairs" ->
       """SELECT x.doc_id AS a, y.doc_id AS b,

@@ -1,0 +1,82 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{bbit_jaccard, jaccard_sorted}
+
+/** Sketch-based candidate verification (Li & König 2010, "b-Bit Minwise
+  * Hashing"): decide LSH candidate pairs from stored b-bit MinHash
+  * sketches instead of fetching full shingle sets — the verification-state
+  * escape hatch for the regime BASELINE.md prices as the incremental
+  * path's residual: per-pair shingle fetches read KBs of sorted hashes per
+  * document, while a b=4, n=128 sketch is 64 BYTES (a 64/b× reduction vs
+  * even the 32-bit truncated shingle state for typical page sizes).
+  *
+  * Accuracy contract (published, not invented): the estimator is unbiased
+  * with variance ≈ P̂(1−P̂)/n after the 2^-b collision correction; identical
+  * shingle sets estimate EXACTLY 1.0. Sketch-only decisions are therefore
+  * approximate near the threshold — that is what [[verifyPairsEscalating]]
+  * is for: pairs whose estimate lands inside ±eps of the threshold (few,
+  * by the variance bound) are re-scored with exact Jaccard; everything
+  * outside the band is decided from 64 bytes. The batch pipeline keeps
+  * exact verification (bit-identity across runs is its contract); this
+  * operator is the documented trade for state-read-bound deployments, with
+  * its recall pinned against exact ground truth in SketchVerifySpec.
+  *
+  * Scale shape: identical to the pipeline's verify stage — two explicit
+  * shuffled-hash joins co-partitioned on the doc id, hash tables built on
+  * the pair side, no sort, no window; only the per-id payload shrinks.
+  */
+object SketchVerify {
+
+  /** Sketch-only verification: `candidates` (a, b) joined to `sketches`
+    * (id, sketch) on both sides; emits (a, b, est) for pairs whose
+    * corrected estimate clears `threshold`.
+    */
+  def verifyPairs(candidates: DataFrame, sketches: DataFrame,
+                  numHashes: Int, bBits: Int, threshold: Double): DataFrame =
+    scored(candidates, sketches, numHashes, bBits)
+      .filter(col("est") >= threshold)
+      .select("a", "b", "est")
+
+  /** Sketch-first verification with exact escalation: pairs with
+    * `|est − threshold| < eps` are re-scored by exact Jaccard over
+    * `shingles` (id, shingles) and decided on the EXACT value; pairs
+    * outside the band are decided by the sketch alone. The escalation join
+    * touches only the borderline slice — by the estimator's variance
+    * bound, an O(eps) fraction of candidates — so shingle-state reads
+    * shrink by the same factor. Emits (a, b, est, jaccard, escalated);
+    * `jaccard` is null for sketch-decided pairs.
+    */
+  def verifyPairsEscalating(candidates: DataFrame, sketches: DataFrame,
+                            shingles: DataFrame, numHashes: Int, bBits: Int,
+                            threshold: Double, eps: Double): DataFrame = {
+    val s = scored(candidates, sketches, numHashes, bBits)
+    val clear = s.filter(abs(col("est") - threshold) >= eps)
+      .filter(col("est") >= threshold)
+      .select(col("a"), col("b"), col("est"),
+        lit(null).cast("double").as("jaccard"), lit(false).as("escalated"))
+    val shingleSide = shingles.select(col("id"), col("shingles"))
+    val borderline = s.filter(abs(col("est") - threshold) < eps)
+      .hint("shuffle_hash")
+      .join(shingleSide.withColumnsRenamed(Map("id" -> "a", "shingles" -> "sh_a")), "a")
+      .hint("shuffle_hash")
+      .join(shingleSide.withColumnsRenamed(Map("id" -> "b", "shingles" -> "sh_b")), "b")
+      .withColumn("jaccard", jaccard_sorted(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("est"), col("jaccard"),
+        lit(true).as("escalated"))
+    clear.unionByName(borderline)
+  }
+
+  private def scored(candidates: DataFrame, sketches: DataFrame,
+                     numHashes: Int, bBits: Int): DataFrame = {
+    val sketchSide = sketches.select(col("id"), col("sketch"))
+    candidates.hint("shuffle_hash")
+      .join(sketchSide.withColumnsRenamed(Map("id" -> "a", "sketch" -> "sk_a")), "a")
+      .hint("shuffle_hash")
+      .join(sketchSide.withColumnsRenamed(Map("id" -> "b", "sketch" -> "sk_b")), "b")
+      .withColumn("est", bbit_jaccard(col("sk_a"), col("sk_b"), numHashes, bBits))
+  }
+}

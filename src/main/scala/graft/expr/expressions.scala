@@ -299,6 +299,53 @@ case class MinHashJaccard(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** b-bit MinHash sketch (Li & König 2010) — the low `b` bits of each
+  * MinHash value, bit-packed to `numHashes*b/64` longs: the `64/b`×-
+  * compressed per-document verification state. Same permutation family as
+  * [[MinHashSignature]] (truncation parity is test-pinned).
+  */
+case class BBitMinHash(child: Expression, numHashes: Int, b: Int, seed: Long)
+    extends UnaryExpression with SimpleCodegen {
+  require(b > 0 && 64 % b == 0, s"b must divide 64, got $b")
+  @transient private lazy val coeffA: Array[Long] =
+    Array.tabulate(numHashes)(i => Shingling.splitmix64(seed + 2L * i) | 1L)
+  @transient private lazy val coeffB: Array[Long] =
+    Array.tabulate(numHashes)(i => Shingling.splitmix64(seed + 2L * i + 1L))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val shingles = input.asInstanceOf[ArrayData].toLongArray()
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var s = 0
+    while (s < shingles.length) {
+      val x = shingles(s)
+      var i = 0
+      while (i < numHashes) {
+        val v = coeffA(i) * x + coeffB(i)
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(Shingling.packLowBits(sig, b))
+  }
+  override protected def withNewChildInternal(c: Expression): BBitMinHash = copy(child = c)
+}
+
+/** Corrected Jaccard estimate from two b-bit sketches
+  * ([[Shingling.bbitJaccardEstimate]]).
+  */
+case class BBitJaccard(left: Expression, right: Expression, numHashes: Int, b: Int)
+    extends BinaryExpression with SimpleCodegen {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    Shingling.bbitJaccardEstimate(
+      l.asInstanceOf[ArrayData].toLongArray(),
+      r.asInstanceOf[ArrayData].toLongArray(), numHashes, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BBitJaccard =
+    copy(left = l, right = r)
+}
+
 /** Hamming distance between two 64-bit fingerprints. */
 case class HammingDist64(left: Expression, right: Expression)
     extends BinaryExpression with SimpleCodegen {

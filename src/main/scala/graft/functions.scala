@@ -130,6 +130,11 @@ object functions {
   def truncate_hashes32(c: Column): Column = col(TruncateHashes32(ex(c)))
   def jaccard_sorted(l: Column, r: Column): Column = col(JaccardSorted(ex(l), ex(r)))
   def minhash_jaccard(l: Column, r: Column): Column = col(MinHashJaccard(ex(l), ex(r)))
+  def bbit_minhash(c: Column, numHashes: Int, b: Int,
+                   seed: Long = Shingling.DefaultSeed): Column =
+    col(BBitMinHash(ex(c), numHashes, b, seed))
+  def bbit_jaccard(l: Column, r: Column, numHashes: Int, b: Int): Column =
+    col(BBitJaccard(ex(l), ex(r), numHashes, b))
   def hamming64(l: Column, r: Column): Column = col(HammingDist64(ex(l), ex(r)))
 
   /** xxhash64 with an explicit seed (the stock `functions.xxhash64` pins

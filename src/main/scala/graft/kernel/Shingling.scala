@@ -464,4 +464,74 @@ object Shingling {
     }
     best
   }
+
+  /** b-bit MinHash sketch (Li & König 2010, "b-Bit Minwise Hashing"): the
+    * low `b` bits of each of `numHashes` MinHash values, bit-packed —
+    * `numHashes * b / 64` longs instead of `numHashes` longs, a `64/b`×
+    * smaller per-document verification state. Uses the SAME affine
+    * permutation family (and signed-min convention) as
+    * [[graft.expr.MinHashSignature]], so the sketch is exactly the
+    * truncation of the full signature (parity is test-pinned). Cell `i`
+    * occupies bits `[i*b, (i+1)*b)` little-endian across the long array;
+    * `b` must divide 64 so no cell spans words.
+    */
+  def bbitSketch(shingles: Array[Long], numHashes: Int, b: Int,
+                 seed: Long): Array[Long] = {
+    require(b > 0 && 64 % b == 0, s"b must divide 64, got $b")
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var s = 0
+    while (s < shingles.length) {
+      val x = shingles(s)
+      var i = 0
+      while (i < numHashes) {
+        val v = (splitmix64(seed + 2L * i) | 1L) * x + splitmix64(seed + 2L * i + 1L)
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      s += 1
+    }
+    packLowBits(sig, b)
+  }
+
+  /** Pack the low `b` bits of each value into a little-endian long array. */
+  def packLowBits(values: Array[Long], b: Int): Array[Long] = {
+    require(b > 0 && 64 % b == 0, s"b must divide 64, got $b")
+    val mask = if (b == 64) -1L else (1L << b) - 1L
+    val out = new Array[Long]((values.length * b + 63) / 64)
+    var i = 0
+    while (i < values.length) {
+      val bit = i * b
+      out(bit >> 6) |= (values(i) & mask) << (bit & 63)
+      i += 1
+    }
+    out
+  }
+
+  /** Cell `i` of a packed b-bit sketch. */
+  def bbitCell(packed: Array[Long], i: Int, b: Int): Long = {
+    val mask = if (b == 64) -1L else (1L << b) - 1L
+    val bit = i * b
+    (packed(bit >> 6) >>> (bit & 63)) & mask
+  }
+
+  /** Unbiased Jaccard estimate from two b-bit sketches: with match rate
+    * P̂ = (equal cells)/n and accidental-collision floor c = 2^-b,
+    * Ĵ = (P̂ − c)/(1 − c), clamped to [0, 1] (the r→0 form of Li & König's
+    * eq. 3 — the density correction terms vanish for 64-bit hash spaces).
+    * Identical shingle sets estimate exactly 1.0 (all cells equal).
+    */
+  def bbitJaccardEstimate(x: Array[Long], y: Array[Long], numHashes: Int,
+                          b: Int): Double = {
+    require(x.length == y.length && x.length == (numHashes * b + 63) / 64)
+    var eq = 0
+    var i = 0
+    while (i < numHashes) {
+      if (bbitCell(x, i, b) == bbitCell(y, i, b)) eq += 1
+      i += 1
+    }
+    val phat = eq.toDouble / numHashes
+    val c = if (b == 64) 0.0 else 1.0 / (1L << b).toDouble
+    math.max(0.0, math.min(1.0, (phat - c) / (1.0 - c)))
+  }
 }

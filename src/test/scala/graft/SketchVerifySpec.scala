@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.SketchVerify
+import graft.functions.{bbit_jaccard, bbit_minhash, jaccard_sorted, minhash, word_shingles}
+import graft.kernel.Shingling
+
+/** b-bit MinHash sketches and sketch-based candidate verification:
+  * truncation parity with the full signature, estimator exactness on
+  * identical sets, accuracy/recall on controlled-overlap pairs, and the
+  * escalation band's exact decisions.
+  */
+class SketchVerifySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val seed = 42L
+
+  /** Deterministic token-set text: `n` tokens drawn from vocabulary
+    * prefix `p` starting at index `from`.
+    */
+  private def toks(p: String, from: Int, n: Int): String =
+    (from until from + n).map(i => s"$p$i").mkString(" ")
+
+  test("packLowBits/bbitCell round trip for every b dividing 64") {
+    val values = Array.tabulate(37)(i => Shingling.splitmix64(i.toLong))
+    for (b <- Seq(1, 2, 4, 8, 16, 32, 64)) {
+      val packed = Shingling.packLowBits(values, b)
+      val mask = if (b == 64) -1L else (1L << b) - 1L
+      values.indices.foreach { i =>
+        assert(Shingling.bbitCell(packed, i, b) === (values(i) & mask),
+          s"b=$b cell $i")
+      }
+      assert(packed.length === (values.length * b + 63) / 64)
+    }
+  }
+
+  test("sketch is the truncation of the full MinHash signature") {
+    import spark.implicits._
+    val n = 64
+    val b = 8
+    val rows = Seq(toks("w", 0, 50), toks("x", 3, 80)).toDF("text")
+      .select(
+        minhash(word_shingles(col("text"), 3, seed), n, seed).as("sig"),
+        bbit_minhash(word_shingles(col("text"), 3, seed), n, b, seed).as("sk"))
+      .collect()
+    rows.foreach { r =>
+      val sig = r.getAs[Seq[Long]]("sig").toArray
+      val sk = r.getAs[Seq[Long]]("sk").toArray
+      sig.indices.foreach { i =>
+        assert(Shingling.bbitCell(sk, i, b) === (sig(i) & 0xFFL))
+      }
+    }
+  }
+
+  test("identical shingle sets estimate exactly 1.0; estimator tracks exact J") {
+    import spark.implicits._
+    val n = 128
+    val b = 8
+    // controlled overlaps with k=1 shingles (shingle set == token set):
+    // J = shared / (2*100 - shared)
+    val pairs = Seq(100, 90, 80, 50, 20, 0).map { shared =>
+      (toks("w", 0, 100),
+        toks("w", 0, shared) + " " + toks("v", 0, 100 - shared),
+        shared.toDouble / (200 - shared))
+    }
+    val got = pairs.toDF("ta", "tb", "j")
+      .select(col("j"),
+        jaccard_sorted(word_shingles(col("ta"), 1, seed),
+          word_shingles(col("tb"), 1, seed)).as("exact"),
+        bbit_jaccard(
+          bbit_minhash(word_shingles(col("ta"), 1, seed), n, b, seed),
+          bbit_minhash(word_shingles(col("tb"), 1, seed), n, b, seed),
+          n, b).as("est"))
+      .collect()
+    got.foreach { r =>
+      assert(math.abs(r.getAs[Double]("exact") - r.getAs[Double]("j")) < 1e-12)
+      val (exact, est) = (r.getAs[Double]("exact"), r.getAs[Double]("est"))
+      if (exact == 1.0) assert(est === 1.0) // all cells equal, exactly
+      else assert(math.abs(est - exact) < 0.15,
+        s"exact=$exact est=$est") // ±3σ ≈ 0.13 at n=128; seed-pinned
+    }
+  }
+
+  test("verifyPairs: exact-dup families all kept at 1.0, disjoint pairs dropped") {
+    import spark.implicits._
+    val n = 128
+    val b = 4
+    // 10 families of 3 identical docs + per-family disjoint vocabulary
+    val docs = (0 until 30).map { i =>
+      (i.toLong, toks(s"f${i / 3}t", 0, 60))
+    }.toDF("id", "text")
+    val sketches = docs.select(col("id"),
+      bbit_minhash(word_shingles(col("text"), 2, seed), n, b, seed).as("sketch"))
+    val within = (0 until 10).flatMap { f =>
+      Seq((f * 3L, f * 3L + 1), (f * 3L + 1, f * 3L + 2))
+    }
+    val cross = (0 until 9).map(f => (f * 3L, (f + 1) * 3L))
+    val candidates = (within ++ cross).toDF("a", "b")
+    val kept = SketchVerify.verifyPairs(candidates, sketches, n, b, 0.8)
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+    assert(kept.map(p => (p._1, p._2)).toSeq === within.sortBy(p => (p._1, p._2)))
+    assert(kept.forall(_._3 === 1.0))
+    // the dropped cross pairs sit far below threshold (disjoint vocab)
+    val crossEst = SketchVerify.verifyPairs(candidates, sketches, n, b, 0.0)
+      .as[(Long, Long, Double)].collect()
+      .filter(p => cross.contains((p._1, p._2))).map(_._3)
+    assert(crossEst.length === cross.length && crossEst.forall(_ < 0.5))
+  }
+
+  test("escalation band decides exactly; clear band never fetches shingles") {
+    import spark.implicits._
+    val n = 128
+    val b = 8
+    val thr = 0.8
+    val eps = 0.15 // |1.0 − thr| = 0.2 ≥ eps keeps identical pairs OUT of the band
+    // doc 0 vs 1: identical (est 1.0, clear band, kept unescalated)
+    // doc 0 vs 2: J = 80/120 = 0.667 (below threshold with or without
+    //   escalation — absent from the output either way)
+    // doc 0 vs 3: J = 90/110 ≈ 0.818 (inside band, above threshold)
+    val texts = Seq(
+      (0L, toks("w", 0, 100)),
+      (1L, toks("w", 0, 100)),
+      (2L, toks("w", 0, 80) + " " + toks("v", 0, 20)),
+      (3L, toks("w", 0, 90) + " " + toks("u", 0, 10)))
+    val docs = texts.toDF("id", "text")
+    val sh = docs.select(col("id"), word_shingles(col("text"), 1, seed).as("shingles"))
+    val sketches = docs.select(col("id"),
+      bbit_minhash(word_shingles(col("text"), 1, seed), n, b, seed).as("sketch"))
+    val candidates = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    val out = SketchVerify.verifyPairsEscalating(
+      candidates, sketches, sh, n, b, thr, eps)
+      .collect().map(r => ((r.getAs[Long]("a"), r.getAs[Long]("b")),
+        (r.getAs[Double]("est"), Option(r.getAs[java.lang.Double]("jaccard")),
+          r.getAs[Boolean]("escalated")))).toMap
+    // identical pair: sketch-decided at exactly 1.0, never escalated
+    assert(out((0L, 1L)) === ((1.0, None, false)))
+    // borderline below threshold: escalated, exact J=2/3 < 0.8 → absent
+    assert(!out.contains((0L, 2L)))
+    // borderline above: escalated and kept on the EXACT value
+    val (est3, j3, esc3) = out((0L, 3L))
+    assert(esc3 && j3.exists(j => math.abs(j - 90.0 / 110.0) < 1e-12))
+    assert(math.abs(est3 - thr) < eps) // it really was in the band
+  }
+}

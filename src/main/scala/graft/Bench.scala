@@ -92,6 +92,17 @@ object Bench {
         .run(pages).count(); ()
     }
 
+    // sketch-verification variant (b-bit MinHash, 128-byte sketches,
+    // ±3σ exact-escalation band): prices the state-read trade next to the
+    // exact default. On one local disk the shingle fetch is cheap, so the
+    // local delta is small — the mode's target is distributed-storage
+    // verify reads; this entry exists so its cost is visible, not hidden.
+    val skStore = new StageStore(spark, Files.createTempDirectory("graft-bench-sk-").toString)
+    results("dedup_e2e_sketch") = time {
+      new DedupPipeline(spark, DedupConfig(verifySketchBits = Some(4)), skStore)
+        .run(pages).count(); ()
+    }
+
     // steady-state production mode: apply a ~5% crawl delta on the SAME
     // store's checkpoints — the measurable claim is that a delta costs a
     // small fraction of the full rerun it replaces (dedup_e2e above).

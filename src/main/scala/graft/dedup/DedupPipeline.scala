@@ -52,12 +52,23 @@ final case class DedupConfig(
     urlCanonicalPreDedup: Boolean = false,
     idBits: Int = 64,
     statePartitions: Int = 32,
-    stateCompactEvery: Int = 8) {
+    stateCompactEvery: Int = 8,
+    verifySketchBits: Option[Int] = None,
+    sketchNumHashes: Int = 256,
+    sketchEps: Double = 0.08) {
   require(bands * rows == numHashes, "bands*rows must equal numHashes")
   require(resumeChunks >= 1, "resumeChunks must be >= 1")
   require(idBits == 64 || idBits == 128, "idBits must be 64 or 128")
   require(statePartitions >= 1, "statePartitions must be >= 1")
   require(stateCompactEvery >= 1, "stateCompactEvery must be >= 1")
+  verifySketchBits.foreach(b =>
+    require(b > 0 && 64 % b == 0, s"verifySketchBits must divide 64, got $b"))
+  require(sketchNumHashes > 0, "sketchNumHashes must be positive")
+  require(verifySketchBits.isEmpty || !useLcsCheck,
+    "sketch verification decides clear-band pairs without exact Jaccard, so " +
+      "the LCS rescue's [lcsLowJaccard, threshold) band is unobservable — " +
+      "use exact verification (verifySketchBits=None) with useLcsCheck")
+  require(sketchEps >= 0.0 && sketchEps < 0.5, "sketchEps must be in [0, 0.5)")
 }
 
 /** The end-to-end near-dup detection + clustering pipeline (SURVEY.md §3.3
@@ -183,7 +194,7 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
     val normalized = df
       .withColumn("norm_text", normalize_tokens(col("text")))
       .withColumn("shingles", word_shingles(col("norm_text"), config.shingleK, config.seed))
-    normalized.select(
+    normalized.select(Seq(
       idCol.as("id"),
       col("url"),
       col("warc_ts"),
@@ -197,7 +208,17 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
       // MinHash/SimHash above mix from the full 64-bit hashes)
       truncate_hashes32(col("shingles")).as("shingles"),
       minhash_bands(col("shingles"), config.bands, config.rows, config.seed)
-        .as("bands"))
+        .as("bands")) ++
+      // sketch-verification state: sketchNumHashes*b/64 packed longs per
+      // doc (defaults: n=256, b=4 → 128 bytes) — what the verify stage
+      // reads INSTEAD of the shingle arrays for clear-band pairs when the
+      // mode is on. Sized independently of the LSH's numHashes: the
+      // escalation band is ±~3σ = 3·√(thr(1−thr)/n), so n buys band
+      // narrowness (n=256 → ±0.08 at thr 0.8) while b only buys the
+      // collision floor
+      config.verifySketchBits.map(b =>
+        bbit_minhash(col("shingles"), config.sketchNumHashes, b, config.seed)
+          .as("sketch")): _*)
   }
 
   /** Stage 2 — exact-dup fast path (the DOI-equality analog, SURVEY.md §2.3):
@@ -338,8 +359,36 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
       pages: Option[Dataset[Page]] = None): DataFrame =
     store.getOrCompute("verified_edges")(verifiedEdgesPlan(sigs, pairs, pages))
 
+  /** Sketch mode (opt-in, Li & König 2010 — see [[SketchVerify]]):
+    * clear-band pairs are decided from the numHashes*b/64-long packed
+    * sketch; only pairs within ±sketchEps of the threshold fetch shingle
+    * arrays for an exact score. The joins keep the verify stage's exact
+    * shape (two shuffled-hash joins on the id) — only the per-id payload
+    * shrinks, which is the point: at 10¹² docs the verify shuffle and the
+    * incremental path's prior-state reads are priced by that payload.
+    * Trade: clear-band decisions are estimates (variance P̂(1−P̂)/n), so
+    * run-to-run bit-identity is NOT this mode's contract — pair recall
+    * ≥ 0.99 is (test-pinned); the default mode stays exact.
+    */
+  private def sketchVerifiedEdgesPlan(sigs: DataFrame, pairs: DataFrame,
+      b: Int): DataFrame =
+    SketchVerify.verifyPairsEscalating(
+      pairs,
+      sigs.select(col("id"), col("sketch")),
+      sigs.select(col("id"), col("shingles")),
+      config.sketchNumHashes, b, config.jaccardThreshold, config.sketchEps)
+      .select(col("a"), col("b"),
+        coalesce(col("jaccard"), col("est")).as("jaccard"))
+
   private[graft] def verifiedEdgesPlan(sigs: DataFrame, pairs: DataFrame,
-      pages: Option[Dataset[Page]] = None): DataFrame = {
+      pages: Option[Dataset[Page]] = None): DataFrame =
+    config.verifySketchBits match {
+      case Some(b) => sketchVerifiedEdgesPlan(sigs, pairs, b)
+      case None => exactVerifiedEdgesPlan(sigs, pairs, pages)
+    }
+
+  private def exactVerifiedEdgesPlan(sigs: DataFrame, pairs: DataFrame,
+      pages: Option[Dataset[Page]]): DataFrame = {
       // Explicit shuffled-hash joins: both joins co-partition on the doc id
       // (a shuffle that is needed regardless), build the hash table on the
       // pair side, and never sort. Left unhinted, the optimizer may instead

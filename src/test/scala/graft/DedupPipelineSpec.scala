@@ -142,6 +142,50 @@ class DedupPipelineSpec extends AnyFunSuite {
     corpus.unpersist()
   }
 
+  test("e2e sketch verification: recall/precision ≥ 0.99 from 128-byte sketches") {
+    val spec = CorpusSpec(nFamilies = 300, pDup = 0.3, seed = 42)
+    val corpus = DeterministicCorpus.generate(spark, spec).cache()
+    import spark.implicits._
+    val pages = corpus.map(_._1)
+    val truth = corpus.map(_._2).toDF()
+
+    val cfg = DedupConfig(verifySketchBits = Some(8))
+    val pipeline = new DedupPipeline(spark, cfg, freshStore())
+    val clusters = pipeline.run(pages)
+    assert(clusters.count() === pages.count())
+
+    val (recall, precision, nTruth) = pairMetrics(clusters, truth)
+    assert(nTruth > 50)
+    assert(recall >= 0.99, s"sketch-mode pair recall $recall < 0.99 over $nTruth pairs")
+    assert(precision >= 0.99, s"sketch-mode pair precision $precision < 0.99")
+
+    // the ±3σ escalation band only touches pairs whose exact J sits near
+    // the threshold. This fixture DELIBERATELY plants borderline families
+    // (candidate-J median ≈ 0.88, measured), so the band covers roughly
+    // half the candidates here — a crawl corpus's post-exact-collapse
+    // candidates are far more bimodal. The pinned claim: the band is a
+    // strict subset (clear-band majority never fetches shingles), and
+    // every pair OUTSIDE it is ≥3σ from the threshold so the sketch
+    // decision is safe — which the recall/precision asserts above already
+    // witnessed end-to-end.
+    import graft.functions.bbit_jaccard
+    val sigs = pipeline.signatures(pages)
+    val cands = pipeline.candidatePairs(sigs, pipeline.exactEdges(sigs))
+    val sk = sigs.select(col("id"), col("sketch"))
+    val ests = cands
+      .join(sk.withColumnsRenamed(Map("id" -> "a", "sketch" -> "sk_a")), "a")
+      .join(sk.withColumnsRenamed(Map("id" -> "b", "sketch" -> "sk_b")), "b")
+      .select(bbit_jaccard(col("sk_a"), col("sk_b"),
+        cfg.sketchNumHashes, 8).as("est"))
+    val nCands = ests.count().toDouble
+    val nEsc = ests
+      .filter(abs(col("est") - cfg.jaccardThreshold) < cfg.sketchEps).count()
+    assert(nCands > 0)
+    assert(nEsc < nCands * 0.75,
+      s"escalated $nEsc of $nCands candidates — band not a strict subset")
+    corpus.unpersist()
+  }
+
   test("e2e idBits=128: struct ids flow through all stages; partition identical to 64-bit") {
     import spark.implicits._
     val spec = CorpusSpec(nFamilies = 300, pDup = 0.3, seed = 42)

@@ -778,6 +778,34 @@ object SparkEntry {
         .select(col("url"), col("warc_ts"), col("text"), col("lang"))
     }),
 
+    // WET ingestion round-trip (Common Crawl's pre-extracted text
+    // container): conversion records — the text IS the payload, no HTTP
+    // envelope, no html extraction. Same closed-form oracle shape as
+    // q_warc; text must come back byte-identical through encode→parse→
+    // UTF-8 decode.
+    "q_wet" -> ((s, dir) => {
+      import s.implicits._
+      val ts = java.sql.Timestamp.from(java.time.Instant.parse("2026-08-18T00:00:00Z"))
+      val pages = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          val bos = new java.io.ByteArrayOutputStream()
+          bos.write(WarcSource.gzipMemberOf(WarcSource.buildWarcinfoRecord()))
+          var any = false
+          it.foreach { case (id, text) =>
+            any = true
+            bos.write(WarcSource.buildConversionRecord(
+              s"https://example.com/$id", ts, text, gzipMember = true))
+          }
+          if (!any) Iterator.empty
+          else WarcSource.parseRecords(bos.toByteArray, recordType = "conversion")
+            .iterator.map(r => (r.url, r.ts, r.html))
+        }.toDF("url", "warc_ts", "html")
+      pages.select(col("url"), col("warc_ts"),
+        decode(col("html"), "UTF-8").as("text"))
+        .withColumn("lang", graft.text.TextOps.langId(col("text")))
+    }),
+
     // CDX index round-trip: captures are rendered to CDXJ lines (SURT
     // urlkey + 14-digit ts + JSON attributes, the published Common Crawl
     // layout) and parsed back by the real line walk. The oracle is the
@@ -3378,6 +3406,15 @@ object SparkEntry {
     // closed form of the WARC round trip (url/ts are the query's plant;
     // text must come back byte-identical through encode→parse→extract)
     "q_warc" ->
+      s"""SELECT 'https://example.com/' || CAST(doc_id AS VARCHAR) AS url,
+         |  TIMESTAMP '2026-08-18 00:00:00' AS warc_ts,
+         |  text,
+         |  ${TextOps.langIdSql("text")} AS lang
+         |FROM documents""".stripMargin,
+
+    // closed form of the WET round trip (url/ts planted; text byte-identical
+    // through conversion-record encode → parse → UTF-8 decode)
+    "q_wet" ->
       s"""SELECT 'https://example.com/' || CAST(doc_id AS VARCHAR) AS url,
          |  TIMESTAMP '2026-08-18 00:00:00' AS warc_ts,
          |  text,

@@ -83,17 +83,26 @@ object WarcSource {
     * gzip members) into response records — the bounded-input convenience
     * wrapper over [[parseStream]] used by fixtures and tests.
     */
-  def parseRecords(bytes: Array[Byte]): Seq[WarcRecord] =
-    parseStream(new ByteArrayInputStream(bytes)).toSeq
+  def parseRecords(bytes: Array[Byte],
+                   recordType: String = "response"): Seq[WarcRecord] =
+    parseStream(new ByteArrayInputStream(bytes), recordType = recordType).toSeq
 
   /** Streaming record parser: records are consumed sequentially off `raw`
     * (gzip sniffed by magic; concatenated members read transparently),
     * holding at most one header block + one payload in memory. A truncated
     * or corrupt tail (including a torn trailing gzip member) ends the
     * iterator, keeping the records already emitted.
+    *
+    * `recordType` selects which records yield output: `response` (WARC —
+    * html payload behind an HTTP envelope) or `conversion` (WET — the
+    * extracted text IS the payload, no envelope; Common Crawl ships one
+    * `.warc.wet.gz` per segment for text-only pipelines). Conversion
+    * payloads never start with `HTTP/`, so the envelope strip is a
+    * structural no-op for them.
     */
   def parseStream(raw: InputStream,
-      maxPayload: Int = DefaultMaxPayload): Iterator[WarcRecord] = {
+      maxPayload: Int = DefaultMaxPayload,
+      recordType: String = "response"): Iterator[WarcRecord] = {
     val pb = new PushbackInputStream(new BufferedInputStream(raw, 64 << 10), 2)
     val b0 = pb.read()
     val b1 = if (b0 >= 0) pb.read() else -1
@@ -109,7 +118,7 @@ object WarcSource {
       override def next(): WarcRecord = {
         val r = nextRec; nextRec = advance(); r
       }
-      /** Walk framing until the next response record (or clean/torn end). */
+      /** Walk framing until the next wanted record (or clean/torn end). */
       private def advance(): WarcRecord =
         try {
           while (true) {
@@ -121,11 +130,11 @@ object WarcSource {
             val len = headers.get("content-length")
               .flatMap(_.trim.toLongOption).getOrElse(-1L)
             if (len < 0) return null // unframed record: cannot continue
-            val isResponse =
-              headers.get("warc-type").map(_.trim.toLowerCase).contains("response")
+            val isWanted =
+              headers.get("warc-type").map(_.trim.toLowerCase).contains(recordType)
             val url = headers.get("warc-target-uri").map(_.trim)
             val ts = headers.get("warc-date").map(_.trim).flatMap(parseWarcDate)
-            if (isResponse && url.nonEmpty && ts.nonEmpty && len <= maxPayload) {
+            if (isWanted && url.nonEmpty && ts.nonEmpty && len <= maxPayload) {
               val payload = readFully(in, len.toInt)
               if (payload == null) return null // truncated mid-payload
               return WarcRecord(url.get, ts.get, stripHttpEnvelope(payload))
@@ -275,6 +284,48 @@ object WarcSource {
     withExtractedText(parsed, source)
   }
 
+  /** Read a directory of `.warc.wet` / `.warc.wet.gz` files (Common
+    * Crawl's pre-extracted text container) into the pipeline input shape.
+    * Same distributed model as [[readPages]] — one lazily-consumed stream
+    * per file, no shuffle — but over `conversion` records: the payload is
+    * the extracted text itself (stored in `html` as the container's raw
+    * bytes, decoded as UTF-8 into `text`), so the pipeline's own html
+    * extractor never runs. The byte-identical-extraction invariant does
+    * not apply on this path — the text bytes ARE the source of truth; a
+    * WET-fed corpus skips straight to normalization/shingling.
+    */
+  def readWetPages(spark: SparkSession, path: String,
+      source: String = "wet"): DataFrame = {
+    import spark.implicits._
+    val parsed = spark.sparkContext.binaryFiles(s"$path/*.warc.wet*")
+      .flatMap { case (_, pds) =>
+        val in = pds.open()
+        val it = parseStream(in, recordType = "conversion")
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            try in.close() catch { case scala.util.control.NonFatal(_) => () }
+          })
+        new Iterator[(String, Timestamp, Array[Byte])] {
+          private var closed = false
+          override def hasNext: Boolean = {
+            val h = it.hasNext
+            if (!h && !closed) { closed = true; in.close() }
+            h
+          }
+          override def next(): (String, Timestamp, Array[Byte]) = {
+            val r = it.next(); (r.url, r.ts, r.html)
+          }
+        }
+      }.toDF("url", "warc_ts", "html")
+    parsed.select(
+      col("url"),
+      col("warc_ts"),
+      col("html"),
+      decode(col("html"), "UTF-8").as("text"))
+      .withColumn("lang", graft.text.TextOps.langId(col("text")))
+      .withColumn("source", lit(source))
+  }
+
   /** html bytes → (text, lang) columns via the pipeline's extractor chain
     * (graft_html_text expression + langId), producing the full
     * [[graft.schema.Page]] column set.
@@ -302,6 +353,24 @@ object WarcSource {
       "WARC-Type: response\r\n" +
       s"WARC-Target-URI: $url\r\n" +
       s"WARC-Date: ${ts.toInstant}\r\n" +
+      s"Content-Length: ${body.length}\r\n" +
+      "\r\n").getBytes(ISO_8859_1)
+    val rec = head ++ body ++ "\r\n\r\n".getBytes(ISO_8859_1)
+    if (!gzipMember) rec else gzipMemberOf(rec)
+  }
+
+  /** One WET conversion record (plus framing): the extracted text IS the
+    * payload — no HTTP envelope. Matches the Common Crawl `.warc.wet`
+    * layout [[readWetPages]] consumes.
+    */
+  def buildConversionRecord(url: String, ts: Timestamp, text: String,
+      gzipMember: Boolean = false): Array[Byte] = {
+    val body = text.getBytes(UTF_8)
+    val head = ("WARC/1.0\r\n" +
+      "WARC-Type: conversion\r\n" +
+      s"WARC-Target-URI: $url\r\n" +
+      s"WARC-Date: ${ts.toInstant}\r\n" +
+      "Content-Type: text/plain\r\n" +
       s"Content-Length: ${body.length}\r\n" +
       "\r\n").getBytes(ISO_8859_1)
     val rec = head ++ body ++ "\r\n\r\n".getBytes(ISO_8859_1)

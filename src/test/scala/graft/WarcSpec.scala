@@ -160,6 +160,42 @@ class WarcSpec extends AnyFunSuite {
     assert(WarcSource.readPages(spark, dir).limit(1).count() === 1L)
   }
 
+  test("WET conversion records: selected by recordType, text is the raw payload") {
+    val conv = WarcSource.buildConversionRecord("https://e.com/w1", ts,
+      "extracted text with ünicode — no envelope")
+    val resp = WarcSource.buildResponseRecord("https://e.com/r1", ts, "<p>html</p>")
+    val file = WarcSource.buildWarcinfoRecord() ++ conv ++ resp
+    // default (response) mode skips conversion records entirely
+    assert(WarcSource.parseRecords(file).map(_.url) === Seq("https://e.com/r1"))
+    // conversion mode: payload comes back byte-identical, responses skipped
+    val recs = WarcSource.parseRecords(file, recordType = "conversion")
+    assert(recs.map(_.url) === Seq("https://e.com/w1"))
+    assert(new String(recs.head.html, java.nio.charset.StandardCharsets.UTF_8)
+      === "extracted text with ünicode — no envelope")
+  }
+
+  test("readWetPages: distributed .warc.wet.gz read, text = payload, no Exchange") {
+    val dir = java.nio.file.Files.createTempDirectory("wet_spec").toString
+    val f1 =
+      WarcSource.gzipMemberOf(WarcSource.buildWarcinfoRecord()) ++
+        WarcSource.buildConversionRecord("https://e.com/1", ts,
+          "the quick brown fox of the meadow", gzipMember = true)
+    val f2 = WarcSource.buildConversionRecord("https://e.com/2", ts,
+      "der hund und die katze mit dem ball")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.warc.wet.gz"), f1)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b.warc.wet"), f2)
+    val got = WarcSource.readWetPages(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(3), r.getString(4), r.getString(5)))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq === Seq("https://e.com/1", "https://e.com/2"))
+    assert(got(0)._2 === "the quick brown fox of the meadow")
+    assert(got(1)._2 === "der hund und die katze mit dem ball")
+    assert(got(0)._3 === "en" && got(1)._3 === "de")
+    assert(got.forall(_._4 === "wet"))
+    val plan = WarcSource.readWetPages(spark, dir).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("inter-record separator is bounded at the spec's two CRLFs") {
     val a = WarcSource.buildResponseRecord("https://f.com/1", ts, "<p>a</p>")
     val b = WarcSource.buildResponseRecord("https://f.com/2", ts, "<p>b</p>")

@@ -1251,6 +1251,20 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
     }),
 
+    // Query-directed multi-probe sign-LSH (Lv 2007), same twin closed
+    // form: the identical twin collides on every BASE band, so the result
+    // is probe-invariant — the oracle pins the full probe-expansion
+    // plumbing (margins → ranked flips → explode → equi-join) without
+    // depending on hash interiors. Recall gains from the flips themselves
+    // are pinned by the TrainingOpsSpec recall test.
+    "q_ann_multiprobe" -> ((s, dir) => {
+      val (corpus, queries) = annTwinInputs(s, dir)
+      Ann.rhpTopKMultiProbe(corpus, queries, 1, bands = 16, rowsPerBand = 4,
+        probes = 16)
+        .select(col("query_id"), col("id").as("neighbor_id"), col("cos"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     // IVF ANN, same closed form: identical vectors assign to the same cell
     // (deterministic argmax with id tie-break), the query probes its own
     // cell among nprobe=4, so the twin is always found at cos 1.0.
@@ -2566,6 +2580,12 @@ object SparkEntry {
     // closed form of the twin-doubled ANN inputs: top-1 is always the
     // identical twin at cosine exactly 1.0 (see the queries' comments)
     "q_ann_lsh_topk" ->
+      """SELECT CAST(vec_id AS BIGINT) AS query_id,
+        |  CAST(vec_id + 1000000 AS BIGINT) AS neighbor_id,
+        |  CAST(1.0 AS DOUBLE) AS cos, CAST(1 AS BIGINT) AS rank
+        |FROM embeddings WHERE vec_id < 50""".stripMargin,
+
+    "q_ann_multiprobe" ->
       """SELECT CAST(vec_id AS BIGINT) AS query_id,
         |  CAST(vec_id + 1000000 AS BIGINT) AS neighbor_id,
         |  CAST(1.0 AS DOUBLE) AS cos, CAST(1 AS BIGINT) AS rank

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{cosine_sim, rhp_signature}
+import graft.functions.{cosine_sim, rhp_projections, rhp_signature}
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (graft-added training-data op).
@@ -72,6 +72,68 @@ object Ann {
       excludeSelf: Boolean = true): DataFrame = {
     val corpusBands = bandExplode(corpus, "vec", Seq("id"), bands, rowsPerBand, seed)
     val queryBands = bandExplode(queries, "qvec", Seq("query_id"), bands, rowsPerBand, seed)
+    val candidates = corpusBands.join(queryBands, Seq("band", "key"))
+      .select("id", "query_id").distinct()
+      .filter(if (excludeSelf) col("id") =!= col("query_id") else lit(true))
+    val scored = candidates
+      .join(corpus, "id")
+      .join(broadcast(queries), "query_id")
+      .withColumn("cos", round(cosine_sim(col("vec"), col("qvec")), 6))
+    topK(scored, k)
+  }
+
+  /** Query-directed multi-probe sign-LSH (Lv et al., VLDB 2007): recall of
+    * more tables at the index cost of ONE. The corpus keeps exactly
+    * [[rhpTopK]]'s band layout (bands rows per vector — the expensive,
+    * 10¹²-row side is untouched); each QUERY adds `probes` extra (band,
+    * key) rows by flipping, one at a time, its `probes` lowest-|projection|
+    * signature bits — the bits a true near neighbor most likely disagrees
+    * on, ranked by the margins [[graft.expr.RhpProjections]] exposes (same
+    * plane family as the signature, so sign(proj)==bit exactly). With
+    * probes=0 the output equals [[rhpTopK]] bit-for-bit (test-pinned).
+    *
+    * Shape: still one equi-join on (band, key) + exact rerank — the probe
+    * expansion is a narrow per-query `transform`+`explode` over literal
+    * mask arrays (no dynamic shifts, codegen-friendly), multiplying only
+    * the query side by (bands+probes)/bands.
+    */
+  def rhpTopKMultiProbe(corpus: DataFrame, queries: DataFrame, k: Int,
+      bands: Int = 8, rowsPerBand: Int = 4, probes: Int = 8, seed: Long = 42L,
+      excludeSelf: Boolean = true): DataFrame = {
+    val bits = bands * rowsPerBand
+    require(probes >= 0 && probes <= bits, "probes must be in [0, bands*rowsPerBand]")
+    val corpusBands = bandExplode(corpus, "vec", Seq("id"), bands, rowsPerBand, seed)
+
+    val q = queries
+      .withColumn("sig", rhp_signature(col("qvec"), bits, seed))
+      .withColumn("basekeys", array((0 until bands).map(b =>
+        shiftright(col("sig"), b * rowsPerBand)
+          .bitwiseAND(lit(bandMask(rowsPerBand)))): _*))
+    // flip order: |projection| ascending, bit index as the deterministic
+    // tie-break (struct sort is field-lexicographic)
+    val ranked = slice(
+      array_sort(zip_with(
+        rhp_projections(col("qvec"), bits, seed),
+        sequence(lit(0), lit(bits - 1)),
+        (p, i) => struct(abs(p).as("m"), i.as("i")))),
+      1, probes)
+    val intraMasks = array((0 until rowsPerBand).map(i => lit(1L << i)): _*)
+    val baseProbes = (0 until bands).map(b =>
+      struct(lit(b.toLong).as("band"),
+        element_at(col("basekeys"), b + 1).as("key")))
+    val flipProbes = transform(ranked, e => {
+      val bit = e.getField("i")
+      val band = floor(bit / lit(rowsPerBand)).cast("long")
+      struct(band.as("band"),
+        element_at(col("basekeys"), (band + 1).cast("int"))
+          .bitwiseXOR(element_at(intraMasks, (bit % rowsPerBand + 1).cast("int")))
+          .as("key"))
+    })
+    val queryBands = q
+      .select(col("query_id"),
+        explode(concat(array(baseProbes: _*), flipProbes)).as("bk"))
+      .select(col("query_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
     val candidates = corpusBands.join(queryBands, Seq("band", "key"))
       .select("id", "query_id").distinct()
       .filter(if (excludeSelf) col("id") =!= col("query_id") else lit(true))

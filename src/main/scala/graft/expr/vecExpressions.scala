@@ -72,6 +72,21 @@ case class RhpSignature(child: Expression, bits: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): RhpSignature = copy(child = c)
 }
 
+/** The signed projections behind [[RhpSignature]] (same plane family —
+  * `sign(proj(p)) == bit p`); the margin information query-directed
+  * multi-probe LSH ranks bit flips by (Lv et al., VLDB 2007).
+  */
+case class RhpProjections(child: Expression, bits: Int, seed: Long)
+    extends UnaryExpression with SimpleCodegen {
+  require(bits >= 1 && bits <= 64, "bits must be in [1, 64]")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      VecMath.rhpProjections(
+        VecConv.toFloats(input.asInstanceOf[ArrayData], VecConv.elemType(child)), bits, seed))
+  override protected def withNewChildInternal(c: Expression): RhpProjections = copy(child = c)
+}
+
 /** Winnowing fingerprint set of a string (SIGMOD 2003): sorted distinct
   * window-minimum rolling k-gram hashes.
   */

@@ -151,6 +151,8 @@ object functions {
   def vec_norm(c: Column): Column = col(VecNorm(ex(c)))
   def rhp_signature(c: Column, bits: Int, seed: Long = Shingling.DefaultSeed): Column =
     col(RhpSignature(ex(c), bits, seed))
+  def rhp_projections(c: Column, bits: Int, seed: Long = Shingling.DefaultSeed): Column =
+    col(RhpProjections(ex(c), bits, seed))
   def fingerprint_set(c: Column, k: Int = 8, w: Int = 4): Column =
     col(FingerprintSet(ex(c), k, w))
   /** Bounded grouped top-k: the k smallest values of a struct column

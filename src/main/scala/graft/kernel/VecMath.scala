@@ -54,4 +54,23 @@ object VecMath {
     }
     sig
   }
+
+  /** The signed projections behind [[rhpSignature]] — the SAME plane
+    * family, so `sign(projection(p)) == bit p` exactly. Query-directed
+    * multi-probe LSH (Lv et al., VLDB 2007) ranks candidate bit flips by
+    * |projection|: a bit whose projection is near zero is the one a true
+    * near neighbor most likely disagrees on.
+    */
+  def rhpProjections(v: Array[Float], bits: Int, seed: Long): Array[Double] = {
+    val out = new Array[Double](bits)
+    var p = 0
+    while (p < bits) {
+      var s = 0.0
+      var d = 0
+      while (d < v.length) { s += v(d).toDouble * planeComponent(seed, p, d); d += 1 }
+      out(p) = s
+      p += 1
+    }
+    out
+  }
 }

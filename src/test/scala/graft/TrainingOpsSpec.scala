@@ -276,6 +276,35 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"LSH recall $recall") // random gaussians = hardest case
   }
 
+  test("multi-probe rhp LSH: probes=0 ≡ single-probe; flips raise recall; equi-join plan") {
+    val corpus = embeddings(300, 16, 23L)
+    val queries = corpus.limit(10).select(col("id").as("query_id"), col("vec").as("qvec"))
+    val exact = Ann.bruteForceTopK(corpus, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    def results(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Int)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+
+    // probes=0 is EXACTLY single-probe (same bands, same rerank)
+    val single = Ann.rhpTopK(corpus, queries, 5, bands = 8, rowsPerBand = 4)
+    val zero = Ann.rhpTopKMultiProbe(corpus, queries, 5,
+      bands = 8, rowsPerBand = 4, probes = 0)
+    assert(results(zero) === results(single))
+
+    // flipping the 16 lowest-margin bits buys recall over the base probe —
+    // seed-pinned fixture, so the strict improvement is deterministic
+    val multi = Ann.rhpTopKMultiProbe(corpus, queries, 5,
+      bands = 8, rowsPerBand = 4, probes = 16)
+    val rSingle = exact.intersect(results(single).map(t => (t._1, t._2))).size.toDouble / exact.size
+    val rMulti = exact.intersect(results(multi).map(t => (t._1, t._2))).size.toDouble / exact.size
+    assert(rMulti > rSingle, s"multi-probe recall $rMulti not above single $rSingle")
+    assert(rMulti >= 0.5, s"multi-probe recall $rMulti")
+
+    // candidate generation stays an equi-join: no cartesian, no BNLJ
+    val plan = multi.queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("ivf top-k returns k ranked results per query") {
     val corpus = embeddings(300, 16, 31L)
     val queries = corpus.limit(4).select(col("id").as("query_id"), col("vec").as("qvec"))

@@ -534,6 +534,34 @@ class DedupPipelineSpec extends AnyFunSuite {
     all.unpersist()
   }
 
+  test("incremental composes with sketch mode: delta apply, recall ≥ 0.99 vs truth") {
+    import spark.implicits._
+    import scala.util.hashing.MurmurHash3
+    val spec = CorpusSpec(nFamilies = 200, pDup = 0.3, seed = 17)
+    val corpus = DeterministicCorpus.generate(spark, spec).cache()
+    val all = corpus.map(_._1)
+    val truth = corpus.map(_._2).toDF()
+    def part(p: graft.schema.Page): Int = math.floorMod(MurmurHash3.stringHash(p.url), 4)
+    val base = all.filter(p => part(p) > 0)
+    val delta = all.filter(p => part(p) == 0)
+    assert(base.count() > 0 && delta.count() > 0)
+
+    // base run + delta apply, both under sketch verification: the sketch
+    // column rides the signature checkpoints into the prior-state reads,
+    // so the delta's verify also decides clear-band pairs from sketches
+    val cfg = DedupConfig(verifySketchBits = Some(4))
+    val pipe = new DedupPipeline(spark, cfg, freshStore())
+    pipe.run(base).count()
+    val clusters = pipe.incremental("d1", delta)
+    assert(clusters.count() === all.count())
+
+    val (recall, precision, nTruth) = pairMetrics(clusters, truth)
+    assert(nTruth > 50)
+    assert(recall >= 0.99, s"incremental sketch recall $recall < 0.99 over $nTruth pairs")
+    assert(precision >= 0.99, s"incremental sketch precision $precision < 0.99")
+    corpus.unpersist()
+  }
+
   test("incremental state tables: partition-pruned reads, delta-proportional rewrites") {
     import spark.implicits._
     val all = DeterministicCorpus.pages(spark, CorpusSpec(nFamilies = 600, seed = 5)).cache()

@@ -165,6 +165,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!pairs.exists(p => p.a == 6 || p.b == 6))
   }
 
+  test("sketch verification is streaming-valid: stream-static joins match batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.functions.{bbit_minhash, word_shingles}
+    // static sketch state (the 10¹²-row side); candidates arrive as a stream
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "v w x y z"))
+      .toDF("id", "text")
+    val sketches = docs.select(col("id"),
+      bbit_minhash(word_shingles(col("text"), 1, 42L), 128, 8, 42L).as("sketch"))
+      .cache()
+    val expected = graft.dedup.SketchVerify
+      .verifyPairs(Seq((1L, 2L), (1L, 3L)).toDF("a", "b"), sketches, 128, 8, 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(expected === Set((1L, 2L, 1.0))) // identical docs verify; disjoint don't
+
+    val stream = MemoryStream[(Long, Long)]
+    val q = graft.dedup.SketchVerify
+      .verifyPairs(stream.toDS().toDF("a", "b"), sketches, 128, 8, 0.9)
+      .writeStream.format("memory").queryName("sketch_stream")
+      .outputMode("append").start()
+    stream.addData((1L, 2L))
+    stream.addData((1L, 3L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sketch_stream").as[(Long, Long, Double)].collect().toSet
+    assert(got === expected)
+  }
+
   test("streamingCandidates128: struct ids emit the same pairs as the 64-bit operator") {
     // The batch pipeline's either-width contract, carried to the streaming
     // surface: the same event sequence through the 64-bit operator and the

@@ -623,6 +623,14 @@ object PlanAudit {
       pcdd.contains("partial_min") && pcdd.contains("partial_count") &&
         !pcdd.contains("Window") && !pcdd.contains("Cartesian"), pcdd)
 
+    // CCNet tercile slices: per-language percentile cuts as ONE
+    // partial-agg'd aggregate + broadcast join-back — no window/ntile over
+    // the corpus, no cartesian.
+    val plt = plan("q_lm_terciles")
+    check("q_lm_terciles: percentile agg + broadcast join-back, no Window",
+      plt.contains("partial_percentile") && plt.contains("BroadcastHashJoin") &&
+        !plt.contains("Window") && !plt.contains("Cartesian"), plt)
+
     // Sketch verification: the pipeline verify stage's join shape (two
     // shuffled-hash joins co-partitioned on the id, no sort-merge, no
     // broadcast of sketch state, no Window) with the per-id payload

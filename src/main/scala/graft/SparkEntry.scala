@@ -2016,6 +2016,23 @@ object SparkEntry {
       scores.select("doc_id", "n_toks", "sum_w")
     }),
 
+    // CCNet-style per-language quality terciles (Wenzek 2020 §4.3) over
+    // the integer-exact LM score: per-language percentile cuts + a
+    // broadcast join-back — no window/ntile. The oracle replays the
+    // identical score, mean, quantile_cont cuts, and CASE on the same
+    // rounded doubles.
+    "q_lm_terciles" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (_, scores) = LmScore.logFreqScore(
+        docs.select(col("doc_id"), col("text")),
+        "doc_id", "text", LmVocabSize)
+      val withLang = scores.join(
+        docs.select(col("doc_id"), TextOps.langId(col("text")).as("lang")),
+        "doc_id")
+      LmScore.tercileBuckets(withLang)
+        .select(col("doc_id"), col("lang"), col("mean_w"), col("bucket"))
+    }),
+
     // As-of join: every event matched to the latest reference event (the
     // ~6% event_id % 17 == 0 subset) at or before it, per user — the
     // single-pass merge (one shuffle + linear scan), not a nested-loop or
@@ -2928,6 +2945,24 @@ object SparkEntry {
 
     "q_lm_score" ->
       LmScore.logFreqScoreSql("documents", "doc_id", "text", LmVocabSize),
+
+    "q_lm_terciles" ->
+      s"""WITH scores AS (
+         |${LmScore.logFreqScoreSql("documents", "doc_id", "text", LmVocabSize)}),
+         |m AS (
+         |  SELECT s.doc_id, ${TextOps.langIdSql("d.text")} AS lang,
+         |    round(CAST(sum_w AS DOUBLE) / n_toks, 6) AS mean_w
+         |  FROM scores s JOIN documents d USING (doc_id)),
+         |cuts AS (
+         |  SELECT lang,
+         |    round(quantile_cont(mean_w, CAST(1 AS DOUBLE) / 3), 6) AS q33,
+         |    round(quantile_cont(mean_w, CAST(2 AS DOUBLE) / 3), 6) AS q67
+         |  FROM m GROUP BY lang)
+         |SELECT doc_id, lang, mean_w,
+         |  CASE WHEN mean_w > q67 THEN 'head'
+         |       WHEN mean_w > q33 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM m JOIN cuts USING (lang)""".stripMargin,
 
     // aggregates the SOURCE table — equality with the Spark side (which
     // aggregates what it reads back out of the sink) is the lossless-

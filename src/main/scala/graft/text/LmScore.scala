@@ -51,6 +51,31 @@ object LmScore {
   }
 
   /** DuckDB dual of the scores side of [[logFreqScore]]. */
+  /** CCNet-style head/middle/tail corpus slices (Wenzek et al. 2020 §4.3:
+    * per-language quality terciles; CCNet cuts on LM perplexity, this cuts
+    * on the integer-exact mean token weight `sum_w / n_toks` — higher =
+    * more common-word prose = head). Input: score rows carrying a language
+    * column; output adds `mean_w` (rounded to 1e-6 so the cross-engine
+    * comparison is on identical doubles) and `bucket`.
+    *
+    * Shape: per-language cut points via ONE partial-agg'd percentile
+    * aggregate (3 rows per language) + a join-back on the language key —
+    * the adaptive-gate ladder, never a window/ntile over the corpus. The
+    * cut table is languages-count-sized, so the join-back broadcasts.
+    */
+  def tercileBuckets(scores: DataFrame, langCol: String = "lang"): DataFrame = {
+    val withMean = scores.withColumn("mean_w",
+      round(col("sum_w").cast("double") / col("n_toks"), 6))
+    val cuts = withMean.groupBy(langCol).agg(
+      round(percentile(col("mean_w"), lit(1.0 / 3)), 6).as("q33"),
+      round(percentile(col("mean_w"), lit(2.0 / 3)), 6).as("q67"))
+    withMean.join(broadcast(cuts), Seq(langCol))
+      .withColumn("bucket",
+        when(col("mean_w") > col("q67"), lit("head"))
+          .when(col("mean_w") > col("q33"), lit("middle"))
+          .otherwise(lit("tail")))
+  }
+
   def logFreqScoreSql(table: String, idCol: String, textCol: String,
                       vocabSize: Int): String =
     s"""WITH counts AS (

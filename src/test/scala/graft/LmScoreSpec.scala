@@ -56,6 +56,34 @@ class LmScoreSpec extends AnyFunSuite {
     assert(got === Seq((1L, 2L, 4L), (2L, 2L, 4L))) // weight 2 each; doc 3 absent
   }
 
+  test("terciles: per-language interpolated cuts, hand-checked buckets, no window") {
+    import org.apache.spark.sql.functions.col
+    // en means: [1, 1, 2, 2, 3, 3] → q33 = 1.666667, q67 = 2.333333
+    //   (linear interpolation at rank (n-1)/3 and 2(n-1)/3)
+    // de means: [10, 20, 30] → q33 = 16.666667, q67 = 23.333333
+    val scores = Seq(
+      (1L, "en", 10L, 10L), (2L, "en", 10L, 10L),   // mean 1 → tail
+      (3L, "en", 10L, 20L), (4L, "en", 10L, 20L),   // mean 2 → middle
+      (5L, "en", 10L, 30L), (6L, "en", 10L, 30L),   // mean 3 → head
+      (7L, "de", 1L, 10L), (8L, "de", 1L, 20L), (9L, "de", 1L, 30L))
+      .toDF("doc_id", "lang", "n_toks", "sum_w")
+    val out = LmScore.tercileBuckets(scores)
+    val buckets = out.select("doc_id", "bucket").as[(Long, String)]
+      .collect().toMap
+    assert(buckets === Map(
+      1L -> "tail", 2L -> "tail", 3L -> "middle", 4L -> "middle",
+      5L -> "head", 6L -> "head",
+      7L -> "tail", 8L -> "middle", 9L -> "head"))
+    // the de cuts must come from de rows only (per-language independence):
+    // 20 is 'middle' for de even though it would be 'head' among en means
+    val cuts = out.filter(col("lang") === "de")
+      .select("q33", "q67").distinct().as[(Double, Double)].collect()
+    assert(cuts.toSeq === Seq((16.666667, 23.333333)))
+    // no window/ntile anywhere — percentile agg + broadcast join-back
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("plan: vocab is TakeOrdered + broadcast; doc side never shuffles against it") {
     val docs = (0L until 500L).map(i => (i, s"w${i % 40} common tok")).toDF("id", "text")
     val (_, scores) = LmScore.logFreqScore(docs, "id", "text", 20)

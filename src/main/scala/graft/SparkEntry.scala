@@ -2492,7 +2492,7 @@ object SparkEntry {
     // exactly 1.0; the inner sketch joins drop b-side ids that don't exist
     "q_sketch_verify" ->
       """SELECT CAST(d.doc_id AS BIGINT) AS a,
-        |  CAST(d.doc_id + 1 AS BIGINT) AS b, 1.0 AS est
+        |  CAST(d.doc_id + 1 AS BIGINT) AS b, CAST(1.0 AS DOUBLE) AS est
         |FROM documents d JOIN documents d2 ON d2.doc_id = d.doc_id + 1
         |WHERE d.doc_id % 5 < 4""".stripMargin,
 

@@ -72,10 +72,19 @@ object Ann {
       excludeSelf: Boolean = true): DataFrame = {
     val corpusBands = bandExplode(corpus, "vec", Seq("id"), bands, rowsPerBand, seed)
     val queryBands = bandExplode(queries, "qvec", Seq("query_id"), bands, rowsPerBand, seed)
-    val candidates = corpusBands.join(queryBands, Seq("band", "key"))
+    rerank(corpusBands.join(queryBands, Seq("band", "key")),
+      corpus, queries, k, excludeSelf)
+  }
+
+  /** Shared candidate → exact-rerank tail of [[rhpTopK]] and
+    * [[rhpTopKMultiProbe]] — single-sourced (like [[bandExplode]]) so the
+    * probes=0 ≡ rhpTopK contract can't drift.
+    */
+  private def rerank(candidates: DataFrame, corpus: DataFrame,
+      queries: DataFrame, k: Int, excludeSelf: Boolean): DataFrame = {
+    val scored = candidates
       .select("id", "query_id").distinct()
       .filter(if (excludeSelf) col("id") =!= col("query_id") else lit(true))
-    val scored = candidates
       .join(corpus, "id")
       .join(broadcast(queries), "query_id")
       .withColumn("cos", round(cosine_sim(col("vec"), col("qvec")), 6))
@@ -134,14 +143,8 @@ object Ann {
         explode(concat(array(baseProbes: _*), flipProbes)).as("bk"))
       .select(col("query_id"), col("bk.band").as("band"), col("bk.key").as("key"))
 
-    val candidates = corpusBands.join(queryBands, Seq("band", "key"))
-      .select("id", "query_id").distinct()
-      .filter(if (excludeSelf) col("id") =!= col("query_id") else lit(true))
-    val scored = candidates
-      .join(corpus, "id")
-      .join(broadcast(queries), "query_id")
-      .withColumn("cos", round(cosine_sim(col("vec"), col("qvec")), 6))
-    topK(scored, k)
+    rerank(corpusBands.join(queryBands, Seq("band", "key")),
+      corpus, queries, k, excludeSelf)
   }
 
   /** Deterministic IVF centroids: `nlist` corpus rows picked by hashed id

@@ -47,7 +47,10 @@ object SketchVerify {
     * touches only the borderline slice — by the estimator's variance
     * bound, an O(eps) fraction of candidates — so shingle-state reads
     * shrink by the same factor. Emits (a, b, est, jaccard, escalated);
-    * `jaccard` is null for sketch-decided pairs.
+    * `jaccard` is null for sketch-decided pairs. A borderline pair whose
+    * id is missing from `shingles` (narrower shingle state than sketch
+    * state) falls back to the sketch decision (`escalated = false`)
+    * instead of silently vanishing into an inner join.
     */
   def verifyPairsEscalating(candidates: DataFrame, sketches: DataFrame,
                             shingles: DataFrame, numHashes: Int, bBits: Int,
@@ -60,13 +63,17 @@ object SketchVerify {
     val shingleSide = shingles.select(col("id"), col("shingles"))
     val borderline = s.filter(abs(col("est") - threshold) < eps)
       .hint("shuffle_hash")
-      .join(shingleSide.withColumnsRenamed(Map("id" -> "a", "shingles" -> "sh_a")), "a")
+      .join(shingleSide.withColumnsRenamed(Map("id" -> "a", "shingles" -> "sh_a")),
+        Seq("a"), "left")
       .hint("shuffle_hash")
-      .join(shingleSide.withColumnsRenamed(Map("id" -> "b", "shingles" -> "sh_b")), "b")
-      .withColumn("jaccard", jaccard_sorted(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= threshold)
+      .join(shingleSide.withColumnsRenamed(Map("id" -> "b", "shingles" -> "sh_b")),
+        Seq("b"), "left")
+      .withColumn("jaccard",
+        when(col("sh_a").isNotNull && col("sh_b").isNotNull,
+          jaccard_sorted(col("sh_a"), col("sh_b"))))
+      .filter(coalesce(col("jaccard"), col("est")) >= threshold)
       .select(col("a"), col("b"), col("est"), col("jaccard"),
-        lit(true).as("escalated"))
+        col("jaccard").isNotNull.as("escalated"))
     clear.unionByName(borderline)
   }
 

@@ -68,9 +68,17 @@ object CdxSource {
       when(query === "", lit("")).otherwise(concat(lit("?"), sortedQuery)))
   }
 
+  /** JSON string-escape for [[formatLine]]: backslash then quote, so a
+    * url carrying either survives the emit→parse round trip instead of
+    * corrupting every attribute after it.
+    */
+  private def jsonEsc(c: Column): Column =
+    replace(replace(c, lit("\\"), lit("\\\\")), lit("\""), lit("\\\""))
+
   /** One CDXJ index line for a capture — the inverse of [[parseLines]],
     * used by sinks and the test fixtures. Numeric fields are emitted as
-    * JSON strings, matching the published files.
+    * JSON strings, matching the published files; string fields are
+    * JSON-escaped.
     */
   def formatLine(urlkey: Column, ts: Column, url: Column, mime: Column,
                  status: Column, digest: Column, length: Column,
@@ -78,13 +86,13 @@ object CdxSource {
     concat(
       urlkey, lit(" "),
       date_format(ts, "yyyyMMddHHmmss"), lit(" "),
-      lit("""{"url": """"), url,
-      lit("""", "mime": """"), mime,
-      lit("""", "status": """"), status,
-      lit("""", "digest": """"), digest,
+      lit("""{"url": """"), jsonEsc(url),
+      lit("""", "mime": """"), jsonEsc(mime),
+      lit("""", "status": """"), jsonEsc(status),
+      lit("""", "digest": """"), jsonEsc(digest),
       lit("""", "length": """"), length.cast("string"),
       lit("""", "offset": """"), offset.cast("string"),
-      lit("""", "filename": """"), filename, lit(""""}"""))
+      lit("""", "filename": """"), jsonEsc(filename), lit(""""}"""))
 
   /** Parse CDXJ lines into typed capture rows:
     * (urlkey, ts, url, mime, status, digest, length, offset, filename).
@@ -114,27 +122,40 @@ object CdxSource {
   }
 
   /** Index-level exact dedup: keep ONE capture per content digest — the
-    * earliest by (ts, urlkey, offset), a total order, so the keeper is
-    * deterministic under ties — and carry the family size as `n_captures`.
-    * Same skew ladder as the pipeline's exact_edges stage: ONE partial-
-    * agg'd groupBy on the digest (`min(struct)` + `count` both combine
-    * map-side, so a digest captured 10^6 times contributes one row per
-    * partition) and a hash-join-back on the digest key — never a window
-    * over the corpus-wide digest. Common Crawl's digest is SHA-1 over the
-    * payload, so this is exact-dup collapse at index cost.
+    * earliest by (ts, urlkey, offset) — and carry the family size as
+    * `n_captures`. Same skew ladder as the pipeline's exact_edges stage:
+    * ONE partial-agg'd groupBy on the digest (`min(struct)` + `count`
+    * both combine map-side, so a digest captured 10^6 times contributes
+    * one row per partition) and a hash-join-back on the digest key —
+    * never a window over the corpus-wide digest. Common Crawl's digest is
+    * SHA-1 over the payload, so this is exact-dup collapse at index cost.
+    *
+    * Two edge rules: fully identical index lines (republished/merged CDX
+    * shards) collapse FIRST, so the keeper key is a total order over what
+    * remains and the output carries one row per digest (distinct rows
+    * that still tie on the full key would surface as multiple keepers —
+    * a corrupt index made visible, not silently picked from). Captures
+    * with a NULL digest (dialects without content digests) pass through
+    * as unique (`n_captures = 1`) instead of vanishing into the
+    * null-unsafe join.
     */
   def digestDedup(captures: DataFrame): DataFrame = {
-    val keep = captures
+    val distinctCaps = captures.dropDuplicates()
+    val withDigest = distinctCaps.where(col("digest").isNotNull)
+    val keep = withDigest
       .groupBy(col("digest"))
       .agg(
         min(struct(col("ts"), col("urlkey"), col("offset"))).as("keeper"),
         count(lit(1)).as("n_captures"))
-    captures
+    val kept = withDigest
       .join(keep, "digest")
       .where(col("ts") === col("keeper.ts") &&
         col("urlkey") === col("keeper.urlkey") &&
         col("offset") === col("keeper.offset"))
       .drop("keeper")
+    kept.unionByName(
+      distinctCaps.where(col("digest").isNull)
+        .withColumn("n_captures", lit(1L)))
   }
 
   /** Per-WARC-file read plan for a surviving capture set: the ranges to

@@ -95,10 +95,9 @@ object WarcSource {
     *
     * `recordType` selects which records yield output: `response` (WARC —
     * html payload behind an HTTP envelope) or `conversion` (WET — the
-    * extracted text IS the payload, no envelope; Common Crawl ships one
-    * `.warc.wet.gz` per segment for text-only pipelines). Conversion
-    * payloads never start with `HTTP/`, so the envelope strip is a
-    * structural no-op for them.
+    * extracted text IS the payload, returned whole; the envelope strip is
+    * type-gated to responses, so text that happens to start with `HTTP/`
+    * survives intact).
     */
   def parseStream(raw: InputStream,
       maxPayload: Int = DefaultMaxPayload,
@@ -137,7 +136,14 @@ object WarcSource {
             if (isWanted && url.nonEmpty && ts.nonEmpty && len <= maxPayload) {
               val payload = readFully(in, len.toInt)
               if (payload == null) return null // truncated mid-payload
-              return WarcRecord(url.get, ts.get, stripHttpEnvelope(payload))
+              // the HTTP envelope exists only on response payloads; a
+              // conversion record's text may legitimately START with
+              // "HTTP/" (a page about the protocol), so the strip is
+              // type-gated, never sniffed on non-response payloads
+              val body =
+                if (recordType == "response") stripHttpEnvelope(payload)
+                else payload
+              return WarcRecord(url.get, ts.get, body)
             } else if (!skipFully(in, len)) return null // truncated skip
           }
           null // unreachable
@@ -256,7 +262,11 @@ object WarcSource {
     */
   def readPages(spark: SparkSession, path: String, source: String = "warc"): DataFrame = {
     import spark.implicits._
-    val parsed = spark.sparkContext.binaryFiles(s"$path/*.warc*")
+    // exact-suffix alternation, NOT "*.warc*": that prefix glob would also
+    // open sibling .warc.wet(.gz) containers and walk their conversion
+    // records for zero rows — wasted decompression proportional to the
+    // WET corpus on every WARC read
+    val parsed = spark.sparkContext.binaryFiles(s"$path/*.{warc,warc.gz}")
       .flatMap { case (_, pds) =>
         val in = pds.open()
         val it = parseStream(in)

@@ -478,6 +478,10 @@ object Shingling {
   def bbitSketch(shingles: Array[Long], numHashes: Int, b: Int,
                  seed: Long): Array[Long] = {
     require(b > 0 && 64 % b == 0, s"b must divide 64, got $b")
+    // coefficients derived once per call (the expression form caches them
+    // per instance), never inside the per-shingle loop
+    val coeffA = Array.tabulate(numHashes)(i => splitmix64(seed + 2L * i) | 1L)
+    val coeffB = Array.tabulate(numHashes)(i => splitmix64(seed + 2L * i + 1L))
     val sig = new Array[Long](numHashes)
     java.util.Arrays.fill(sig, Long.MaxValue)
     var s = 0
@@ -485,7 +489,7 @@ object Shingling {
       val x = shingles(s)
       var i = 0
       while (i < numHashes) {
-        val v = (splitmix64(seed + 2L * i) | 1L) * x + splitmix64(seed + 2L * i + 1L)
+        val v = coeffA(i) * x + coeffB(i)
         if (v < sig(i)) sig(i) = v
         i += 1
       }

@@ -79,6 +79,39 @@ class CdxSpec extends AnyFunSuite {
       ("D3", "com,c)/1", 1L)))
   }
 
+  test("digestDedup: republished identical lines collapse; null digests pass through") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.from(java.time.Instant.parse("2026-08-01T00:00:00Z"))
+    val dupLine = ("com,a)/1", t0, "D1", 10L, 0L, "f0")
+    val caps = Seq(
+      dupLine, dupLine,                          // merged-shard duplicate line
+      ("com,a)/2", t0, "D1", 10L, 5L, "f0"),     // same digest, later offset
+      ("com,b)/1", t0, null, 7L, 0L, "f1"),      // digest-less dialect
+      ("com,b)/2", t0, null, 8L, 1L, "f1"))
+      .toDF("urlkey", "ts", "digest", "length", "offset", "filename")
+    val kept = CdxSource.digestDedup(caps)
+      .select("urlkey", "digest", "n_captures")
+      .as[(String, Option[String], Long)].collect().sortBy(_._1)
+    assert(kept === Array(
+      ("com,a)/1", Some("D1"), 2L), // ONE keeper; family size counts distinct captures
+      ("com,b)/1", None, 1L),       // null digests survive as unique
+      ("com,b)/2", None, 1L)))
+  }
+
+  test("formatLine escapes quotes/backslashes; round trip through parseLines") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.from(java.time.Instant.parse("2026-08-01T00:00:00Z"))
+    val url = """https://a.com/x?q="quo\ted""""
+    val rows = Seq((("com,a)/x"), ts, url, "text/html", "200", "sha1:Z", 1L, 2L, "f"))
+      .toDF("k", "t", "u", "m", "s", "d", "l", "o", "f")
+      .select(CdxSource.formatLine(col("k"), col("t"), col("u"), col("m"),
+        col("s"), col("d"), col("l"), col("o"), col("f")).as("line"))
+    val parsed = CdxSource.parseLines(rows).collect()
+    assert(parsed.length === 1)
+    assert(parsed.head.getAs[String]("url") === url)
+    assert(parsed.head.getAs[String]("filename") === "f")
+  }
+
   test("fetchPlan: per-file offset-sorted ranges, byte totals") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.from(java.time.Instant.parse("2026-08-01T00:00:00Z"))

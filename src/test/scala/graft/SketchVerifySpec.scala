@@ -148,5 +148,20 @@ class SketchVerifySpec extends AnyFunSuite {
     val (est3, j3, esc3) = out((0L, 3L))
     assert(esc3 && j3.exists(j => math.abs(j - 90.0 / 110.0) < 1e-12))
     assert(math.abs(est3 - thr) < eps) // it really was in the band
+
+    // a borderline pair whose ids are missing from the shingle table falls
+    // back to the sketch decision instead of vanishing (narrower shingle
+    // state than sketch state)
+    val noShingles = sh.filter(col("id") < 0)
+    val fallback = SketchVerify.verifyPairsEscalating(
+      candidates, sketches, noShingles, n, b, thr, eps)
+      .collect().map(r => ((r.getAs[Long]("a"), r.getAs[Long]("b")),
+        (r.getAs[Double]("est"), r.getAs[Boolean]("escalated")))).toMap
+    // (0,3): est ≈ 0.82 ≥ thr → kept by sketch, unescalated
+    assert(fallback.contains((0L, 3L)) && !fallback((0L, 3L))._2)
+    // (0,2): est ≈ 0.67 < thr → dropped by sketch
+    assert(!fallback.contains((0L, 2L)))
+    // identical pair unaffected (clear band never needed shingles)
+    assert(fallback((0L, 1L)) === ((1.0, false)))
   }
 }

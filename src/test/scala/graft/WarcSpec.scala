@@ -172,6 +172,12 @@ class WarcSpec extends AnyFunSuite {
     assert(recs.map(_.url) === Seq("https://e.com/w1"))
     assert(new String(recs.head.html, java.nio.charset.StandardCharsets.UTF_8)
       === "extracted text with ünicode — no envelope")
+    // the envelope strip is TYPE-gated, not sniffed: extracted text that
+    // happens to start with "HTTP/" and contain a CRLFCRLF must survive whole
+    val tricky = "HTTP/1.1 is a protocol.\r\n\r\nIt has a header block."
+    val conv2 = WarcSource.buildConversionRecord("https://e.com/w2", ts, tricky)
+    val got = WarcSource.parseRecords(conv2, recordType = "conversion")
+    assert(new String(got.head.html, java.nio.charset.StandardCharsets.UTF_8) === tricky)
   }
 
   test("readWetPages: distributed .warc.wet.gz read, text = payload, no Exchange") {

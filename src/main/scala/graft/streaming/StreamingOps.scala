@@ -24,18 +24,27 @@ object StreamingOps {
   /** Stateless signature projection — valid on batch and streaming frames
     * alike (no shuffle, no state). Columns match the batch pipeline's
     * signature stage minus the monotonic id (streams key by content_hash).
+    * `sketchBits = Some(b)` additionally emits the packed b-bit MinHash
+    * `sketch` column (the batch pipeline's `verifySketchBits` analog), so
+    * a streaming candidate feed can be sketch-verified against the
+    * stream's own signatures without a batch sketch table.
     */
   def signatures(pages: DataFrame, shingleK: Int = 5,
-      bands: Int = 16, rows: Int = 5, seed: Long = 42L): DataFrame = {
+      bands: Int = 16, rows: Int = 5, seed: Long = 42L,
+      sketchBits: Option[Int] = None,
+      sketchNumHashes: Int = 256): DataFrame = {
     val normalized = pages
       .withColumn("norm_text", normalize_tokens(col("text")))
       .withColumn("shingles", word_shingles(col("norm_text"), shingleK, seed))
-    normalized.select(
+    normalized.select(Seq(
       col("url"), col("warc_ts"), col("lang"),
       xxhash64(col("norm_text")).as("content_hash"),
       simhash64(col("shingles")).as("simhash"),
       size(col("shingles")).as("n_shingles"),
-      minhash_bands(col("shingles"), bands, rows, seed).as("bands"))
+      minhash_bands(col("shingles"), bands, rows, seed).as("bands")) ++
+      sketchBits.map(b =>
+        bbit_minhash(col("shingles"), sketchNumHashes, b, seed)
+          .as("sketch")): _*)
   }
 
   /** Streaming exact-dedup: keep ONE page per content hash — among

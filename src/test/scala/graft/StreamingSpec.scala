@@ -62,6 +62,15 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed === batch)
     assert(streamed("u1")._1 === streamed("u2")._1) // exact dups share hash
     assert(streamed("u1")._1 !== streamed("u3")._1)
+
+    // sketchBits emits the packed b-bit sketch, identical to the batch
+    // pipeline's column (same expression, same seed) — exact dups share it
+    val sk = StreamingOps.signatures(rows.toDF(), sketchBits = Some(4))
+      .select("url", "sketch").collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+    assert(sk("u1") === sk("u2"))
+    assert(sk("u1") !== sk("u3"))
+    assert(sk("u1").length === 256 * 4 / 64)
   }
 
   test("firstSeenByContent suppresses exact duplicates across micro-batches") {

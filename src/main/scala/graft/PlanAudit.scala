@@ -623,6 +623,12 @@ object PlanAudit {
       pcdd.contains("partial_min") && pcdd.contains("partial_count") &&
         !pcdd.contains("Window") && !pcdd.contains("Cartesian"), pcdd)
 
+    // CDX latest-capture: same ladder with max_by-shaped keeper.
+    val pcdl = plan("q_cdx_latest")
+    check("q_cdx_latest: partial-agg'd max keeper + join-back, no Window",
+      pcdl.contains("partial_max") && !pcdl.contains("Window") &&
+        !pcdl.contains("Cartesian"), pcdl)
+
     // CCNet tercile slices: per-language percentile cuts as ONE
     // partial-agg'd aggregate + broadcast join-back — no window/ntile over
     // the corpus, no cartesian.

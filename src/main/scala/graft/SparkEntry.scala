@@ -829,6 +829,17 @@ object SparkEntry {
         .select(col("digest"), col("urlkey"), col("ts"), col("n_captures"))
     }),
 
+    // Index-level latest-capture collapse: newest capture per group key
+    // (50 groups planted via the offset closed form) — partial-agg'd
+    // max(struct) + join-back, never a window. The oracle IS the
+    // row_number window the plan avoids.
+    "q_cdx_latest" -> ((s, dir) => {
+      val caps = CdxSource.parseLines(cdxLines(s, dir))
+        .withColumn("grp", (col("offset") / 1000 % 50).cast("long"))
+      CdxSource.latestPerKey(caps, "grp")
+        .select(col("grp"), col("urlkey"), col("ts"), col("n_captures"))
+    }),
+
     // Per-WARC-file fetch plan over the dedup survivors: offset-sorted
     // ranges so payload fetch is one forward scan per container. Ranges
     // are flattened to a string for the hash compare; the DuckDB oracle
@@ -3495,6 +3506,17 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY digest
          |      ORDER BY ts, urlkey, rec_offset) AS rn
          |  FROM ($cdxCapturesSql)) WHERE rn = 1""".stripMargin,
+
+    "q_cdx_latest" ->
+      s"""SELECT grp, urlkey, ts, n_captures FROM (
+         |  SELECT grp, urlkey, ts,
+         |    COUNT(*) OVER (PARTITION BY grp) AS n_captures,
+         |    row_number() OVER (PARTITION BY grp
+         |      ORDER BY ts DESC, rec_offset DESC) AS rn
+         |  FROM (
+         |    SELECT CAST(CAST(rec_offset / 1000 AS BIGINT) % 50 AS BIGINT) AS grp,
+         |      urlkey, ts, rec_offset
+         |    FROM ($cdxCapturesSql))) WHERE rn = 1""".stripMargin,
 
     "q_cdx_fetch_plan" ->
       s"""SELECT filename, COUNT(*) AS n_records,

@@ -158,6 +158,28 @@ object CdxSource {
         .withColumn("n_captures", lit(1L)))
   }
 
+  /** Newest capture per key — the index-level "one snapshot per URL"
+    * collapse (the CDX analog of `UrlOps.latestCapture`, run before any
+    * payload fetch; key on the SURT urlkey for per-URL, or any derived
+    * column for coarser grouping). Keeper = max (ts, offset); family size
+    * carried as `n_captures`. Same shape as [[digestDedup]]: identical
+    * republished lines collapse first, then ONE partial-agg'd
+    * `max(struct)` + `count` and a hash-join-back — never a window.
+    */
+  def latestPerKey(captures: DataFrame, keyCol: String = "urlkey"): DataFrame = {
+    val distinctCaps = captures.dropDuplicates()
+    val keep = distinctCaps
+      .groupBy(col(keyCol))
+      .agg(
+        max(struct(col("ts"), col("offset"))).as("keeper"),
+        count(lit(1)).as("n_captures"))
+    distinctCaps
+      .join(keep, keyCol)
+      .where(col("ts") === col("keeper.ts") &&
+        col("offset") === col("keeper.offset"))
+      .drop("keeper")
+  }
+
   /** Per-WARC-file read plan for a surviving capture set: the ranges to
     * fetch from each container, offset-sorted so a reader issues ONE
     * forward scan per file instead of random seeks (the offsets within a

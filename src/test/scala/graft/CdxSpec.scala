@@ -98,6 +98,23 @@ class CdxSpec extends AnyFunSuite {
       ("com,b)/2", None, 1L)))
   }
 
+  test("latestPerKey: newest (ts, offset) kept per key, duplicate lines collapse") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.from(java.time.Instant.parse("2026-08-01T00:00:00Z"))
+    val t1 = java.sql.Timestamp.from(java.time.Instant.parse("2026-08-02T00:00:00Z"))
+    val newest = ("com,a)/1", t1, "D2", 10L, 5L, "f0")
+    val caps = Seq(
+      ("com,a)/1", t0, "D1", 10L, 0L, "f0"),  // older capture loses
+      newest, newest,                          // newest + republished line
+      ("com,a)/1", t1, "D3", 10L, 3L, "f0"),  // same ts, smaller offset loses
+      ("com,b)/1", t0, "D4", 7L, 0L, "f1"))   // singleton key
+      .toDF("urlkey", "ts", "digest", "length", "offset", "filename")
+    val kept = CdxSource.latestPerKey(caps)
+      .select("urlkey", "digest", "n_captures").as[(String, String, Long)]
+      .collect().sortBy(_._1)
+    assert(kept === Array(("com,a)/1", "D2", 3L), ("com,b)/1", "D4", 1L)))
+  }
+
   test("formatLine escapes quotes/backslashes; round trip through parseLines") {
     import spark.implicits._
     val ts = java.sql.Timestamp.from(java.time.Instant.parse("2026-08-01T00:00:00Z"))

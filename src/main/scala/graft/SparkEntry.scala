@@ -3504,7 +3504,7 @@ object SparkEntry {
          |  SELECT digest, urlkey, ts,
          |    COUNT(*) OVER (PARTITION BY digest) AS n_captures,
          |    row_number() OVER (PARTITION BY digest
-         |      ORDER BY ts, urlkey, rec_offset) AS rn
+         |      ORDER BY ts, urlkey, rec_offset, filename) AS rn
          |  FROM ($cdxCapturesSql)) WHERE rn = 1""".stripMargin,
 
     "q_cdx_latest" ->
@@ -3512,10 +3512,11 @@ object SparkEntry {
          |  SELECT grp, urlkey, ts,
          |    COUNT(*) OVER (PARTITION BY grp) AS n_captures,
          |    row_number() OVER (PARTITION BY grp
-         |      ORDER BY ts DESC, rec_offset DESC) AS rn
+         |      ORDER BY ts DESC, rec_offset DESC, urlkey DESC,
+         |        filename DESC) AS rn
          |  FROM (
          |    SELECT CAST(CAST(rec_offset / 1000 AS BIGINT) % 50 AS BIGINT) AS grp,
-         |      urlkey, ts, rec_offset
+         |      urlkey, ts, rec_offset, filename
          |    FROM ($cdxCapturesSql))) WHERE rn = 1""".stripMargin,
 
     "q_cdx_fetch_plan" ->

@@ -47,12 +47,20 @@ object CdxSource {
     */
   def surtKey(url: Column): Column = {
     val u = lower(trim(url))
+    val scheme = regexp_extract(u, "^([a-z][a-z0-9+.-]*)://", 1)
     val noScheme = regexp_replace(u, "^[a-z][a-z0-9+.-]*://", "")
     // userinfo only counts when '@' precedes any path/query/fragment byte
     val noUser = regexp_replace(noScheme, "^[^/?#@]*@", "")
     val authority = regexp_extract(noUser, "^([^/?#]*)", 1)
-    val host = regexp_replace(
-      regexp_replace(authority, ":(80|443)$", ""), "^www\\.", "")
+    // only the scheme's OWN default port is dropped (IA canonicalizer
+    // semantics): :80 for http (and schemeless input, which IA treats as
+    // http), :443 for https; `http://host:443` stays a distinct origin
+    val defaultPort =
+      when(scheme === "https", lit(":443")).otherwise(lit(":80"))
+    val portStripped = when(
+      regexp_extract(authority, "(:[0-9]+)$", 1) === defaultPort,
+      regexp_replace(authority, ":[0-9]+$", "")).otherwise(authority)
+    val host = regexp_replace(portStripped, "^www\\.", "")
     // a surviving non-default port stays OUTSIDE the label reversal
     // (`org,example:8080`), as IA keys spell it
     val port = regexp_extract(host, "(:[0-9]+)$", 1)
@@ -145,13 +153,19 @@ object CdxSource {
     val keep = withDigest
       .groupBy(col("digest"))
       .agg(
-        min(struct(col("ts"), col("urlkey"), col("offset"))).as("keeper"),
+        min(struct(col("ts"), col("urlkey"), col("offset"), col("filename")))
+          .as("keeper"),
         count(lit(1)).as("n_captures"))
+    // null-safe join-back: a keeper struct may legitimately carry null
+    // fields (null offset from a dialect without offset attributes, null
+    // ts from an invalid 14-digit timestamp) — a null-unsafe `===` would
+    // go null for EVERY row of that family and silently drop it all
     val kept = withDigest
       .join(keep, "digest")
-      .where(col("ts") === col("keeper.ts") &&
-        col("urlkey") === col("keeper.urlkey") &&
-        col("offset") === col("keeper.offset"))
+      .where(col("ts") <=> col("keeper.ts") &&
+        col("urlkey") <=> col("keeper.urlkey") &&
+        col("offset") <=> col("keeper.offset") &&
+        col("filename") <=> col("keeper.filename"))
       .drop("keeper")
     kept.unionByName(
       distinctCaps.where(col("digest").isNull)
@@ -168,15 +182,24 @@ object CdxSource {
     */
   def latestPerKey(captures: DataFrame, keyCol: String = "urlkey"): DataFrame = {
     val distinctCaps = captures.dropDuplicates()
+    // keeper struct carries the FULL tiebreak (urlkey, filename beyond the
+    // (ts, offset) preference) so the max is unique over post-distinct
+    // rows even under a coarse derived key — two different URLs captured
+    // the same second at equal offsets must not both survive as "the"
+    // snapshot. Join-back is null-safe for the same reason as
+    // [[digestDedup]] (null ts/offset must not drop the family).
     val keep = distinctCaps
       .groupBy(col(keyCol))
       .agg(
-        max(struct(col("ts"), col("offset"))).as("keeper"),
+        max(struct(col("ts"), col("offset"), col("urlkey"), col("filename")))
+          .as("keeper"),
         count(lit(1)).as("n_captures"))
     distinctCaps
       .join(keep, keyCol)
-      .where(col("ts") === col("keeper.ts") &&
-        col("offset") === col("keeper.offset"))
+      .where(col("ts") <=> col("keeper.ts") &&
+        col("offset") <=> col("keeper.offset") &&
+        col("urlkey") <=> col("keeper.urlkey") &&
+        col("filename") <=> col("keeper.filename"))
       .drop("keeper")
   }
 

@@ -29,6 +29,13 @@ class CdxSpec extends AnyFunSuite {
     assert(surt("https://example.org:443") === "org,example)/")
     // non-default port is part of the key (distinct origin)
     assert(surt("http://example.org:8080/x") === "org,example:8080)/x")
+    // only the scheme's OWN default port drops: :443 on http (and :80 on
+    // https) are non-default, distinct origins
+    assert(surt("http://example.org:443/x") === "org,example:443)/x")
+    assert(surt("https://example.org:80/x") === "org,example:80)/x")
+    // schemeless input is treated as http — :80 drops, :443 stays
+    assert(surt("example.org:80/x") === "org,example)/x")
+    assert(surt("example.org:443/x") === "org,example:443)/x")
     // userinfo dropped; '@' AFTER the authority is path content, kept
     assert(surt("https://user:pw@example.net/p") === "net,example)/p")
     assert(surt("https://example.net/p@q") === "net,example)/p@q")
@@ -113,6 +120,45 @@ class CdxSpec extends AnyFunSuite {
       .select("urlkey", "digest", "n_captures").as[(String, String, Long)]
       .collect().sortBy(_._1)
     assert(kept === Array(("com,a)/1", "D2", 3L), ("com,b)/1", "D4", 1L)))
+  }
+
+  test("digestDedup/latestPerKey: null keeper fields don't drop the family") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.from(java.time.Instant.parse("2026-08-01T00:00:00Z"))
+    // null offset (dialect without offset attributes) and null ts (invalid
+    // 14-digit timestamp under non-ANSI to_timestamp) — the min/max keeper
+    // struct then carries nulls, and a null-unsafe join-back would drop
+    // the ENTIRE digest family
+    val caps = Seq(
+      ("com,a)/1", Some(t0), "D1", 10L, None: Option[Long], "f0"),
+      ("com,a)/2", Some(t0), "D1", 10L, Some(5L), "f0"),
+      ("com,b)/1", None: Option[java.sql.Timestamp], "D2", 7L, Some(0L), "f1"))
+      .toDF("urlkey", "ts", "digest", "length", "offset", "filename")
+    val kept = CdxSource.digestDedup(caps)
+      .select("digest", "urlkey", "n_captures").as[(String, String, Long)]
+      .collect().sortBy(_._1)
+    assert(kept === Array(("D1", "com,a)/1", 2L), ("D2", "com,b)/1", 1L)))
+    val latest = CdxSource.latestPerKey(caps, "digest")
+      .select("digest", "urlkey", "n_captures").as[(String, String, Long)]
+      .collect().sortBy(_._1)
+    assert(latest === Array(("D1", "com,a)/2", 2L), ("D2", "com,b)/1", 1L)))
+  }
+
+  test("latestPerKey: coarse key with (ts, offset) collisions keeps exactly one") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.from(java.time.Instant.parse("2026-08-01T00:00:00Z"))
+    // two DIFFERENT urls captured the same second at equal offsets in
+    // different files, grouped under one coarse derived key — the full
+    // (ts, offset, urlkey, filename) keeper must pick exactly one
+    val caps = Seq(
+      ("com,a)/1", t0, "D1", 10L, 0L, "f0"),
+      ("com,b)/1", t0, "D2", 10L, 0L, "f1"))
+      .toDF("urlkey", "ts", "digest", "length", "offset", "filename")
+      .withColumn("grp", lit(0L))
+    val kept = CdxSource.latestPerKey(caps, "grp").collect()
+    assert(kept.length === 1)
+    assert(kept.head.getAs[String]("urlkey") === "com,b)/1") // max tiebreak
+    assert(kept.head.getAs[Long]("n_captures") === 2L)
   }
 
   test("formatLine escapes quotes/backslashes; round trip through parseLines") {

@@ -1,34 +1,39 @@
 package graft.text
 
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{char_symbols, merge_pair}
+import graft.kernel.Bpe
 
-/** Distributed BPE vocabulary training (Sennrich 2016): learn an ordered
-  * merge list from a corpus, to be applied with
-  * [[graft.functions.bpe_encode]] (a narrow per-row expression carrying the
-  * merge table with the plan).
+/** BPE vocabulary training (Sennrich 2016): learn an ordered merge list
+  * from a corpus, to be applied with [[graft.functions.bpe_encode]] (a
+  * narrow per-row expression carrying the merge table with the plan).
   *
   * Scale design — what runs over what:
   *
-  *  - The corpus is touched ONCE: [[wordCounts]] reduces it to the distinct
-  *    word-frequency table (partial-agg'd groupBy; Heaps' law bounds
-  *    distinct words far below corpus size) and caps it at `maxWords` by a
-  *    deterministic TakeOrdered (count desc, word asc) — exactly the
-  *    "train the tokenizer on the frequency table, not the token stream"
-  *    shape every published trainer uses.
-  *  - Each merge round then runs over the WORD TABLE only: adjacent-pair
-  *    counts weighted by word frequency (explode → partial-agg'd sum), the
-  *    argmax pair collected to the driver (ONE row — count desc, then
-  *    lexicographic tie-break, so training is deterministic), and the merge
-  *    applied as a narrow [[graft.expr.MergePair]] projection.
-  *  - Lineage is truncated with `localCheckpoint` every few rounds (a
-  *    production run on a cluster would checkpoint to reliable storage —
-  *    same call shape); intermediate frames are persisted and the previous
-  *    round unpersisted, so round cost stays flat in the round count.
+  *  - The corpus is touched ONCE, distributed: [[wordCounts]] reduces it to
+  *    the distinct word-frequency table (partial-agg'd groupBy; Heaps' law
+  *    bounds distinct words far below corpus size) and caps it at
+  *    `maxWords` by a deterministic TakeOrdered (count desc, word asc) —
+  *    exactly the "train the tokenizer on the frequency table, not the
+  *    token stream" shape every published trainer uses.
+  *  - The merge loop then runs ON THE DRIVER over the collected table.
+  *    The table is ≤ `maxWords` rows BY CONSTRUCTION (50k words × ~50 B
+  *    ≈ 2.5 MB — it fits on any driver), and a Spark job per merge round
+  *    would be pure scheduler latency: a production 30–50k-merge vocab at
+  *    2 jobs/round is ~10⁵ sequential job submissions doing microseconds
+  *    of work each. The local loop is bit-identical to the per-round
+  *    recount (same counts, same `cnt desc, a asc, b asc` argmax with
+  *    Spark's UTF8-binary string order, same [[Bpe.mergeOnce]] transform)
+  *    and runs zero jobs per round.
+  *  - Incremental pair maintenance keeps the loop fast: only words that
+  *    contain the merged pair are recounted (classic learn_bpe.py
+  *    optimization), with a lazy-deletion heap for the argmax.
   */
 object BpeTrain {
 
@@ -42,7 +47,11 @@ object BpeTrain {
       .orderBy(desc("cnt"), asc("word"))
       .limit(maxWords)
 
-  /** Frequency-weighted adjacent-pair counts over a (syms, cnt) table. */
+  /** Frequency-weighted adjacent-pair counts over a (syms, cnt) table —
+    * the distributed analog of one merge round's count phase, kept as the
+    * oracle-checkable surface (`q_bpe_pairs`); the trainer itself counts
+    * locally.
+    */
   def pairCounts(words: DataFrame): DataFrame =
     words
       .filter(size(col("syms")) >= 2)
@@ -56,7 +65,8 @@ object BpeTrain {
       .agg(sum("cnt").as("cnt"))
 
   /** Learn up to `numMerges` merges; stops early when no adjacent pair is
-    * left. Returns the ordered merge list (index = rank).
+    * left. Returns the ordered merge list (index = rank). One Spark job
+    * (the corpus scan inside [[wordCounts]]), then driver-local.
     */
   def learnMerges(
       docs: DataFrame,
@@ -64,67 +74,112 @@ object BpeTrain {
       numMerges: Int,
       maxWords: Int = 50000): Seq[(String, String)] = {
     require(numMerges >= 1 && maxWords >= 1)
-    val merges = new ArrayBuffer[(String, String)]()
-    // Dataset.unpersist is a NO-OP on a localCheckpointed frame (the
-    // checkpoint RDD's blocks are not registered with the cache manager),
-    // so checkpoint storage is tracked and freed explicitly. The cohort is
-    // found by walking the checkpointed frame's OWN RDD lineage for
-    // persisted nodes — never by diffing the SparkContext-global persistent
-    // registry, which on a shared session would capture (and later evict)
-    // RDDs a concurrent job persisted in the same window. A checkpoint
-    // cohort must outlive every persisted round whose lineage is rooted at
-    // it — i.e. until the NEXT checkpoint materializes and the intervening
-    // round is unpersisted — so exactly one cohort is live at a time and
-    // the superseded one is freed each checkpoint round, keeping the memory
-    // bound flat as documented.
-    var liveCkptRdds: Seq[org.apache.spark.rdd.RDD[_]] = Nil
-    def persistedRootsOf(root: org.apache.spark.rdd.RDD[_]): Seq[org.apache.spark.rdd.RDD[_]] = {
-      val seen = scala.collection.mutable.Set[Int]()
-      val out = scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]]()
-      def walk(r: org.apache.spark.rdd.RDD[_]): Unit = if (seen.add(r.id)) {
-        if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE) out += r
-        r.dependencies.foreach(d => walk(d.rdd))
-      }
-      walk(root)
-      out.toSeq
+    val table = wordCounts(docs, text, maxWords).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    learnMergesLocal(table, numMerges)
+  }
+
+  /** Spark's `asc` on StringType orders by UTF-8 bytes (unsigned) — NOT
+    * java.lang.String's UTF-16 code-unit order; they differ when
+    * supplementary codepoints meet U+E000..U+FFFF. The argmax tie-break
+    * uses this order so the local loop is bit-identical to the
+    * distributed `orderBy(desc("cnt"), asc("a"), asc("b"))` it replaced.
+    */
+  private def utf8Compare(x: String, y: String): Int =
+    java.util.Arrays.compareUnsigned(
+      x.getBytes(StandardCharsets.UTF_8), y.getBytes(StandardCharsets.UTF_8))
+
+  /** The Sennrich merge loop over an in-memory (word, cnt) table.
+    * Exact semantics of the recount-per-round formulation: pair counts are
+    * frequency-weighted ADJACENT POSITIONS (so "aaa" contributes (a,a)
+    * twice), argmax order is (cnt desc, a asc, b asc) in UTF-8 byte order,
+    * and each round applies [[Bpe.mergeOnce]] (leftmost-first,
+    * non-overlapping) to every word. Incremental: a round recounts only
+    * the words that contain the merged pair (found via an inverted
+    * pair→words index); the argmax pops a lazy-deletion heap whose stale
+    * entries are discarded against the live count map.
+    */
+  def learnMergesLocal(
+      table: Seq[(String, Long)], numMerges: Int): Seq[(String, String)] = {
+    require(numMerges >= 1)
+    val n = table.size
+    val syms = new Array[Array[String]](n)
+    val cnt = new Array[Long](n)
+    var i = 0
+    table.foreach { case (w, c) =>
+      syms(i) = Bpe.charSymbols(w); cnt(i) = c; i += 1
     }
-    var cur = wordCounts(docs, text, maxWords)
-      .select(char_symbols(col("word")).as("syms"), col("cnt"))
-      .persist()
-    try {
-      var rounds = 0
-      var exhausted = false
-      while (rounds < numMerges && !exhausted) {
-        val top = pairCounts(cur)
-          .orderBy(desc("cnt"), asc("a"), asc("b"))
-          .limit(1).collect()
-        if (top.isEmpty) exhausted = true
+
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.BitSet]
+
+    def addWord(idx: Int, sign: Long, touched: mutable.Set[(String, String)],
+        index: Boolean): Unit = {
+      val s = syms(idx)
+      var j = 0
+      while (j + 1 < s.length) {
+        val p = (s(j), s(j + 1))
+        val c = pairCount.getOrElse(p, 0L) + sign * cnt(idx)
+        if (c == 0L) pairCount.remove(p) else pairCount(p) = c
+        touched += p
+        if (index) pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += idx
+        j += 1
+      }
+    }
+
+    // greater-in-ordering = preferred: higher cnt, then smaller a, then
+    // smaller b (heap pops the maximum)
+    implicit val heapOrd: Ordering[(Long, String, String)] =
+      (p: (Long, String, String), q: (Long, String, String)) => {
+        val byCnt = java.lang.Long.compare(p._1, q._1)
+        if (byCnt != 0) byCnt
         else {
-          val (a, b) = (top(0).getString(0), top(0).getString(1))
-          merges += ((a, b))
-          val next = cur.select(merge_pair(col("syms"), a, b).as("syms"), col("cnt"))
-          // truncate lineage so round cost stays flat in the round count
-          if ((rounds + 1) % 8 == 0) {
-            val ck = next.localCheckpoint(true)
-            val created = persistedRootsOf(ck.queryExecution.toRdd)
-            cur.unpersist(blocking = false)
-            // nothing live is rooted at the old cohort now
-            liveCkptRdds.foreach(_.unpersist(false))
-            liveCkptRdds = created
-            cur = ck
-          } else {
-            val p = next.persist()
-            p.count()
-            cur.unpersist(blocking = false)
-            cur = p
-          }
-          rounds += 1
+          val byA = utf8Compare(q._2, p._2)
+          if (byA != 0) byA else utf8Compare(q._3, p._3)
         }
       }
-      merges.toSeq
-    } finally {
-      cur.unpersist(blocking = false)
-      liveCkptRdds.foreach(_.unpersist(false))
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)]
+
+    val initTouched = mutable.Set.empty[(String, String)]
+    i = 0
+    while (i < n) { addWord(i, 1L, initTouched, index = true); i += 1 }
+    initTouched.foreach(p => heap.enqueue((pairCount.getOrElse(p, 0L), p._1, p._2)))
+
+    val merges = new ArrayBuffer[(String, String)]()
+    var exhausted = false
+    while (merges.length < numMerges && !exhausted) {
+      // pop until a live entry surfaces (lazy deletion)
+      var best: (String, String) = null
+      while (best == null && heap.nonEmpty) {
+        val (c, a, b) = heap.dequeue()
+        if (pairCount.get((a, b)).contains(c)) best = (a, b)
+      }
+      if (best == null) exhausted = true
+      else {
+        merges += best
+        val touched = mutable.Set.empty[(String, String)]
+        val affected = pairWords.remove(best).getOrElse(mutable.BitSet.empty)
+        affected.foreach { idx =>
+          val s = syms(idx)
+          // index entries go stale when a later merge rewrote the word;
+          // verify the pair is still present before recounting
+          var has = false
+          var j = 0
+          while (!has && j + 1 < s.length) {
+            has = s(j) == best._1 && s(j + 1) == best._2; j += 1
+          }
+          if (has) {
+            addWord(idx, -1L, touched, index = false)
+            syms(idx) = Bpe.mergeOnce(s, best._1, best._2)
+            addWord(idx, 1L, touched, index = true)
+          }
+        }
+        touched.foreach { p =>
+          val c = pairCount.getOrElse(p, 0L)
+          if (c > 0L) heap.enqueue((c, p._1, p._2))
+        }
+      }
     }
+    merges.toSeq
   }
 }

@@ -54,16 +54,35 @@ class BpeSpec extends AnyFunSuite {
     assert(merges === Seq(("a", "b"))) // after ab, no pairs remain
   }
 
-  test("learnMerges frees all round storage, including localCheckpoint blocks") {
-    // >16 rounds forces at least two checkpoint rounds (every 8th), so the
-    // superseded-cohort free path runs; Dataset.unpersist alone would leave
-    // the checkpointed word tables in the block manager
+  test("learnMerges touches the cluster once: no per-round jobs, no storage") {
+    // the merge loop is driver-local over the collected ≤maxWords table —
+    // round count must not show up in the Spark job count (the old
+    // 2-jobs-per-round shape was ~10⁵ scheduler round-trips at a
+    // production 50k-merge vocab)
     val docs = Seq((1L, "abcdefghijklmnopqrstuvwxyz " * 3)).toDF("id", "text")
     val before = spark.sparkContext.getPersistentRDDs.keySet
+    val jobs0 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     val merges = BpeTrain.learnMerges(docs, col("text"), numMerges = 20)
     assert(merges.size === 20)
+    val jobsRun =
+      spark.sparkContext.statusTracker.getJobIdsForGroup(null).length - jobs0
+    assert(jobsRun <= 3, s"expected one collect (≤3 jobs), ran $jobsRun")
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty, s"leaked persistent RDDs: $leaked")
+  }
+
+  test("learnMergesLocal: overlap counting and reappearing pairs recount exactly") {
+    // "aaa"×2 + "ab"×3: adjacent-position counts give (a,a)=4 (two
+    // positions per word), (a,b)=3 → first merge is (a,a) despite only
+    // two words containing it
+    val m1 = BpeTrain.learnMergesLocal(Seq(("aaa", 2L), ("ab", 3L)), 1)
+    assert(m1 === Seq(("a", "a")))
+    // pairs born from merged symbols are counted and selectable:
+    // (x,y)=9 merges first, creating [xy,b] — (xy,b)=5 must enter the
+    // count map and the heap for round 3
+    val m2 = BpeTrain.learnMergesLocal(
+      Seq(("xyb", 5L), ("xy", 4L), ("ab", 6L)), 3)
+    assert(m2 === Seq(("x", "y"), ("a", "b"), ("xy", "b")))
   }
 
   test("bpe_encode applies merges by rank: the classic OOV result") {

@@ -128,22 +128,46 @@ case class PercentNormalize(child: Expression)
   override protected def withNewChildInternal(c: Expression): PercentNormalize = copy(child = c)
 }
 
-/** Jaro similarity (threshold spec /root/reference/src/dedupe.rs:141,628). */
+/** Jaro similarity (threshold spec /root/reference/src/dedupe.rs:141,628).
+  *
+  * Full codegen (not `CodegenFallback`): this expression sits inside the
+  * citation dedup's O(block²) residual comparison — the one hot path where
+  * an interpreted expression would break the surrounding whole-stage span
+  * and pay a per-pair virtual `eval` round trip. `doGenCode` emits a
+  * static call into the [[StrSim]] kernel, so the comparison stays inside
+  * the generated loop.
+  */
 case class JaroSim(left: Expression, right: Expression)
-    extends BinaryExpression with SimpleCodegen {
+    extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = DoubleType
   override def nullSafeEval(l: Any, r: Any): Any =
     StrSim.jaro(l.asInstanceOf[UTF8String].toString, r.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (l, r) =>
+      s"graft.kernel.StrSim.jaro($l.toString(), $r.toString())")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): JaroSim =
     copy(left = l, right = r)
 }
 
-/** Jaro-Winkler similarity (/root/reference/src/dedupe.rs:142,641). */
+/** Jaro-Winkler similarity (/root/reference/src/dedupe.rs:142,641);
+  * codegen'd for the same O(block²)-path reason as [[JaroSim]].
+  */
 case class JaroWinklerSim(left: Expression, right: Expression)
-    extends BinaryExpression with SimpleCodegen {
+    extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = DoubleType
   override def nullSafeEval(l: Any, r: Any): Any =
     StrSim.jaroWinkler(l.asInstanceOf[UTF8String].toString, r.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (l, r) =>
+      s"graft.kernel.StrSim.jaroWinkler($l.toString(), $r.toString())")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): JaroWinklerSim =
     copy(left = l, right = r)
 }

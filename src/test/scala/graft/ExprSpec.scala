@@ -49,6 +49,31 @@ class ExprSpec extends AnyFunSuite {
     assert(row.getInt(5) === 5)
   }
 
+  test("jaro/jaro_winkler: codegen path agrees with the kernel, no fallback") {
+    val s = onceRegistered()
+    import s.implicits._
+    val cases = Seq(
+      ("MARTHA", "MARHTA"), ("DWAYNE", "DUANE"), ("DIXON", "DICKSONX"),
+      ("", ""), ("", "x"), ("a", "a"), ("über", "uber"), ("𝄞ab", "𝄞ab"))
+    // fallback=false: a Janino compile error in doGenCode fails the query
+    // instead of silently reverting to interpreted eval
+    s.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val got = cases.toDF("l", "r")
+        .select(jaro($"l", $"r").as("j"), jaro_winkler($"l", $"r").as("jw"))
+        .collect()
+      cases.zip(got).foreach { case ((l, r), row) =>
+        assert(row.getDouble(0) === graft.kernel.StrSim.jaro(l, r), s"jaro($l,$r)")
+        assert(row.getDouble(1) === graft.kernel.StrSim.jaroWinkler(l, r),
+          s"jaroWinkler($l,$r)")
+      }
+      // nulls propagate through the generated null checks
+      val nulls = Seq((Some("a"), None: Option[String]), (None, Some("b")))
+        .toDF("l", "r").select(jaro($"l", $"r")).collect()
+      assert(nulls.forall(_.isNullAt(0)))
+    } finally s.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("signature pipeline: shingles → minhash → bands, exact jaccard") {
     val s = onceRegistered()
     import s.implicits._

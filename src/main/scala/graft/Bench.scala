@@ -49,13 +49,34 @@ object Bench {
     // distinguishable from a plan regression inside the artifact itself —
     // round-2's BENCH looked like a 26% regression until an idle-box rerun
     // showed it was tenancy noise.
-    val burn = Burn.probe()
-    val diskMbs = Burn.diskWriteMBs()
+    //
+    // WINDOW GATE (round-4 verdict item 4): the box's two ceilings (CPU
+    // steal, disk write throughput) drift independently; an official
+    // artifact measured in a degraded window under-sells the code by up to
+    // 1.66× with no code change. So the bench WAITS for a clean window:
+    // re-probe up to SPARK_GRAFT_WINDOW_TRIES times (default 6, ~40 s
+    // apart) until burn_stable && disk ≥ 420 MB/s, then measure. If no
+    // clean window arrives the bench still runs — self-documented by
+    // window_ok=false — because a stale artifact is worse than a flagged
+    // one.
+    val windowTries =
+      sys.env.getOrElse("SPARK_GRAFT_WINDOW_TRIES", "6").toInt
+    var burn = Burn.probe()
+    var diskMbs = Burn.diskWriteMBs()
+    var windowAttempts = 1
+    def windowOk: Boolean = burn.stable && diskMbs >= 420.0
+    while (!windowOk && windowAttempts < windowTries) {
+      Thread.sleep(40000)
+      burn = Burn.probe()
+      diskMbs = Burn.diskWriteMBs()
+      windowAttempts += 1
+    }
     val effCores = Seq(2, 4, 8)
       .map(w => f""""effective_cores_$w":${burn.eff(w)}%.2f""")
       .mkString(",") +
       f""","burn_r1_spread":${burn.r1Spread}%.3f,"burn_stable":${burn.stable}""" +
-      f""","disk_write_mb_s":$diskMbs%.0f"""
+      f""","disk_write_mb_s":$diskMbs%.0f""" +
+      s""","window_ok":$windowOk,"window_attempts":$windowAttempts"""
 
     // JVM/codegen warmup so the first measured query is not paying JIT cost
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -70,37 +91,66 @@ object Bench {
         catch { case _: Throwable => -1.0 }
     }
 
-    // end-to-end near-dup pipeline (the BASELINE.json headline metric)
+    // end-to-end near-dup pipeline (the BASELINE.json headline metric).
+    //
+    // INTERLEAVED A/B (round-4 verdict item 1): exact-verify and b-bit
+    // sketch-verify alternate ×3 within ONE process and the artifact
+    // reports per-mode MEDIANS — a mode comparison from two single runs
+    // minutes apart measures the box's drifting window, not the mode
+    // (round 4 shipped "sketch 14% slower" while the same code's pricing
+    // run had measured it 17% faster; both were window artifacts). Legs
+    // are also emitted raw so the spread is auditable.
     val pages = DeterministicCorpus.pages(spark, CorpusSpec(nFamilies = families))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nPages = pages.count() // corpus generation outside the timed window
-    val store = new StageStore(spark, Files.createTempDirectory("graft-bench-").toString)
-    val dedupSec = time {
-      new DedupPipeline(spark, DedupConfig(), store).run(pages).count(); ()
+    val abRounds = sys.env.getOrElse("SPARK_GRAFT_AB_ROUNDS", "3").toInt
+    val tempStores = scala.collection.mutable.ArrayBuffer.empty[StageStore]
+    def freshStore(tag: String): StageStore = {
+      val s = new StageStore(spark,
+        Files.createTempDirectory(s"graft-bench-$tag-").toString)
+      tempStores += s
+      s
     }
+    def e2e(cfg: DedupConfig, tag: String): (Double, StageStore) = {
+      val s = freshStore(tag)
+      (time { new DedupPipeline(spark, cfg, s).run(pages).count(); () }, s)
+    }
+    val exactLegs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val sketchLegs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var lastExactStore: StageStore = null
+    (1 to abRounds).foreach { _ =>
+      val (te, se) = e2e(DedupConfig(), "exact")
+      exactLegs += te
+      lastExactStore = se
+      sketchLegs += e2e(DedupConfig(verifySketchBits = Some(4)), "sk")._1
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val dedupSec = median(exactLegs.toSeq)
     results("dedup_e2e") = dedupSec
+    results("dedup_e2e_sketch") = median(sketchLegs.toSeq)
     val docsPerSec = nPages / dedupSec
+    val store = lastExactStore // incremental entries extend the exact store
 
     // LCS-rescue variant (useLcsCheck defaults off in DedupConfig): a
     // separate e2e run so the suffix-automaton verify join's cost at scale
     // is visible in the artifact instead of only in unit tests. Borderline
     // pairs are few on this corpus, so the expected delta vs dedup_e2e is
     // the borderline text fetch + LCS join, not a corpus-sized term.
-    val lcsStore = new StageStore(spark, Files.createTempDirectory("graft-bench-lcs-").toString)
-    results("dedup_e2e_lcs") = time {
-      new DedupPipeline(spark, DedupConfig(useLcsCheck = true), lcsStore)
-        .run(pages).count(); ()
-    }
+    results("dedup_e2e_lcs") = e2e(DedupConfig(useLcsCheck = true), "lcs")._1
 
-    // sketch-verification variant (b-bit MinHash, 128-byte sketches,
-    // ±3σ exact-escalation band): prices the state-read trade next to the
-    // exact default. On one local disk the shingle fetch is cheap, so the
-    // local delta is small — the mode's target is distributed-storage
-    // verify reads; this entry exists so its cost is visible, not hidden.
-    val skStore = new StageStore(spark, Files.createTempDirectory("graft-bench-sk-").toString)
-    results("dedup_e2e_sketch") = time {
-      new DedupPipeline(spark, DedupConfig(verifySketchBits = Some(4)), skStore)
-        .run(pages).count(); ()
+    // BPE trainer: 1000 merge rounds over the documents table — pins the
+    // driver-local merge loop (one corpus scan + zero jobs/round; the
+    // round-3 distributed loop priced ~10^5 scheduler round-trips at a
+    // production vocab, visible here as minutes instead of seconds).
+    results("bpe_train_1k") = time {
+      val n = graft.text.BpeTrain.learnMerges(
+        spark.read.parquet(s"$sfDir/documents.parquet"),
+        org.apache.spark.sql.functions.col("text"),
+        numMerges = 1000).size
+      require(n > 0)
     }
 
     // steady-state production mode: apply a ~5% crawl delta on the SAME
@@ -126,13 +176,15 @@ object Bench {
     results("dedup_incremental") = incSec
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    def legsJson(xs: Seq[Double]): String =
+      xs.map(x => f"$x%.3f").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","dedup_pages":$nPages,"dedup_docs_per_sec":$docsPerSec%.1f,"inc_delta_pages":$nDelta,"inc_delta_docs_per_sec":${nDelta / incSec}%.1f,"cores":$cpus,$effCores}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","dedup_pages":$nPages,"dedup_docs_per_sec":$docsPerSec%.1f,"dedup_e2e_legs":${legsJson(exactLegs.toSeq)},"dedup_e2e_sketch_legs":${legsJson(sketchLegs.toSeq)},"inc_delta_pages":$nDelta,"inc_delta_docs_per_sec":${nDelta / incSec}%.1f,"cores":$cpus,$effCores}""")
     spark.stop()
     // temp checkpoint stores: delete so repeated bench runs don't pile up
     // multi-GB trees in /tmp (each e2e store holds the full stage chain)
-    Seq(store.root, lcsStore.root).foreach { r =>
+    tempStores.map(_.root).foreach { r =>
       def rm(p: java.nio.file.Path): Unit = {
         if (Files.isDirectory(p))
           scala.util.Using.resource(Files.list(p))(

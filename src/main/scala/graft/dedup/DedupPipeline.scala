@@ -55,7 +55,9 @@ final case class DedupConfig(
     stateCompactEvery: Int = 8,
     verifySketchBits: Option[Int] = None,
     sketchNumHashes: Int = 256,
-    sketchEps: Double = 0.08) {
+    sketchEps: Double = 0.08,
+    incSketchPrefilter: Boolean = true,
+    incPrefilterMargin: Double = 0.25) {
   require(bands * rows == numHashes, "bands*rows must equal numHashes")
   require(resumeChunks >= 1, "resumeChunks must be >= 1")
   require(idBits == 64 || idBits == 128, "idBits must be 64 or 128")
@@ -69,6 +71,8 @@ final case class DedupConfig(
       "the LCS rescue's [lcsLowJaccard, threshold) band is unobservable — " +
       "use exact verification (verifySketchBits=None) with useLcsCheck")
   require(sketchEps >= 0.0 && sketchEps < 0.5, "sketchEps must be in [0, 0.5)")
+  require(incPrefilterMargin > 0.0 && incPrefilterMargin < jaccardThreshold,
+    "incPrefilterMargin must be in (0, jaccardThreshold)")
 }
 
 /** The end-to-end near-dup detection + clustering pipeline (SURVEY.md §3.3
@@ -209,16 +213,17 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
       truncate_hashes32(col("shingles")).as("shingles"),
       minhash_bands(col("shingles"), config.bands, config.rows, config.seed)
         .as("bands")) ++
-      // sketch-verification state: sketchNumHashes*b/64 packed longs per
-      // doc (defaults: n=256, b=4 → 128 bytes) — what the verify stage
-      // reads INSTEAD of the shingle arrays for clear-band pairs when the
-      // mode is on. Sized independently of the LSH's numHashes: the
-      // escalation band is ±~3σ = 3·√(thr(1−thr)/n), so n buys band
-      // narrowness (n=256 → ±0.08 at thr 0.8) while b only buys the
-      // collision floor
-      config.verifySketchBits.map(b =>
-        bbit_minhash(col("shingles"), config.sketchNumHashes, b, config.seed)
-          .as("sketch")): _*)
+      // sketch state: sketchNumHashes*b/64 packed longs per doc (defaults:
+      // n=256, b=4 → 128 bytes, ~2% of a typical page's truncated shingle
+      // array) — ALWAYS emitted. In sketch-verify mode it replaces the
+      // shingle fetch for clear-band pairs; in the exact default it backs
+      // the incremental path's safe prefilter (see `incremental` step 4),
+      // which is why the batch job pays the 2% up front. Sized
+      // independently of the LSH's numHashes: the escalation band is
+      // ±~3σ = 3·√(thr(1−thr)/n), so n buys band narrowness (n=256 →
+      // ±0.08 at thr 0.8) while b only buys the collision floor.
+      Seq(bbit_minhash(col("shingles"), config.sketchNumHashes,
+        config.verifySketchBits.getOrElse(4), config.seed).as("sketch")): _*)
   }
 
   /** Stage 2 — exact-dup fast path (the DOI-equality analog, SURVEY.md §2.3):
@@ -871,13 +876,46 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
     // 4 — verification: same plan as batch, but the shingle side is
     //     semi-filtered to pair-touched ids FIRST — the batch plan shuffles
     //     the whole signature table (necessary there), which for a 5% delta
-    //     would make verification cost corpus-sized instead of delta-sized
-    val allSigs = priorSigs.union(sigsNew)
+    //     would make verification cost corpus-sized instead of delta-sized.
+    //
+    // SAFE SKETCH PREFILTER (default on): before any shingle bytes move,
+    // candidates are scored from the 128-byte b-bit sketches and pairs
+    // with est < threshold − incPrefilterMargin are dropped. The margin is
+    // chosen for EXACTNESS, not estimation: at n=256/b=4 the estimator's
+    // σ ≈ 0.033, so the default 0.25 margin is ~7.6σ — a true-positive
+    // pair (J ≥ 0.8) estimating below 0.55 is a ~10⁻¹⁴-per-pair event
+    // (expected flips ≈ 0.01 at 10¹² candidate pairs), which keeps the
+    // incremental output bit-identical to the unfiltered exact plan in any
+    // realistic run, unlike the opt-in sketch-DECIDE mode whose clear-band
+    // calls sit 3σ out. What it buys: LSH bucket-collision noise (the bulk
+    // of candidates at web scale) never reaches the shingle fetch, so the
+    // verify stage's state reads + shuffles are priced by true-dup density
+    // instead of collision density. Pairs whose sketch is NULL (pre-sketch
+    // signature layers) are KEPT — degradation is "verify exactly", never
+    // "drop silently". Skipped under useLcsCheck (the rescue band
+    // [lcsLowJaccard, thr) reaches below the cutoff) and in sketch-decide
+    // mode (subsumed).
+    val allSigs = priorSigs.unionByName(sigsNew, allowMissingColumns = true)
     val verifiedInc = store.getOrCompute(s"inc_${batch}_verified_edges") {
       val pairIds = candInc.select(col("a").as("id"))
         .union(candInc.select(col("b").as("id"))).distinct()
-      verifiedEdgesPlan(allSigs.join(pairIds, Seq("id"), "left_semi"),
-        candInc, allPages)
+      val usePrefilter = config.incSketchPrefilter &&
+        config.verifySketchBits.isEmpty && !config.useLcsCheck &&
+        allSigs.columns.contains("sketch")
+      if (!usePrefilter)
+        verifiedEdgesPlan(allSigs.join(pairIds, Seq("id"), "left_semi"),
+          candInc, allPages)
+      else {
+        val kept = SketchVerify.prefilterPairs(
+          candInc,
+          allSigs.select("id", "sketch").join(pairIds, Seq("id"), "left_semi"),
+          config.sketchNumHashes, 4,
+          config.jaccardThreshold - config.incPrefilterMargin)
+        val keptIds = kept.select(col("a").as("id"))
+          .union(kept.select(col("b").as("id"))).distinct()
+        verifiedEdgesPlan(allSigs.join(keptIds, Seq("id"), "left_semi"),
+          kept, allPages)
+      }
     }
 
     // 5 — incremental connected components: re-solve ONLY touched
@@ -1031,14 +1069,19 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
 
+  // unionByName + allowMissingColumns: signature checkpoints written
+  // before the always-on sketch column lack it; rows from such layers
+  // surface sketch = NULL, which every sketch consumer treats as
+  // "no sketch → exact path" (see the prefilter's null-keep rule)
   private def readBaseSignatures(): DataFrame =
     if (config.resumeChunks == 1) store.read("signatures")
     else (0 until config.resumeChunks)
-      .map(i => store.read(s"signatures_chunk$i")).reduce(_ union _)
+      .map(i => store.read(s"signatures_chunk$i"))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
 
   private def priorSignatures(applied: Seq[String]): DataFrame =
     (readBaseSignatures() +: applied.map(b => store.read(s"inc_${b}_signatures")))
-      .reduce(_ union _)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
 
   // ──────────────── pkey-partitioned incremental state tables ────────────────
   //

@@ -77,6 +77,35 @@ object SketchVerify {
     clear.unionByName(borderline)
   }
 
+  /** Safe prefilter for an EXACT verify stage: drop candidate pairs whose
+    * sketch estimate falls below `cutoff`, keep everything else (including
+    * pairs with a NULL sketch on either side — layers written before the
+    * sketch column existed must degrade to "verify exactly", never "drop
+    * silently"). Unlike [[verifyPairs]], this never ACCEPTS from the
+    * sketch — surviving pairs still face the exact Jaccard — so its only
+    * failure mode is dropping a true positive, which the caller prices by
+    * the margin: cutoff = threshold − m is m/σ standard errors below the
+    * lowest accepted exact score (σ ≈ √(P(1−P)/n)/(1−2⁻ᵇ); the pipeline's
+    * default margin is ~7.6σ — see `DedupPipeline.incremental` step 4).
+    * Output is the (a, b) pair set, column-compatible with the candidate
+    * input.
+    */
+  def prefilterPairs(candidates: DataFrame, sketches: DataFrame,
+                     numHashes: Int, bBits: Int, cutoff: Double): DataFrame = {
+    val sketchSide = sketches.select(col("id"), col("sketch"))
+    candidates.hint("shuffle_hash")
+      .join(sketchSide.withColumnsRenamed(Map("id" -> "a", "sketch" -> "sk_a")),
+        Seq("a"), "left")
+      .hint("shuffle_hash")
+      .join(sketchSide.withColumnsRenamed(Map("id" -> "b", "sketch" -> "sk_b")),
+        Seq("b"), "left")
+      .withColumn("est",
+        when(col("sk_a").isNotNull && col("sk_b").isNotNull,
+          bbit_jaccard(col("sk_a"), col("sk_b"), numHashes, bBits)))
+      .filter(col("est").isNull || col("est") >= cutoff)
+      .select("a", "b")
+  }
+
   private def scored(candidates: DataFrame, sketches: DataFrame,
                      numHashes: Int, bBits: Int): DataFrame = {
     val sketchSide = sketches.select(col("id"), col("sketch"))

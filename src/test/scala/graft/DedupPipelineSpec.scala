@@ -534,6 +534,39 @@ class DedupPipelineSpec extends AnyFunSuite {
     all.unpersist()
   }
 
+  test("incremental on a pre-sketch base store: null sketches degrade to exact") {
+    import spark.implicits._
+    import scala.util.hashing.MurmurHash3
+    val spec = CorpusSpec(nFamilies = 60, pDup = 0.5, seed = 23)
+    val all = DeterministicCorpus.generate(spark, spec).map(_._1).cache()
+    def part(p: graft.schema.Page): Int = math.floorMod(MurmurHash3.stringHash(p.url), 3)
+    val aPages = all.filter(p => part(p) >= 1)
+    val bPages = all.filter(p => part(p) == 0)
+    assert(aPages.count() > 0 && bPages.count() > 0)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("url", "cluster_id", "is_representative")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSet
+    val full = key(new DedupPipeline(spark, DedupConfig(), freshStore())
+      .run(aPages.union(bPages)))
+
+    val store = freshStore()
+    val pipe = new DedupPipeline(spark, DedupConfig(), store)
+    pipe.run(aPages).count()
+    // simulate a base layer written before the always-on sketch column:
+    // strip it from every signature chunk; the delta's layers still carry
+    // it, so priorSignatures unions mixed schemas (null-filled) and the
+    // prefilter must KEEP every null-sketch pair instead of dropping it
+    (0 until DedupConfig().resumeChunks).foreach { i =>
+      val st = s"signatures_chunk$i"
+      val noSketch = store.read(st).drop("sketch").localCheckpoint(true)
+      store.invalidate(st)
+      store.write(st, noSketch)
+    }
+    assert(key(pipe.incremental("b", bPages)) === full,
+      "pre-sketch base + sketch delta must still match the batch run")
+    all.unpersist()
+  }
+
   test("incremental composes with sketch mode: delta apply, recall ≥ 0.99 vs truth") {
     import spark.implicits._
     import scala.util.hashing.MurmurHash3

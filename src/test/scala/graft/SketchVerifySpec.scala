@@ -115,6 +115,35 @@ class SketchVerifySpec extends AnyFunSuite {
     assert(crossEst.length === cross.length && crossEst.forall(_ < 0.5))
   }
 
+  test("prefilterPairs: noise dropped, dups and null-sketch pairs kept") {
+    import spark.implicits._
+    val n = 256
+    val b = 4
+    // family f: 2 identical docs; cross-family pairs are disjoint-vocab
+    // noise (the LSH bucket-collision shape the prefilter exists for)
+    val docs = (0 until 20).map { i =>
+      (i.toLong, toks(s"f${i / 2}t", 0, 60))
+    }.toDF("id", "text")
+    val sketches = docs.select(col("id"),
+      bbit_minhash(word_shingles(col("text"), 2, seed), n, b, seed).as("sketch"))
+    val within = (0 until 10).map(f => (f * 2L, f * 2L + 1))
+    val cross = (0 until 9).map(f => (f * 2L, (f + 1) * 2L))
+    val candidates = (within ++ cross).toDF("a", "b")
+    val kept = SketchVerify
+      .prefilterPairs(candidates, sketches, n, b, cutoff = 0.55)
+      .as[(Long, Long)].collect().toSet
+    assert(kept === within.toSet) // dups survive, noise never reaches verify
+
+    // ids 18,19 missing a sketch (pre-sketch signature layer): their pairs
+    // MUST pass through — degradation is "verify exactly", never "drop"
+    val partial = sketches.withColumn("sketch",
+      when(col("id") >= 18L, lit(null)).otherwise(col("sketch")))
+    val keptPartial = SketchVerify
+      .prefilterPairs(candidates, partial, n, b, cutoff = 0.55)
+      .as[(Long, Long)].collect().toSet
+    assert(keptPartial === within.toSet + ((16L, 18L))) // noise pair kept: null sketch
+  }
+
   test("escalation band decides exactly; clear band never fetches shingles") {
     import spark.implicits._
     val n = 128

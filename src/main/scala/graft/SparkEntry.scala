@@ -9,7 +9,7 @@ import graft.cite.{CitationDedup, CsvParser, EndNoteXmlParser, FormatDetect, Pub
 import graft.dedup.{ConnectedComponents, DedupProbe, SketchVerify}
 import graft.functions._
 import graft.io.{CdxSource, WarcSource, ZOrder}
-import graft.multimodal.Multimodal
+import graft.multimodal.{ContainerMeta, Multimodal}
 import graft.graph.{AnchorCorpus, HostRank}
 import graft.operators.{AsOfJoin, RangeJoin}
 import graft.text.{BpeTrain, C4Gate, Chunking, Curation, Dsir, EncodingFix, GopherGate, HeavyHitters, LineDedup, LmScore, Mixing, Packing, Passages, Pii, QualityModel, Repetition, RobotsGate, TextOps, UrlOps}
@@ -1760,6 +1760,32 @@ object SparkEntry {
         .select(col("asset_id"), col("kind"), col("n_bytes").cast("long").as("n_bytes"))
     }),
 
+    // mp4/webm container-METADATA walk (no codec needed, unlike frame
+    // decode): deterministic spec-valid payloads are built from doc_id
+    // (even → ISO BMFF moov/mvhd/tkhd, odd → EBML Segment/Info/Tracks)
+    // and the header walk must round-trip the closed form — 16.16 fixed
+    // dimensions, EBML varints, timescale→ms conversion all pinned.
+    "q_container_meta" -> ((s, dir) => {
+      import s.implicits._
+      val assets = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val durMs = 1000L + id % 9000
+          val nT = 1 + (id % 3).toInt
+          val w = 320 + (id % 4).toInt * 160
+          val h = 240 + (id % 4).toInt * 120
+          val payload =
+            if (id % 2 == 0) ContainerMeta.syntheticMp4(durMs, nT, w, h)
+            else ContainerMeta.syntheticWebm(durMs, nT, w, h)
+          Multimodal.MediaAsset(id, payload,
+            Multimodal.MediaMeta("video", w, h, durMs, 0, "none"))
+        }
+      ContainerMeta.containerMeta(assets)
+        .select(col("asset_id"), col("container"), col("duration_ms"),
+          col("n_tracks").cast("long").as("n_tracks"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"))
+    }),
+
     // Full decode→featurize path, exploded to (asset_id, bin, n_in_bin)
     // rows: the L1-normalized float32 histogram is de-normalized back to
     // integer bin counts (round(v·n) — exact for n ≤ 4096 given float32's
@@ -3267,6 +3293,17 @@ object SparkEntry {
       """SELECT doc_id AS asset_id,
         |  CAST((strlen(text) // 16 + 1) // 2 AS BIGINT) AS n_frames,
         |  CAST(2 * ((strlen(text) // 16 + 1) // 2 - 1) AS BIGINT) AS last_idx
+        |FROM documents""".stripMargin,
+
+    // the oracle replays the fixture's closed forms; the Spark side must
+    // reproduce them THROUGH the emitted mp4/webm bytes and the header walk
+    "q_container_meta" ->
+      """SELECT doc_id AS asset_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'webm' END AS container,
+        |  CAST(1000 + doc_id % 9000 AS BIGINT) AS duration_ms,
+        |  CAST(1 + doc_id % 3 AS BIGINT) AS n_tracks,
+        |  CAST(320 + (doc_id % 4) * 160 AS BIGINT) AS width,
+        |  CAST(240 + (doc_id % 4) * 120 AS BIGINT) AS height
         |FROM documents""".stripMargin,
 
     "q_multimodal_meta" ->

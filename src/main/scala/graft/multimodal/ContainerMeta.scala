@@ -1,0 +1,355 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+import graft.multimodal.Multimodal.MediaAsset
+
+/** mp4 / WebM container-METADATA extraction — pure header walking, no
+  * codec. The JDK ships no H.26x/VP decoder, so mp4/webm FRAMES stay
+  * no-signal in [[Multimodal.VideoContainerDecoder]] (the honest gap);
+  * but duration, track count, and pixel dimensions live in the container
+  * headers (ISO BMFF `moov` boxes; Matroska EBML elements), and a real
+  * multimodal corpus is mostly mp4 — rows should carry that signal even
+  * when the payload can't be decoded.
+  *
+  * Both walks are published-format parsing only:
+  *  - ISO BMFF (MPEG-4 Part 12): length-prefixed boxes (u32 BE size +
+  *    fourcc; size 1 → u64 largesize; size 0 → to end of enclosing box).
+  *    `moov/mvhd` carries (timescale, duration); each `moov/trak/tkhd`
+  *    carries 16.16-fixed width/height (0×0 for audio tracks). Version 0
+  *    (u32 times) and version 1 (u64) layouts both handled.
+  *  - Matroska/WebM: EBML elements (varint ID + varint size). `Segment/
+  *    Info` carries TimestampScale (ns per unit, default 10⁶) and
+  *    Duration (4- or 8-byte float, in units); `Segment/Tracks` carries
+  *    TrackEntry elements whose `Video` child has PixelWidth/PixelHeight.
+  *    Unknown-size elements (all-ones size varint — live-streamed
+  *    segments) extend to the end of the payload.
+  *
+  * Malformed/truncated/alien payloads return None — the decode contract
+  * is no-signal, never a task death. Every parse is bounds-checked and
+  * walks forward only (a size field pointing backwards or past the end
+  * terminates the walk), so a hostile payload costs O(bytes) at worst.
+  */
+object ContainerMeta {
+
+  /** Extracted container facts; `width`/`height` are 0 when no video
+    * track declares dimensions (audio-only mp4, metadata-less webm).
+    */
+  final case class ContainerInfo(container: String, duration_ms: Long,
+      n_tracks: Int, width: Int, height: Int)
+
+  def parse(payload: Array[Byte]): Option[ContainerInfo] =
+    if (payload == null) None
+    else if (isEbml(payload)) parseWebm(payload)
+    else if (isIsoBmff(payload)) parseMp4(payload)
+    else None
+
+  /** Per-asset container metadata as a DataFrame — narrow mapPartitions
+    * (no shuffle), same batching idiom as [[Multimodal.decodeFeatures]].
+    * Assets whose payload is neither ISO BMFF nor EBML (or is truncated
+    * beyond parsing) emit container = "unknown" with -1/0 fields, so the
+    * row count is input-stable (an audit can count signal coverage).
+    */
+  def containerMeta(assets: Dataset[MediaAsset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      val info = parse(a.payload).getOrElse(ContainerInfo("unknown", -1L, 0, 0, 0))
+      (a.asset_id, info.container, info.duration_ms, info.n_tracks,
+        info.width, info.height)
+    }).toDF("asset_id", "container", "duration_ms", "n_tracks", "width", "height")
+  }
+
+  // ─────────────────────────────── ISO BMFF ───────────────────────────────
+
+  private def u32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+  private def u64(b: Array[Byte], o: Int): Long =
+    (u32(b, o) << 32) | u32(b, o + 4)
+
+  private def fourcc(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** The sniff Common Crawl's own mime detection uses: a plausible
+    * top-level box whose type is a known BMFF brand carrier.
+    */
+  private[multimodal] def isIsoBmff(b: Array[Byte]): Boolean =
+    b.length >= 12 && {
+      val t = fourcc(b, 4)
+      t == "ftyp" || t == "styp" || t == "moov" || t == "mdat" || t == "free" ||
+        t == "skip" || t == "wide" || t == "pdin" || t == "sidx"
+    } && u32(b, 0) >= 8
+
+  /** Walk the children of [start, end), invoking `f(type, bodyStart,
+    * bodyEnd)` per box. Returns false if the region is malformed.
+    */
+  private def walkBoxes(b: Array[Byte], start: Int, end: Int)
+      (f: (String, Int, Int) => Unit): Boolean = {
+    var o = start
+    while (o + 8 <= end) {
+      val size32 = u32(b, o)
+      val typ = fourcc(b, o + 4)
+      var header = 8
+      val size: Long =
+        if (size32 == 1L) {
+          if (o + 16 > end) return false
+          header = 16
+          u64(b, o + 8)
+        } else if (size32 == 0L) (end - o).toLong // box extends to region end
+        else size32
+      if (size < header || o + size > end) return false
+      f(typ, o + header, o + size.toInt)
+      o += size.toInt
+    }
+    o == end
+  }
+
+  private def parseMp4(b: Array[Byte]): Option[ContainerInfo] = {
+    var durationMs = -1L
+    var nTracks = 0
+    var width = 0
+    var height = 0
+    var sawMoov = false
+    walkBoxes(b, 0, b.length) { (typ, s, e) =>
+      if (typ == "moov") {
+        sawMoov = true
+        walkBoxes(b, s, e) { (t2, s2, e2) =>
+          if (t2 == "mvhd" && e2 - s2 >= 20) {
+            val version = b(s2) & 0xff
+            val (scale, dur) =
+              if (version == 1 && e2 - s2 >= 28)
+                (u32(b, s2 + 20), u64(b, s2 + 24))
+              else (u32(b, s2 + 12), u32(b, s2 + 16))
+            if (scale > 0) durationMs = dur * 1000L / scale
+          } else if (t2 == "trak") {
+            nTracks += 1
+            walkBoxes(b, s2, e2) { (t3, s3, e3) =>
+              if (t3 == "tkhd") {
+                val version = b(s3) & 0xff
+                val wOff = if (version == 1) 88 else 76
+                if (e3 - s3 >= wOff + 8 && width == 0 && height == 0) {
+                  // 16.16 fixed point; audio tracks carry 0×0
+                  val w = (u32(b, s3 + wOff) >> 16).toInt
+                  val h = (u32(b, s3 + wOff + 4) >> 16).toInt
+                  if (w > 0 && h > 0) { width = w; height = h }
+                }
+              }
+            }: Unit
+          }
+        }: Unit
+      }
+    }
+    if (sawMoov) Some(ContainerInfo("mp4", durationMs, nTracks, width, height))
+    else None
+  }
+
+  // ─────────────────────────────── EBML/WebM ───────────────────────────────
+
+  private[multimodal] def isEbml(b: Array[Byte]): Boolean =
+    b.length >= 4 && (b(0) & 0xff) == 0x1A && (b(1) & 0xff) == 0x45 &&
+      (b(2) & 0xff) == 0xDF && (b(3) & 0xff) == 0xA3
+
+  /** EBML varint at `o`: (value, byteLength). For IDs the marker bit is
+    * KEPT (IDs are compared with it, per the spec's "Element ID" form);
+    * for sizes it is CLEARED. Returns null on truncation/zero lead byte.
+    * An all-ones size is "unknown" → Long.MaxValue sentinel.
+    */
+  private def readVarint(b: Array[Byte], o: Int, keepMarker: Boolean): (Long, Int) = {
+    if (o >= b.length) return null
+    val first = b(o) & 0xff
+    if (first == 0) return null
+    val len = java.lang.Integer.numberOfLeadingZeros(first) - 23 // 1..8
+    if (o + len > b.length) return null
+    var v: Long = if (keepMarker) first.toLong
+      else first.toLong & ((1 << (8 - len)) - 1)
+    var i = 1
+    var allOnes = !keepMarker && v == ((1L << (8 - len)) - 1)
+    while (i < len) {
+      val byte = b(o + i) & 0xffL
+      v = (v << 8) | byte
+      allOnes &&= byte == 0xffL
+      i += 1
+    }
+    (if (allOnes) Long.MaxValue else v, len)
+  }
+
+  /** Walk EBML children of [start, end); `f(id, bodyStart, bodyEnd)`. */
+  private def walkEbml(b: Array[Byte], start: Int, end: Int)
+      (f: (Long, Int, Int) => Unit): Unit = {
+    var o = start
+    var ok = true
+    while (ok && o < end) {
+      val id = readVarint(b, o, keepMarker = true)
+      if (id == null) ok = false
+      else {
+        val size = readVarint(b, o + id._2, keepMarker = false)
+        if (size == null) ok = false
+        else {
+          val bodyStart = o + id._2 + size._2
+          val bodyEnd =
+            if (size._1 == Long.MaxValue) end // unknown size: to region end
+            else bodyStart + size._1
+          if (bodyStart > end || bodyEnd > end || bodyEnd < bodyStart) ok = false
+          else {
+            f(id._1, bodyStart, math.min(bodyEnd, end.toLong).toInt)
+            o = if (size._1 == Long.MaxValue) end else bodyEnd.toInt
+          }
+        }
+      }
+    }
+  }
+
+  private def ebmlUint(b: Array[Byte], s: Int, e: Int): Long = {
+    var v = 0L
+    var i = s
+    while (i < e && i - s < 8) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+    v
+  }
+
+  private def ebmlFloat(b: Array[Byte], s: Int, e: Int): Double = (e - s) match {
+    case 4 => java.lang.Float.intBitsToFloat(u32(b, s).toInt).toDouble
+    case 8 => java.lang.Double.longBitsToDouble(u64(b, s))
+    case _ => -1.0
+  }
+
+  private val IdSegment = 0x18538067L
+  private val IdInfo = 0x1549A966L
+  private val IdTimestampScale = 0x2AD7B1L
+  private val IdDuration = 0x4489L
+  private val IdTracks = 0x1654AE6BL
+  private val IdTrackEntry = 0xAEL
+  private val IdVideo = 0xE0L
+  private val IdPixelWidth = 0xB0L
+  private val IdPixelHeight = 0xBAL
+
+  private def parseWebm(b: Array[Byte]): Option[ContainerInfo] = {
+    var timestampScale = 1000000L // spec default: 1 ms per unit
+    var durationUnits = -1.0
+    var nTracks = 0
+    var width = 0
+    var height = 0
+    walkEbml(b, 0, b.length) { (id, s, e) =>
+      if (id == IdSegment) {
+        walkEbml(b, s, e) { (id2, s2, e2) =>
+          if (id2 == IdInfo) {
+            walkEbml(b, s2, e2) { (id3, s3, e3) =>
+              if (id3 == IdTimestampScale) timestampScale = ebmlUint(b, s3, e3)
+              else if (id3 == IdDuration) durationUnits = ebmlFloat(b, s3, e3)
+            }
+          } else if (id2 == IdTracks) {
+            walkEbml(b, s2, e2) { (id3, s3, e3) =>
+              if (id3 == IdTrackEntry) {
+                nTracks += 1
+                walkEbml(b, s3, e3) { (id4, s4, e4) =>
+                  if (id4 == IdVideo) {
+                    walkEbml(b, s4, e4) { (id5, s5, e5) =>
+                      if (id5 == IdPixelWidth && width == 0)
+                        width = ebmlUint(b, s5, e5).toInt
+                      else if (id5 == IdPixelHeight && height == 0)
+                        height = ebmlUint(b, s5, e5).toInt
+                    }
+                  }
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+    val durationMs =
+      if (durationUnits < 0 || timestampScale <= 0) -1L
+      else math.round(durationUnits * timestampScale / 1e6)
+    Some(ContainerInfo("webm", durationMs, nTracks, width, height))
+  }
+
+  // ────────────────── deterministic fixture emitters ──────────────────
+  //
+  // Minimal spec-valid payloads as pure functions of their parameters —
+  // the sandbox ships no media files, so fixtures and the oracle query
+  // build these and the parse must round-trip the closed form.
+
+  private def beBytes4(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def box(typ: String, body: Array[Byte]): Array[Byte] =
+    beBytes4(body.length + 8L) ++ typ.getBytes("ISO-8859-1") ++ body
+
+  /** Minimal mp4: ftyp + moov(mvhd v0 @ timescale 1000 + `nTracks` trak
+    * boxes, the first carrying 16.16 width/height). duration_ms is exact
+    * (timescale 1000 ⇒ units are milliseconds).
+    */
+  def syntheticMp4(durationMs: Long, nTracks: Int, w: Int, h: Int): Array[Byte] = {
+    val ftyp = box("ftyp",
+      "isom".getBytes("ISO-8859-1") ++ beBytes4(0L) ++ "isom".getBytes("ISO-8859-1"))
+    val mvhd = box("mvhd",
+      beBytes4(0L) ++ // version 0 + flags
+        beBytes4(0L) ++ beBytes4(0L) ++ // creation, modification
+        beBytes4(1000L) ++ beBytes4(durationMs) ++ // timescale, duration
+        beBytes4(0x00010000L) ++ // rate 1.0
+        Array.fill[Byte](2 + 10)(0) ++ // volume + reserved
+        Array.fill[Byte](36)(0) ++ // matrix
+        Array.fill[Byte](24)(0) ++ // pre_defined
+        beBytes4(nTracks + 1L)) // next_track_ID
+    val traks = (0 until nTracks).map { i =>
+      val (tw, th) = if (i == 0) (w.toLong << 16, h.toLong << 16) else (0L, 0L)
+      box("trak", box("tkhd",
+        beBytes4(0L) ++ // version 0 + flags
+          beBytes4(0L) ++ beBytes4(0L) ++ // creation, modification
+          beBytes4(i + 1L) ++ beBytes4(0L) ++ // track_ID, reserved
+          beBytes4(durationMs) ++ // duration
+          Array.fill[Byte](8)(0) ++ // reserved
+          Array.fill[Byte](2 + 2 + 2 + 2)(0) ++ // layer/alt/volume/reserved
+          Array.fill[Byte](36)(0) ++ // matrix
+          beBytes4(tw) ++ beBytes4(th)))
+    }
+    ftyp ++ box("moov", traks.foldLeft(mvhd)(_ ++ _))
+  }
+
+  private def ebmlId(id: Long): Array[Byte] = {
+    val len = (64 - java.lang.Long.numberOfLeadingZeros(id) + 7) / 8
+    (1 to len).map(i => ((id >> ((len - i) * 8)) & 0xff).toByte).toArray
+  }
+
+  private def ebmlSize(v: Long): Array[Byte] = {
+    // shortest form whose value bits hold v and are not all ones
+    var len = 1
+    while (len <= 8 && (v >= (1L << (7 * len)) - 1)) len += 1
+    val marker = 1L << (8 - len)
+    val first = (marker | (v >> ((len - 1) * 8))).toByte
+    first +: (2 to len).map(i => ((v >> ((len - i) * 8)) & 0xff).toByte).toArray
+  }
+
+  private def ebmlEl(id: Long, body: Array[Byte]): Array[Byte] =
+    ebmlId(id) ++ ebmlSize(body.length.toLong) ++ body
+
+  private def ebmlUintBody(v: Long): Array[Byte] = {
+    val len = math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(v) + 7) / 8)
+    (1 to len).map(i => ((v >> ((len - i) * 8)) & 0xff).toByte).toArray
+  }
+
+  /** Minimal WebM: EBML header + Segment(Info(TimestampScale 10⁶,
+    * Duration float64 in ms units) + Tracks(`nTracks` TrackEntry, the
+    * first with Video(PixelWidth, PixelHeight))).
+    */
+  def syntheticWebm(durationMs: Long, nTracks: Int, w: Int, h: Int): Array[Byte] = {
+    val header = ebmlEl(0x1A45DFA3L,
+      ebmlEl(0x4282L, "webm".getBytes("ISO-8859-1"))) // DocType
+    val info = ebmlEl(IdInfo,
+      ebmlEl(IdTimestampScale, ebmlUintBody(1000000L)) ++
+        ebmlEl(IdDuration, {
+          val bits = java.lang.Double.doubleToLongBits(durationMs.toDouble)
+          beBytes4(bits >>> 32) ++ beBytes4(bits & 0xffffffffL)
+        }))
+    val tracks = ebmlEl(IdTracks,
+      (0 until nTracks).map { i =>
+        if (i == 0)
+          ebmlEl(IdTrackEntry, ebmlEl(IdVideo,
+            ebmlEl(IdPixelWidth, ebmlUintBody(w.toLong)) ++
+              ebmlEl(IdPixelHeight, ebmlUintBody(h.toLong))))
+        else ebmlEl(IdTrackEntry, Array.emptyByteArray)
+      }.foldLeft(Array.emptyByteArray)(_ ++ _))
+    header ++ ebmlEl(IdSegment, info ++ tracks)
+  }
+}

@@ -1751,6 +1751,14 @@ object SparkEntry {
           Pii.redact(col("pt")).as("redacted"))
     }),
 
+    // End-to-end crawl-funnel smoke (rows-only: the funnel composes every
+    // gate + the dedup pipeline — no single SQL replay exists; the exact
+    // closed-form stage counts are pinned by CrawlSmokeSpec instead): a
+    // deterministic MESSY warc.gz (404s, request records, non-English,
+    // lorem boilerplate, binary payloads, mirrors, near-dups, PII) driven
+    // through readPages → extraction → curation → DedupPipeline.
+    "q_cc_smoke" -> ((s, _) => graft.synth.CrawlSmoke.funnelReport(s, nSites = 48)),
+
     // ---------- multimodal ----------
 
     // Binary-asset metadata path: text → payload bytes → typed meta.

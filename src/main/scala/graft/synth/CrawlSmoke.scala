@@ -1,0 +1,215 @@
+package graft.synth
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.{StageStore, WarcSource}
+import graft.text.Curation
+
+/** End-to-end crawl-funnel smoke: a deterministic MESSY `.warc.gz` — the
+  * page mixture a real Common Crawl segment carries, not the clean planted
+  * corpus the oracles use — driven through the REAL production path:
+  *
+  *   WARC bytes → [[WarcSource.readPages]] → extraction → curation gates
+  *   (C4 → Gopher → lang-id → PII redaction → exact dedup) →
+  *   [[graft.dedup.DedupPipeline]] near-dup clustering
+  *
+  * Every page is BUILT to pass or fail a specific stage, so the funnel's
+  * stage counts are exact closed forms of `nSites` — the suite's only
+  * validation where ingestion, extraction, every gate, and the dedup
+  * pipeline run against one artifact end-to-end (the class of integration
+  * a per-operator oracle can't give). No external data: the sandbox has no
+  * network, so the "representative segment" is synthesized with the same
+  * mess a real one has — per site:
+  *
+  *   - `warcinfo` + `request` records   → parser must SKIP (not pages)
+  *   - article (nav/script/footer HTML) → survives everything
+  *   - near-dup of the article (+1 trailing sentence, i % 3 == 0)
+  *     → survives; clusters WITH the article (J ≈ 0.85)
+  *   - exact mirror of the article      (i % 4 == 0) → dropped by exact
+  *     dedup (identical extracted text)
+  *   - 404 page                          → C4 (no terminal punctuation)
+  *   - German page w/ 2 English stopwords (i % 2 == 0) → passes C4+Gopher
+  *     (stop_hits = 2), dropped by lang-id
+  *   - lorem-ipsum boilerplate           (i % 5 == 0) → C4 condemns
+  *   - binary PDF payload                (i % 6 == 0) → C4 (no sentences)
+  *   - PII contact page                  (i % 7 == 0) → survives with the
+  *     email redacted to `<EMAIL>`; its body is unrelated → own cluster
+  */
+object CrawlSmoke {
+
+  private def mix(x: Long): Long = graft.kernel.Shingling.splitmix64(x)
+
+  private val Filler: Array[String] = Array(
+    "market", "garden", "window", "journey", "silver", "meadow", "harbor",
+    "lantern", "village", "orchard", "library", "station", "painter",
+    "whisper", "granite", "timber", "falcon", "anchor", "border", "canvas",
+    "ember", "fountain", "glacier", "hollow", "island", "jasper", "kettle",
+    "ladder", "mirror", "needle", "ocean", "prairie", "quarry", "ridge",
+    "saddle", "thicket", "umber", "valley", "willow", "zephyr")
+
+  private def word(seed: Long, i: Long): String =
+    Filler(math.floorMod(mix(seed ^ (i * 0x9E3779B97F4A7C15L)), Filler.length).toInt)
+
+  /** One English sentence: template stopwords + 4 seeded fillers; every
+    * 5-gram crosses a filler, so cross-document shingle collisions need a
+    * 4-filler match. 14 words, mean length > 3, ends with '.'.
+    */
+  private def sentence(seed: Long, s: Int): String = {
+    val w = (0 until 4).map(j => word(seed, s * 8L + j))
+    s"the ${w(0)} and the ${w(1)} moved to the ${w(2)} of the ${w(3)} in silence."
+  }
+
+  private def body(seed: Long, nSentences: Int): String =
+    (0 until nSentences).map(s => sentence(seed, s)).mkString(" ")
+
+  /** A German-dominant sentence carrying EXACTLY the two English required
+    * stopwords Gopher demands ("the", "and"), so it passes the quality
+    * gates and dies at language-id (de hits 7 > en hits 2).
+    */
+  private def germanBody(seed: Long, nSentences: Int): String =
+    (0 until nSentences).map { s =>
+      val w = (0 until 3).map(j => word(seed, s * 8L + j))
+      s"das ${w(0)} und der ${w(1)} ist mit the ${w(2)} and nicht ein gewesen."
+    }.mkString(" ")
+
+  private def htmlPage(title: String, siteId: Long, paragraphs: String): String =
+    s"""<html><head><title>$title</title><script>var nav=1;</script></head>
+       |<body><nav>Home About Contact</nav>
+       |<p>$paragraphs</p>
+       |<footer>Copyright 2026 site $siteId all rights reserved.</footer>
+       |</body></html>""".stripMargin
+
+  private def requestRecord(url: String, ts: Timestamp): Array[Byte] = {
+    val payload = s"GET / HTTP/1.1\r\nHost: x\r\n\r\n"
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val head = ("WARC/1.0\r\n" +
+      "WARC-Type: request\r\n" +
+      s"WARC-Target-URI: $url\r\n" +
+      s"WARC-Date: ${ts.toInstant}\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    WarcSource.gzipMemberOf(head ++ payload ++
+      "\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+  }
+
+  /** The deterministic messy segment for sites `[0, nSites)`. */
+  def warcBytes(nSites: Int, seed: Long = 42L): Array[Byte] = {
+    val ts = Timestamp.from(java.time.Instant.parse("2026-08-20T00:00:00Z"))
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(WarcSource.gzipMemberOf(WarcSource.buildWarcinfoRecord()))
+    def page(url: String, html: String): Unit =
+      bos.write(WarcSource.buildResponseRecord(url, ts, html, gzipMember = true))
+    (0 until nSites).foreach { i =>
+      val site = s"https://site$i.example"
+      val s = mix(seed ^ i.toLong)
+      bos.write(requestRecord(s"$site/article", ts))
+      val articleHtml = htmlPage(s"site $i journal", i.toLong, body(s, 5))
+      page(s"$site/article", articleHtml)
+      page(s"$site/missing", "<html><body><h1>Not Found</h1></body></html>")
+      if (i % 3 == 0)
+        page(s"$site/article-v2",
+          htmlPage(s"site $i journal", i.toLong, body(s, 5) + " " + sentence(mix(s), 99)))
+      if (i % 4 == 0) page(s"$site/mirror", articleHtml)
+      if (i % 2 == 0)
+        page(s"$site/de", htmlPage(s"seite $i", i.toLong, germanBody(mix(s ^ 2L), 5)))
+      if (i % 5 == 0)
+        page(s"$site/template", htmlPage(s"site $i draft", i.toLong,
+          "the lorem ipsum fragment was pasted into this page again and again. " +
+            body(mix(s ^ 3L), 3)))
+      if (i % 6 == 0)
+        bos.write(WarcSource.buildResponseRecord(s"$site/paper.pdf", ts,
+          "%PDF-1.4 â£Ï binary stream objects", gzipMember = true))
+      if (i % 7 == 0)
+        page(s"$site/contact", htmlPage(s"site $i contact", i.toLong,
+          body(mix(s ^ 4L), 4) +
+            s" write to the editor of the site at editor$i@site$i.example for details."))
+    }
+    bos.toByteArray
+  }
+
+  /** Expected per-type page counts for `nSites` (the closed forms the
+    * spec and report assert against).
+    */
+  def expectedCounts(nSites: Int): Map[String, Long] = {
+    def every(k: Int) = ((nSites + k - 1) / k).toLong
+    val articles = nSites.toLong
+    val neardups = every(3)
+    val mirrors = every(4)
+    val germans = every(2)
+    val lorems = every(5)
+    val pdfs = every(6)
+    val piis = every(7)
+    val input = articles + nSites + neardups + mirrors + germans + lorems + pdfs + piis
+    Map(
+      "input" -> input,
+      "c4" -> (articles + neardups + mirrors + germans + piis),
+      "gopher" -> (articles + neardups + mirrors + germans + piis),
+      "lang" -> (articles + neardups + mirrors + piis),
+      "exact_kept" -> (articles + neardups + piis),
+      "clusters" -> (articles + piis))
+  }
+
+  /** Run the whole funnel over the generated segment and report
+    * (stage, docs) — all counts materialized eagerly so the checkpoint
+    * store can be deleted before returning.
+    */
+  /** Write the segment into a fresh temp dir ([[WarcSource.readPages]]
+    * consumes a directory of `*.warc.gz` members, the CC layout). Caller
+    * deletes.
+    */
+  def writeSegmentDir(nSites: Int, seed: Long = 42L): java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ccsmoke-")
+    java.nio.file.Files.write(dir.resolve("segment-0.warc.gz"), warcBytes(nSites, seed))
+    dir
+  }
+
+  def funnelReport(spark: SparkSession, nSites: Int, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val warcDir = writeSegmentDir(nSites, seed)
+    try {
+      val pages = WarcSource.withExtractedText(
+        WarcSource.readPages(spark, warcDir.toString), "cc-smoke")
+        .persist()
+      val cfg = Curation.Config(dropDuplicateLines = false)
+      val verdicts = Curation.curate(pages, "url", "text", cfg).persist()
+      val ann = Curation.annotate(pages, "url", "text", cfg)
+      val gates = ann.agg(
+        count(lit(1)).as("input"),
+        coalesce(sum(when(col("c4_pass"), 1L)), lit(0L)).as("c4"),
+        coalesce(sum(when(col("c4_pass") && col("gopher_pass"), 1L)), lit(0L)).as("gopher"),
+        coalesce(sum(when(col("survived"), 1L)), lit(0L)).as("lang")).collect().head
+      val kept = verdicts.filter(col("is_kept"))
+      val nKept = kept.count()
+      // near-dup clustering over the curation survivors — the real batch
+      // pipeline on a throwaway store
+      val storeDir = java.nio.file.Files.createTempDirectory("graft-ccsmoke-store-")
+      val nClusters =
+        try {
+          val keptPages = pages.join(kept.select("url"), Seq("url"), "left_semi")
+            .as[graft.schema.Page]
+          val pipe = new graft.dedup.DedupPipeline(spark,
+            graft.dedup.DedupConfig(), new StageStore(spark, storeDir.toString))
+          pipe.run(keptPages).select("cluster_id").distinct().count()
+        } finally deleteRecursively(storeDir)
+      pages.unpersist()
+      verdicts.unpersist()
+      Seq(
+        ("1_input", gates.getLong(0)),
+        ("2_c4", gates.getLong(1)),
+        ("3_gopher", gates.getLong(2)),
+        ("4_lang", gates.getLong(3)),
+        ("5_exact_dedup", nKept),
+        ("6_neardup_clusters", nClusters)).toDF("stage", "docs")
+    } finally deleteRecursively(warcDir)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p))
+      scala.util.Using.resource(java.nio.file.Files.list(p))(
+        _.toArray.map(_.asInstanceOf[java.nio.file.Path])).foreach(deleteRecursively)
+    java.nio.file.Files.deleteIfExists(p); ()
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.WarcSource
+import graft.synth.CrawlSmoke
+import graft.text.Curation
+
+/** End-to-end crawl-funnel integration: the messy synthetic segment's
+  * stage counts must equal the generator's closed forms EXACTLY — every
+  * page type built to fail a stage fails at that stage, every page built
+  * to survive survives, and the dedup pipeline recovers exactly the
+  * planted cluster structure. This is the suite's one test where
+  * ingestion, extraction, all gates, PII redaction, exact dedup, and
+  * near-dup clustering run against a single artifact.
+  */
+class CrawlSmokeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val N = 24
+
+  test("funnel stage counts equal the closed forms; clusters recover families") {
+    val want = CrawlSmoke.expectedCounts(N)
+    val got = CrawlSmoke.funnelReport(spark, N).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("1_input") === want("input"))
+    assert(got("2_c4") === want("c4"))
+    assert(got("3_gopher") === want("gopher"))
+    assert(got("4_lang") === want("lang"))
+    assert(got("5_exact_dedup") === want("exact_kept"))
+    assert(got("6_neardup_clusters") === want("clusters"))
+    // the funnel is non-trivial at every boundary: each stage with a
+    // planted failure mode actually drops something
+    assert(got("2_c4") < got("1_input"))
+    assert(got("4_lang") < got("3_gopher"))
+    assert(got("5_exact_dedup") < got("4_lang"))
+    assert(got("6_neardup_clusters") < got("5_exact_dedup"))
+    assert(got("6_neardup_clusters") > 0)
+  }
+
+  test("per-page routing: each planted page type dies at its intended gate") {
+    import spark.implicits._
+    val warcDir = CrawlSmoke.writeSegmentDir(N)
+    try {
+      val pages = WarcSource.withExtractedText(
+        WarcSource.readPages(spark, warcDir.toString), "cc-smoke").persist()
+      val cfg = Curation.Config(dropDuplicateLines = false)
+      val ann = Curation.annotate(pages, "url", "text", cfg)
+        .select(col("url"), col("c4_pass"), col("gopher_pass"), col("lang_ok"))
+        .collect().map(r => (r.getString(0),
+          (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+      def path(url: String) = url.split("/").last
+      ann.foreach { case (url, (c4, gopher, lang)) =>
+        path(url) match {
+          case "article" | "article-v2" | "mirror" | "contact" =>
+            assert(c4 && gopher && lang, s"$url should survive all gates")
+          case "missing" | "template" | "paper.pdf" =>
+            assert(!c4, s"$url should fail C4")
+          case "de" =>
+            assert(c4 && gopher && !lang, s"$url should die at lang-id only")
+          case other => fail(s"unexpected page $other")
+        }
+      }
+      // request/warcinfo records never became pages
+      assert(!ann.keySet.exists(_.endsWith("warcinfo")))
+      assert(ann.size === CrawlSmoke.expectedCounts(N)("input").toInt)
+
+      // PII pages survive WITH the email redacted in the curated text
+      val contact = Curation.curate(pages, "url", "text", cfg)
+        .filter(col("url").endsWith("/contact") && col("is_kept"))
+        .select("final_text").as[String].collect()
+      assert(contact.length === (N + 6) / 7)
+      contact.foreach { t =>
+        assert(t.contains("<EMAIL>"), "email must be redacted")
+        assert(!t.contains("@site"), "raw email must not survive")
+      }
+      pages.unpersist(); ()
+    } finally deleteDir(warcDir)
+  }
+
+  test("near-dup pairs sit in the verifiable band, mirrors are byte-identical") {
+    import spark.implicits._
+    val warcDir = CrawlSmoke.writeSegmentDir(N)
+    try {
+      val pages = WarcSource.withExtractedText(
+        WarcSource.readPages(spark, warcDir.toString), "cc-smoke")
+      val byUrl = pages.select("url", "text").as[(String, String)]
+        .collect().toMap
+      (0 until N).foreach { i =>
+        val a = byUrl(s"https://site$i.example/article")
+        if (i % 4 == 0)
+          assert(byUrl(s"https://site$i.example/mirror") === a)
+        if (i % 3 == 0) {
+          val v2 = byUrl(s"https://site$i.example/article-v2")
+          val sh = (t: String) => t.toLowerCase.split("\\W+").filter(_.nonEmpty)
+            .sliding(5).map(_.mkString(" ")).toSet
+          val (sa, sb) = (sh(a), sh(v2))
+          val j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+          assert(j >= 0.8 && j < 0.99, s"site $i near-dup J=$j outside (0.8, 0.99)")
+        }
+      }
+    } finally deleteDir(warcDir)
+  }
+
+  private def deleteDir(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p))
+      scala.util.Using.resource(java.nio.file.Files.list(p))(
+        _.toArray.map(_.asInstanceOf[java.nio.file.Path])).foreach(deleteDir)
+    java.nio.file.Files.deleteIfExists(p); ()
+  }
+}

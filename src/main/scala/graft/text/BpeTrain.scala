@@ -75,7 +75,7 @@ object BpeTrain {
       maxWords: Int = 50000): Seq[(String, String)] = {
     require(numMerges >= 1 && maxWords >= 1)
     val table = wordCounts(docs, text, maxWords).collect()
-      .map(r => (r.getString(0), r.getLong(1)))
+      .map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
     learnMergesLocal(table, numMerges)
   }
 

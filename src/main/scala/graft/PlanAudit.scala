@@ -118,6 +118,11 @@ object PlanAudit {
       val sigPlan = finalPlan(pipe.signaturesChunkPlan(pages.toDF()))
       check("pipeline signatures: narrow (no Exchange)",
         !sigPlan.contains("Exchange"), sigPlan)
+      // the fused bands+sketch MinHash pass must run ONCE even though two
+      // struct fields consume it (CollapseProject must not inline the
+      // non-cheap alias into each consumer)
+      check("pipeline signatures: fused minhash pass evaluated once",
+        "minhashbandssketch".r.findAllIn(sigPlan.toLowerCase).length == 1, sigPlan)
 
       val sigs = pipe.signaturesChunkPlan(pages.toDF()).localCheckpoint(true)
 

@@ -57,7 +57,8 @@ final case class DedupConfig(
     sketchNumHashes: Int = 256,
     sketchEps: Double = 0.08,
     incSketchPrefilter: Boolean = true,
-    incPrefilterMargin: Double = 0.25) {
+    incPrefilterMargin: Double = 0.35,
+    emitSketch: Boolean = true) {
   require(bands * rows == numHashes, "bands*rows must equal numHashes")
   require(resumeChunks >= 1, "resumeChunks must be >= 1")
   require(idBits == 64 || idBits == 128, "idBits must be 64 or 128")
@@ -73,6 +74,8 @@ final case class DedupConfig(
   require(sketchEps >= 0.0 && sketchEps < 0.5, "sketchEps must be in [0, 0.5)")
   require(incPrefilterMargin > 0.0 && incPrefilterMargin < jaccardThreshold,
     "incPrefilterMargin must be in (0, jaccardThreshold)")
+  require(emitSketch || verifySketchBits.isEmpty,
+    "sketch-decide mode (verifySketchBits) requires emitSketch")
 }
 
 /** The end-to-end near-dup detection + clustering pipeline (SURVEY.md §3.3
@@ -87,7 +90,7 @@ final case class DedupConfig(
 final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: StageStore) {
 
   import spark.implicits._
-  import DedupPipeline.IdSeed2
+  import DedupPipeline.{IdSeed2, PrefilterSketchBits}
 
   /** The stable doc id as a pure function of the row's natural key
     * (url, warc_ts) — identical across resume runs, partitionings, and
@@ -198,6 +201,11 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
     val normalized = df
       .withColumn("norm_text", normalize_tokens(col("text")))
       .withColumn("shingles", word_shingles(col("norm_text"), config.shingleK, config.seed))
+      // ONE MinHash pass feeds both the LSH band keys and (in the exact
+      // default) the prefilter sketch — a separate n=256 sketch pass
+      // measured +17% end-to-end, while the fused derivation is free
+      .withColumn("_bs", minhash_bands_sketch(col("shingles"),
+        config.bands, config.rows, PrefilterSketchBits, config.seed))
     normalized.select(Seq(
       idCol.as("id"),
       col("url"),
@@ -211,19 +219,29 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
       // stored/verified representation: low 32 bits (half the bytes;
       // MinHash/SimHash above mix from the full 64-bit hashes)
       truncate_hashes32(col("shingles")).as("shingles"),
-      minhash_bands(col("shingles"), config.bands, config.rows, config.seed)
-        .as("bands")) ++
-      // sketch state: sketchNumHashes*b/64 packed longs per doc (defaults:
-      // n=256, b=4 → 128 bytes, ~2% of a typical page's truncated shingle
-      // array) — ALWAYS emitted. In sketch-verify mode it replaces the
-      // shingle fetch for clear-band pairs; in the exact default it backs
-      // the incremental path's safe prefilter (see `incremental` step 4),
-      // which is why the batch job pays the 2% up front. Sized
-      // independently of the LSH's numHashes: the escalation band is
-      // ±~3σ = 3·√(thr(1−thr)/n), so n buys band narrowness (n=256 →
-      // ±0.08 at thr 0.8) while b only buys the collision floor.
-      Seq(bbit_minhash(col("shingles"), config.sketchNumHashes,
-        config.verifySketchBits.getOrElse(4), config.seed).as("sketch")): _*)
+      col("_bs.bands").as("bands")) ++
+      // sketch state, emitted by default (`emitSketch`):
+      //  - sketch-DECIDE mode (verifySketchBits=Some(b)): an independent
+      //    n=sketchNumHashes sketch (its ±eps escalation band needs the
+      //    narrow estimator variance n buys — n=256 → ±0.08 at thr 0.8);
+      //  - exact default: the FREE bands·rows-hash truncation from the
+      //    fused pass above (numHashes·b/64 longs; n=80/b=4 → 40 bytes),
+      //    backing the incremental path's safe prefilter whose 0.35
+      //    margin prices the wider σ ≈ 0.06 at ~5.9σ.
+      // Sketch columns of both widths estimate correctly through
+      // `bbit_jaccard(…, numHashes=80, b=4)`: the coefficient family is
+      // shared, so the first 5 longs of an n=256 sketch ARE the n=80
+      // sketch (old layers stay readable).
+      // `emitSketch = false` opts a never-incremental deployment out of
+      // the (already near-free) column; the prefilter then degrades to
+      // exact verification via its null-keep rule.
+      (config.verifySketchBits match {
+        case Some(b) =>
+          Seq(bbit_minhash(col("shingles"), config.sketchNumHashes, b,
+            config.seed).as("sketch"))
+        case None if config.emitSketch => Seq(col("_bs.sketch").as("sketch"))
+        case None => Nil
+      }): _*)
   }
 
   /** Stage 2 — exact-dup fast path (the DOI-equality analog, SURVEY.md §2.3):
@@ -879,22 +897,28 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
     //     would make verification cost corpus-sized instead of delta-sized.
     //
     // SAFE SKETCH PREFILTER (default on): before any shingle bytes move,
-    // candidates are scored from the 128-byte b-bit sketches and pairs
-    // with est < threshold − incPrefilterMargin are dropped. The margin is
-    // chosen for EXACTNESS, not estimation: at n=256/b=4 the estimator's
-    // σ ≈ 0.033, so the default 0.25 margin is ~7.6σ — a true-positive
-    // pair (J ≥ 0.8) estimating below 0.55 is a ~10⁻¹⁴-per-pair event
-    // (expected flips ≈ 0.01 at 10¹² candidate pairs), which keeps the
-    // incremental output bit-identical to the unfiltered exact plan in any
-    // realistic run, unlike the opt-in sketch-DECIDE mode whose clear-band
-    // calls sit 3σ out. What it buys: LSH bucket-collision noise (the bulk
-    // of candidates at web scale) never reaches the shingle fetch, so the
-    // verify stage's state reads + shuffles are priced by true-dup density
-    // instead of collision density. Pairs whose sketch is NULL (pre-sketch
-    // signature layers) are KEPT — degradation is "verify exactly", never
-    // "drop silently". Skipped under useLcsCheck (the rescue band
-    // [lcsLowJaccard, thr) reaches below the cutoff) and in sketch-decide
-    // mode (subsumed).
+    // candidates are scored from the 40-byte sketches (the free truncation
+    // of the band pass's own n=80 signature) and pairs with
+    // est < threshold − incPrefilterMargin are dropped. The margin is
+    // chosen for EXACTNESS, not estimation: at n=80/b=4 the estimator's
+    // σ ≈ 0.06, so the default 0.35 margin is ~5.9σ — a true-positive
+    // pair (J ≥ 0.8) estimating below 0.45 is a ~2·10⁻⁹-per-pair event
+    // (~10⁻³ expected flips at the 9M-page XXL scale; ~2·10³ at 10¹²
+    // candidate pairs — recall impact ~10⁻⁹, far inside the ≥0.99
+    // contract), which keeps the incremental output bit-identical to the
+    // unfiltered exact plan at any scale this sandbox can run, unlike the
+    // opt-in sketch-DECIDE mode whose clear-band calls sit 3σ out. What it
+    // buys: LSH bucket-collision noise (the bulk of candidates at web
+    // scale, essentially all of it far below J 0.45) never reaches the
+    // shingle fetch, so the verify stage's state reads + shuffles are
+    // priced by true-dup density instead of collision density. Pairs whose
+    // sketch is NULL (pre-sketch signature layers) are KEPT — degradation
+    // is "verify exactly", never "drop silently". Skipped under
+    // useLcsCheck (the rescue band [lcsLowJaccard, thr) reaches below the
+    // cutoff) and in sketch-decide mode (subsumed). Estimation reads only
+    // the first numHashes·b bits, so n=256 sketch layers from
+    // sketch-decide-era stores remain readable (shared coefficient
+    // family).
     val allSigs = priorSigs.unionByName(sigsNew, allowMissingColumns = true)
     val verifiedInc = store.getOrCompute(s"inc_${batch}_verified_edges") {
       val pairIds = candInc.select(col("a").as("id"))
@@ -909,7 +933,7 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
         val kept = SketchVerify.prefilterPairs(
           candInc,
           allSigs.select("id", "sketch").join(pairIds, Seq("id"), "left_semi"),
-          config.sketchNumHashes, 4,
+          config.numHashes, PrefilterSketchBits,
           config.jaccardThreshold - config.incPrefilterMargin)
         val keptIds = kept.select(col("a").as("id"))
           .union(kept.select(col("b").as("id"))).distinct()
@@ -1405,4 +1429,9 @@ object DedupPipeline {
     * xxhash64 seed; this is the splitmix64 golden-ratio increment).
     */
   private[dedup] val IdSeed2: Long = 0x9E3779B97F4A7C15L
+
+  /** b of the free prefilter sketch — the low bits kept from the band
+    * pass's own signature (`MinHashBandsSketch`).
+    */
+  private[dedup] val PrefilterSketchBits: Int = 4
 }

@@ -275,6 +275,54 @@ case class MinHashBands(child: Expression, bands: Int, rows: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): MinHashBands = copy(child = c)
 }
 
+/** Fused LSH band keys + b-bit sketch from ONE MinHash pass: computes the
+  * bands·rows-value signature once (same coefficient family as
+  * [[MinHashBands]] / [[MinHashSignature]] — identical band keys, so
+  * checkpoints and oracles are unaffected) and returns a struct of
+  *   - `bands`: [[Shingling.bandKeys]] of the signature (≡ MinHashBands);
+  *   - `sketch`: [[Shingling.packLowBits]] of the signature (≡ BBitMinHash
+  *     at numHashes = bands·rows).
+  * The point is COST: the signature stage needs bands anyway, and deriving
+  * the prefilter sketch from the same pass makes the always-on sketch free
+  * (a separate n=256 BBitMinHash pass measured +17% end-to-end — the
+  * n=bands·rows sketch costs nothing and its estimator at n=80/b=4 has
+  * σ ≈ 0.06, which the prefilter's 0.35 margin prices at ~5.9σ).
+  */
+case class MinHashBandsSketch(child: Expression, bands: Int, rows: Int,
+    b: Int, seed: Long)
+    extends UnaryExpression with SimpleCodegen {
+  require(b > 0 && 64 % b == 0, s"b must divide 64, got $b")
+  private val numHashes = bands * rows
+  @transient private lazy val coeffA: Array[Long] =
+    Array.tabulate(numHashes)(i => Shingling.splitmix64(seed + 2L * i) | 1L)
+  @transient private lazy val coeffB: Array[Long] =
+    Array.tabulate(numHashes)(i => Shingling.splitmix64(seed + 2L * i + 1L))
+  override def dataType: DataType = StructType(Seq(
+    StructField("bands", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("sketch", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def nullSafeEval(input: Any): Any = {
+    val shingles = input.asInstanceOf[ArrayData].toLongArray()
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var s = 0
+    while (s < shingles.length) {
+      val x = shingles(s)
+      var i = 0
+      while (i < numHashes) {
+        val v = coeffA(i) * x + coeffB(i)
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      new GenericArrayData(Shingling.bandKeys(sig, bands, rows, seed)),
+      new GenericArrayData(Shingling.packLowBits(sig, b)))
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashBandsSketch =
+    copy(child = c)
+}
+
 /** Truncate a sorted 64-bit shingle-hash array to sorted distinct 32-bit
   * hashes — the storage/compare representation (half the bytes, negligible
   * collision mass; see [[Shingling.truncate32]]).

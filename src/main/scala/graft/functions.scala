@@ -127,6 +127,9 @@ object functions {
     col(BandKeys(ex(c), bands, rows, seed))
   def minhash_bands(c: Column, bands: Int, rows: Int, seed: Long = Shingling.DefaultSeed): Column =
     col(MinHashBands(ex(c), bands, rows, seed))
+  def minhash_bands_sketch(c: Column, bands: Int, rows: Int, b: Int,
+      seed: Long = Shingling.DefaultSeed): Column =
+    col(MinHashBandsSketch(ex(c), bands, rows, b, seed))
   def truncate_hashes32(c: Column): Column = col(TruncateHashes32(ex(c)))
   def jaccard_sorted(l: Column, r: Column): Column = col(JaccardSorted(ex(l), ex(r)))
   def minhash_jaccard(l: Column, r: Column): Column = col(MinHashJaccard(ex(l), ex(r)))

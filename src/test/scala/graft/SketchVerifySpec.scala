@@ -115,6 +115,31 @@ class SketchVerifySpec extends AnyFunSuite {
     assert(crossEst.length === cross.length && crossEst.forall(_ < 0.5))
   }
 
+  test("fused bands+sketch: identical band keys, sketch = truncation, n-prefix compat") {
+    import spark.implicits._
+    import graft.functions.{minhash_bands, minhash_bands_sketch}
+    val df = Seq(toks("w", 0, 50), toks("x", 3, 80), "single").toDF("text")
+      .select(
+        word_shingles(col("text"), 3, seed).as("sh"))
+      .select(
+        minhash_bands(col("sh"), 16, 5, seed).as("bands_ref"),
+        bbit_minhash(col("sh"), 80, 4, seed).as("sk80"),
+        bbit_minhash(col("sh"), 256, 4, seed).as("sk256"),
+        minhash_bands_sketch(col("sh"), 16, 5, 4, seed).as("bs"))
+    df.collect().foreach { r =>
+      val bs = r.getStruct(3)
+      // fused band keys are bit-identical to MinHashBands (same coeff
+      // family) — checkpoints and oracles unaffected by the fusion
+      assert(r.getSeq[Long](0) === bs.getSeq[Long](0))
+      // fused sketch ≡ standalone BBitMinHash at n = bands·rows
+      assert(r.getSeq[Long](1) === bs.getSeq[Long](1))
+      // prefix compatibility: the first 80·4 bits of an n=256 sketch ARE
+      // the n=80 sketch (shared coefficients, sequential packing) — so
+      // bbit_jaccard(…, 80, 4) reads sketch-decide-era layers correctly
+      assert(r.getSeq[Long](2).take(5) === r.getSeq[Long](1))
+    }
+  }
+
   test("prefilterPairs: noise dropped, dups and null-sketch pairs kept") {
     import spark.implicits._
     val n = 256

@@ -58,6 +58,8 @@ final case class DedupConfig(
     sketchEps: Double = 0.08,
     incSketchPrefilter: Boolean = true,
     incPrefilterMargin: Double = 0.35,
+    incPrefilterProbePairs: Int = 4096,
+    incPrefilterMinDrop: Double = 0.15,
     emitSketch: Boolean = true) {
   require(bands * rows == numHashes, "bands*rows must equal numHashes")
   require(resumeChunks >= 1, "resumeChunks must be >= 1")
@@ -76,6 +78,9 @@ final case class DedupConfig(
     "incPrefilterMargin must be in (0, jaccardThreshold)")
   require(emitSketch || verifySketchBits.isEmpty,
     "sketch-decide mode (verifySketchBits) requires emitSketch")
+  require(incPrefilterProbePairs > 0, "incPrefilterProbePairs must be positive")
+  require(incPrefilterMinDrop >= 0.0 && incPrefilterMinDrop <= 1.0,
+    "incPrefilterMinDrop must be in [0, 1]")
 }
 
 /** The end-to-end near-dup detection + clustering pipeline (SURVEY.md §3.3
@@ -918,27 +923,56 @@ final class DedupPipeline(spark: SparkSession, config: DedupConfig, store: Stage
     // cutoff) and in sketch-decide mode (subsumed). Estimation reads only
     // the first numHashes·b bits, so n=256 sketch layers from
     // sketch-decide-era stores remain readable (shared coefficient
-    // family).
+    // family). Whether prefiltering actually RUNS is decided per batch by
+    // a selectivity probe over a bounded candidate sample (see below) —
+    // clean deltas whose candidates are almost all true dups skip it and
+    // pay nothing.
     val allSigs = priorSigs.unionByName(sigsNew, allowMissingColumns = true)
     val verifiedInc = store.getOrCompute(s"inc_${batch}_verified_edges") {
       val pairIds = candInc.select(col("a").as("id"))
         .union(candInc.select(col("b").as("id"))).distinct()
-      val usePrefilter = config.incSketchPrefilter &&
+      val sketchAvailable = config.incSketchPrefilter &&
         config.verifySketchBits.isEmpty && !config.useLcsCheck &&
         allSigs.columns.contains("sketch")
-      if (!usePrefilter)
+      val cutoff = config.jaccardThreshold - config.incPrefilterMargin
+      def direct() =
         verifiedEdgesPlan(allSigs.join(pairIds, Seq("id"), "left_semi"),
           candInc, allPages)
+      if (!sketchAvailable) direct()
       else {
-        val kept = SketchVerify.prefilterPairs(
-          candInc,
-          allSigs.select("id", "sketch").join(pairIds, Seq("id"), "left_semi"),
-          config.numHashes, PrefilterSketchBits,
-          config.jaccardThreshold - config.incPrefilterMargin)
-        val keptIds = kept.select(col("a").as("id"))
-          .union(kept.select(col("b").as("id"))).distinct()
-        verifiedEdgesPlan(allSigs.join(keptIds, Seq("id"), "left_semi"),
-          kept, allPages)
+        // SELECTIVITY PROBE (AQE-spirited): prefiltering costs ~two extra
+        // passes over pair-touched signature columns plus a pair↔sketch
+        // shuffle, and saves the DROPPED fraction of the shingle fetch —
+        // on a clean crawl delta (candidates ≈ true dups) it drops
+        // nothing and the overhead measured ~20% of the apply. So the
+        // decision comes from data: score a bounded candidate sample and
+        // engage only when the droppable fraction clears
+        // incPrefilterMinDrop. Either branch yields the same rows (the
+        // prefilter is output-neutral by construction), so the sample's
+        // ordering doesn't need to be deterministic — this is a cost
+        // decision, not a semantic one.
+        val probe = candInc.limit(config.incPrefilterProbePairs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nProbe = probe.count()
+        val probeIds = probe.select(col("a").as("id"))
+          .union(probe.select(col("b").as("id"))).distinct()
+        val probeKept = SketchVerify.prefilterPairs(probe,
+          allSigs.select("id", "sketch").join(probeIds, Seq("id"), "left_semi"),
+          config.numHashes, PrefilterSketchBits, cutoff).count()
+        probe.unpersist(blocking = false)
+        val dropFrac =
+          if (nProbe == 0L) 0.0 else (nProbe - probeKept).toDouble / nProbe
+        if (dropFrac < config.incPrefilterMinDrop) direct()
+        else {
+          val kept = SketchVerify.prefilterPairs(
+            candInc,
+            allSigs.select("id", "sketch").join(pairIds, Seq("id"), "left_semi"),
+            config.numHashes, PrefilterSketchBits, cutoff)
+          val keptIds = kept.select(col("a").as("id"))
+            .union(kept.select(col("b").as("id"))).distinct()
+          verifiedEdgesPlan(allSigs.join(keptIds, Seq("id"), "left_semi"),
+            kept, allPages)
+        }
       }
     }
 

@@ -550,7 +550,11 @@ class DedupPipelineSpec extends AnyFunSuite {
       .run(aPages.union(bPages)))
 
     val store = freshStore()
-    val pipe = new DedupPipeline(spark, DedupConfig(), store)
+    // minDrop = 0 forces the probe to ENGAGE the prefilter (a clean
+    // synthetic delta would otherwise skip it), so the null-keep rule is
+    // exercised through the real incremental path
+    val cfg = DedupConfig(incPrefilterMinDrop = 0.0)
+    val pipe = new DedupPipeline(spark, cfg, store)
     pipe.run(aPages).count()
     // simulate a base layer written before the always-on sketch column:
     // strip it from every signature chunk; the delta's layers still carry
@@ -564,6 +568,13 @@ class DedupPipelineSpec extends AnyFunSuite {
     }
     assert(key(pipe.incremental("b", bPages)) === full,
       "pre-sketch base + sketch delta must still match the batch run")
+
+    // and the engaged-prefilter path on a FULLY sketched store matches too
+    val store2 = freshStore()
+    val pipe2 = new DedupPipeline(spark, cfg, store2)
+    pipe2.run(aPages).count()
+    assert(key(pipe2.incremental("b", bPages)) === full,
+      "engaged prefilter must be output-neutral vs the batch run")
     all.unpersist()
   }
 

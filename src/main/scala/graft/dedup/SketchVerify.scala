@@ -86,7 +86,8 @@ object SketchVerify {
     * failure mode is dropping a true positive, which the caller prices by
     * the margin: cutoff = threshold − m is m/σ standard errors below the
     * lowest accepted exact score (σ ≈ √(P(1−P)/n)/(1−2⁻ᵇ); the pipeline's
-    * default margin is ~7.6σ — see `DedupPipeline.incremental` step 4).
+    * default margin is ~5.9σ at its n=80/b=4 fused sketch — see
+    * `DedupPipeline.incremental` step 4).
     * Output is the (a, b) pair set, column-compatible with the candidate
     * input.
     */

@@ -854,6 +854,22 @@ object SparkEntry {
               r.getField("length").cast("string"))), ",").as("ranges"))
     }),
 
+    // GET-coalesced fetch plan: near-adjacent ranges (gap ≤ 64 KiB) merge
+    // into one ranged read per span — the object-store pattern (fixed
+    // per-GET latency makes fetching a few gap bytes cheaper than another
+    // request). One HOF fold per file over the sorted range list, no
+    // window; the oracle replays it as DuckDB gaps-and-islands.
+    "q_cdx_coalesce" -> ((s, dir) => {
+      val kept = CdxSource.digestDedup(CdxSource.parseLines(cdxLines(s, dir)))
+      CdxSource.coalescedFetchPlan(kept, maxGap = 65536L)
+        .select(col("filename"), col("n_records"), col("bytes"),
+          col("n_reads").cast("long").as("n_reads"), col("read_bytes"),
+          array_join(
+            transform(col("spans"), sp => concat_ws(":",
+              sp.getField("offset").cast("string"),
+              sp.getField("end").cast("string"))), ",").as("spans"))
+    }),
+
     // ---------- deduplication ops ----------
 
     // Distributed union-find (large-star/small-star connected components)
@@ -3573,9 +3589,51 @@ object SparkEntry {
          |  SELECT * FROM (
          |    SELECT filename, rec_offset, rec_length,
          |      row_number() OVER (PARTITION BY digest
-         |        ORDER BY ts, urlkey, rec_offset) AS rn
+         |        ORDER BY ts, urlkey, rec_offset, filename) AS rn
          |    FROM ($cdxCapturesSql)) WHERE rn = 1)
          |GROUP BY filename""".stripMargin,
+
+    // gaps-and-islands replica of the HOF coalescing fold: a row opens a
+    // new read span iff its offset exceeds the running max end (+gap) of
+    // everything before it in the file — equivalent to the fold's
+    // island-local running end because a break guarantees every earlier
+    // end sits > gap below all later offsets
+    "q_cdx_coalesce" ->
+      s"""WITH kept AS (
+         |  SELECT filename, rec_offset, rec_length FROM (
+         |    SELECT filename, rec_offset, rec_length,
+         |      row_number() OVER (PARTITION BY digest
+         |        ORDER BY ts, urlkey, rec_offset, filename) AS rn
+         |    FROM ($cdxCapturesSql)) WHERE rn = 1),
+         |marked AS (
+         |  SELECT filename, rec_offset, rec_length,
+         |    CASE WHEN rec_offset <=
+         |        max(rec_offset + rec_length) OVER w + 65536
+         |      THEN 0 ELSE 1 END AS brk
+         |  FROM kept
+         |  WINDOW w AS (PARTITION BY filename
+         |    ORDER BY rec_offset, rec_length
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |islands AS (
+         |  SELECT filename, rec_offset, rec_length,
+         |    SUM(brk) OVER (PARTITION BY filename
+         |      ORDER BY rec_offset, rec_length) AS isl
+         |  FROM marked),
+         |spans AS (
+         |  SELECT filename, isl, MIN(rec_offset) AS st,
+         |    MAX(rec_offset + rec_length) AS e
+         |  FROM islands GROUP BY filename, isl)
+         |SELECT s.filename, k.n_records, k.bytes,
+         |  s.n_reads, s.read_bytes, s.spans
+         |FROM (
+         |  SELECT filename, CAST(COUNT(*) AS BIGINT) AS n_reads,
+         |    CAST(SUM(e - st) AS BIGINT) AS read_bytes,
+         |    string_agg(st || ':' || e, ',' ORDER BY st) AS spans
+         |  FROM spans GROUP BY filename) s
+         |JOIN (
+         |  SELECT filename, COUNT(*) AS n_records,
+         |    CAST(SUM(rec_length) AS BIGINT) AS bytes
+         |  FROM kept GROUP BY filename) k USING (filename)""".stripMargin,
 
     "q_connected_components" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -222,4 +222,74 @@ object CdxSource {
         sum(col("length")).as("bytes"),
         sort_array(collect_list(struct(col("offset"), col("length"))))
           .as("ranges"))
+
+  /** [[fetchPlan]] with GET coalescing: per file, offset-sorted record
+    * ranges whose gap to the running read is ≤ `maxGap` bytes merge into
+    * ONE span — the object-store read pattern (each S3/HDFS GET carries
+    * fixed latency, so fetching a few wasted gap bytes beats issuing
+    * another request; readers then issue one ranged GET per span and slice
+    * records out of the buffer). Overlapping ranges (republished captures
+    * pointing into the same region) merge for free. Output per filename:
+    * `n_records`, `bytes` (payload actually needed), `n_reads` (GETs
+    * issued), `read_bytes` (bytes fetched incl. gaps — the priced
+    * overhead), and `spans` — offset-ordered (offset, end) structs.
+    *
+    * Shape: the same single partial-agg'd groupBy as [[fetchPlan]]
+    * (per-file range lists are bounded by the records kept in that
+    * container — the task-sized unit), then ONE narrow higher-order
+    * `aggregate` fold over the sorted array per file; no window, no
+    * second shuffle, no UDF.
+    */
+  def coalescedFetchPlan(captures: DataFrame, maxGap: Long): DataFrame = {
+    require(maxGap >= 0, s"maxGap must be >= 0, got $maxGap")
+    val sortedRanges =
+      sort_array(collect_list(struct(col("offset"), col("length"))))
+    val emptySpans =
+      array().cast("array<struct<offset:bigint,end:bigint>>")
+    // fold state: (spans emitted so far, current open span [start, end))
+    val zero = struct(
+      emptySpans.as("spans"),
+      lit(null).cast("bigint").as("start"),
+      lit(null).cast("bigint").as("end"))
+    def spanStruct(s: Column, e: Column) =
+      struct(s.as("offset"), e.as("end"))
+    val folded = aggregate(
+      sortedRanges,
+      zero,
+      (acc, r) => {
+        val rEnd = r.getField("offset") + r.getField("length")
+        val open = acc.getField("start").isNotNull
+        val joins = open &&
+          r.getField("offset") <= acc.getField("end") + lit(maxGap)
+        when(joins,
+          struct(acc.getField("spans").as("spans"),
+            acc.getField("start").as("start"),
+            greatest(acc.getField("end"), rEnd).as("end")))
+          .when(open,
+            struct(
+              concat(acc.getField("spans"),
+                array(spanStruct(acc.getField("start"), acc.getField("end"))))
+                .as("spans"),
+              r.getField("offset").as("start"), rEnd.as("end")))
+          .otherwise(
+            struct(acc.getField("spans").as("spans"),
+              r.getField("offset").as("start"), rEnd.as("end")))
+      },
+      acc => when(acc.getField("start").isNotNull,
+        concat(acc.getField("spans"),
+          array(spanStruct(acc.getField("start"), acc.getField("end")))))
+        .otherwise(acc.getField("spans")))
+    captures
+      .groupBy(col("filename"))
+      .agg(
+        count(lit(1)).as("n_records"),
+        sum(col("length")).as("bytes"),
+        folded.as("spans"))
+      .select(col("filename"), col("n_records"), col("bytes"),
+        size(col("spans")).as("n_reads"),
+        aggregate(col("spans"), lit(0L),
+          (a, s) => a + s.getField("end") - s.getField("offset"))
+          .as("read_bytes"),
+        col("spans"))
+  }
 }

@@ -175,6 +175,39 @@ class CdxSpec extends AnyFunSuite {
     assert(parsed.head.getAs[String]("filename") === "f")
   }
 
+  test("coalescedFetchPlan: gap merge, overlap/containment, per-file islands") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.from(java.time.Instant.parse("2026-08-01T00:00:00Z"))
+    val caps = Seq(
+      // f0: [0,100) + [150,250) merge at gap 50; [1000,1100) breaks;
+      // [1050,1075) is CONTAINED in the open span (end stays 1100);
+      // [1150,1200) rejoins via gap (1150 <= 1100+100)
+      ("k1", t0, "D1", 100L, 0L, "f0"),
+      ("k2", t0, "D2", 100L, 150L, "f0"),
+      ("k3", t0, "D3", 100L, 1000L, "f0"),
+      ("k4", t0, "D4", 25L, 1050L, "f0"),
+      ("k5", t0, "D5", 50L, 1150L, "f0"),
+      // f1: single record = single span
+      ("k6", t0, "D6", 7L, 5L, "f1"))
+      .toDF("urlkey", "ts", "digest", "length", "offset", "filename")
+    val plan = CdxSource.coalescedFetchPlan(caps, maxGap = 100L).collect()
+      .map(r => (r.getAs[String]("filename"), r.getAs[Long]("n_records"),
+        r.getAs[Long]("bytes"), r.getAs[Int]("n_reads"),
+        r.getAs[Long]("read_bytes"),
+        r.getAs[Seq[org.apache.spark.sql.Row]]("spans")
+          .map(x => (x.getLong(0), x.getLong(1)))))
+      .sortBy(_._1)
+    assert(plan === Array(
+      ("f0", 5L, 375L, 2, 450L, Seq((0L, 250L), (1000L, 1200L))),
+      ("f1", 1L, 7L, 1, 7L, Seq((5L, 12L)))))
+
+    // maxGap = 0: only touching/overlapping ranges merge
+    val strict = CdxSource.coalescedFetchPlan(caps, maxGap = 0L).collect()
+      .map(r => (r.getAs[String]("filename"), r.getAs[Int]("n_reads")))
+      .toMap
+    assert(strict("f0") === 4) // [1000,1100)+[1050,1075) still merge (overlap)
+  }
+
   test("fetchPlan: per-file offset-sorted ranges, byte totals") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.from(java.time.Instant.parse("2026-08-01T00:00:00Z"))
